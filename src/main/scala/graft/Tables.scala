@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each table is a single parquet dataset under `dir`. Reads are plain
+  * `spark.read.parquet` so Catalyst's parquet source handles predicate
+  * pushdown, column pruning and vectorized decoding — at 100 TB the same
+  * call scales by splitting files into `maxPartitionBytes` tasks.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true so it
+    // arrives as a long of epoch-nanos. Truncate to micros (integer div —
+    // double division would lose precision above 2^53 ns) and restore a real
+    // timestamp column. DuckDB keeps ns; oracle queries only compare at
+    // >= second granularity per FIXTURES.md.
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view (used by the CLI / SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

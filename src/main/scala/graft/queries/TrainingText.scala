@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries over `documents` / `embeddings`
+  * (SURVEY.md §2.9 q19–q22 + oracle-checkable dedup / text-analysis /
+  * similarity extensions).
+  *
+  * These certify, in DuckDB-comparable form, the SQL-expressible halves of
+  * the LLM-data operators: exact dedup, term statistics, token chunking,
+  * cosine top-k, pairwise Jaccard, embedding near-dup. The non-SQL halves
+  * (MinHash/LSH, SimHash, language-ID, fingerprints) live in
+  * [[graft.operators]] with rows-only verification + unit tests.
+  *
+  * All array math stays inside codegen-friendly higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) — no Scala UDF in the hot path, so
+  * whole-stage codegen spans the scoring expressions at 100 TB.
+  */
+object TrainingText {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Array<float> → array<double> (FP parity with the DuckDB oracle). */
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  private def l2norm(v: org.apache.spark.sql.Column) =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  // q19: exact deduplication counts — distinct text, distinct (lang, source).
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(
+        countDistinct(col("text")).as("n_text"),
+        countDistinct(concat_ws("|", col("lang"), col("source"))).as("n_ls"))
+
+  // q20: tokenize + term frequency, top-20 terms.
+  def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(20)
+
+  // q21: brute-force cosine top-5 vs the vec_id=0 query vector. The single
+  // query row is broadcast — the scan side stays fully distributed (this is
+  // exactly the 100 TB-shaped plan: broadcast tiny side, stream the big one).
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (l2norm(col("v")) * l2norm(col("qv"))), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  // q22: fixed-size token chunking (16 tokens) — the SQL-expressible core of
+  // the chunker C1; reassembly order pinned via sort_array over (pos, tok).
+  def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("chunk_id", floor(col("pos") / 16).cast("int"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // q23: per-document token statistics (token counting for pipelines).
+  def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        col("n_chars"),
+        round(length(col("text")).cast("double") / size(split(col("text"), " ")), 2)
+          .as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  // q24: quality scoring — long-token ratio + lexical diversity, via
+  // higher-order array functions (codegen'd, no UDF).
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(size(filter(toks, x => length(x) > 3)).cast("double") / size(toks), 4)
+          .as("long_ratio"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("uniq_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q25: exact pairwise token-set Jaccard (restricted key range), top-20.
+  // Shape: explode distinct tokens → self-equi-join on token → count
+  // intersections → |A∪B| = |A|+|B|−|A∩B|. At 100 TB the same plan holds
+  // with the token join salted / the MinHash-LSH variant pre-filtering pairs.
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val cnt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = toks.as("x")
+      .join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(cnt).as("ca"), col("a") === col("ca.doc_id"))
+      .join(broadcast(cnt).as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        round(col("i") / (col("ca.n") + col("cb.n") - col("i")), 4).as("jac"))
+      .orderBy(col("jac").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  // q26: embedding near-duplicate pairs — pairwise cosine over a restricted
+  // key range, top-20 most-similar. Brute-force here; the LSH-bucketed scale
+  // path is operators.EmbeddingDedup.
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact" -> (q19 _),
+    "q20_term_freq" -> (q20 _),
+    "q21_cosine_topk" -> (q21 _),
+    "q22_chunk_tokens" -> (q22 _),
+    "q23_token_stats" -> (q23 _),
+    "q24_quality_score" -> (q24 _),
+    "q25_jaccard_pairs" -> (q25 _),
+    "q26_embed_neardup" -> (q26 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      """SELECT COUNT(DISTINCT text) AS n_text,
+        |  COUNT(DISTINCT lang || '|' || source) AS n_ls FROM documents""".stripMargin,
+    "q20_term_freq" ->
+      """SELECT term, COUNT(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY c DESC, term LIMIT 20""".stripMargin,
+    "q21_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+        |n AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM e GROUP BY vec_id),
+        |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
+        |      FROM e JOIN q ON e.pos = q.pos WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT d.vec_id,
+        |  ROUND(d.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 4) AS sim
+        |FROM d JOIN n ON d.vec_id = n.vec_id
+        |ORDER BY sim DESC, d.vec_id LIMIT 5""".stripMargin,
+    "q22_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT doc_id, CAST(FLOOR(pos / 16) AS INTEGER) AS chunk_id,
+        |  string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |FROM toks GROUP BY doc_id, CAST(FLOOR(pos / 16) AS INTEGER)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  n_chars,
+        |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')), 2)
+        |    AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_quality_score" ->
+      """SELECT doc_id,
+        |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |    x -> LENGTH(x) > 3)) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS long_ratio,
+        |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS uniq_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, ROUND(i / (ca.n + cb.n - i), 4) AS jac
+        |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin,
+    "q26_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings WHERE vec_id < 100),
+        |n AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.val * y.val) AS dot
+        |      FROM e x JOIN e y ON x.pos = y.pos AND x.vec_id < y.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 4) AS sim
+        |FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
+        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin
+  )
+}
