@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.IngestionPipeline
+import graft.sources.{DatabaseSource, MarkdownSource, PdfSource, SqliteReader}
+import graft.store.VectorStore
+import org.apache.spark.sql.SparkSession
+
+import scala.io.StdIn
+
+/** CLI surface (SURVEY.md §2.8, A1–A3): `ingest | search | list`, mirroring
+  * the reference's three subcommands (`Program.cs:22-53`) with the same
+  * defaults (collection `documents`, reader-specific sources).
+  */
+object Main {
+
+  private def opt(args: Array[String], name: String, dflt: String): String = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) args(i + 1) else dflt
+  }
+
+  def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .appName("graft")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val storeRoot = opt(args, "store", "/tmp/graft-store")
+    val collection = opt(args, "collection", "documents")
+    val store = new VectorStore(spark, storeRoot)
+
+    args(0) match {
+      case "ingest" =>
+        val reader = opt(args, "reader", "")
+        val source = opt(args, "source", "")
+        val elements = reader match {
+          case "markdown" => MarkdownSource.elements(spark, source)
+          case "pdf" => PdfSource.elements(spark, source)
+          case "database" =>
+            val rows = SqliteReader.readTable(source, "Items")
+              .map(r => (r.long(0), r.string(1), r.string(2)))
+            DatabaseSource.elements(
+              spark.createDataFrame(rows).toDF("id", "title", "body"))
+          case other =>
+            System.err.println(s"unknown --reader '$other' " +
+              "(markdown|pdf|database required)") // validated, Program.cs:24-25
+            sys.exit(2); null
+        }
+        val results = IngestionPipeline.run(elements, store, collection)
+        results.collect().foreach { r =>
+          val status = if (r.succeeded) "SUCCESS" else "FAILURE"
+          println(s"[$status] ${r.documentid} chunks=${r.n_chunks}" +
+            r.error.map(e => s" error=$e").getOrElse(""))
+        }
+      case "search" =>
+        // REPL: blank line exits (VectorStoreCommands.cs:110,128-138).
+        var line = ""
+        while ({ print("query> "); line = Option(StdIn.readLine()).getOrElse("");
+            line.trim.nonEmpty }) {
+          val hits = store.search(collection, line.trim, k = 1).collect()
+          hits.foreach { row =>
+            println(s"score=${row.getAs[Any]("score")}")
+            row.schema.fieldNames.filterNot(_ == "score")
+              .foreach(f => println(s"  $f: ${row.getAs[Any](f)}"))
+          }
+        }
+      case "list" =>
+        store.listCollections().foreach(println)
+      case other =>
+        System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.Main <command> [options]
+      |  ingest --reader markdown|pdf|database --source <path>
+      |         [--collection c] [--store dir]
+      |  search [--collection c] [--store dir]
+      |  list   [--store dir]""".stripMargin)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.{Embedding, EmbeddingProvider}
+import graft.model.{ElementRow, IngestionResult}
+import graft.store.VectorStore
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pipeline driver (SURVEY.md §2.5, D1): composes
+  * `source → chunk → embed → write` as one lazy lineage and returns a
+  * per-document results dataset — the Spark analogue of the reference's
+  * `IngestionPipeline.ProcessAsync` stream of `IngestionResult`s
+  * (`VectorStoreCommands.cs:58-64,74-80,163-180`).
+  *
+  * Fault isolation matches the reference: a document whose parse produced
+  * `error` element rows is reported as failed and contributes no chunks;
+  * every other document proceeds independently (per-item try/catch ≙
+  * error rows as data, `VectorStoreCommands.cs:32-47`).
+  */
+object IngestionPipeline {
+
+  def run(elements: Dataset[ElementRow], store: VectorStore,
+      collection: String,
+      chunker: SemanticChunker = SemanticChunker.default,
+      provider: EmbeddingProvider = Embedding.default)
+      : Dataset[IngestionResult] = {
+    val spark = elements.sparkSession
+    import spark.implicits._
+
+    val elems = elements.persist(StorageLevel.MEMORY_AND_DISK)
+    val failedDocs = elems.filter(col("element_type") === "error")
+      .groupBy(col("doc_id"))
+      .agg(first(col("text"), ignoreNulls = true).as("error"))
+
+    val good = elems.join(failedDocs.select(col("doc_id")), Seq("doc_id"),
+      "left_anti").as[ElementRow]
+    val embedded = Embed.chunks(chunker.chunks(good), provider)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    store.upsert(embedded, collection)
+
+    val counts = embedded.groupBy(col("documentid").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    // Lazy result lineage over the persisted inputs — one row per document,
+    // stays distributed (no driver collect; at 100 TB "documents" can be
+    // millions of rows). Caches are evicted LRU / recomputed if the caller
+    // consumes late.
+    elems.select(col("doc_id")).distinct()
+      .join(failedDocs, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id").as("documentid"),
+        col("error").isNull.as("succeeded"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        col("error"))
+      .as[IngestionResult]
+  }
+}

@@ -1,0 +1,246 @@
+package graft.parse
+
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** Minimal PDF text extractor (SURVEY.md §2.1 S3, §7.4).
+  *
+  * Stand-in for the reference's PdfPig pipeline
+  * (`Readers/Pdf/PdfReader.cs:10-50`: per page, letters → words → layout
+  * blocks → one paragraph per block, one section per page). This extractor
+  * understands exactly what the corpus-style PDFs need, all public PDF 1.7
+  * format knowledge:
+  *   - object scan (`N 0 obj … endobj`), FlateDecode via
+  *     `java.util.zip.Inflater`
+  *   - page content streams with BT/ET text objects, Tm/Td/TD positioning,
+  *     Tj/TJ show-text
+  *   - CID text via each font's /ToUnicode CMap (beginbfchar/beginbfrange)
+  *   - literal `(...)` and hex `<...>` strings
+  *
+  * Lines are grouped into blocks by vertical gap (coarse Docstrum stand-in,
+  * `PdfReader.cs:38-40`): a gap > 1.5× the dominant line pitch starts a new
+  * block. Unsupported structure throws — callers turn that into error rows.
+  */
+object PdfTextExtractor {
+
+  final case class Block(page: Int, text: String)
+
+  private val ObjRe: Regex =
+    """(?s)(\d+) 0 obj\s*(.*?)\s*endobj""".r
+  private val StreamRe: Regex = """(?s)^<<(.*?)>>\s*stream\r?\n""".r
+  private val BfCharRe: Regex = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeRe: Regex = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val HexPairRe: Regex = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+  private val HexTripleRe: Regex =
+    """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+
+  def extract(bytes: Array[Byte]): Seq[Block] = {
+    val latin = new String(bytes, "ISO-8859-1")
+    require(latin.startsWith("%PDF-"), "not a PDF")
+
+    // --- objects: number → (dict/source text, raw stream bytes or null)
+    val objects = scala.collection.mutable.Map.empty[Int, (String, Array[Byte])]
+    for (m <- ObjRe.findAllMatchIn(latin)) {
+      val num = m.group(1).toInt
+      val body = m.group(2)
+      StreamRe.findFirstMatchIn(body) match {
+        case Some(sm) =>
+          val streamStartInBody = sm.end
+          val absStart = m.start(2) + streamStartInBody
+          val endIdx = latin.indexOf("endstream", absStart)
+          val raw = java.util.Arrays.copyOfRange(bytes, absStart,
+            if (endIdx >= 0) endIdx else absStart)
+          objects(num) = (sm.group(1), raw)
+        case None => objects(num) = (body, null)
+      }
+    }
+
+    def inflate(raw: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater()
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    }
+
+    def streamData(num: Int): Array[Byte] = {
+      val (dict, raw) = objects(num)
+      // strip trailing newline before endstream
+      val trimmed = if (raw.nonEmpty && raw.last == '\n'.toByte)
+        java.util.Arrays.copyOfRange(raw, 0, raw.length -
+          (if (raw.length > 1 && raw(raw.length - 2) == '\r'.toByte) 2 else 1))
+      else raw
+      if (dict.contains("/FlateDecode")) inflate(trimmed) else trimmed
+    }
+
+    // --- ToUnicode CMaps per font object; resource name → code map.
+    // Font objects carry /ToUnicode N 0 R; page /Resources /Font dicts map
+    // names (/F1) to font objects.
+    val toUnicodeRefRe = """/ToUnicode (\d+) 0 R""".r
+    val fontCmaps: Map[Int, Map[Int, String]] = objects.flatMap {
+      case (num, (dict, _)) =>
+        toUnicodeRefRe.findFirstMatchIn(dict).map { fm =>
+          num -> parseCmap(new String(streamData(fm.group(1).toInt),
+            "ISO-8859-1"))
+        }
+    }.toMap
+    val anyCmap: Map[Int, String] =
+      if (fontCmaps.size == 1) fontCmaps.head._2 else Map.empty
+
+    // --- pages in document order
+    val pageObjs = objects.toSeq
+      .filter { case (_, (d, s)) => s == null && d.contains("/Type /Page") &&
+        !d.contains("/Type /Pages") }
+      .sortBy(_._1)
+    // /Contents may be a single ref or an array of refs.
+    val contentsRefRe = """/Contents\s*\[?\s*((?:\d+ 0 R\s*)+)\]?""".r
+    val resourcesRefRe = """/Resources (\d+) 0 R""".r
+    val fontResRe = """/(\w+) (\d+) 0 R""".r
+    val refRe = """(\d+) 0 R""".r
+
+    val blocks = ArrayBuffer.empty[Block]
+    pageObjs.zipWithIndex.foreach { case ((_, (dict, _)), pageIdx) =>
+      // Resources may be inline (<< /Font << /F1 11 0 R >> >>) or an
+      // indirect reference to a resources dict object.
+      val resDict = resourcesRefRe.findFirstMatchIn(dict) match {
+        case Some(rm) => objects.get(rm.group(1).toInt).map(_._1).getOrElse("")
+        case None => dict
+      }
+      val fontSection = {
+        val i = resDict.indexOf("/Font")
+        if (i >= 0) resDict.substring(i) else resDict
+      }
+      val fontsByName: Map[String, Map[Int, String]] =
+        fontResRe.findAllMatchIn(fontSection)
+          .map(m => m.group(1) -> fontCmaps.getOrElse(m.group(2).toInt, anyCmap))
+          .toMap
+      contentsRefRe.findFirstMatchIn(dict).foreach { cm =>
+        val content = refRe.findAllMatchIn(cm.group(1))
+          .map(r => new String(streamData(r.group(1).toInt), "ISO-8859-1"))
+          .mkString("\n")
+        blocks ++= extractPage(content, pageIdx + 1, fontsByName, anyCmap)
+      }
+    }
+    blocks.toSeq
+  }
+
+  /** Parse beginbfchar/beginbfrange sections of a ToUnicode CMap. */
+  def parseCmap(s: String): Map[Int, String] = {
+    val m = scala.collection.mutable.Map.empty[Int, String]
+    for (sec <- BfCharRe.findAllMatchIn(s); p <- HexPairRe.findAllMatchIn(sec.group(1)))
+      m(Integer.parseInt(p.group(1), 16)) = hexToString(p.group(2))
+    for (sec <- BfRangeRe.findAllMatchIn(s);
+         t <- HexTripleRe.findAllMatchIn(sec.group(1))) {
+      val lo = Integer.parseInt(t.group(1), 16)
+      val hi = Integer.parseInt(t.group(2), 16)
+      val dst = Integer.parseInt(t.group(3), 16)
+      (lo to hi).foreach(c => m(c) = new String(
+        Character.toChars(dst + (c - lo))))
+    }
+    m.toMap
+  }
+
+  private def hexToString(hex: String): String = {
+    val codes = hex.grouped(4).filter(_.length == 4)
+      .map(h => Integer.parseInt(h, 16)).toArray
+    new String(codes.flatMap(Character.toChars))
+  }
+
+  /** Interpret one page's content stream: collect (y, text) lines, then
+    * group into blocks by y-gap.
+    */
+  private def extractPage(content: String, page: Int,
+      fonts: Map[String, Map[Int, String]],
+      fallback: Map[Int, String]): Seq[Block] = {
+    // Tokens we care about: Tf (font select), Tm (6 args), Td/TD (2 args),
+    // TJ (array), Tj (string).
+    final case class Line(y: Double, sb: StringBuilder)
+    val lines = ArrayBuffer.empty[Line]
+    var curFont: Map[Int, String] = fallback
+    var y = 0.0
+
+    def lineFor(yPos: Double): Line = {
+      lines.find(l => math.abs(l.y - yPos) < 0.5).getOrElse {
+        val l = Line(yPos, new StringBuilder); lines += l; l
+      }
+    }
+
+    def decodeHex(hex: String): String =
+      hex.grouped(4).filter(_.length == 4)
+        .map(h => curFont.getOrElse(Integer.parseInt(h, 16), "")).mkString
+
+    def decodeLiteral(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' if i + 1 < s.length =>
+            s.charAt(i + 1) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case c@('(' | ')' | '\\') => sb += c
+              case d if d.isDigit => // octal
+                val oct = s.drop(i + 1).take(3).takeWhile(_.isDigit)
+                sb += oct.foldLeft(0)((a, c) => a * 8 + (c - '0')).toChar
+                i += oct.length - 1
+              case c => sb += c
+            }
+            i += 2
+          case c => sb += c; i += 1
+        }
+      }
+      sb.toString
+    }
+
+    // Tokenize operator stream line-ish: scan tokens.
+    val opRe =
+      """(?s)\[((?:<[0-9A-Fa-f]*>|\([^)]*\)|[-0-9.eE\s])*)\]\s*TJ|<([0-9A-Fa-f]*)>\s*Tj|\(((?:[^()\\]|\\.)*)\)\s*Tj|/(\w+)\s+[-0-9.]+\s+Tf|([-0-9.eE]+(?:\s+[-0-9.eE]+){5})\s+Tm|([-0-9.eE]+\s+[-0-9.eE]+)\s+T[dD]\s""".r
+    for (m <- opRe.findAllMatchIn(content)) {
+      if (m.group(4) != null) { // Tf
+        curFont = fonts.getOrElse(m.group(4), fallback)
+      } else if (m.group(5) != null) { // Tm
+        val nums = m.group(5).trim.split("\\s+").map(_.toDouble)
+        y = nums(5)
+      } else if (m.group(6) != null) { // Td/TD: relative line move
+        val nums = m.group(6).trim.split("\\s+").map(_.toDouble)
+        y += nums(1)
+      } else if (m.group(1) != null) { // TJ array
+        val sb = lineFor(y).sb
+        val itemRe = """<([0-9A-Fa-f]*)>|\(((?:[^()\\]|\\.)*)\)""".r
+        for (im <- itemRe.findAllMatchIn(m.group(1))) {
+          if (im.group(1) != null) sb ++= decodeHex(im.group(1))
+          else sb ++= decodeLiteral(im.group(2))
+        }
+      } else if (m.group(2) != null) { // hex Tj
+        lineFor(y).sb ++= decodeHex(m.group(2))
+      } else if (m.group(3) != null) { // literal Tj
+        lineFor(y).sb ++= decodeLiteral(m.group(3))
+      }
+    }
+
+    val ordered = lines.filter(_.sb.nonEmpty).sortBy(_.y).toIndexedSeq
+    if (ordered.isEmpty) return Seq.empty
+    // Dominant line pitch = median positive gap; block break at >1.5×.
+    val gaps = (1 until ordered.length)
+      .map(i => ordered(i).y - ordered(i - 1).y)
+      .filter(_ > 0.01).sorted
+    val pitch = if (gaps.isEmpty) 0.0 else gaps(gaps.length / 2)
+    val out = ArrayBuffer.empty[Block]
+    var cur = new StringBuilder(ordered.head.sb.toString)
+    (1 until ordered.length).foreach { i =>
+      val gap = ordered(i).y - ordered(i - 1).y
+      if (pitch > 0 && gap > pitch * 1.5) {
+        out += Block(page, cur.toString.trim); cur = new StringBuilder
+      } else if (cur.nonEmpty) cur += ' '
+      cur ++= ordered(i).sb.toString
+    }
+    if (cur.nonEmpty) out += Block(page, cur.toString.trim)
+    out.filter(_.text.nonEmpty).toSeq
+  }
+}

@@ -1,0 +1,85 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.operators.IngestionPipeline
+import graft.sources.MarkdownSource
+import java.nio.file.Files
+
+class VectorStoreSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-store").toString
+  private lazy val store = new VectorStore(spark, root)
+
+  test("ingest markdown corpus end-to-end: per-doc results + store contents") {
+    val elems = MarkdownSource.elements(spark, resourcePath("content/markdown"))
+    val results = IngestionPipeline.run(elems, store, "documents").collect()
+    assert(results.length == 10)
+    assert(results.forall(_.succeeded))
+    assert(results.forall(_.n_chunks > 0))
+
+    val stored = store.read("documents")
+    assert(stored.count() == results.map(_.n_chunks).sum)
+    val cols = stored.columns.toSet
+    assert(cols == Set("key", "embedding", "content", "context", "documentid"))
+    val emb = stored.select("embedding").head().getSeq[Float](0)
+    assert(emb.length == 384)
+  }
+
+  test("re-ingestion is idempotent (document-replace upsert)") {
+    val elems = MarkdownSource.elements(spark, resourcePath("content/markdown"))
+    IngestionPipeline.run(elems, store, "documents").collect()
+    val before = store.read("documents")
+      .select("key").collect().map(_.getString(0)).sorted
+    IngestionPipeline.run(elems, store, "documents").collect()
+    val after = store.read("documents")
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(before.toSeq == after.toSeq)
+  }
+
+  test("partial re-ingest replaces only the touched document's chunks") {
+    val elems = MarkdownSource.elements(spark, resourcePath("content/markdown"))
+    IngestionPipeline.run(elems, store, "part").collect()
+    val total = store.read("part").count()
+    val one = elems.filter(_.doc_id == "black_holes.md")
+    IngestionPipeline.run(one, store, "part").collect()
+    assert(store.read("part").count() == total)
+    val docs = store.read("part").select("documentid").distinct().count()
+    assert(docs == 10)
+  }
+
+  test("search finds the on-topic document top-1 (REPL semantics)") {
+    val hits = store.search("documents",
+      "gravity so strong that light cannot escape the event horizon", k = 1)
+      .collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("documentid") == "black_holes.md")
+    assert(hits.head.getAs[Double]("score") > 0.1)
+    val hits3 = store.search("documents",
+      "coral reefs marine fish species", k = 3).collect()
+    assert(hits3.length == 3)
+    assert(hits3.head.getAs[String]("documentid") == "coral_reefs.md")
+    // scores descending
+    val scores = hits3.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("list collections") {
+    assert(store.listCollections().contains("documents"))
+    assert(store.listCollections().contains("part"))
+  }
+
+  test("failed documents carry error results and contribute no chunks") {
+    import spark.implicits._
+    val bad = Seq(
+      graft.model.ElementRow("ok.md", Seq(0), None, 0, "paragraph", None,
+        Some("fine text"), None, None, None, None, None, None),
+      graft.model.ElementRow("bad.md", Seq(0), None, 0, "error", None,
+        Some("boom"), None, None, None, None, None, None)).toDS()
+    val res = IngestionPipeline.run(bad, store, "errcase").collect()
+      .map(r => r.documentid -> r).toMap
+    assert(res("ok.md").succeeded && res("ok.md").n_chunks == 1)
+    assert(!res("bad.md").succeeded)
+    assert(res("bad.md").error.contains("boom"))
+    assert(store.read("errcase").select("documentid").distinct().count() == 1)
+  }
+}
