@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.TrainingText.queries
+      graft.queries.TrainingText.queries ++
+      graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.TrainingText.oracle
+      graft.queries.TrainingText.oracle ++
+      graft.queries.DedupQueries.oracle
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star surface).
+  *
+  * Three tiers, trading recall for scan cost:
+  *   1. [[bruteForceKnn]] — exact cosine top-k, full scan. The baseline, and
+  *      the DuckDB-oracle-checked path (q21).
+  *   2. [[RandomHyperplaneLsh]] — sign-random-projection buckets; at query
+  *      time only matching buckets (± multiprobe neighbors) are re-scored
+  *      exactly. Sub-linear candidate sets, tunable recall.
+  *   3. [[Ivf]] — k-means coarse quantizer (MLlib); vectors are indexed by
+  *      nearest centroid, queries probe the `nprobe` nearest centroid lists.
+  *
+  * 100 TB design: both index tiers write a small per-row index column
+  * (bucket / centroid id) that parquet can partition or cluster on, so a
+  * query reads only its probe lists (partition pruning), never the full
+  * corpus. Scoring is expression-level (`zip_with`/`aggregate`) or a tight
+  * JVM loop in `mapPartitions` — no Python, no per-row allocation storms.
+  */
+object Ann {
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  def cosineCol(v: Column, q: Array[Float]): Column = {
+    val qLit = array(q.map(x => lit(x.toDouble)): _*)
+    val dot = aggregate(zip_with(asDouble(v), qLit, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val nrm = sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    if (qn == 0) lit(0.0)
+    else when(nrm === 0, 0.0).otherwise(dot / (nrm * lit(qn)))
+  }
+
+  /** Exact cosine top-k: one scan + TakeOrderedAndProject. */
+  def bruteForceKnn(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), round(cosineCol(col(vecCol), query), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic Rademacher (±1) hyperplane matrix: nBits × dim. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { i =>
+        // splitmix64-style mix of (seed, b, i) — stable across runs/JVMs.
+        var z = seed + 0x9e3779b97f4a7c15L * (b.toLong * 1048573L + i + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) 1f else -1f
+      }
+    }
+  }
+
+  /** Sign-random-projection bucket id (0..2^nBits-1) as an int column:
+    * bit b = [dot(v, plane_b) > 0]. Expression-level: the planes are ±1
+    * literals folded into codegen.
+    */
+  def lshBucketCol(vecCol: Column, planes: Array[Array[Float]]): Column = {
+    val v = asDouble(vecCol)
+    planes.zipWithIndex.map { case (p, b) =>
+      val pLit = array(p.map(x => lit(x.toDouble)): _*)
+      val dot = aggregate(zip_with(v, pLit, (a, x) => a * x), lit(0.0),
+        (acc, x) => acc + x)
+      when(dot > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  final class RandomHyperplaneLsh(nBits: Int = 12, dim: Int, seed: Long = 42L)
+      extends Serializable {
+    val planes: Array[Array[Float]] = hyperplanes(nBits, dim, seed)
+
+    /** Add the `bucket` index column (persist/partition this at scale). */
+    def index(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("bucket", lshBucketCol(col(vecCol), planes))
+
+    def bucketOf(q: Array[Float]): Int =
+      planes.zipWithIndex.map { case (p, b) =>
+        val dot = p.zip(q).map { case (x, y) => x.toDouble * y }.sum
+        if (dot > 0) 1 << b else 0
+      }.sum
+
+    /** Buckets within hamming distance `probes` of the query bucket
+      * (multiprobe: recover neighbors that fell across one hyperplane).
+      */
+    def probeBuckets(q: Array[Float], probes: Int): Seq[Int] = {
+      val b0 = bucketOf(q)
+      if (probes == 0) Seq(b0)
+      else Seq(b0) ++ (0 until nBits).map(b => b0 ^ (1 << b))
+    }
+
+    /** ANN top-k: prune to probe buckets, exact-rescore, take k. */
+    def search(indexed: DataFrame, idCol: String, vecCol: String,
+        q: Array[Float], k: Int, probes: Int = 1): DataFrame = {
+      val bs = probeBuckets(q, probes)
+      indexed.filter(col("bucket").isin(bs: _*))
+        .select(col(idCol), round(cosineCol(col(vecCol), q), 6).as("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** IVF (inverted-file) index: k-means centroids as the coarse quantizer.
+    * Centroids are fit once (sampled), broadcast as literals; assignment is
+    * an argmin over centroid dot products — expression-level, no UDF.
+    */
+  final class Ivf(centroids: Array[Array[Double]]) extends Serializable {
+
+    private def centDist(v: Column, c: Array[Double]): Column = {
+      val cLit = array(c.map(lit): _*)
+      // squared L2: ||v-c||^2
+      aggregate(zip_with(asDouble(v), cLit, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+
+    def assignCol(vecCol: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(centDist(vecCol, c).as("d"), lit(i).as("i"))
+      }
+      array_min(array(dists: _*)).getField("i")
+    }
+
+    def index(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("centroid", assignCol(col(vecCol)))
+
+    def probeCentroids(q: Array[Float], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+    def search(indexed: DataFrame, idCol: String, vecCol: String,
+        q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+      val probe = probeCentroids(q, nprobe)
+      indexed.filter(col("centroid").isin(probe: _*))
+        .select(col(idCol), round(cosineCol(col(vecCol), q), 6).as("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
+  object Ivf {
+    /** Fit centroids with MLlib KMeans on (a sample of) the vectors. */
+    def fit(df: DataFrame, vecCol: String, kCentroids: Int,
+        seed: Long = 42L): Ivf = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val feat = df.select(array_to_vector(
+        transform(col(vecCol), _.cast("double"))).as("features"))
+      val model = new KMeans().setK(kCentroids).setSeed(seed).setMaxIter(10)
+        .fit(feat)
+      new Ivf(model.clusterCenters.map(_.toArray))
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked dedup / fingerprint query surface (q27–q30).
+  *
+  * Every signature here is built from `md5` so the DuckDB oracle replays the
+  * *exact* MinHash signatures, LSH bands, SimHash bits and winnowed
+  * fingerprints — these are hash-match correctness checks of the real
+  * algorithms in [[graft.operators.Dedup]], not just row counts.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // q27: MinHash(k=16) + LSH(4 bands × 4 rows) candidate near-dup pairs.
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
+    val sigs = Dedup.minhashSignatures(sh, k = 16)
+    Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // q28: 60-bit SimHash per document.
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  // q29: winnowed fingerprint count per document (MOSS-style, w=4, n=3).
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", n = 3, w = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  // q30: BPE-ish regex token counting (letters / digit runs / punctuation).
+  def q30(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_minhash_lsh" -> (q27 _),
+    "q28_simhash" -> (q28 _),
+    "q29_winnow_fp" -> (q29 _),
+    "q30_regex_tokens" -> (q30 _)
+  )
+
+  private val sigMins: String =
+    (0 until 16).map(j => s"min(md5('$j:'||shingle)) s$j").mkString(",\n  ")
+  private val bandSelects: String =
+    (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"s${4 * b + r}").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band, md5($parts) h FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q27_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle FROM idx),
+         |sig AS (SELECT doc_id,
+         |  $sigMins
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+         |  FROM bands x JOIN bands y ON x.band=y.band AND x.h=y.h AND x.doc_id<y.doc_id)
+         |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+    "q28_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) h
+        |      FROM toks WHERE len(tok)>0),
+        |hb AS (SELECT doc_id, h, unnest(range(60)) AS j FROM h),
+        |bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+        |         FROM hb GROUP BY doc_id, j)
+        |SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+        |  ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q29_winnow_fp" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT doc_id, i AS pos, md5(t[i+1]||' '||t[i+2]||' '||t[i+3]) AS h FROM idx),
+        |w AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) fp FROM sh)
+        |SELECT doc_id, COUNT(DISTINCT fp) AS n_fp FROM w GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q30_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

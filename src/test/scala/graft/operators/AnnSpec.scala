@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN indexes are recall machines for *near-duplicates* (cos ≥ ~0.9).
+  * The testdata embeddings are near-random (top-10 cosine ≈ 0.33, labels
+  * uncorrelated), so these specs plant true near-dups of the query and
+  * assert the index recovers them while scanning a strict subset.
+  */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val query: Array[Float] = base.filter(col("vec_id") === 0)
+    .select("embedding").head().getSeq[Float](0).toArray
+
+  /** 5 planted near-dups: query + tiny deterministic perturbation. */
+  private lazy val planted = (1 to 5).map { j =>
+    val v = query.zipWithIndex.map { case (x, i) =>
+      x + (if ((i + j) % 7 == 0) 0.02f * j else 0f)
+    }
+    (10000L + j, v.toSeq)
+  }
+  private lazy val corpus = base.filter(col("vec_id") =!= 0)
+    .union(planted.toDF("vec_id", "embedding"))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  test("brute force knn: planted near-dups are the exact top-5, ordered") {
+    val top = Ann.bruteForceKnn(corpus, "vec_id", "embedding", query, 5)
+    val r = top.collect()
+    assert(r.map(_.getLong(0)).toSet == planted.map(_._1).toSet)
+    val scores = r.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0.9))
+  }
+
+  test("hyperplane LSH: full near-dup recall while scanning a subset") {
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = 64)
+    val indexed = lsh.index(corpus, "embedding").cache()
+    val found = ids(lsh.search(indexed, "vec_id", "embedding", query, 5,
+      probes = 1))
+    assert(found.toSet == planted.map(_._1).toSet)
+    val cand = indexed.filter(col("bucket")
+      .isin(lsh.probeBuckets(query, 1): _*)).count()
+    assert(cand < corpus.count() / 2, s"scanned $cand rows")
+    indexed.unpersist()
+  }
+
+  test("IVF kmeans: full near-dup recall at nprobe=2, pruned probe lists") {
+    val ivf = Ann.Ivf.fit(corpus, "embedding", kCentroids = 8)
+    val indexed = ivf.index(corpus, "embedding").cache()
+    val found = ids(ivf.search(indexed, "vec_id", "embedding", query, 5,
+      nprobe = 2))
+    assert(found.toSet == planted.map(_._1).toSet)
+    val cand = indexed.filter(col("centroid")
+      .isin(ivf.probeCentroids(query, 2): _*)).count()
+    assert(cand < corpus.count(), s"scanned $cand rows")
+    indexed.unpersist()
+  }
+
+  test("driver-side bucketOf agrees with the expression-level bucket column") {
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = 64)
+    val indexed = lsh.index(corpus, "embedding")
+    val sampled = indexed.filter(col("vec_id").isin(10001L, 10002L, 17L, 225L))
+      .select("vec_id", "bucket", "embedding").collect()
+    sampled.foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      assert(r.getInt(1) == lsh.bucketOf(v),
+        s"bucket mismatch for vec ${r.getLong(0)}")
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2L, "completely different content about solar panels and wind farms"),
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per normalized text") {
+    val out = Dedup.exact(docs, "text")
+    assert(out.count() == 3) // 0≡3≡4 normalize equal; 1; 2
+  }
+
+  test("minhash LSH finds the true near-dup pair and skips distinct text") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" < 3), "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh, k = 16)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBuckets(sigs, bands = 8, rowsPerBand = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // 12/14 shared shingles
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    val out = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(0L), out(4L)) == 0) // identical text
+    assert(ham(out(0L), out(1L)) < ham(out(0L), out(2L)))
+  }
+
+  test("winnow fingerprints: identical docs share all fingerprints") {
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(4L))
+    assert(fps.values.forall(_ > 0))
+  }
+
+  test("language id picks the right stopword profile per language") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy with this"),
+      (2L, "der Hund ist mit der Katze und das ist nicht schlecht"),
+      (3L, "el perro y la casa de los niños es una maravilla para todos"),
+      (4L, "le chat est dans la maison et les enfants sont pour une fois"),
+      (5L, "这是一个中文句子测试语言识别功能的能力"),
+      (6L, "это русский текст для проверки определения языка"),
+      (7L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = TextAnalysis.languageId(samples, "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("lang_pred"))
+      .toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "es"); assert(out(4L) == "fr")
+    assert(out(5L) == "zh"); assert(out(6L) == "ru")
+    assert(out(7L) == "und")
+  }
+
+  test("quality score: prose scores above repeated-token junk") {
+    val samples = Seq(
+      (1L, "a thoughtful detailed paragraph discussing renewable energy systems"),
+      (2L, "spam spam spam spam spam spam spam spam")).toDF("id", "text")
+    val out = TextAnalysis.qualityScore(samples, "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("quality"), r.getAs[Boolean]("low_diversity"))).toMap
+    assert(out(1L)._1 > out(2L)._1)
+    assert(!out(1L)._2 && out(2L)._2)
+  }
+}
