@@ -18,7 +18,8 @@ object SparkEntry {
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TrainingText.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.OperatorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
   lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.TrainingText.oracle ++
-      graft.queries.DedupQueries.oracle
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.OperatorQueries.oracle
 }

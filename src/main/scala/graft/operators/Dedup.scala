@@ -34,19 +34,42 @@ object Dedup {
       .dropDuplicates("__h")
       .drop("__h")
 
-  /** Word n-gram shingle hashes per document index: (id, pos, h). Documents
-    * shorter than n tokens produce no shingles.
+  /** Word n-gram shingle hashes per document index: (id, pos, shingle).
+    * The token array is projected ONCE before the lambda — referencing
+    * `split(...)` inside `transform` would re-split the whole text for
+    * every token lookup (O(len²) per document).
     */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val toks = col("__toks")
     val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("id"),
-      posexplode(transform(idxs,
-        i => concat_ws(" ", (0 until n).map(j => toks(i + lit(j))): _*)))
-        .as(Seq("pos", "shingle")))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"),
+        posexplode(transform(idxs,
+          i => concat_ws(" ", (0 until n).map(j => toks(i + lit(j))): _*)))
+          .as(Seq("pos", "shingle")))
   }
+
+  /** Universal-hash family for MinHash: h_j = (a_j·h + b_j) mod P over a
+    * 32-bit base hash (first 8 hex chars of md5). P is the first prime
+    * above 2^32; a_j ≤ 2^31−1 keeps every product inside a signed 64-bit
+    * integer, so Spark and any ANSI SQL engine (the DuckDB oracle) compute
+    * bit-identical signatures.
+    */
+  val MinhashPrime: Long = 4294967311L
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      var z = seed + 0x9e3779b97f4a7c15L * (j + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val a = 1L + ((z ^ (z >>> 31)) & 0x7ffffffeL) // 1..2^31-1
+      var z2 = seed + 0x9e3779b97f4a7c15L * (j + 1000001)
+      z2 = (z2 ^ (z2 >>> 30)) * 0xbf58476d1ce4e5b9L
+      z2 = (z2 ^ (z2 >>> 27)) * 0x94d049bb133111ebL
+      val b = (z2 ^ (z2 >>> 31)) & 0x7fffffffL // 0..2^31-1
+      (a, b)
+    }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
@@ -54,35 +77,51 @@ object Dedup {
     shingleHashes(df, idCol, textCol, n)
       .select(col("id"), col("shingle")).distinct()
 
-  /** MinHash signature: k independent permutations simulated by seeded
-    * md5; signature element j = lexicographic min of `md5(j:shingle)`.
-    * One row per id with `sig` array<string> of length k.
+  /** MinHash signature: ONE md5 per shingle (32-bit base hash), then k
+    * universal-hash permutations `(a_j·h + b_j) mod P` — 16 integer min
+    * aggregates instead of 16 md5 computations per shingle. One row per id
+    * with `sig` array<bigint> of length k. Map-side partial mins make the
+    * shuffle k longs per document.
     */
-  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame =
-    sh.groupBy(col("id"))
-      .agg(array((0 until k).map(j =>
-        min(md5(concat(lit(j.toString), lit(":"), col("shingle"))))): _*)
-        .as("sig"))
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
+    val params = minhashParams(k)
+    sh.select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy(col("id"))
+      .agg(array(params.map { case (a, b) =>
+        min((col("h") * a + b) % MinhashPrime)
+      }: _*).as("sig"))
+  }
 
   /** LSH banding: split the k-length signature into `bands` bands of
-    * `rowsPerBand`, hash each band, emit (id, band, band_hash). Documents
-    * sharing any (band, band_hash) are candidate near-duplicates.
+    * `rowsPerBand`, key each band by its joined values, emit
+    * (id, band, band_hash). Documents sharing any (band, band_hash) are
+    * candidate near-duplicates.
     */
   def lshBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"), posexplode(array((0 until bands).map(b =>
-        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-          col("sig")(b * rowsPerBand + r)): _*))): _*))
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          col("sig")(b * rowsPerBand + r)): _*)): _*))
         .as(Seq("band", "band_hash")))
 
-  /** Candidate pairs (a < b) from shared LSH buckets, deduplicated. */
-  def lshCandidatePairs(buckets: DataFrame): DataFrame =
-    buckets.as("x")
-      .join(buckets.as("y"),
+  /** Candidate pairs (a < b) from shared LSH buckets, deduplicated.
+    *
+    * The bucket table is persisted before the self-join: without it the
+    * whole shingle→minhash pipeline runs twice (once per join side — the
+    * planner does not reuse the exchange across the `a < b` asymmetry).
+    * At 100 TB this materialization is the signature table you'd keep as a
+    * first-class dataset anyway (bands are ~b rows × 40 bytes per doc).
+    */
+  def lshCandidatePairs(buckets: DataFrame): DataFrame = {
+    val b = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.as("x")
+      .join(b.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+  }
 
   /** 60-bit SimHash from md5 of tokens (with multiplicity): bit j of the
     * signature is set iff the sum over tokens of ±1 (token hash bit j) is
@@ -117,7 +156,8 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, n)
-      .select(col("id"), col("pos"), md5(col("shingle")).as("h"))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     sh.select(col("id"), min(col("h")).over(win).as("fp"))

@@ -52,12 +52,15 @@ object DedupQueries {
     "q30_regex_tokens" -> (q30 _)
   )
 
+  private val P = graft.operators.Dedup.MinhashPrime
   private val sigMins: String =
-    (0 until 16).map(j => s"min(md5('$j:'||shingle)) s$j").mkString(",\n  ")
+    graft.operators.Dedup.minhashParams(16).zipWithIndex
+      .map { case ((a, b), j) => s"min((h*$a+$b)%$P) s$j" }
+      .mkString(",\n  ")
   private val bandSelects: String =
     (0 until 4).map { b =>
       val parts = (0 until 4).map(r => s"s${4 * b + r}").mkString("||'|'||")
-      s"SELECT doc_id, $b AS band, md5($parts) h FROM sig"
+      s"SELECT doc_id, $b AS band, $parts h FROM sig"
     }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
@@ -65,9 +68,10 @@ object DedupQueries {
       s"""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
          |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
          |sh AS (SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle FROM idx),
+         |shh AS (SELECT doc_id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
          |sig AS (SELECT doc_id,
          |  $sigMins
-         |  FROM sh GROUP BY doc_id),
+         |  FROM shh GROUP BY doc_id),
          |bands AS (
          |  $bandSelects
          |),
@@ -87,7 +91,9 @@ object DedupQueries {
     "q29_winnow_fp" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
-        |sh AS (SELECT doc_id, i AS pos, md5(t[i+1]||' '||t[i+2]||' '||t[i+3]) AS h FROM idx),
+        |sh AS (SELECT doc_id, i AS pos,
+        |  CAST(('0x'||substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]),1,15)) AS BIGINT) AS h
+        |  FROM idx),
         |w AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
         |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) fp FROM sh)
         |SELECT doc_id, COUNT(DISTINCT fp) AS n_fp FROM w GROUP BY doc_id
