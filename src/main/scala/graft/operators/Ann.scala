@@ -24,16 +24,14 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  def cosineCol(v: Column, q: Array[Float]): Column = {
-    val qLit = array(q.map(x => lit(x.toDouble)): _*)
-    val dot = aggregate(zip_with(asDouble(v), qLit, (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    val nrm = sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0),
-      (acc, x) => acc + x))
-    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
-    if (qn == 0) lit(0.0)
-    else when(nrm === 0, 0.0).otherwise(dot / (nrm * lit(qn)))
-  }
+  /** Cosine vs a literal query vector — the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]); same numeric semantics
+    * (sequential double accumulation, 0.0 on zero norm) as the
+    * higher-order-function formulation it replaces, but stays inside
+    * WholeStageCodegen.
+    */
+  def cosineCol(v: Column, q: Array[Float]): Column =
+    graft.functions.CosineSimilarity(v, typedlit(q))
 
   /** Exact cosine top-k: one scan + TakeOrderedAndProject. */
   def bruteForceKnn(df: DataFrame, idCol: String, vecCol: String,

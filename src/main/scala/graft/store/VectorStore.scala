@@ -55,18 +55,9 @@ final class VectorStore(spark: SparkSession, root: String) {
   def search(collection: String, queryText: String, k: Int = 1,
       provider: EmbeddingProvider = Embedding.default): DataFrame = {
     val qv = provider.embed(queryText)
-    val qLit = array(qv.map(v => lit(v.toDouble)): _*)
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val dot = aggregate(zip_with(v, qLit, (a, b) => a * b), lit(0.0),
-      (acc, x) => acc + x)
-    val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
-      (acc, x) => acc + x))
-    val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
-    val score =
-      if (qn == 0) lit(0.0)
-      else when(nrm === 0, lit(0.0)).otherwise(dot / (nrm * lit(qn)))
     read(collection)
-      .withColumn("score", round(score, 6))
+      .withColumn("score",
+        round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
       .orderBy(col("score").desc, col("key"))
       .limit(k)
   }

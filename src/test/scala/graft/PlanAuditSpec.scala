@@ -2,16 +2,55 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Ad-hoc plan audit (run manually): prints formatted plans for the
-  * heaviest queries so shuffle/reuse regressions are visible.
+/** Plan audits: assert the physical plans have the scale-critical
+  * properties (pushdown, broadcast, codegen, exchange hygiene) — a
+  * regression here is a 100 TB incident, not a style issue.
   */
 class PlanAuditSpec extends SparkSpec {
-  test("q27 plan: bucket exchange is reused, not recomputed") {
-    val df = SparkEntry.queries("q27_minhash_lsh")(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
-    info("q27 ReusedExchange present: " + plan.contains("ReusedExchange"))
-    val nScans = "Scan parquet".r.findAllIn(plan).length
-    info(s"q27 parquet scans in plan: $nScans")
-    assert(true)
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter + projection pushed to parquet scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"), p)
+    assert(p.contains("ReadSchema") &&
+      p.contains("l_orderkey") && !p.contains("l_comment"), p)
+  }
+
+  test("q05: dimension joins are broadcast, not shuffled") {
+    val p = plan("q05_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06: customer side broadcast; big join keyed on orderkey") {
+    val p = plan("q06_join_agg_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q12: sort+limit+offset compiles to TakeOrderedAndProject") {
+    val p = plan("q12_sort_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q03: aggregation is two-phase (partial then final)") {
+    val p = plan("q03_agg_having")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("whole-stage codegen spans plain scalar pipelines (q15)") {
+    val p = SparkEntry.queries("q15_scalar_fns")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), p.take(500))
+  }
+
+  test("q21: single scan side distributed, query vector broadcast") {
+    val p = plan("q21_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 }
