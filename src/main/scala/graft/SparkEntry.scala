@@ -19,7 +19,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TrainingText.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.OperatorQueries.queries
+      graft.queries.OperatorQueries.queries ++
+      graft.queries.Relational2.queries ++
+      graft.queries.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -28,5 +30,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.TrainingText.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.OperatorQueries.oracle
+      graft.queries.OperatorQueries.oracle ++
+      graft.queries.Relational2.oracle
 }

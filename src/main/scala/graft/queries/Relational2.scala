@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational wave (q36–q43): cube, pivot, exact percentiles,
+  * correlated subqueries, window analytics beyond ranking, conditional
+  * aggregation, array algebra, cross join — rounding out the operator
+  * inventory with DuckDB-oracle parity.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // q36: CUBE with grouping markers (generalizes q14's rollup).
+  def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g1"),
+        grouping(col("o_orderpriority")).cast("int").as("g2"),
+        count(lit(1)).as("c"),
+        round(sum(col("o_totalprice")), 2).as("tp"))
+      .orderBy(col("g1"), col("g2"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // q37: pivot — events per type per hour-of-day, wide layout.
+  def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(hour(col("ts")).as("h"), col("event_type"))
+      .groupBy(col("h"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("h"))
+
+  // q38: exact percentiles (median & p90) per group — `percentile` in
+  // Spark ≙ quantile_cont in DuckDB (both exact continuous quantiles).
+  def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(avg(col("l_extendedprice")), 2).as("mean"))
+      .orderBy(col("l_returnflag"))
+
+  // q39: correlated scalar subquery — orders above their customer's
+  // average order value.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val avgPerCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("avg_tp"))
+    t(s, dir, "orders")
+      .join(avgPerCust, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_tp"))
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q40: conditional aggregation (CASE WHEN inside agg) + FILTER clause.
+  def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        count(when(col("l_returnflag") =!= "R", 1)).as("n_kept"),
+        round(sum(when(col("l_discount") > 0.05,
+          col("l_extendedprice"))).cast("double"), 2).as("disc_rev"))
+      .orderBy(col("l_linestatus"))
+
+  // q41: window analytics beyond ranking — dense_rank, ntile, lead.
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("next_price",
+        round(coalesce(lead(col("p_retailprice"), 1).over(w), lit(0.0)), 2))
+      .filter(col("dr") <= 5)
+      .orderBy(col("p_brand"), col("dr"), col("p_partkey"))
+  }
+
+  // q42: array algebra over embeddings — slice/sort/sum statistics.
+  def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        round(aggregate(transform(col("embedding"), _.cast("double")),
+          lit(0.0), (a, x) => a + x), 4).as("vsum"),
+        round(element_at(array_sort(transform(col("embedding"),
+          _.cast("double"))), -1), 4).as("vmax"),
+        round(aggregate(transform(slice(col("embedding"), 1, 8),
+          _.cast("double")), lit(0.0), (a, x) => a + x), 4).as("head_sum"))
+      .orderBy(col("vec_id"))
+
+  // q43: cross join (small × small) with expression filter — cartesian
+  // region × nation pairs that do NOT match.
+  def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_cube" -> (q36 _),
+    "q37_pivot" -> (q37 _),
+    "q38_percentiles" -> (q38 _),
+    "q39_corr_subquery" -> (q39 _),
+    "q40_cond_agg" -> (q40 _),
+    "q41_window_analytics" -> (q41 _),
+    "q42_array_algebra" -> (q42 _),
+    "q43_cross_join" -> (q43 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2,
+        |  COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) AS tp
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "q37_pivot" ->
+      """SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS h,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  ROUND(AVG(l_extendedprice), 2) AS mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_corr_subquery" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q40_cond_agg" ->
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+        |  COUNT(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS n_kept,
+        |  ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2)
+        |    AS disc_rev
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q41_window_analytics" ->
+      """SELECT p_partkey, p_brand, p_retailprice, dr, quartile, next_price
+        |FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |    DENSE_RANK() OVER w AS dr,
+        |    NTILE(4) OVER w AS quartile,
+        |    ROUND(COALESCE(LEAD(p_retailprice, 1) OVER w, 0.0), 2) AS next_price
+        |  FROM part
+        |  WINDOW w AS (PARTITION BY p_brand
+        |               ORDER BY p_retailprice DESC, p_partkey))
+        |WHERE dr <= 5 ORDER BY p_brand, dr, p_partkey""".stripMargin,
+    "q42_array_algebra" ->
+      """SELECT vec_id,
+        |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+        |    AS vsum,
+        |  ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+        |    AS vmax,
+        |  ROUND(list_sum(list_transform(embedding[1:8],
+        |    x -> CAST(x AS DOUBLE))), 4) AS head_sum
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+    "q43_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |WHERE r_regionkey <> n_regionkey
+        |ORDER BY r_name, n_name""".stripMargin
+  )
+}
