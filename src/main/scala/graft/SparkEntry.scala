@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.OperatorQueries.queries ++
       graft.queries.Relational2.queries ++
-      graft.queries.IngestQueries.queries
+      graft.queries.IngestQueries.queries ++
+      graft.queries.StreamBatchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.TrainingText.oracle ++
       graft.queries.DedupQueries.oracle ++
       graft.queries.OperatorQueries.oracle ++
-      graft.queries.Relational2.oracle
+      graft.queries.Relational2.oracle ++
+      graft.queries.StreamBatchQueries.oracle
 }

@@ -97,10 +97,14 @@ object Relational {
       .select(col("c_custkey"))
       .orderBy(col("c_custkey"))
 
-  // q09: anti join (NOT EXISTS).
+  // q09: anti join (NOT EXISTS). The anti side is pre-aggregated to its
+  // distinct join keys: semantics are identical for an equality anti join,
+  // and the build side shrinks from |lineitem| rows to |distinct partkey|
+  // (fits a broadcast at any scale where part itself is scannable) — a
+  // rewrite the optimizer does not do on its own.
   def q09(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
-      .join(t(s, dir, "lineitem"),
+      .join(t(s, dir, "lineitem").select(col("l_partkey")).distinct(),
         col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"))
       .orderBy(col("p_partkey"))

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q45–q47: the streaming transforms executed as batch plans (Structured
+  * Streaming's unified-plan property makes them oracle-checkable), plus a
+  * TPC-H Q5-shaped multi-join.
+  *
+  * q46's sessionization is the `flatMapGroupsWithState` operator itself —
+  * its per-user fold is replayed in the oracle via the classic
+  * gaps-and-islands SQL (lag + cumulative boundary sum), certifying the
+  * custom-state logic against an independent formulation.
+  */
+object StreamBatchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // q45: the streaming tumbling-window aggregate on batch input.
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Streams.windowedCounts(t(s, dir, "events"), "1 hour", "10 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+
+  // q46: sessionization (30-minute gap) via flatMapGroupsWithState.
+  // Session timestamps are truncated to seconds for oracle comparison
+  // (events.ts is ns in DuckDB, µs in Spark — FIXTURES.md).
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val evs = t(s, dir, "events")
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type").cast("string"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .as[Streams.Ev]
+    Streams.sessionize(evs, gapMs = 30 * 60 * 1000L)
+      .toDF()
+      .select(col("user_id"),
+        date_trunc("second", col("session_start")).as("session_start"),
+        date_trunc("second", col("session_end")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  // q47: TPC-H Q5 shape — region-filtered multi-join revenue per nation.
+  // Dims (region/nation/customer/supplier) broadcast; the only big
+  // shuffle is orders⋈lineitem on orderkey.
+  def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_stream_window" -> (q45 _),
+    "q46_sessionize" -> (q46 _),
+    "q47_tpch_q5" -> (q47 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q45_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q46_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN pts IS NULL
+        |      OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+        |  CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q47_tpch_q5" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}
