@@ -18,5 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    // Opt-in ANN rewrite: cosine-top-k over an LSH-indexed relation →
+    // bucket-pruned scan (spark.graft.ann.autoRewrite=true to enable).
+    ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
   }
 }

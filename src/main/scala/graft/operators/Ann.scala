@@ -71,9 +71,22 @@ object Ann {
       extends Serializable {
     val planes: Array[Array[Float]] = hyperplanes(nBits, dim, seed)
 
-    /** Add the `bucket` index column (persist/partition this at scale). */
-    def index(df: DataFrame, vecCol: String): DataFrame =
-      df.withColumn("bucket", lshBucketCol(col(vecCol), planes))
+    /** Add the `bucket` index column (persist/partition this at scale).
+      * The index parameters ride along as column metadata so the
+      * [[graft.plans.AnnTopKRewrite]] optimizer rule can recognize the
+      * index and prune buckets — including after a parquet round-trip
+      * (Spark persists field metadata in the footer schema).
+      */
+    def index(df: DataFrame, vecCol: String): DataFrame = {
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft.lsh.nbits", nBits.toLong)
+        .putLong("graft.lsh.seed", seed)
+        .putLong("graft.lsh.dim", dim.toLong)
+        .putString("graft.lsh.veccol", vecCol)
+        .build()
+      df.withColumn("bucket",
+        lshBucketCol(col(vecCol), planes).as("bucket", meta))
+    }
 
     def bucketOf(q: Array[Float]): Int =
       planes.zipWithIndex.map { case (p, b) =>
