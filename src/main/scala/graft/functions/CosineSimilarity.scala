@@ -50,10 +50,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    var j = n
-    while (j < x.numElements()) { val v = x.getFloat(j).toDouble; nx += v * v; j += 1 }
-    j = n
-    while (j < y.numElements()) { val v = y.getFloat(j).toDouble; ny += v * v; j += 1 }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
   }
 
@@ -73,12 +69,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $xv = (double) $x.getFloat($i);
          |  double $yv = (double) $y.getFloat($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
-         |}
-         |for (int $i = $n; $i < $x.numElements(); $i++) {
-         |  double $xv = (double) $x.getFloat($i); $nx += $xv * $xv;
-         |}
-         |for (int $i = $n; $i < $y.numElements(); $i++) {
-         |  double $yv = (double) $y.getFloat($i); $ny += $yv * $yv;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)
          |  ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);

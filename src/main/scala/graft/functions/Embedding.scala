@@ -52,7 +52,9 @@ final class HashingEmbedder(val dim: Int = 384) extends EmbeddingProvider {
     }
     toks.foreach(t => add(t, 1f))
     toks.sliding(2).foreach {
-      case Seq(a, b) => add(a + "" + b, 0.5f)
+      // The \\u0001 separator keeps bigram features injective: bare
+      // concatenation would hash ("ab","c") and ("a","bc") identically.
+      case Seq(a, b) => add(a + "\u0001" + b, 0.5f)
       case _ => ()
     }
     // L2 normalize; empty text → zero vector (cosine with anything = 0).

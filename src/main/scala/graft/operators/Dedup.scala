@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * map-side partial min-aggregation; LSH candidate generation joins on
   * (band, band_hash) — the classic way to avoid the quadratic all-pairs
   * compare. The only quadratic step left is verification *within* a bucket,
-  * which banding keeps small; skewed buckets (e.g. boilerplate) can be
-  * salted or capped.
+  * which banding keeps small; skewed buckets (e.g. boilerplate) are handled
+  * by the exact block-salted self-join in [[lshCandidatePairs]]
+  * (`saltBlocks`), which splits a hot bucket into g² balanced tasks.
   */
 object Dedup {
 
@@ -111,13 +112,38 @@ object Dedup {
     * planner does not reuse the exchange across the `a < b` asymmetry).
     * At 100 TB this materialization is the signature table you'd keep as a
     * first-class dataset anyway (bands are ~b rows × 40 bytes per doc).
+    *
+    * Skew: boilerplate-heavy corpora put millions of documents into one
+    * (band, band_hash) bucket, and the within-bucket self-join goes
+    * quadratic IN ONE TASK — AQE skew-join can split oversized partitions
+    * but not the single-bucket pair explosion. `saltBlocks = g > 1` fixes
+    * the task-level skew EXACTLY (no candidates lost): each row gets a
+    * deterministic salt in [0, g) from its id, each side is replicated g
+    * ways, and the join keys extend to (x.salt = y.i ∧ x.j = y.salt) — so a
+    * bucket of m rows becomes g² independent tasks of (m/g)² work keyed by
+    * (band, band_hash, i, j). Every qualifying pair (salts sa, sb) matches
+    * in exactly one block (sa, sb). Cost: g× shuffle volume on the (small)
+    * bucket table; the default g = 1 keeps the plain self-join.
     */
-  def lshCandidatePairs(buckets: DataFrame): DataFrame = {
+  def lshCandidatePairs(buckets: DataFrame, saltBlocks: Int = 1): DataFrame = {
+    require(saltBlocks >= 1, s"saltBlocks must be >= 1, got $saltBlocks")
     val b = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    b.as("x")
-      .join(b.as("y"),
+    val (x, y, extraKeys) =
+      if (saltBlocks == 1) (b.as("x"), b.as("y"), lit(true))
+      else {
+        val g = saltBlocks
+        val salted = b.withColumn("__salt",
+          pmod(xxhash64(col("id")), lit(g)).cast("int"))
+        val reps = array((0 until g).map(lit): _*)
+        val xs = salted.withColumn("__j", explode(reps)).as("x")
+        val ys = salted.withColumn("__i", explode(reps)).as("y")
+        (xs, ys,
+          col("x.__salt") === col("y.__i") && col("x.__j") === col("y.__salt"))
+      }
+    x.join(y,
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
+          extraKeys &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()

@@ -77,6 +77,11 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       cos <- cosOpt
       qLit <- literalQuery(cos)
       (bucket, m) <- bucketExpr
+      // Idempotence guard: the optimizer re-runs the batch to fixed point
+      // and would otherwise re-match our own output, stacking an identical
+      // IN filter per pass. Bail if the child already carries a bucket
+      // IN-prune (possibly merged into a conjunction by CombineFilters).
+      if !alreadyPruned(child, bucket)
     } yield {
       val lsh = new Ann.RandomHyperplaneLsh(
         nBits = m.getLong("graft.lsh.nbits").toInt,
@@ -86,6 +91,25 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       Filter(In(bucket, probes.map(b => Literal(b))), child)
     }
   }
+
+  /** True if `child` is already our pruning Filter: any IN whose value is
+    * the same bucket expression (semantically) or a graft-LSH-tagged
+    * `bucket` attribute, anywhere in the filter's condition tree.
+    */
+  private def alreadyPruned(child: LogicalPlan, bucket: Expression): Boolean =
+    child match {
+      case Filter(cond, _) =>
+        cond.exists {
+          case In(v, _) =>
+            v.semanticEquals(bucket) || (v match {
+              case a: Attribute =>
+                a.name == "bucket" && a.metadata.contains("graft.lsh.nbits")
+              case _ => false
+            })
+          case _ => false
+        }
+      case _ => false
+    }
 
   private def literalQuery(c: CosineSimilarity): Option[Array[Float]] =
     Seq(c.left, c.right).collectFirst {

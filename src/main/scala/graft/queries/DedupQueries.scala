@@ -18,10 +18,14 @@ object DedupQueries {
     Tables.load(s, dir, "documents")
 
   // q27: MinHash(k=16) + LSH(4 bands × 4 rows) candidate near-dup pairs.
+  // saltBlocks=4 exercises the skew-proof blocked self-join on the driver
+  // path — it is pair-exact, so the oracle hash-match also certifies that
+  // salting loses/duplicates nothing.
   def q27(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
     val sigs = Dedup.minhashSignatures(sh, k = 16)
-    Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+    Dedup.lshCandidatePairs(
+        Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4), saltBlocks = 4)
       .orderBy(col("a"), col("b"))
   }
 
@@ -85,8 +89,8 @@ object DedupQueries {
         |hb AS (SELECT doc_id, h, unnest(range(60)) AS j FROM h),
         |bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
         |         FROM hb GROUP BY doc_id, j)
-        |SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
-        |  ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+        |  ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q29_winnow_fp" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),

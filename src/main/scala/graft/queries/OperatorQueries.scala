@@ -11,17 +11,19 @@ import org.apache.spark.sql.functions._
   * language ID, quality scoring, LSH ANN search, the semantic chunker, and
   * embed+KNN — the reference's own core loop (C1/E1/Q1) over the testdata.
   *
-  * q32 has a full DuckDB oracle; the rest are deterministic but depend on
-  * engine-side hashing/embedding that SQL cannot replay, so the driver
-  * records rows-only checks (their exact semantics are unit-tested in
-  * `src/test/scala/graft/operators/`).
+  * q31/q32/q33 have full DuckDB oracles (the language-ID vocabulary and the
+  * deterministic LSH hyperplanes are generated INTO the SQL from the same
+  * Scala constants the engine uses, the way q27 inlines its minhash
+  * parameters); q34/q35 depend on the engine-side hashing embedder that SQL
+  * cannot replay, so the driver records rows-only checks (their exact
+  * semantics are unit-tested in `src/test/scala/graft/operators/`).
   */
 object OperatorQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  // q31: language identification over documents (rows-only).
+  // q31: language identification over documents (oracle-checked).
   def q31(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(docs(s, dir), "text")
       .select(col("doc_id"), col("lang_pred"), col("lang_score"))
@@ -34,8 +36,9 @@ object OperatorQueries {
         col("too_short"), col("low_diversity"))
       .orderBy(col("doc_id"))
 
-  // q33: LSH ANN top-5 for the vec_id=0 query vector (rows-only; exact
-  // counterpart is oracle-checked q21).
+  // q33: LSH ANN top-5 for the vec_id=0 query vector (oracle-checked: the
+  // DuckDB side replays bucket assignment + multiprobe pruning with the
+  // same deterministic hyperplanes; exact counterpart is q21).
   def q33(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
@@ -82,7 +85,79 @@ object OperatorQueries {
     "q35_embed_knn" -> (q35 _)
   )
 
+  /** DuckDB list literals for the stopword profiles — generated from the
+    * exact [[TextAnalysis.stopwords]] vocabulary so oracle and engine can
+    * never drift.
+    */
+  private def swList(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The q33 LSH hyperplanes as DuckDB VALUES rows — the same deterministic
+    * ±1 matrix [[Ann.hyperplanes]] builds engine-side (nBits=8, dim=64,
+    * seed=42), so the oracle replays bucket assignment bit-for-bit.
+    */
+  private val q33PlaneRows: String =
+    Ann.hyperplanes(nBits = 8, dim = 64).zipWithIndex.map { case (p, b) =>
+      val lst = p.map(x => if (x > 0) "1" else "-1").mkString(",")
+      s"($b, CAST([$lst] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+
   val oracle: Map[String, String] = Map(
+    "q31_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') toks FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  CAST(len(list_filter(toks, x -> list_contains(${swList("de")}, x))) AS DOUBLE) / len(toks) AS s_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS DOUBLE) / len(toks) AS s_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(${swList("es")}, x))) AS DOUBLE) / len(toks) AS s_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(${swList("fr")}, x))) AS DOUBLE) / len(toks) AS s_fr,
+         |  CASE WHEN LENGTH(text) > 0 THEN
+         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / LENGTH(text)
+         |    ELSE 0.0 END AS zh,
+         |  CASE WHEN LENGTH(text) > 0 THEN
+         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS DOUBLE) / LENGTH(text)
+         |    ELSE 0.0 END AS ru
+         |  FROM t),
+         |b AS (SELECT doc_id, zh, ru,
+         |  GREATEST(s_de, s_en, s_es, s_fr) AS bs,
+         |  CASE WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+         |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         |       ELSE 'de' END AS bl
+         |  FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN zh > 0.25 THEN 'zh' WHEN ru > 0.25 THEN 'ru'
+         |       WHEN bs >= 0.05 THEN bl ELSE 'und' END AS lang_pred,
+         |  ROUND(GREATEST(zh, ru, bs), 4) AS lang_score
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q33_ann_lsh" ->
+      s"""WITH planes(b, p) AS (VALUES
+         |  $q33PlaneRows),
+         |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+         |       FROM planes),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+         |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |probes AS (SELECT bucket AS pb FROM qb
+         |  UNION
+         |  SELECT xor(qb.bucket, 1 << CAST(r.range AS INTEGER))
+         |  FROM qb CROSS JOIN range(8) r),
+         |cand AS (SELECT bk.vec_id FROM buckets bk JOIN probes ON bk.bucket = probes.pb
+         |         WHERE bk.vec_id <> 0),
+         |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+         |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
+         |d2 AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
+         |       FROM e JOIN q ON e.pos = q.pos
+         |       JOIN cand c ON e.vec_id = c.vec_id GROUP BY e.vec_id)
+         |SELECT d2.vec_id,
+         |  ROUND(d2.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
+         |FROM d2 JOIN n ON d2.vec_id = n.vec_id
+         |ORDER BY score DESC, d2.vec_id LIMIT 5""".stripMargin,
     "q32_quality" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') toks
         |           FROM documents)

@@ -124,8 +124,8 @@ object TrainingText {
   }
 
   // q26: embedding near-duplicate pairs — pairwise cosine over a restricted
-  // key range, top-20 most-similar. Brute-force here; the LSH-bucketed scale
-  // path is operators.EmbeddingDedup.
+  // key range, top-20 most-similar. Brute-force here; at scale, bucket by
+  // operators.Ann.RandomHyperplaneLsh and compare within buckets only.
   def q26(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .filter(col("vec_id") < 100)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -10,14 +11,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Both transforms take the events-shaped schema
   * `(event_id, user_id, event_type, ts TIMESTAMP, value DOUBLE)` and work
-  * identically on a batch DataFrame or a `readStream` source — the same
-  * declarative plan, which is the point of Structured Streaming.
+  * identically on a batch DataFrame or a `readStream` source.
   *
   * Scale: the windowed aggregate is a streaming shuffle keyed by
-  * (window, event_type) with watermark-driven state eviction; sessionization
-  * keys state by user_id — state size is O(active users), and the
-  * ProcessingTimeTimeout closes idle sessions so state can't grow without
-  * bound.
+  * (window, event_type) with watermark-driven state eviction. Sessionization
+  * dispatches on `isStreaming`:
+  *   - batch compiles to the lag + cumulative-sum window plan — per-user
+  *     work is a sort within the shuffle partition, nothing materializes a
+  *     whole user's history on the heap (a hot user with 10^8 events sorts
+  *     and spills, it does not OOM);
+  *   - streams use `flatMapGroupsWithState` with an **event-time timeout**:
+  *     state is keyed by user_id (O(active users)), and when the watermark
+  *     passes `last_event + gap` the idle session is emitted and its state
+  *     removed — trailing sessions are never stuck open and state cannot
+  *     grow without bound.
+  * The two paths are certified against each other in StreamsSpec.
   */
 object Streams {
 
@@ -40,49 +48,95 @@ object Streams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  /** Event-time sessionization with a gap timeout: a user's consecutive
-    * events ≤ `gapMs` apart form one session; a gap (or state timeout on
-    * the stream) closes it. `flatMapGroupsWithState` — the custom-state
-    * escape hatch the built-in windowed aggs can't express.
+  /** Event-time sessionization with a gap: a user's consecutive events
+    * ≤ `gapMs` apart form one session. Dispatches to the window plan for
+    * batch and to stateful `flatMapGroupsWithState` for streams (same
+    * session semantics, certified against each other in StreamsSpec).
+    * Timestamps are compared at millisecond precision on both paths.
     */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] =
+    if (events.isStreaming) sessionizeStream(events, gapMs)
+    else sessionizeBatch(events, gapMs)
+
+  /** Batch path: classic gaps-and-islands — lag to flag session starts,
+    * running sum to number sessions, one aggregate per session. Scales by
+    * (user_id) shuffle + in-partition sort; no per-user materialization.
+    */
+  private[graft] def sessionizeBatch(events: Dataset[Ev], gapMs: Long)
       : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val isStreaming = events.isStreaming // captured by value, not the Dataset
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__ms"), col("event_id"))
+    val running = byUser
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__ms"), 1).over(byUser)
+    events.toDF()
+      .withColumn("__ms", unix_millis(col("ts")))
+      .withColumn("__new",
+        when(prev.isNull || col("__ms") - prev > gapMs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(running))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        timestamp_millis(min(col("__ms"))).as("session_start"),
+        timestamp_millis(max(col("__ms"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[Session]
+  }
+
+  /** Stream path: per-user state + event-time timeout. When the watermark
+    * passes `session_end + gapMs` the open session is emitted and state
+    * removed — idle users do not leak state. Late events beyond
+    * `watermarkDelay` are dropped by the watermark.
+    */
+  private[graft] def sessionizeStream(events: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          // Batch mode / per-trigger: sort this group's new events by time,
-          // fold into sessions, emit every closed session; keep the open one
-          // in state (stream) or close it at end (batch: state never
-          // times out, so also emit the trailing open session).
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.last <= gapMs)
-              st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
-            else {
-              out += Session(userId, new java.sql.Timestamp(st.start),
-                new java.sql.Timestamp(st.last), st.n,
-                math.round(st.sum * 100).toDouble / 100)
-              st = SessionState(t, t, 1, e.value)
+          def close(st: SessionState): Unit =
+            out += Session(userId, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.last), st.n,
+              math.round(st.sum * 100).toDouble / 100)
+          if (state.hasTimedOut) {
+            // Watermark passed last + gap with no new events: the session
+            // is definitively closed — emit it and free the state.
+            state.getOption.foreach(close)
+            state.remove()
+          } else {
+            // This trigger's new events for the user (bounded by trigger
+            // size, not by the user's history — state carries the past).
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last <= gapMs)
+                st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
+              else {
+                close(st)
+                st = SessionState(t, t, 1, e.value)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // Fire once the watermark passes the gap after the last
+              // event; the max() keeps the timestamp legal (it must be
+              // beyond the current watermark) for stragglers.
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
           }
-          if (state.hasTimedOut || !isStreaming) {
-            if (st != null) {
-              out += Session(userId, new java.sql.Timestamp(st.start),
-                new java.sql.Timestamp(st.last), st.n,
-                math.round(st.sum * 100).toDouble / 100)
-              st = null
-            }
-            state.remove()
-          } else if (st != null) state.update(st)
           out.iterator
       }
   }
