@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.OperatorQueries.queries ++
       graft.queries.Relational2.queries ++
       graft.queries.IngestQueries.queries ++
-      graft.queries.StreamBatchQueries.queries
+      graft.queries.StreamBatchQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

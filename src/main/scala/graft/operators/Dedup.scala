@@ -107,11 +107,17 @@ object Dedup {
 
   /** Candidate pairs (a < b) from shared LSH buckets, deduplicated.
     *
-    * The bucket table is persisted before the self-join: without it the
-    * whole shingle→minhash pipeline runs twice (once per join side — the
-    * planner does not reuse the exchange across the `a < b` asymmetry).
-    * At 100 TB this materialization is the signature table you'd keep as a
-    * first-class dataset anyway (bands are ~b rows × 40 bytes per doc).
+    * The bucket table is materialized (eager local checkpoint) before the
+    * self-join: without it the whole shingle→minhash pipeline runs twice
+    * (once per join side — the planner does not reuse the exchange across
+    * the `a < b` asymmetry). A local checkpoint rather than `persist`: the
+    * blocks are computed exactly once (no duplicate-task "Block already
+    * exists" races) and are freed by the ContextCleaner as soon as the
+    * result plan is dropped — a long-lived session does not accumulate
+    * cached bucket tables. At 100 TB this materialization is the signature
+    * table you'd keep as a first-class dataset anyway (bands are ~b rows ×
+    * 40 bytes per doc); write it to parquet and read it back for both sides
+    * if executor loss matters (local checkpoints are not fault-tolerant).
     *
     * Skew: boilerplate-heavy corpora put millions of documents into one
     * (band, band_hash) bucket, and the within-bucket self-join goes
@@ -127,7 +133,7 @@ object Dedup {
     */
   def lshCandidatePairs(buckets: DataFrame, saltBlocks: Int = 1): DataFrame = {
     require(saltBlocks >= 1, s"saltBlocks must be >= 1, got $saltBlocks")
-    val b = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = buckets.localCheckpoint(true)
     val (x, y, extraKeys) =
       if (saltBlocks == 1) (b.as("x"), b.as("y"), lit(true))
       else {
@@ -153,6 +159,12 @@ object Dedup {
     * signature is set iff the sum over tokens of ±1 (token hash bit j) is
     * positive. 60 bits = 15 hex chars keeps the value in a signed long for
     * both engines.
+    *
+    * One pass, one shuffle: bit j's balance is a conditional-sum aggregate
+    * `sum(if (h>>j)&1 then 1 else -1)` — `bits` aggregates over the token
+    * rows, all map-side combinable, instead of exploding every token row
+    * into `bits` (id, j) rows through the shuffle (a 60× row blow-up that
+    * would dominate at corpus scale).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame = {
@@ -161,15 +173,15 @@ object Dedup {
       explode(split(col(textCol), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .select(col("id"), tokHash.as("h"))
-    val withBits = toks.select(col("id"),
-      explode(sequence(lit(0), lit(bits - 1))).as("j"), col("h"))
-      .select(col("id"), col("j"),
-        when(expr("(h >> j) & 1") === 1, 1).otherwise(-1).as("contrib"))
-    withBits.groupBy(col("id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
+    val bitSums = (0 until bits).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= lit(0L), 1).otherwise(-1))
+        .as(s"__s$j"))
+    toks.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two simhash longs. */

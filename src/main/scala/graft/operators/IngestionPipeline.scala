@@ -42,11 +42,13 @@ object IngestionPipeline {
 
     val counts = embedded.groupBy(col("documentid").as("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
-    // Lazy result lineage over the persisted inputs — one row per document,
-    // stays distributed (no driver collect; at 100 TB "documents" can be
-    // millions of rows). Caches are evicted LRU / recomputed if the caller
-    // consumes late.
-    elems.select(col("doc_id")).distinct()
+    // Materialize the per-document results (small: one row per document,
+    // stays distributed — no driver collect; at 100 TB "documents" can be
+    // millions of rows) so the heavyweight element/chunk caches can be
+    // released HERE rather than living for the rest of the session. The
+    // local checkpoint cuts the result's lineage off the unpersisted
+    // inputs; its own blocks are freed by the ContextCleaner on GC.
+    val results = elems.select(col("doc_id")).distinct()
       .join(failedDocs, Seq("doc_id"), "left")
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id").as("documentid"),
@@ -54,5 +56,9 @@ object IngestionPipeline {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         col("error"))
       .as[IngestionResult]
+      .localCheckpoint(true)
+    elems.unpersist()
+    embedded.unpersist()
+    results
   }
 }

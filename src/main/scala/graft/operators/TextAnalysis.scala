@@ -26,8 +26,15 @@ object TextAnalysis {
       "une", "du", "que", "pour", "dans", "qui"))
 
   /** Fraction of tokens that are stopwords of `lang`. */
-  def stopwordRatio(text: Column, lang: String): Column = {
-    val toks = split(lower(text), "\\s+")
+  def stopwordRatio(text: Column, lang: String): Column =
+    stopwordRatioOfTokens(split(lower(text), "\\s+"), lang)
+
+  /** Same, over an already-tokenized column — lets callers project the
+    * token array ONCE and score many languages against it (languageId
+    * would otherwise tokenize per language and depend on Catalyst
+    * subexpression elimination to dedup the work).
+    */
+  private def stopwordRatioOfTokens(toks: Column, lang: String): Column = {
     val hits = filter(toks, t =>
       array_contains(lit(stopwords(lang).toArray), t))
     when(size(toks) > 0, size(hits).cast("double") / size(toks))
@@ -52,10 +59,13 @@ object TextAnalysis {
     val t = col(textCol)
     val zh = scriptRatio(t, "[\\u4e00-\\u9fff]")
     val ru = scriptRatio(t, "[\\u0400-\\u04ff]")
+    // Tokenize ONCE into a projected column; every language score reads it.
     val latinScores = stopwords.keys.toSeq.sorted
-      .map(l => struct(stopwordRatio(t, l).as("score"), lit(l).as("lang")))
+      .map(l => struct(stopwordRatioOfTokens(col("__toks"), l).as("score"),
+        lit(l).as("lang")))
     val best = array_max(array(latinScores: _*))
-    df.withColumn("lang_pred",
+    df.withColumn("__toks", split(lower(t), "\\s+"))
+      .withColumn("lang_pred",
         when(zh > 0.25, lit("zh"))
           .when(ru > 0.25, lit("ru"))
           .when(best.getField("score") >= minConfidence,
@@ -63,6 +73,7 @@ object TextAnalysis {
           .otherwise(lit("und")))
       .withColumn("lang_score",
         round(greatest(zh, ru, best.getField("score")), 4))
+      .drop("__toks")
   }
 
   /** Composite quality score in [0,1]: mean of

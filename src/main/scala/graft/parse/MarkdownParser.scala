@@ -34,6 +34,7 @@ import scala.util.matching.Regex
 object MarkdownParser {
 
   private val HeadingRe: Regex = """^(#{1,6})\s+(.*?)\s*#*\s*$""".r
+  private val SetextRe: Regex = """^ {0,3}(=+|-+)\s*$""".r
   private val BreakRe: Regex = """^ {0,3}((\* *){3,}|(- *){3,}|(_ *){3,})$""".r
   private val ListItemRe: Regex = """^(\s*)([-*+]|\d{1,9}[.)])\s+(.*)$""".r
   private val TableDelimRe: Regex = """^\s*\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?\s*$""".r
@@ -91,6 +92,29 @@ object MarkdownParser {
                 Some(body.mkString("\n")),
                 Some(lines.slice(start, i).mkString("\n")),
                 None, None, None, None, None))
+            case _ if (line.startsWith("    ") || line.startsWith("\t")) &&
+                line.trim.nonEmpty =>
+              // Indented code block (4-space / tab indent) → paragraph with
+              // the literal code text, like fenced code (P5; the reference's
+              // Markdig dispatch handles CodeBlock alongside FencedCodeBlock,
+              // cs:78-92,107-114). Interior blank lines stay part of the
+              // block; trailing blanks do not.
+              val start = i
+              while (i < lines.length && (lines(i).trim.isEmpty ||
+                  lines(i).startsWith("    ") || lines(i).startsWith("\t"))) {
+                i += 1
+              }
+              var end = i
+              while (end > start && lines(end - 1).trim.isEmpty) end -= 1
+              def dedent(l: String): String =
+                if (l.startsWith("    ")) l.drop(4)
+                else if (l.startsWith("\t")) l.drop(1)
+                else l // interior blank
+              emit(ElementRow(docId, path, None, nextSeq(), "paragraph", None,
+                Some(lines.slice(start, end).map(dedent).mkString("\n")),
+                Some(lines.slice(start, end).mkString("\n")),
+                None, None, None, None, None))
+              i = end
             case _ if line.trim.startsWith(">") =>
               val inner = ArrayBuffer.empty[String]
               while (i < lines.length && lines(i).trim.startsWith(">")) {
@@ -124,16 +148,40 @@ object MarkdownParser {
             case _ if isTableStart(lines, i) =>
               i = parseTable(lines, i, path, nextSeq())
             case _ =>
-              // Paragraph: contiguous non-blank, non-structural lines.
+              // Paragraph: contiguous non-blank, non-structural lines —
+              // unless terminated by a setext underline (`===` → h1,
+              // `---` → h2), which turns the run into a heading (Markdig
+              // maps setext through the same HeadingBlock case, cs:97-101;
+              // an underline needs a blank line before it to count as a
+              // thematic break instead, per CommonMark precedence).
               val start = i
               val buf = ArrayBuffer.empty[String]
-              while (i < lines.length && lines(i).trim.nonEmpty &&
-                  !isStructural(lines, i)) {
-                buf += lines(i); i += 1
+              var setextLevel = 0
+              while (setextLevel == 0 && i < lines.length &&
+                  lines(i).trim.nonEmpty && !isStructural(lines, i)) {
+                lines(i) match {
+                  case SetextRe(u) if buf.nonEmpty =>
+                    setextLevel = if (u.startsWith("=")) 1 else 2
+                    i += 1
+                  case _ => buf += lines(i); i += 1
+                }
+              }
+              // A `---` underline also matches the thematic-break pattern,
+              // so it stopped the loop as structural; reclaim it as the
+              // setext h2 it is when it directly follows paragraph text.
+              if (setextLevel == 0 && buf.nonEmpty && i < lines.length &&
+                  SetextRe.findFirstIn(lines(i)).isDefined &&
+                  lines(i).trim.startsWith("-")) {
+                setextLevel = 2
+                i += 1
               }
               val raw = lines.slice(start, i).mkString("\n")
               val joined = buf.mkString("\n")
-              joined.trim match {
+              if (setextLevel > 0) {
+                emit(ElementRow(docId, path, None, nextSeq(), "header",
+                  Some(setextLevel), Some(extractInline(joined)), Some(raw),
+                  None, None, None, None, None))
+              } else joined.trim match {
                 case ImageRe(alt, url) => emitImage(path, alt, url, raw)
                 case _ =>
                   val tpe = if (wasBreak) "footer" else "paragraph" // P3

@@ -92,24 +92,33 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** True if `child` is already our pruning Filter: any IN whose value is
-    * the same bucket expression (semantically) or a graft-LSH-tagged
-    * `bucket` attribute, anywhere in the filter's condition tree.
+  /** True if `child` is already our pruning Filter: any IN — or the InSet
+    * form OptimizeIn rewrites it to once the literal list exceeds
+    * `spark.sql.optimizer.inSetConversionThreshold` (10; any index with
+    * nBits ≥ 10 produces ≥ 11 probes) — whose value is the same bucket
+    * expression (semantically) or a graft-LSH-tagged `bucket` attribute,
+    * anywhere in the filter's condition tree. Matching only In would let
+    * this rule re-fire every fixed-point pass after OptimizeIn converts
+    * our filter, stacking duplicate prunes and keeping the batch from
+    * converging.
     */
-  private def alreadyPruned(child: LogicalPlan, bucket: Expression): Boolean =
+  private def alreadyPruned(child: LogicalPlan, bucket: Expression): Boolean = {
+    def isBucket(v: Expression): Boolean =
+      v.semanticEquals(bucket) || (v match {
+        case a: Attribute =>
+          a.name == "bucket" && a.metadata.contains("graft.lsh.nbits")
+        case _ => false
+      })
     child match {
       case Filter(cond, _) =>
         cond.exists {
-          case In(v, _) =>
-            v.semanticEquals(bucket) || (v match {
-              case a: Attribute =>
-                a.name == "bucket" && a.metadata.contains("graft.lsh.nbits")
-              case _ => false
-            })
+          case In(v, _) => isBucket(v)
+          case InSet(v, _) => isBucket(v)
           case _ => false
         }
       case _ => false
     }
+  }
 
   private def literalQuery(c: CosineSimilarity): Option[Array[Float]] =
     Seq(c.left, c.right).collectFirst {

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q48: the multimodal operator surface as a driver-executed query
+  * (north-star component; rows-only — the media bytes never exist in the
+  * testdata parquet, so there is nothing for a SQL oracle to replay; exact
+  * values are pinned by the golden manifest in MultimodalSpec instead).
+  *
+  * The media table is fully deterministic — bytes are an md5 chain over the
+  * row id, lengths/metadata are id arithmetic — so every run, every JVM and
+  * the golden spec see identical inputs. The query drives all three
+  * operators end-to-end: [[Multimodal.imageFeatures]] (decode →
+  * feature-vector batch shape), [[Multimodal.resizeImages]] (byte
+  * replacement + meta update) and [[Multimodal.sampleFrames]]
+  * (executor-side frame explode), then folds each to stable per-media
+  * scalars with a total-order sort.
+  */
+object MultimodalQueries {
+
+  /** Deterministic media table: `n` rows cycling image/audio/video, with
+    * id-seeded binary payloads (16–128 bytes via an md5 hex chain) and
+    * typed metadata matching [[Multimodal.mediaSchema]]'s shape.
+    */
+  def mediaTable(s: SparkSession, n: Int = 60): DataFrame = {
+    val id = col("id")
+    // 8 chained md5s = 256 hex chars; keep 32*(1 + id mod 8) → 16–128 bytes.
+    val hexChain = concat((0 until 8).map(k =>
+      md5(concat(id.cast("string"), lit(s"_$k")))): _*)
+    val hexLen = (lit(1) + pmod(id, lit(8)).cast("int")) * lit(32)
+    s.range(n).select(
+      id.as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(id, lit(3)) + 1).cast("int")).as("kind"),
+      unhex(hexChain.substr(lit(1), hexLen)).as("bytes"),
+      struct(
+        ((pmod(id, lit(16)) + 1) * 64).cast("int").as("width"),
+        ((pmod(id, lit(12)) + 1) * 48).cast("int").as("height"),
+        when(pmod(id, lit(3)) === 1, 16000).otherwise(44100)
+          .cast("int").as("sample_rate"),
+        ((pmod(id, lit(10)) + 1) * 3000).cast("long").as("duration_ms"),
+        element_at(array(lit("raw"), lit("pcm"), lit("mjpeg")),
+          (pmod(id, lit(3)) + 1).cast("int")).as("codec")).as("meta"))
+  }
+
+  /** One row per media item: payload size, image feature checksum +
+    * resized payload size (images), sampled frame count + total frame
+    * bytes (videos). All doubles rounded; ordered by media_id.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, 60)
+    val images = media.filter(col("kind") === "image")
+
+    val featsD = transform(col("features"), _.cast("double"))
+    val feats = Multimodal.imageFeatures(images)
+      .select(col("media_id"),
+        size(col("features")).as("feat_dim"),
+        // Position-weighted checksum: sum(f_i * i) pins both the values
+        // AND their order, not just the histogram mass (which is ~1.0).
+        round(aggregate(
+          zip_with(featsD,
+            transform(sequence(lit(1), size(col("features"))),
+              _.cast("double")),
+            (f, i) => f * i),
+          lit(0.0), (a, x) => a + x), 6).as("feat_chk"))
+
+    val resized = Multimodal.resizeImages(images, w = 64, h = 48)
+      .select(col("media_id"), length(col("bytes")).as("resized_len"),
+        col("meta.width").as("resized_w"))
+
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).as("frame_bytes_total"))
+
+    media.select(col("media_id"), col("kind"),
+        length(col("bytes")).as("n_bytes"))
+      .join(feats, Seq("media_id"), "left")
+      .join(resized, Seq("media_id"), "left")
+      .join(frames, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feat_dim"), col("feat_chk"), col("resized_len"),
+        col("resized_w"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("frame_bytes_total"), lit(0L)).as("frame_bytes_total"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_multimodal" -> (q48 _)
+  )
+}

@@ -43,6 +43,11 @@ object OperatorQueries {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
+    // The DuckDB oracle inlines hyperplanes for exactly EmbeddingDim
+    // positions; a testdata dim change must fail loudly, not silently
+    // drift via a truncated pos-join.
+    require(q.length == EmbeddingDim,
+      s"q33 oracle is generated for dim=$EmbeddingDim, testdata has ${q.length}")
     val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = q.length)
     lsh.search(lsh.index(emb.filter(col("vec_id") =!= 0), "embedding"),
       "vec_id", "embedding", q, k = 5, probes = 1)
@@ -85,21 +90,31 @@ object OperatorQueries {
     "q35_embed_knn" -> (q35 _)
   )
 
+  /** Testdata embedding dimensionality the q33 oracle SQL is generated
+    * for; [[q33]] asserts the live data agrees (TESTDATA.md).
+    */
+  val EmbeddingDim: Int = 64
+
   /** DuckDB list literals for the stopword profiles — generated from the
     * exact [[TextAnalysis.stopwords]] vocabulary so oracle and engine can
-    * never drift.
+    * never drift. Single quotes are SQL-escaped ('') so apostrophe words
+    * (fr "qu'il"-style) cannot break the generated SQL.
     */
   private def swList(lang: String): String =
-    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    TextAnalysis.stopwords(lang)
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
 
   /** The q33 LSH hyperplanes as DuckDB VALUES rows — the same deterministic
-    * ±1 matrix [[Ann.hyperplanes]] builds engine-side (nBits=8, dim=64,
-    * seed=42), so the oracle replays bucket assignment bit-for-bit.
+    * ±1 matrix [[Ann.hyperplanes]] builds engine-side (nBits=8,
+    * dim=[[EmbeddingDim]], seed=42), so the oracle replays bucket
+    * assignment bit-for-bit.
     */
   private val q33PlaneRows: String =
-    Ann.hyperplanes(nBits = 8, dim = 64).zipWithIndex.map { case (p, b) =>
-      val lst = p.map(x => if (x > 0) "1" else "-1").mkString(",")
-      s"($b, CAST([$lst] AS DOUBLE[]))"
+    Ann.hyperplanes(nBits = 8, dim = EmbeddingDim).zipWithIndex.map {
+      case (p, b) =>
+        val lst = p.map(x => if (x > 0) "1" else "-1").mkString(",")
+        s"($b, CAST([$lst] AS DOUBLE[]))"
     }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,16 +38,38 @@ object Relational2 {
       .na.fill(0L)
       .orderBy(col("h"))
 
-  // q38: exact percentiles (median & p90) per group — `percentile` in
-  // Spark ≙ quantile_cont in DuckDB (both exact continuous quantiles).
-  def q38(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  // q38: exact continuous percentiles (median & p90) per group
+  // ≙ DuckDB quantile_cont. Deliberately NOT Spark's `percentile`
+  // aggregate: that one buffers every group value in a single imperative
+  // aggregation buffer (cannot spill — with 3 groups each buffer holds a
+  // third of lineitem, an executor OOM at scale). This window formulation
+  // sorts within the group shuffle partition (spillable) and reduces each
+  // row to at most two interpolation contributions: pos = p·(n−1)
+  // zero-based, result = v_floor·(1−frac) + v_ceil·frac — the identical
+  // double arithmetic both engines' exact quantiles use.
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("rn",
+        row_number().over(byFlag.orderBy(col("v"))))
+      .withColumn("cnt", count(lit(1)).over(byFlag))
+    def quantileCont(p: Double): Column = {
+      val pos = (col("cnt") - 1).cast("double") * p
+      val frac = pos - floor(pos)
+      sum(
+        when(col("rn") - 1 === floor(pos), col("v") * (lit(1.0) - frac))
+          .otherwise(lit(0.0)) +
+          when(col("rn") - 1 === floor(pos) + 1, col("v") * frac)
+            .otherwise(lit(0.0)))
+    }
+    ranked.groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(avg(col("l_extendedprice")), 2).as("mean"))
+        round(quantileCont(0.5), 2).as("p50"),
+        round(quantileCont(0.9), 2).as("p90"),
+        round(avg(col("v")), 2).as("mean"))
       .orderBy(col("l_returnflag"))
+  }
 
   // q39: correlated scalar subquery — orders above their customer's
   // average order value.

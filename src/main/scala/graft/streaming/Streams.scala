@@ -107,7 +107,11 @@ object Streams {
           def close(st: SessionState): Unit =
             out += Session(userId, new java.sql.Timestamp(st.start),
               new java.sql.Timestamp(st.last), st.n,
-              math.round(st.sum * 100).toDouble / 100)
+              // Same rounding as the batch path's round(): HALF_UP away
+              // from zero — math.round (floor(x+0.5)) disagrees on
+              // negative totals ending in .xx5.
+              BigDecimal(st.sum)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
           if (state.hasTimedOut) {
             // Watermark passed last + gap with no new events: the session
             // is definitively closed — emit it and free the state.
@@ -116,13 +120,28 @@ object Streams {
           } else {
             // This trigger's new events for the user (bounded by trigger
             // size, not by the user's history — state carries the past).
+            // Sorting covers in-trigger ordering; a cross-trigger late
+            // event (admitted by the watermark, t < st.last) merges with
+            // start = min, last = max so the session bounds and later gap
+            // checks track the TRUE extremes — not a regressed `last`.
             val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.orNull
             evs.foreach { e =>
               val t = e.ts.getTime
               if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t < st.start - gapMs)
+                // Late event more than a gap BEFORE the open session: it
+                // can only be its own earlier session (anything that could
+                // have joined it is older still, hence dropped by the
+                // watermark) — emit it closed, keep the open session.
+                out += Session(userId, new java.sql.Timestamp(t),
+                  new java.sql.Timestamp(t), 1,
+                  BigDecimal(e.value)
+                    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
               else if (t - st.last <= gapMs)
-                st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
+                // In-gap (possibly out-of-order: t may be < st.last).
+                st = SessionState(math.min(st.start, t),
+                  math.max(st.last, t), st.n + 1, st.sum + e.value)
               else {
                 close(st)
                 st = SessionState(t, t, 1, e.value)
