@@ -94,13 +94,20 @@ object Ann {
         if (dot > 0) 1 << b else 0
       }.sum
 
-    /** Buckets within hamming distance `probes` of the query bucket
-      * (multiprobe: recover neighbors that fell across one hyperplane).
+    /** Buckets within Hamming distance `probes` of the query bucket —
+      * multiprobe: recover neighbors that fell across up to `probes`
+      * hyperplanes. The radius is THE recall/scan-cost knob: each +1
+      * admits C(nBits, r) more buckets. (On near-duplicate workloads
+      * radius 1 already recovers everything — AnnSpec; on uncorrelated
+      * vectors recall@k grows with the scanned fraction and the radius
+      * buys a principled sweep of that tradeoff — AnnRecallSpec.)
       */
     def probeBuckets(q: Array[Float], probes: Int): Seq[Int] = {
       val b0 = bucketOf(q)
-      if (probes == 0) Seq(b0)
-      else Seq(b0) ++ (0 until nBits).map(b => b0 ^ (1 << b))
+      val r = math.min(math.max(probes, 0), nBits)
+      (0 to r).flatMap(k =>
+        (0 until nBits).combinations(k).map(_.foldLeft(b0)((b, i) =>
+          b ^ (1 << i))))
     }
 
     /** ANN top-k: prune to probe buckets, exact-rescore, take k. */

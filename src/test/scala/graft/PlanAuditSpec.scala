@@ -53,4 +53,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q38: exact percentiles via spillable window plan, no Percentile buffer") {
+    // Spark's `percentile` aggregate buffers every group value in one
+    // unspillable aggregation buffer — at 3 groups that's a third of
+    // lineitem per buffer, an executor OOM at 100×. The window
+    // formulation must survive in the plan.
+    val p = plan("q38_percentiles")
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q28: simhash is one hash shuffle with no per-bit row explode") {
+    val p = plan("q28_simhash")
+    // The token explode (split) is map-side; there must be no second
+    // explode fanning each token row out 60× into the shuffle.
+    assert("explode\\(sequence".r.findAllIn(p).isEmpty, p)
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, got $hashShuffles:\n$p")
+  }
+
+  test("q31: language ID tokenizes once (single split in the plan)") {
+    val p = plan("q31_lang_id")
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected 1 split, got $splits:\n${p.take(2000)}")
+  }
 }

@@ -46,6 +46,42 @@ class MultimodalSpec extends SparkSpec {
       Set("media_id", "kind", "bytes", "meta"))
   }
 
+  test("q48 golden manifest: deterministic media table → pinned outputs") {
+    // The driver runs q48 rows-only (the media bytes exist nowhere in SQL
+    // for an oracle to replay); these pinned rows are the exact-value gate.
+    // (media_id, kind, n_bytes, feat_dim, feat_chk, resized_len,
+    //  resized_w, n_frames, frame_bytes_total)
+    val rows = graft.queries.MultimodalQueries.q48(spark, "")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Int]),
+        Option(r.get(6)).map(_.asInstanceOf[Int]),
+        r.getLong(7), r.getLong(8)))
+    assert(rows.length == 60)
+    val byId = rows.map(t => t._1 -> t).toMap
+    assert(byId(0L) == (0L, "image", 16, Some(64), Some(32.625), Some(48),
+      Some(64), 0L, 0L))
+    assert(byId(2L) == (2L, "video", 48, None, None, None, None, 9L, 48L))
+    assert(byId(3L) == (3L, "image", 64, Some(64), Some(34.578125), Some(48),
+      Some(64), 0L, 0L))
+    assert(byId(5L) == (5L, "video", 96, None, None, None, None, 18L, 96L))
+    assert(byId(57L) == (57L, "image", 32, Some(64), Some(30.6875), Some(48),
+      Some(64), 0L, 0L))
+    assert(byId(58L) == (58L, "audio", 48, None, None, None, None, 0L, 0L))
+    assert(byId(59L) == (59L, "video", 64, None, None, None, None, 30L, 64L))
+    // Aggregate invariants: 20 of each kind; frames partition the video
+    // bytes exactly (sum of frame bytes == sum of video payload bytes).
+    val byKind = rows.groupBy(_._2)
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    assert(byKind.forall(_._2.length == 20))
+    assert(byKind("video").map(_._8).sum == 330L)
+    assert(byKind("video").map(_._9).sum == 1376L)
+    assert(byKind("video").map(_._3.toLong).sum == 1376L)
+    assert(byKind("image").forall(t => t._4 == Some(64) && t._6 == Some(48)))
+  }
+
   test("frame sampling explodes video rows only, ordered frames") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
     assert(frames.forall(_.getLong(0) == 3L))

@@ -60,6 +60,34 @@ class AnnTopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("nBits >= 12: guard matches the InSet form, exactly one prune") {
+    // 13 probe literals (nBits=12, radius 1) exceed
+    // spark.sql.optimizer.inSetConversionThreshold (10), so OptimizeIn
+    // rewrites our In to InSet inside the same fixed-point batch; a guard
+    // matching only In would re-fire every pass and stack duplicate
+    // filters until maxIterations.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val lsh12 = new Ann.RandomHyperplaneLsh(nBits = 12, dim = 64)
+    val indexed12 = lsh12.index(emb.filter(col("vec_id") =!= 0), "embedding")
+    withFlag("true") {
+      val df = indexed12
+        .select(col("vec_id"), col("bucket"),
+          round(CosineSimilarity(col("embedding"), typedlit(q)), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+      val opt = df.queryExecution.optimizedPlan
+      val prunes = opt.collect { case f: Filter =>
+        f.condition.collect { case _: In => 1; case _: InSet => 1 }.sum
+      }.sum
+      assert(prunes == 1, s"expected exactly one bucket prune, got $prunes:\n$opt")
+      val auto = df.collect().map(_.getLong(0)).toSeq
+      val manual = lsh12.search(indexed12, "vec_id", "embedding", q, 5,
+        probes = 1).collect().map(_.getLong(0)).toSeq
+      assert(auto == manual)
+    }
+  }
+
   test("flag on but un-indexed relation: no rewrite, exact results") {
     withFlag("true") {
       val plain = emb.filter(col("vec_id") =!= 0)

@@ -86,4 +86,154 @@ class StreamsSpec extends SparkSpec {
       assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
     } finally q.stop()
   }
+
+  test("stream timeout: idle user's trailing session emits via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // User 1 opens a session and then goes idle forever.
+      mem.addData(Streams.Ev(1, 1, "a", ts(0), 1.0),
+        Streams.Ev(2, 1, "a", ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 0)
+      // ONLY user 2 events advance the watermark past
+      // user1.last + gap + delay (10:05 + 30m + 10m = 10:45).
+      mem.addData(Streams.Ev(3, 2, "b",
+        Timestamp.valueOf("2026-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // The watermark computed from that batch applies to the NEXT batch;
+      // another user-2 event triggers it and fires the timeout.
+      mem.addData(Streams.Ev(4, 2, "b",
+        Timestamp.valueOf("2026-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_timeout").as[Streams.Session].collect()
+        .filter(_.user_id == 1)
+      assert(u1.length == 1, s"expected user 1's trailing session, got ${u1.toSeq}")
+      assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
+      assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+      // State for user 1 was removed: further watermark advances emit
+      // nothing more for it.
+      mem.addData(Streams.Ev(5, 2, "b",
+        Timestamp.valueOf("2026-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").as[Streams.Session].collect()
+        .count(_.user_id == 1) == 1)
+    } finally q.stop()
+  }
+
+  test("cross-trigger late events: min/max merge + early-orphan, batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30 * 60 * 1000L
+    // Trigger 1: 10:10, 10:14 (watermark after batch = 10:14 − 10m = 10:04).
+    // Trigger 2 (late but admitted): 10:06 — BEFORE session start 10:10 →
+    //   must merge with start := 10:06 (the old code regressed `last`
+    //   instead and never lowered `start`).
+    // Trigger 3: 11:30 closes the session (70m > gap).
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMs = gap)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.Ev(1, 1, "a", ts(10), 1.0),
+        Streams.Ev(2, 1, "a", ts(14), 2.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Ev(3, 1, "a", ts(6), 4.0)) // late, in-gap
+      q.processAllAvailable()
+      mem.addData(Streams.Ev(4, 1, "a",
+        Timestamp.valueOf("2026-01-01 11:30:00"), 8.0))
+      q.processAllAvailable()
+      val stream = spark.table("sess_late").as[Streams.Session].collect()
+      assert(stream.length == 1)
+      val s = stream.head
+      assert(s.session_start == ts(6), s"start not lowered: $s")
+      assert(s.session_end == ts(14) && s.n_events == 3 && s.total_value == 7.0)
+      // Batch over the SAME events (sorted by time, as batch sees them)
+      // produces the identical first session.
+      val batch = Streams.sessionize(Seq(
+        Streams.Ev(1, 1, "a", ts(10), 1.0),
+        Streams.Ev(2, 1, "a", ts(14), 2.0),
+        Streams.Ev(3, 1, "a", ts(6), 4.0),
+        Streams.Ev(4, 1, "a",
+          Timestamp.valueOf("2026-01-01 11:30:00"), 8.0)).toDS(), gap)
+        .collect().sortBy(_.session_start.getTime)
+      assert(batch.length == 2)
+      assert(batch.head == s, s"batch ${batch.head} != stream $s")
+    } finally q.stop()
+  }
+
+  test("very-late event beyond gap-before-start becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    // Large watermark delay so a 90-minutes-late event is still admitted.
+    val q = Streams.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000L,
+        watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("sess_orphan")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.Ev(1, 1, "a",
+        Timestamp.valueOf("2026-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // 10:30 < 12:00 − gap: cannot belong to the open session; emitted
+      // immediately as a closed single-event session (batch agrees: the
+      // 90-minute gap splits them).
+      mem.addData(Streams.Ev(2, 1, "a",
+        Timestamp.valueOf("2026-01-01 10:30:00"), 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_orphan").as[Streams.Session].collect()
+      assert(out.length == 1)
+      assert(out.head.session_start ==
+        Timestamp.valueOf("2026-01-01 10:30:00"))
+      assert(out.head.n_events == 1 && out.head.total_value == 4.0)
+    } finally q.stop()
+  }
+
+  test("rounding equivalence: batch ≡ stream totals incl. negative .xx5") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Seeded pseudo-random event set over 4 users; values are multiples of
+    // 0.125 (exactly representable), so session sums regularly land on
+    // .xx5 — where HALF_UP (batch round()) and floor(x+0.5) (the old
+    // stream math.round) disagree for negatives.
+    val rnd = new scala.util.Random(42)
+    val evs = (1 to 40).map { i =>
+      val user = 1L + rnd.nextInt(4)
+      val t = new Timestamp(ts(0).getTime + i * 7 * 60 * 1000L +
+        rnd.nextInt(3) * 60 * 1000L)
+      val v = (rnd.nextInt(33) - 16) * 0.125
+      Streams.Ev(i.toLong, user, "a", t, v)
+    }
+    val gap = 20 * 60 * 1000L
+    val batch = Streams.sessionize(evs.toDS(), gap).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+        s.total_value)).toSet
+
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_round")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // Sentinel far-future event advances the watermark; the extra batch
+      // fires every idle user's timeout so ALL real sessions close.
+      mem.addData(Streams.Ev(998, 99, "z",
+        Timestamp.valueOf("2026-01-02 12:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Ev(999, 99, "z",
+        Timestamp.valueOf("2026-01-02 12:01:00"), 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sess_round").as[Streams.Session].collect()
+        .filter(_.user_id != 99)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+          s.total_value)).toSet
+      assert(stream == batch,
+        s"diff: stream-only=${stream -- batch}, batch-only=${batch -- stream}")
+    } finally q.stop()
+  }
 }
