@@ -28,7 +28,12 @@ object IngestionPipeline {
     val spark = elements.sparkSession
     import spark.implicits._
 
-    val elems = elements.persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager materialization in its own job: `elems` feeds BOTH the
+    // failed-docs aggregate and the anti-join below — a lazy persist would
+    // have the two branches race to compute the same partitions inside the
+    // first action ("Block already exists" churn). Checkpoint blocks are
+    // freed by the ContextCleaner when `elems` goes out of scope.
+    val elems = elements.localCheckpoint(true)
     val failedDocs = elems.filter(col("element_type") === "error")
       .groupBy(col("doc_id"))
       .agg(first(col("text"), ignoreNulls = true).as("error"))
@@ -57,7 +62,6 @@ object IngestionPipeline {
         col("error"))
       .as[IngestionResult]
       .localCheckpoint(true)
-    elems.unpersist()
     embedded.unpersist()
     results
   }
