@@ -144,6 +144,63 @@ class MarkdownParserSpec extends AnyFunSuite {
     assert(rows.isEmpty)
   }
 
+  test("setext headings: === is h1, --- is h2, underline consumed") {
+    val rows = parse(
+      """Main Title
+        |==========
+        |
+        |Subsection
+        |----------
+        |
+        |Body text here.
+        |""".stripMargin)
+    assert(rows.map(_.element_type) == Seq("header", "header", "paragraph"))
+    assert(rows(0).level.contains(1) && rows(0).text.contains("Main Title"))
+    assert(rows(1).level.contains(2) && rows(1).text.contains("Subsection"))
+    assert(rows(0).markdown.exists(_.contains("=====")))
+  }
+
+  test("setext precedence: dashes after text are a heading, not break+footer") {
+    // No blank line between text and ---: CommonMark says setext h2.
+    // With a blank line, --- is a thematic break and the next paragraph
+    // is a footer (the P3 test above) — both behaviors must coexist.
+    val rows = parse(
+      """Heading text
+        |---
+        |following para
+        |""".stripMargin)
+    assert(rows.map(_.element_type) == Seq("header", "paragraph"))
+    assert(rows.head.level.contains(2))
+  }
+
+  test("standalone underline with no preceding text stays a paragraph") {
+    val rows = parse("===\n")
+    assert(rows.map(_.element_type) == Seq("paragraph"))
+    assert(rows.head.text.contains("==="))
+  }
+
+  test("indented code block becomes a paragraph with dedented text (P5)") {
+    val rows = parse(
+      """Before.
+        |
+        |    val x = 1
+        |
+        |    val y = 2
+        |
+        |After.
+        |""".stripMargin)
+    assert(rows.map(_.element_type) ==
+      Seq("paragraph", "paragraph", "paragraph"))
+    assert(rows(1).text.contains("val x = 1\n\nval y = 2"))
+    assert(rows(1).markdown.exists(_.startsWith("    val x = 1")))
+  }
+
+  test("indented continuation of a paragraph is not code (lazy continuation)") {
+    val rows = parse("a line\n    still the same para\n")
+    assert(rows.map(_.element_type) == Seq("paragraph"))
+    assert(rows.head.text.contains("a line\nstill the same para"))
+  }
+
   test("crlf input parses the same as lf") {
     val lf = parse("# T\n\npara one\n")
     val crlf = parse("# T\r\n\r\npara one\r\n")
