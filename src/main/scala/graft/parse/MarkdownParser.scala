@@ -125,26 +125,7 @@ object MarkdownParser {
               }
               parseBlocks(inner.toArray, childPath(path)) // recursion (P7)
             case ListItemRe(_, _, _) =>
-              val lPath = childPath(path)
-              var k = i
-              while (k < lines.length && (ListItemRe.findFirstIn(lines(k)).isDefined ||
-                  (lines(k).startsWith("  ") && lines(k).trim.nonEmpty))) {
-                lines(k) match {
-                  case ListItemRe(_, _, content) if content.trim.nonEmpty =>
-                    // Item leaf blocks flattened into the list section (P6);
-                    // empties skipped.
-                    emit(ElementRow(docId, lPath, None, nextSeq(), "paragraph",
-                      None, Some(extractInline(content)), Some(lines(k)),
-                      None, None, None, None, None))
-                  case ListItemRe(_, _, _) => ()
-                  case cont => // lazy continuation of the previous item
-                    emit(ElementRow(docId, lPath, None, nextSeq(), "paragraph",
-                      None, Some(extractInline(cont.trim)), Some(cont),
-                      None, None, None, None, None))
-                }
-                k += 1
-              }
-              i = k
+              i = parseList(lines, i, path)
             case _ if isTableStart(lines, i) =>
               i = parseTable(lines, i, path, nextSeq())
             case _ =>
@@ -212,6 +193,46 @@ object MarkdownParser {
             emit(ElementRow(docId, p, None, nextSeq(), "image", None, None,
               Some(raw), Some(alt), None, None, None, None))
         }
+    }
+
+    /** List → nested section (P6, cs:157-181): each item's leaf content is
+      * flattened into the list's section; a deeper-indented run of items
+      * (a sub-list) recurses as a CHILD section of the list — mirroring
+      * the reference's ListBlock-inside-item → nested Section mapping.
+      * Returns the index after the list.
+      */
+    def parseList(lines: Array[String], start: Int, parent: Seq[Int]): Int = {
+      val lPath = childPath(parent)
+      val base = lines(start) match {
+        case ListItemRe(ws, _, _) => ws.length
+        case _ => 0
+      }
+      var k = start
+      var done = false
+      while (k < lines.length && !done) {
+        lines(k) match {
+          case ListItemRe(ws, _, content) =>
+            if (ws.length >= base + 2) k = parseList(lines, k, lPath)
+            else if (ws.length < base) done = true
+            else {
+              if (content.trim.nonEmpty)
+                // Item leaf blocks flattened into the list section (P6);
+                // empties skipped.
+                emit(ElementRow(docId, lPath, None, nextSeq(), "paragraph",
+                  None, Some(extractInline(content)), Some(lines(k)),
+                  None, None, None, None, None))
+              k += 1
+            }
+          case cont if cont.startsWith("  ") && cont.trim.nonEmpty =>
+            // Lazy continuation of the previous item.
+            emit(ElementRow(docId, lPath, None, nextSeq(), "paragraph",
+              None, Some(extractInline(cont.trim)), Some(cont),
+              None, None, None, None, None))
+            k += 1
+          case _ => done = true
+        }
+      }
+      k
     }
 
     def isStructural(lines: Array[String], i: Int): Boolean = {

@@ -53,6 +53,21 @@ object OperatorQueries {
       "vec_id", "embedding", q, k = 5, probes = 1)
   }
 
+  // q49: IVF (k-means coarse quantizer) ANN top-5 for the vec_id=0 query
+  // (rows-only: the MLlib k-means fit is not SQL-replayable; structural
+  // guarantees — probe-list pruning, exact re-scoring, planted-near-dup
+  // recall — are spec-gated in AnnSpec/AnnRecallSpec). Exact counterpart
+  // is q21; the LSH tier counterpart is q33.
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val ivf = Ann.Ivf.fit(corpus, "embedding", kCentroids = 8)
+    ivf.search(ivf.index(corpus, "embedding"), "vec_id", "embedding", q,
+      k = 5, nprobe = 2)
+  }
+
   // q34: semantic chunker over the documents corpus (rows-only): the
   // reference's C1 operator at query-surface level.
   def q34(s: SparkSession, dir: String): DataFrame = {
@@ -87,7 +102,8 @@ object OperatorQueries {
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
     "q34_chunker" -> (q34 _),
-    "q35_embed_knn" -> (q35 _)
+    "q35_embed_knn" -> (q35 _),
+    "q49_ann_ivf" -> (q49 _)
   )
 
   /** Testdata embedding dimensionality the q33 oracle SQL is generated

@@ -63,6 +63,17 @@ class AnnSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("q49 IVF driver query: 5 rows, descending scores, deterministic") {
+    val run1 = graft.queries.OperatorQueries.q49(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run1.length == 5)
+    val scores = run1.map(_._2)
+    assert(scores == scores.sorted.reverse)
+    val run2 = graft.queries.OperatorQueries.q49(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run1 == run2, "k-means fit + search must be deterministic")
+  }
+
   test("driver-side bucketOf agrees with the expression-level bucket column") {
     val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = 64)
     val indexed = lsh.index(corpus, "embedding")

@@ -83,6 +83,23 @@ class MarkdownParserSpec extends AnyFunSuite {
     assert(rows.last.section_path == Seq(0))
   }
 
+  test("sub-lists nest as child sections of the list section (P6)") {
+    val rows = parse(
+      """- top one
+        |  - sub a
+        |  - sub b
+        |- top two
+        |""".stripMargin)
+    assert(rows.map(_.text.get) ==
+      Seq("top one", "sub a", "sub b", "top two"))
+    val byText = rows.map(r => r.text.get -> r.section_path).toMap
+    assert(byText("top one").length == 2)
+    assert(byText("top two") == byText("top one")) // same list section
+    assert(byText("sub a").length == 3) // child section of the list
+    assert(byText("sub a").startsWith(byText("top one")))
+    assert(byText("sub b") == byText("sub a"))
+  }
+
   test("block quotes recurse as nested sections (P7)") {
     val rows = parse(
       """> quoted line one
