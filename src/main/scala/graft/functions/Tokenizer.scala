@@ -28,7 +28,7 @@ object WhitespaceTokenizer extends Tokenizer {
   * vocab file).
   */
 object RegexTokenizer extends Tokenizer {
-  private val Tok = """\p{L}+|\p{N}+|[^\p{L}\p{N}\s]""".r
+  private[functions] val Tok = """\p{L}+|\p{N}+|[^\p{L}\p{N}\s]""".r
 
   def tokenize(text: String): Seq[String] =
     Tok.findAllIn(text.toLowerCase).flatMap { t =>
@@ -38,4 +38,53 @@ object RegexTokenizer extends Tokenizer {
         case (piece, _) => "##" + piece
       }
     }.toSeq
+}
+
+/** WordPiece, greedy longest-match-first over a supplied vocabulary — the
+  * algorithm behind the reference's token counter (BERT tokenizer loaded
+  * from `vocab.txt`, reference `Program.cs:64-65,70`; the vocab file is an
+  * external model asset even for the reference, so it is injected here:
+  * pass `vocab.txt` lines via [[WordPieceTokenizer.fromVocabFile]] and the
+  * [[graft.operators.SemanticChunker]] token budget counts real BERT
+  * tokens).
+  *
+  * Pre-tokenization lowercases and splits words / digit runs / single
+  * punctuation (the BERT "basic tokenizer" behavior); each word is then
+  * greedily matched against the vocab with `##` continuation pieces; a
+  * word with any unmatchable remainder becomes `[UNK]`, like the original.
+  */
+final class WordPieceTokenizer(vocab: Set[String], unk: String = "[UNK]",
+    maxWordChars: Int = 100) extends Tokenizer {
+
+  def tokenize(text: String): Seq[String] =
+    RegexTokenizer.Tok.findAllIn(text.toLowerCase)
+      .flatMap(pieces).toSeq
+
+  private def pieces(word: String): Seq[String] = {
+    if (word.length > maxWordChars) return Seq(unk)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      var end = word.length
+      var found: String = null
+      while (found == null && end > start) {
+        val sub = (if (start > 0) "##" else "") + word.substring(start, end)
+        if (vocab.contains(sub)) found = sub else end -= 1
+      }
+      if (found == null) return Seq(unk)
+      out += found
+      start = end
+    }
+    out.toSeq
+  }
+}
+
+object WordPieceTokenizer {
+  /** Load a BERT-style vocab.txt: one token per line, blank lines skipped. */
+  def fromVocabFile(path: String): WordPieceTokenizer = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try new WordPieceTokenizer(
+      src.getLines().map(_.trim).filter(_.nonEmpty).toSet)
+    finally src.close()
+  }
 }
