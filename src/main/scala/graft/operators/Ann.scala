@@ -121,6 +121,34 @@ object Ann {
     }
   }
 
+  /** Embedding near-duplicate PAIRS at scale: hyperplane-LSH bucketing →
+    * candidate pair join (reusing [[Dedup.lshCandidatePairs]], so hot
+    * buckets get the same exact block-salted self-join) → exact cosine
+    * re-score ≥ `minSim`. This is the scale path that replaces the
+    * brute-force all-pairs embedding compare (q26 restricts brute force to
+    * a key range; this never goes all-pairs). Recall caveat: only pairs
+    * landing in the SAME bucket are candidates — for near-dup thresholds
+    * (cos ≥ 0.9) collisions are near-certain at small nBits; raise nBits
+    * for precision, lower it (or union multiple rotated indexes) for
+    * recall.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 8, minSim: Double = 0.9, seed: Long = 42L,
+      saltBlocks: Int = 1): DataFrame = {
+    val lsh = new RandomHyperplaneLsh(nBits, dim, seed)
+    val buckets = lsh.index(
+        df.select(col(idCol).as("id"), col(vecCol).as("__v")), "__v")
+      .select(col("id"), lit(0).as("band"), col("bucket").as("band_hash"))
+    val pairs = Dedup.lshCandidatePairs(buckets, saltBlocks)
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
+    pairs.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        round(graft.functions.CosineSimilarity(col("__va"), col("__vb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** IVF (inverted-file) index: k-means centroids as the coarse quantizer.
     * Centroids are fit once (sampled), broadcast as literals; assignment is
     * an argmin over centroid dot products — expression-level, no UDF.

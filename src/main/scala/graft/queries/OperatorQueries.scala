@@ -68,6 +68,19 @@ object OperatorQueries {
       k = 5, nprobe = 2)
   }
 
+  // q50: embedding near-dup PAIRS via LSH bucketing (oracle-checked): the
+  // scale path behind q26's range-restricted brute force — bucket join,
+  // never all-pairs, salted (saltBlocks=2) so the oracle hash-match also
+  // certifies the blocked self-join is pair-exact on a second operator.
+  // minSim=0.2 because the synthetic embeddings are near-random (real
+  // near-dup corpora use ≥0.9); the plumbing is threshold-independent.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Ann.nearDupPairs(emb, "vec_id", "embedding", dim = EmbeddingDim,
+        nBits = 8, minSim = 0.2, saltBlocks = 2)
+      .orderBy(col("a"), col("b"))
+  }
+
   // q34: semantic chunker over the documents corpus (rows-only): the
   // reference's C1 operator at query-surface level.
   def q34(s: SparkSession, dir: String): DataFrame = {
@@ -103,7 +116,8 @@ object OperatorQueries {
     "q33_ann_lsh" -> (q33 _),
     "q34_chunker" -> (q34 _),
     "q35_embed_knn" -> (q35 _),
-    "q49_ann_ivf" -> (q49 _)
+    "q49_ann_ivf" -> (q49 _),
+    "q50_embed_neardup_lsh" -> (q50 _)
   )
 
   /** Testdata embedding dimensionality the q33 oracle SQL is generated
@@ -189,6 +203,29 @@ object OperatorQueries {
          |  ROUND(d2.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
          |FROM d2 JOIN n ON d2.vec_id = n.vec_id
          |ORDER BY score DESC, d2.vec_id LIMIT 5""".stripMargin,
+    "q50_embed_neardup_lsh" ->
+      s"""WITH planes(b, p) AS (VALUES
+         |  $q33PlaneRows),
+         |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+         |       FROM planes),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+         |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |pairs AS (SELECT x.vec_id a, y.vec_id b FROM buckets x JOIN buckets y
+         |          ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+         |d2 AS (SELECT p.a, p.b, SUM(ea.val * eb.val) AS dot
+         |       FROM pairs p JOIN e ea ON ea.vec_id = p.a
+         |       JOIN e eb ON eb.vec_id = p.b AND eb.pos = ea.pos
+         |       GROUP BY p.a, p.b)
+         |SELECT d2.a, d2.b, ROUND(d2.dot / (na.nrm * nb.nrm), 6) AS sim
+         |FROM d2 JOIN n na ON na.vec_id = d2.a JOIN n nb ON nb.vec_id = d2.b
+         |WHERE ROUND(d2.dot / (na.nrm * nb.nrm), 6) >= 0.2
+         |ORDER BY a, b""".stripMargin,
     "q32_quality" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') toks
         |           FROM documents)

@@ -63,6 +63,23 @@ class AnnSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("nearDupPairs: planted dups surface as bucket-join pairs at cos>=0.9") {
+    val withQuery = base.union(planted.toDF("vec_id", "embedding"))
+    val pairs = Ann.nearDupPairs(withQuery, "vec_id", "embedding", dim = 64,
+        nBits = 8, minSim = 0.9, saltBlocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 >= 0.9))
+    // The planted vectors are perturbations of vec 0, so every returned
+    // pair must involve the query/planted family — no false positives
+    // among the random corpus.
+    val family = planted.map(_._1).toSet + 0L
+    assert(pairs.forall(p => family(p._1) && family(p._2)), pairs.toSeq)
+    // Bucket-equality recall: pairs whose members share the LSH bucket.
+    // Deterministic — pin that the query pairs with most of its dups.
+    assert(pairs.count(p => p._1 == 0L || p._2 == 0L) >= 3, pairs.toSeq)
+  }
+
   test("q49 IVF driver query: 5 rows, descending scores, deterministic") {
     val run1 = graft.queries.OperatorQueries.q49(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
