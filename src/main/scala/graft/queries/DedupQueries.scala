@@ -49,11 +49,26 @@ object DedupQueries {
           .as("n_tok"))
       .orderBy(col("doc_id"))
 
+  // q52: pairwise edit distance (Levenshtein) on truncated doc prefixes —
+  // the classic exact near-dup verifier; brute-force pairing is scoped to
+  // a key range exactly like q25/q26 (candidate generation at scale comes
+  // from LSH, q27/q50; edit distance is the within-candidate verifier).
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+    d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        levenshtein(col("x.t"), col("y.t")).as("dist"))
+      .filter(col("dist") <= 60)
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_lsh" -> (q27 _),
     "q28_simhash" -> (q28 _),
     "q29_winnow_fp" -> (q29 _),
-    "q30_regex_tokens" -> (q30 _)
+    "q30_regex_tokens" -> (q30 _),
+    "q52_edit_distance" -> (q52 _)
   )
 
   private val P = graft.operators.Dedup.MinhashPrime
@@ -105,6 +120,14 @@ object DedupQueries {
     "q30_regex_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_tok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents
+        |           WHERE doc_id < 30)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(levenshtein(x.t, y.t) AS INTEGER) AS dist
+        |FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |WHERE levenshtein(x.t, y.t) <= 60
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -71,6 +71,23 @@ object Relational2 {
       .orderBy(col("l_returnflag"))
   }
 
+  // q51: explicit GROUPING SETS (generalizes q14 rollup / q36 cube):
+  // (status, priority), (status), and the grand total in one pass.
+  def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g1"),
+        grouping(col("o_orderpriority")).cast("int").as("g2"),
+        count(lit(1)).as("c"),
+        round(sum(col("o_totalprice")), 2).as("tp"))
+      .orderBy(col("g1"), col("g2"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // q39: correlated scalar subquery — orders above their customer's
   // average order value.
   def q39(s: SparkSession, dir: String): DataFrame = {
@@ -138,7 +155,8 @@ object Relational2 {
     "q40_cond_agg" -> (q40 _),
     "q41_window_analytics" -> (q41 _),
     "q42_array_algebra" -> (q42 _),
-    "q43_cross_join" -> (q43 _)
+    "q43_cross_join" -> (q43 _),
+    "q51_grouping_sets" -> (q51 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,6 +217,16 @@ object Relational2 {
     "q43_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |WHERE r_regionkey <> n_regionkey
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q51_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2,
+        |  COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) AS tp
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin
   )
 }

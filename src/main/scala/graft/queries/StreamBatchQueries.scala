@@ -65,10 +65,21 @@ object StreamBatchQueries {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  // q53: streaming dedup's batch plan — event-time-first row per
+  // (user_id, event_type); the stream path (dropDuplicatesWithinWatermark,
+  // bounded state) is certified in StreamsSpec.
+  def q53(s: SparkSession, dir: String): DataFrame =
+    Streams.dedupe(t(s, dir, "events"), Seq("user_id", "event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        round(col("value"), 2).as("v"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_window" -> (q45 _),
     "q46_sessionize" -> (q46 _),
-    "q47_tpch_q5" -> (q47 _)
+    "q47_tpch_q5" -> (q47 _),
+    "q53_stream_dedup" -> (q53 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +103,16 @@ object StreamBatchQueries {
         |  CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q53_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+        |  ROUND(value, 2) AS v
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q47_tpch_q5" ->
       """SELECT n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -42,6 +42,30 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("c"), col("sv"))
 
+  /** Exact event deduplication with the streams-as-tables duality:
+    *   - batch keeps the EVENT-TIME-first row per key (total order
+    *     (ts, event_id)) via a ranking window — deterministic and
+    *     oracle-checkable (q53);
+    *   - streams use `dropDuplicatesWithinWatermark`: state holds a key
+    *     only until the watermark passes its event time, so dedup state is
+    *     bounded by the lateness horizon, not stream history (a key seen
+    *     again after eviction re-emits — the documented tradeoff of
+    *     bounded-state streaming dedup).
+    * The two agree when duplicate arrivals are in event-time order
+    * (streams keep the first ARRIVAL).
+    */
+  def dedupe(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("ts"), col("event_id"))
+      events.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
   final case class Ev(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -193,6 +193,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream dedup: duplicates dropped within watermark, state evicted after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val q = Streams.dedupe(events, Seq("user_id", "event_type"),
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, "click", ts(0), 1.0),
+        (2L, 1L, "click", ts(2), 2.0), // dup key within watermark → dropped
+        (3L, 2L, "view", ts(3), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+      assert(spark.table("dedup").select("event_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L))
+      // Advance the watermark far past the keys' event times: their dedup
+      // state is evicted, so the SAME key re-emits — the documented
+      // bounded-state tradeoff (state = lateness horizon, not history).
+      mem.addData((4L, 9L, "z", Timestamp.valueOf("2026-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((5L, 1L, "click", Timestamp.valueOf("2026-01-01 13:01:00"), 5.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("rounding equivalence: batch ≡ stream totals incl. negative .xx5") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
