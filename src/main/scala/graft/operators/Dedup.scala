@@ -187,6 +187,46 @@ object Dedup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected near-dup pair graph
+    * (`edges(a, b)`), labeling every vertex with the minimum id reachable
+    * from it — the step that turns candidate PAIRS into dedup DECISIONS
+    * (one canonical document per duplicate cluster).
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and takes the per-vertex min; converges in O(cluster diameter)
+    * rounds — near-dup clusters are shallow (a few hops), so this is
+    * 2-4 rounds in practice. Each round is one shuffle join + one
+    * map-side-combinable min aggregate; labels are locally checkpointed
+    * per round so lineage stays O(1) and the convergence count is cheap.
+    * (For adversarially long chains the same loop body upgrades to the
+    * alternating large-star/small-star iteration; the per-round plan
+    * shape — join + min-agg — is identical.)
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = und.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Winnowed document fingerprints (MOSS-style): rolling window of `w`
     * consecutive shingle hashes keeps the minimum; the distinct kept hashes
     * are the document's fingerprints. Cheap containment/near-dup sketch.

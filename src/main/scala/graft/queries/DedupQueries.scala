@@ -49,6 +49,43 @@ object DedupQueries {
           .as("n_tok"))
       .orderBy(col("doc_id"))
 
+  /** The q27 candidate-pair chain without the final sort, reused by the
+    * clustering queries (saltBlocks=1 here: the pairs are identical either
+    * way and the salted join is already oracle-certified by q27/q50).
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
+    Dedup.lshCandidatePairs(
+      Dedup.lshBuckets(Dedup.minhashSignatures(sh, k = 16),
+        bands = 4, rowsPerBand = 4))
+  }
+
+  // q54: near-dup CLUSTERS — connected components over the LSH candidate
+  // pairs, every doc labeled with its component (min reachable doc_id).
+  // The oracle replays the component labels with a recursive CTE.
+  def q54(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(lshPairs(s, dir),
+        docs(s, dir).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
+  // q55: canonical-per-cluster dedup decision — keep the longest document
+  // of each component (ties → lowest id), the classic keep-best policy.
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(lshPairs(s, dir),
+      docs(s, dir).select(col("doc_id").as("id")))
+    val withLen = comp.join(
+      docs(s, dir).select(col("doc_id").as("id"),
+        length(col("text")).as("len")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("len").desc, col("id"))
+    withLen.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as("doc_id"), col("component"), col("len"))
+      .orderBy(col("doc_id"))
+  }
+
   // q52: pairwise edit distance (Levenshtein) on truncated doc prefixes —
   // the classic exact near-dup verifier; brute-force pairing is scoped to
   // a key range exactly like q25/q26 (candidate generation at scale comes
@@ -68,7 +105,9 @@ object DedupQueries {
     "q28_simhash" -> (q28 _),
     "q29_winnow_fp" -> (q29 _),
     "q30_regex_tokens" -> (q30 _),
-    "q52_edit_distance" -> (q52 _)
+    "q52_edit_distance" -> (q52 _),
+    "q54_neardup_components" -> (q54 _),
+    "q55_dedup_keep_best" -> (q55 _)
   )
 
   private val P = graft.operators.Dedup.MinhashPrime
@@ -82,21 +121,53 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band, $parts h FROM sig"
     }.mkString("\n  UNION ALL\n  ")
 
+  /** Shared CTE chain computing the LSH candidate pairs (`cand(a, b)`) —
+    * the q27 oracle body, reused by the recursive clustering oracles.
+    */
+  private val candCte: String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle FROM idx),
+       |shh AS (SELECT doc_id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigMins
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+       |  FROM bands x JOIN bands y ON x.band=y.band AND x.h=y.h AND x.doc_id<y.doc_id)""".stripMargin
+
+  /** Recursive transitive closure over the undirected `cand` graph →
+    * per-doc component label (min reachable doc_id).
+    */
+  private val compCte: String =
+    s"""$candCte,
+       |und AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, u.b FROM reach JOIN und u ON reach.r = u.a
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q27_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-         |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
-         |sh AS (SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle FROM idx),
-         |shh AS (SELECT doc_id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
-         |sig AS (SELECT doc_id,
-         |  $sigMins
-         |  FROM shh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects
-         |),
-         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
-         |  FROM bands x JOIN bands y ON x.band=y.band AND x.h=y.h AND x.doc_id<y.doc_id)
+      s"""WITH $candCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+    "q54_neardup_components" ->
+      s"""WITH RECURSIVE $compCte
+         |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    "q55_dedup_keep_best" ->
+      s"""WITH RECURSIVE $compCte,
+         |lens AS (SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len
+         |         FROM documents),
+         |ranked AS (SELECT c.id, c.component, l.len,
+         |    ROW_NUMBER() OVER (PARTITION BY c.component
+         |                       ORDER BY l.len DESC, c.id) AS rn
+         |  FROM comp c JOIN lens l ON l.doc_id = c.id)
+         |SELECT id AS doc_id, component, len FROM ranked
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q28_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) h

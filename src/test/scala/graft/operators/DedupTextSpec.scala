@@ -44,6 +44,18 @@ class DedupTextSpec extends SparkSpec {
     assert(fps.values.forall(_ > 0))
   }
 
+  test("connected components: chains converge to min label, singletons kept") {
+    // Chain 4-5-6-7 forces multi-round propagation (the min label must
+    // travel 3 hops); 10-11 is a pair; 99 has no edges.
+    val edges = Seq((5L, 4L), (5L, 6L), (7L, 6L), (10L, 11L))
+      .toDF("a", "b")
+    val verts = Seq(4L, 5L, 6L, 7L, 10L, 11L, 99L).toDF("id")
+    val got = Dedup.connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("language id picks the right stopword profile per language") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy with this"),
