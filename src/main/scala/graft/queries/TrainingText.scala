@@ -140,6 +140,34 @@ object TrainingText {
       .limit(20)
   }
 
+  // q56: TF-IDF top-3 terms per document (doc_id < 50; document frequency
+  // over the FULL corpus). tf·ln((N+1)/(df+1)), rounded, ranked with a
+  // term tiebreak — the standard relevance/quality scoring primitive. At
+  // scale this is two map-side-combinable aggregates (tf, df) + one
+  // broadcast-size join on term.
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val n = d.count()
+    val toks = d.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+      .filter(col("doc_id") < 50)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact" -> (q19 _),
     "q20_term_freq" -> (q20 _),
@@ -148,10 +176,27 @@ object TrainingText {
     "q23_token_stats" -> (q23 _),
     "q24_quality_score" -> (q24 _),
     "q25_jaccard_pairs" -> (q25 _),
-    "q26_embed_neardup" -> (q26 _)
+    "q26_embed_neardup" -> (q26 _),
+    "q56_tfidf" -> (q56 _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE LENGTH(term) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * LN((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored WHERE doc_id < 50)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, tfidf FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT COUNT(DISTINCT text) AS n_text,
         |  COUNT(DISTINCT lang || '|' || source) AS n_ls FROM documents""".stripMargin,

@@ -78,4 +78,10 @@ class PlanAuditSpec extends SparkSpec {
     val splits = "split\\(".r.findAllIn(p).length
     assert(splits == 1, s"expected 1 split, got $splits:\n${p.take(2000)}")
   }
+
+  test("q50: near-dup pairs join on buckets — never a cartesian product") {
+    val p = plan("q50_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
