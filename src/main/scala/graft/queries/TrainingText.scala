@@ -168,6 +168,29 @@ object TrainingText {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  // q57: exact heavy hitters with bounded memory — pass 1: the native
+  // Misra-Gries TypedImperativeAggregate (k=400 counters per partial
+  // buffer, map-side combinable) yields a candidate SUPERSET of every term
+  // with frequency ≥ n/200; pass 2: exact recount restricted (semi-join)
+  // to the candidates. Output is EXACT — hash-matched against a plain
+  // grouped count in DuckDB — while aggregation state never exceeds k
+  // counters per task: the two-pass recipe that replaces a
+  // full-vocabulary groupBy (state = |vocab|) at 100 TB.
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val n = toks.count()
+    val cand = toks
+      .agg(graft.functions.MisraGries(col("term"), 400).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"))
+    toks.join(cand, Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= lit(n / 200.0))
+      .orderBy(col("c").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact" -> (q19 _),
     "q20_term_freq" -> (q20 _),
@@ -177,10 +200,19 @@ object TrainingText {
     "q24_quality_score" -> (q24 _),
     "q25_jaccard_pairs" -> (q25 _),
     "q26_embed_neardup" -> (q26 _),
-    "q56_tfidf" -> (q56 _)
+    "q56_tfidf" -> (q56 _),
+    "q57_heavy_hitters" -> (q57 _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q57_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |t2 AS (SELECT term FROM toks WHERE LENGTH(term) > 0),
+        |n AS (SELECT COUNT(*) AS n FROM t2)
+        |SELECT term, COUNT(*) AS c FROM t2 CROSS JOIN n
+        |GROUP BY term, n.n HAVING COUNT(*) >= n.n / 200.0
+        |ORDER BY c DESC, term""".stripMargin,
     "q56_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
