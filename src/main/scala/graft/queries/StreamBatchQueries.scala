@@ -75,11 +75,26 @@ object StreamBatchQueries {
         round(col("value"), 2).as("v"))
       .orderBy(col("event_id"))
 
+  // q58: the stream-stream interval join's batch plan — clicks attributed
+  // to same-user purchases within the preceding 30 minutes; the stream
+  // path (watermarked state eviction) is certified in StreamsSpec.
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Streams.attributionJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        windowMs = 30 * 60 * 1000L)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_window" -> (q45 _),
     "q46_sessionize" -> (q46 _),
     "q47_tpch_q5" -> (q47 _),
-    "q53_stream_dedup" -> (q53 _)
+    "q53_stream_dedup" -> (q53 _),
+    "q58_interval_join" -> (q58 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +128,13 @@ object StreamBatchQueries {
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
         |  ROUND(value, 2) AS v
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q58_interval_join" ->
+      """SELECT p.event_id, COUNT(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "q47_tpch_q5" ->
       """SELECT n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

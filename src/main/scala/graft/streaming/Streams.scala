@@ -66,6 +66,38 @@ object Streams {
         .filter(col("__rn") === 1).drop("__rn")
     }
 
+  /** Stream-stream (and batch) time-interval attribution join: each left
+    * event pairs with right events of the same user whose timestamp falls
+    * in `[left.ts − windowMs, left.ts]` (click-to-purchase attribution).
+    * Output columns: (p_id, p_user, p_ts, c_id, c_ts).
+    *
+    * On streams both sides carry watermarks and the join condition is a
+    * bounded event-time range, which is exactly what lets Spark EVICT
+    * join state: a right-side row older than
+    * `watermark − windowMs` can never match a future left row, so state
+    * is bounded by the window + lateness horizon, not stream history.
+    * On batch the same plan is a plain range join (oracle-checked, q58).
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+      windowMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p0 = left.select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c0 = right.select(col("event_id").as("c_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val (p, c) =
+      if (left.isStreaming)
+        (p0.withWatermark("p_ts", watermarkDelay),
+          c0.withWatermark("c_ts", watermarkDelay))
+      else (p0, c0)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - make_dt_interval(
+            lit(0), lit(0), lit(0), lit(windowMs / 1000.0)) &&
+          col("c_ts") <= col("p_ts"))
+      .drop("c_user")
+  }
+
   final case class Ev(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -224,6 +224,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attach only to in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    def df(m: MemoryStream[(Long, Long, String, Timestamp, Double)]) =
+      m.toDF().toDF("event_id", "user_id", "event_type", "ts", "value")
+    val q = Streams.attributionJoin(df(purchases), df(clicks),
+        windowMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 1L, "click", ts(0), 0.0), // in window of the 10:20 purchase
+        (2L, 1L, "click", Timestamp.valueOf("2026-01-01 09:30:00"), 0.0),
+        (3L, 2L, "click", ts(5), 0.0)) // wrong user
+      purchases.addData((10L, 1L, "purchase", ts(20), 9.0))
+      q.processAllAvailable()
+      val pairs = spark.table("attr").select("p_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click 2 is 50 min before the purchase (outside the 30-min window);
+      // click 3 is another user — only click 1 attributes.
+      assert(pairs == Set((10L, 1L)), pairs)
+    } finally q.stop()
+  }
+
   test("rounding equivalence: batch ≡ stream totals incl. negative .xx5") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
