@@ -16,19 +16,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true so it
-    // arrives as a long of epoch-nanos. Truncate to micros (integer div —
-    // double division would lose precision above 2^53 ns) and restore a real
-    // timestamp column. DuckDB keeps ns; oracle queries only compare at
-    // >= second granularity per FIXTURES.md.
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
-  }
+  // Memoized per (session, dir, name): the testdata is read-only and
+  // DataFrame plans are immutable, so re-loading per query would only
+  // repeat the parquet footer read + file listing — measurable across a
+  // 58-query run, and the same pattern a real deployment uses (register
+  // the catalog once, plan many queries against it).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+      // =true so it arrives as a long of epoch-nanos. Truncate to micros
+      // (integer div — double division would lose precision above 2^53 ns)
+      // and restore a real timestamp column. DuckDB keeps ns; oracle
+      // queries only compare at >= second granularity per FIXTURES.md.
+      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case None => df
+      }
+    })
 
   /** Register every table as a temp view (used by the CLI / SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

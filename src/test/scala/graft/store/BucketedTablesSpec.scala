@@ -16,6 +16,23 @@ class BucketedTablesSpec extends SparkSpec {
     val lineitem = spark.read
       .parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"))
+    // Clean both the catalog entry and the on-disk location: a previous
+    // JVM's managed-table directory survives in spark-warehouse/ while the
+    // new session's in-memory catalog has no entry for it, and CTAS then
+    // fails with LOCATION_ALREADY_EXISTS.
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     BucketedTables.writeBucketed(orders, "orders_b", "o_orderkey", 4)
     BucketedTables.writeBucketed(
       lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
