@@ -23,7 +23,11 @@ object Bench {
       // sort/project work the driver's correctness dump actually executes —
       // count() would let Catalyst drop ordering entirely.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // Keep timing the rest, but a failed query must be VISIBLE — a
+        // swallowed error would masquerade as a fast passing query.
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
