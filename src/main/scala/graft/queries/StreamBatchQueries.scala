@@ -89,12 +89,40 @@ object StreamBatchQueries {
       .orderBy(col("event_id"))
   }
 
+  // q59: SLIDING window counts (1 h window, 30 min slide) — each event
+  // lands in exactly two windows; the oracle replays that as a two-bucket
+  // union. Same watermark/eviction story as q45 on streams.
+  def q59(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("c"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // q60: Spark's NATIVE session_window (gap 30 min) — the declarative
+  // sessionizer the planner can optimize freely, certified against the
+  // same gaps-and-islands oracle as the custom-state q46. (session_window
+  // end = last event + gap, so only start/count/value are compared.)
+  def q60(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_window" -> (q45 _),
     "q46_sessionize" -> (q46 _),
     "q47_tpch_q5" -> (q47 _),
     "q53_stream_dedup" -> (q53 _),
-    "q58_interval_join" -> (q58 _)
+    "q58_interval_join" -> (q58 _),
+    "q59_sliding_window" -> (q59 _),
+    "q60_session_window" -> (q60 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +156,35 @@ object StreamBatchQueries {
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
         |  ROUND(value, 2) AS v
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q59_sliding_window" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0,
+        |                  event_type FROM events),
+        |w AS (SELECT b0 AS ws, event_type FROM b
+        |      UNION ALL
+        |      SELECT b0 - INTERVAL 30 MINUTE, event_type FROM b)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+        |  COUNT(*) AS c
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q60_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |g AS (
+        |  -- session_window merges on STRICT diff < gap (windows [t, t+gap)
+        |  -- must overlap), unlike q46's custom sessionizer (diff <= gap):
+        |  -- split on >=.
+        |  SELECT *, SUM(CASE WHEN pts IS NULL
+        |      OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q58_interval_join" ->
       """SELECT p.event_id, COUNT(*) AS n_clicks
         |FROM events p JOIN events c
