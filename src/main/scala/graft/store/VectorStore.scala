@@ -53,9 +53,22 @@ final class VectorStore(spark: SparkSession, root: String) {
     * TakeOrderedAndProject — the only cross-node traffic is k rows.
     */
   def search(collection: String, queryText: String, k: Int = 1,
+      provider: EmbeddingProvider = Embedding.default): DataFrame =
+    searchFiltered(collection, queryText, k, lit(true), provider)
+
+  /** Q1 + metadata pre-filter: restrict the scan BEFORE scoring. Because
+    * collections are parquet partitioned by `documentid`, a filter on
+    * `documentid` becomes partition PRUNING — the KNN only reads the
+    * matching documents' files, never the whole collection. (The
+    * reference's sqlite-vec search has no filter surface; this is the
+    * store feature every production vector search needs.)
+    */
+  def searchFiltered(collection: String, queryText: String, k: Int,
+      filter: org.apache.spark.sql.Column,
       provider: EmbeddingProvider = Embedding.default): DataFrame = {
     val qv = provider.embed(queryText)
     read(collection)
+      .filter(filter)
       .withColumn("score",
         round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
       .orderBy(col("score").desc, col("key"))

@@ -63,6 +63,26 @@ class VectorStoreSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("filtered search prunes to matching documents before scoring") {
+    import org.apache.spark.sql.functions.col
+    // Exclude the otherwise-top document: the best remaining hit wins.
+    val hits = store.searchFiltered("documents",
+      "gravity so strong that light cannot escape the event horizon", 3,
+      col("documentid") =!= "black_holes.md").collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("documentid") != "black_holes.md"))
+    // Restrict to exactly one document: every hit comes from it, and the
+    // partitioned layout turns the filter into partition pruning.
+    val one = store.searchFiltered("documents",
+      "coral reefs marine fish species", 5,
+      col("documentid") === "coral_reefs.md")
+    assert(one.collect().forall(
+      _.getAs[String]("documentid") == "coral_reefs.md"))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("coral_reefs.md"), scan.take(1500))
+  }
+
   test("list collections") {
     assert(store.listCollections().contains("documents"))
     assert(store.listCollections().contains("part"))
