@@ -188,12 +188,25 @@ object Ann {
   }
 
   object Ivf {
-    /** Fit centroids with MLlib KMeans on (a sample of) the vectors. */
+    /** Fit centroids with MLlib KMeans on (a sample of) the vectors.
+      *
+      * `fitSampleMod > 1` keeps only rows whose vector hash ≡ 0 (mod m) —
+      * a DETERMINISTIC 1/m sample. At 100 TB you never fit the coarse
+      * quantizer on the full corpus: k-means is multi-pass, and a few
+      * million sampled vectors pin the centroids as well as billions
+      * (quantization error is dominated by k, not sample size). The
+      * default m = 1 (no sampling) keeps small-scale results bit-stable.
+      */
     def fit(df: DataFrame, vecCol: String, kCentroids: Int,
-        seed: Long = 42L): Ivf = {
+        seed: Long = 42L, fitSampleMod: Int = 1): Ivf = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val feat = df.select(array_to_vector(
+      val base =
+        if (fitSampleMod <= 1) df
+        else df.filter(
+          pmod(xxhash64(col(vecCol).cast("array<string>")),
+            lit(fitSampleMod)) === 0)
+      val feat = base.select(array_to_vector(
         transform(col(vecCol), _.cast("double"))).as("features"))
       val model = new KMeans().setK(kCentroids).setSeed(seed).setMaxIter(10)
         .fit(feat)

@@ -76,6 +76,20 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Corpus text normalization (the standard pre-dedup/pre-train clean):
+    * lowercase, strip HTML-ish tags, fold digit runs to `0`, collapse
+    * whitespace, trim. Pure expression algebra (regexp_replace chains
+    * stay inside codegen); adds `<outCol>`.
+    */
+  def normalize(df: DataFrame, textCol: String,
+      outCol: String = "norm_text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val noTags = regexp_replace(lowered, "<[^>]*>", " ")
+    val digitsFolded = regexp_replace(noTags, "[0-9]+", "0")
+    val squashed = regexp_replace(digitsFolded, "\\s+", " ")
+    df.withColumn(outCol, trim(squashed))
+  }
+
   /** Composite quality score in [0,1]: mean of
     *   - long-token ratio (alpha tokens len>3)
     *   - lexical diversity (distinct/total tokens)

@@ -81,6 +81,16 @@ object OperatorQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  // q61: corpus text normalization (oracle-checked): lowercase, tag strip,
+  // digit fold, whitespace collapse — the standard pre-dedup clean, with
+  // an md5 fingerprint so the oracle certifies every character.
+  def q61(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalize(docs(s, dir), "text")
+      .select(col("doc_id"),
+        length(col("norm_text")).as("norm_len"),
+        md5(col("norm_text")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
   // q34: semantic chunker over the documents corpus (rows-only): the
   // reference's C1 operator at query-surface level.
   def q34(s: SparkSession, dir: String): DataFrame = {
@@ -117,7 +127,8 @@ object OperatorQueries {
     "q34_chunker" -> (q34 _),
     "q35_embed_knn" -> (q35 _),
     "q49_ann_ivf" -> (q49 _),
-    "q50_embed_neardup_lsh" -> (q50 _)
+    "q50_embed_neardup_lsh" -> (q50 _),
+    "q61_normalize" -> (q61 _)
   )
 
   /** Testdata embedding dimensionality the q33 oracle SQL is generated
@@ -148,6 +159,15 @@ object OperatorQueries {
     }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q61_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '<[^>]*>', ' ', 'g'), '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))
+        |    AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, CAST(LENGTH(norm_text) AS INTEGER) AS norm_len,
+        |  md5(norm_text) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q31_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    regexp_split_to_array(lower(text), '\\s+') toks FROM documents),
