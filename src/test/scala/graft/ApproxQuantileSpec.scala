@@ -32,4 +32,18 @@ class ApproxQuantileSpec extends SparkSpec {
       assert(math.abs(a90 - p90) / p90 < 0.01, s"$flag p90: $a90 vs $p90")
     }
   }
+
+  test("approx_count_distinct (HLL++) tracks exact distinct within 5%") {
+    // The other mergeable sketch a 100 TB pipeline leans on: exact
+    // COUNT(DISTINCT) shuffles every distinct key; HLL++ carries a
+    // fixed-size register set per partial aggregate.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"))
+      .head()
+    val (exactN, approxN) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approxN - exactN).toDouble / exactN < 0.05,
+      s"approx $approxN vs exact $exactN")
+  }
 }
