@@ -17,6 +17,7 @@ object Bench {
     // not absorb session startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink (not .count) so the measured plan includes the final
@@ -24,8 +25,10 @@ object Bench {
       // count() would let Catalyst drop ordering entirely.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        // Keep timing the rest, but a failed query must be VISIBLE — a
-        // swallowed error would masquerade as a fast passing query.
+        // Keep timing the rest, but a failed query must be VISIBLE in both
+        // channels — on stderr AND in the JSON — or its deceptively small
+        // timing would make the bench gate easier to pass while broken.
+        failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -33,7 +36,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,14 +19,19 @@ object Tables {
   // Memoized per (session, dir, name): the testdata is read-only and
   // DataFrame plans are immutable, so re-loading per query would only
   // repeat the parquet footer read + file listing — measurable across a
-  // 58-query run, and the same pattern a real deployment uses (register
-  // the catalog once, plan many queries against it).
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-      DataFrame]()
+  // 60-query run, and the same pattern a real deployment uses (register
+  // the catalog once, plan many queries against it). The outer map is
+  // WEAK on the session so a stopped SparkSession (and every plan cached
+  // under it) stays collectable — a static strong map would pin sessions
+  // for the JVM's lifetime.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), _ => {
+    cache.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong

@@ -224,6 +224,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Silently returning partial labels would split real duplicate
+    // clusters with no signal; an adversarially deep chain must surface
+    // as an explicit failure so the caller raises maxIter (or switches to
+    // the large-star/small-star iteration, which converges in
+    // O(log diameter)).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(cluster diameter exceeds maxIter); raise maxIter")
     labels
   }
 

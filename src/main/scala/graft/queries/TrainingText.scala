@@ -148,9 +148,13 @@ object TrainingText {
   def q56(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val n = d.count()
+    // Tokenize ONCE: tf and df both consume the exploded rows; without
+    // the materialization each aggregate would re-scan + re-split the
+    // full corpus.
     val toks = d.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
+      .localCheckpoint(true)
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("term"))
@@ -177,9 +181,14 @@ object TrainingText {
   // counters per task: the two-pass recipe that replaces a
   // full-vocabulary groupBy (state = |vocab|) at 100 TB.
   def q57(s: SparkSession, dir: String): DataFrame = {
+    // Tokenize ONCE (materialized): three consumers — the total count,
+    // the sketch pass and the recount join — would otherwise each re-run
+    // scan + split + explode over the corpus, turning the advertised
+    // two-pass recipe into four.
     val toks = t(s, dir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
+      .localCheckpoint(true)
     val n = toks.count()
     val cand = toks
       .agg(graft.functions.MisraGries(col("term"), 400).as("hh"))

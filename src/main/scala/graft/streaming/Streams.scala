@@ -182,19 +182,32 @@ object Streams {
             // checks track the TRUE extremes — not a regressed `last`.
             val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.orNull
+            // Late events more than a gap BEFORE the open session form
+            // their own earlier session(s). Consecutive such events MERGE
+            // with each other (matching the batch plan) — `early`
+            // accumulates them; since events are sorted and merging never
+            // raises `early.last` past `st.start - gap`, an early session
+            // can never rejoin the open one and is emitted closed.
+            // Limitation (documented): early events split across separate
+            // TRIGGERS cannot merge — the first trigger's session is
+            // already emitted; exact replay of arbitrarily interleaved
+            // late data would need a multi-session state list.
+            var early: SessionState = null
+            def closeEarly(): Unit =
+              if (early != null) { close(early); early = null }
             evs.foreach { e =>
               val t = e.ts.getTime
               if (st == null) st = SessionState(t, t, 1, e.value)
-              else if (t < st.start - gapMs)
-                // Late event more than a gap BEFORE the open session: it
-                // can only be its own earlier session (anything that could
-                // have joined it is older still, hence dropped by the
-                // watermark) — emit it closed, keep the open session.
-                out += Session(userId, new java.sql.Timestamp(t),
-                  new java.sql.Timestamp(t), 1,
-                  BigDecimal(e.value)
-                    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              else if (t - st.last <= gapMs)
+              else if (t < st.start - gapMs) {
+                if (early == null) early = SessionState(t, t, 1, e.value)
+                else if (t - early.last <= gapMs)
+                  early = SessionState(math.min(early.start, t),
+                    math.max(early.last, t), early.n + 1, early.sum + e.value)
+                else {
+                  closeEarly()
+                  early = SessionState(t, t, 1, e.value)
+                }
+              } else if (t - st.last <= gapMs)
                 // In-gap (possibly out-of-order: t may be < st.last).
                 st = SessionState(math.min(st.start, t),
                   math.max(st.last, t), st.n + 1, st.sum + e.value)
@@ -203,6 +216,7 @@ object Streams {
                 st = SessionState(t, t, 1, e.value)
               }
             }
+            closeEarly()
             if (st != null) {
               state.update(st)
               // Fire once the watermark passes the gap after the last

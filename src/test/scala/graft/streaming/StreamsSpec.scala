@@ -166,11 +166,11 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("very-late event beyond gap-before-start becomes its own session") {
+  test("very-late events beyond gap-before-start form their own MERGED session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Ev]
-    // Large watermark delay so a 90-minutes-late event is still admitted.
+    // Large watermark delay so 90-minutes-late events are still admitted.
     val q = Streams.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000L,
         watermarkDelay = "3 hours")
       .writeStream.format("memory").queryName("sess_orphan")
@@ -179,17 +179,20 @@ class StreamsSpec extends SparkSpec {
       mem.addData(Streams.Ev(1, 1, "a",
         Timestamp.valueOf("2026-01-01 12:00:00"), 1.0))
       q.processAllAvailable()
-      // 10:30 < 12:00 − gap: cannot belong to the open session; emitted
-      // immediately as a closed single-event session (batch agrees: the
-      // 90-minute gap splits them).
-      mem.addData(Streams.Ev(2, 1, "a",
-        Timestamp.valueOf("2026-01-01 10:30:00"), 4.0))
+      // Both lates precede the open session by more than the gap, and are
+      // within gap of EACH OTHER: they must merge into ONE earlier
+      // session (the batch plan merges them too), not two singletons.
+      mem.addData(
+        Streams.Ev(2, 1, "a", Timestamp.valueOf("2026-01-01 10:30:00"), 4.0),
+        Streams.Ev(3, 1, "a", Timestamp.valueOf("2026-01-01 10:35:00"), 2.0))
       q.processAllAvailable()
       val out = spark.table("sess_orphan").as[Streams.Session].collect()
-      assert(out.length == 1)
+      assert(out.length == 1, out.toSeq)
       assert(out.head.session_start ==
         Timestamp.valueOf("2026-01-01 10:30:00"))
-      assert(out.head.n_events == 1 && out.head.total_value == 4.0)
+      assert(out.head.session_end ==
+        Timestamp.valueOf("2026-01-01 10:35:00"))
+      assert(out.head.n_events == 2 && out.head.total_value == 6.0)
     } finally q.stop()
   }
 
