@@ -1,20 +1,20 @@
 package graft.queries
 
 import graft.operators.IngestionPipeline
-import graft.sources.{DatabaseSource, MarkdownSource, SqliteReader}
+import graft.sources.{DatabaseSource, MarkdownSource, PdfSource, SqliteReader}
 import graft.store.VectorStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, StandardCopyOption}
 
-/** q44: the reference's own ingestion loop end-to-end (S1/S2/S4 → P1-P10 →
-  * C1 → E1 → W1, SURVEY.md §2) over the bundled 10-topic corpus — markdown
-  * files and the SQLite CMS.DB — into a temp vector store; returns one row
-  * per (reader, document) with its chunk count. Deterministic (hashing
-  * embedder + deterministic chunk keys) but not SQL-expressible → driver
-  * records a rows-only check; the semantics are golden-tested in
-  * `VectorStoreSpec`/`PdfAndSqliteSpec`.
+/** q44: the reference's own ingestion loop end-to-end (S1/S2/S3/S4 →
+  * P1-P10 → C1 → E1 → W1, SURVEY.md §2) over the bundled 10-topic corpus —
+  * ALL THREE readers: markdown files, the PDFs, and the SQLite CMS.DB —
+  * into a temp vector store; returns one row per (reader, document) with
+  * its chunk count. Deterministic (hashing embedder + deterministic chunk
+  * keys) but not SQL-expressible → driver records a rows-only check; the
+  * semantics are golden-tested in `VectorStoreSpec`/`PdfAndSqliteSpec`.
   */
 object IngestQueries {
 
@@ -28,11 +28,17 @@ object IngestQueries {
     */
   private def extractCorpus(): Path = {
     val dir = Files.createTempDirectory("graft-corpus")
+    Files.createDirectory(dir.resolve("pdf"))
     val cl = getClass.getClassLoader
     corpusFiles.foreach { f =>
       val in = cl.getResourceAsStream(s"content/markdown/$f")
       try Files.copy(in, dir.resolve(f), StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
+      val pdfName = f.stripSuffix(".md") + ".pdf"
+      val pin = cl.getResourceAsStream(s"content/pdf/$pdfName")
+      try Files.copy(pin, dir.resolve("pdf").resolve(pdfName),
+        StandardCopyOption.REPLACE_EXISTING)
+      finally pin.close()
     }
     val db = cl.getResourceAsStream("content/CMS.DB")
     try Files.copy(db, dir.resolve("CMS.DB"), StandardCopyOption.REPLACE_EXISTING)
@@ -49,6 +55,10 @@ object IngestQueries {
         MarkdownSource.elements(s, corpus.toString), store, "md")
       .toDF().withColumn("reader", lit("markdown"))
 
+    val pdfResults = IngestionPipeline.run(
+        PdfSource.elements(s, s"$corpus/pdf"), store, "pdf")
+      .toDF().withColumn("reader", lit("pdf"))
+
     val rows = SqliteReader.readTable(s"$corpus/CMS.DB", "Items")
       .map(r => (r.long(0), r.string(1), r.string(2)))
     val dbResults = IngestionPipeline.run(
@@ -56,7 +66,7 @@ object IngestQueries {
           .toDF("id", "title", "body")), store, "db")
       .toDF().withColumn("reader", lit("database"))
 
-    mdResults.unionAll(dbResults)
+    mdResults.unionAll(pdfResults).unionAll(dbResults)
       .select(col("reader"), col("documentid"), col("succeeded"),
         col("n_chunks"))
       .orderBy(col("reader"), col("documentid"))
