@@ -60,7 +60,7 @@ object Ann {
   def lshBucketCol(vecCol: Column, planes: Array[Array[Float]]): Column = {
     val v = asDouble(vecCol)
     planes.zipWithIndex.map { case (p, b) =>
-      val pLit = array(p.map(x => lit(x.toDouble)): _*)
+      val pLit = array(p.toIndexedSeq.map(x => lit(x.toDouble)): _*)
       val dot = aggregate(zip_with(v, pLit, (a, x) => a * x), lit(0.0),
         (acc, x) => acc + x)
       when(dot > 0, lit(1 << b)).otherwise(lit(0))
@@ -156,7 +156,7 @@ object Ann {
   final class Ivf(centroids: Array[Array[Double]]) extends Serializable {
 
     private def centDist(v: Column, c: Array[Double]): Column = {
-      val cLit = array(c.map(lit): _*)
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
       // squared L2: ||v-c||^2
       aggregate(zip_with(asDouble(v), cLit, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
@@ -166,7 +166,7 @@ object Ann {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
         struct(centDist(vecCol, c).as("d"), lit(i).as("i"))
       }
-      array_min(array(dists: _*)).getField("i")
+      array_min(array(dists.toIndexedSeq: _*)).getField("i")
     }
 
     def index(df: DataFrame, vecCol: String): DataFrame =

@@ -223,7 +223,7 @@ object Streams {
               // event; the max() keeps the timestamp legal (it must be
               // beyond the current watermark) for stragglers.
               state.setTimeoutTimestamp(
-                math.max(st.last + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator
