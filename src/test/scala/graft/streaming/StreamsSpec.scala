@@ -253,6 +253,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: events join a dimension table per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    // Static side needs no watermark and is broadcast per micro-batch —
+    // the standard streaming dimension-enrichment shape.
+    val q = events.join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("tier"), lit("unknown")).as("tier"))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, "click", ts(0), 1.0),
+        (2L, 2L, "click", ts(1), 1.0),
+        (3L, 9L, "click", ts(2), 1.0)) // no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "basic"), (3L, "unknown")))
+    } finally q.stop()
+  }
+
   test("rounding equivalence: batch ≡ stream totals incl. negative .xx5") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
