@@ -188,29 +188,110 @@ object Ann {
   }
 
   object Ivf {
-    /** Fit centroids with MLlib KMeans on (a sample of) the vectors.
+    /** Fit centroids on a bounded, deterministically-chosen sample.
       *
-      * `fitSampleMod > 1` keeps only rows whose vector hash ≡ 0 (mod m) —
-      * a DETERMINISTIC 1/m sample. At 100 TB you never fit the coarse
-      * quantizer on the full corpus: k-means is multi-pass, and a few
-      * million sampled vectors pin the centroids as well as billions
-      * (quantization error is dominated by k, not sample size). The
-      * default m = 1 (no sampling) keeps small-scale results bit-stable.
+      * At 100 TB you never fit the coarse quantizer on the full corpus:
+      * quantization error is dominated by k, not sample size, so a few
+      * thousand sampled vectors pin the centroids as well as billions
+      * (the standard IVF train-on-sample practice). One cluster job
+      * selects the `sampleCap` lowest-hash vectors (stable across runs
+      * and partitionings); Lloyd's with kmeans++ seeding then runs on the
+      * driver in microseconds — no multi-pass distributed iteration at
+      * all. Assignment of the full corpus stays expression-level and
+      * distributed ([[Ivf.assignCol]]).
       */
     def fit(df: DataFrame, vecCol: String, kCentroids: Int,
-        seed: Long = 42L, fitSampleMod: Int = 1): Ivf = {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val base =
-        if (fitSampleMod <= 1) df
-        else df.filter(
-          pmod(xxhash64(col(vecCol).cast("array<string>")),
-            lit(fitSampleMod)) === 0)
-      val feat = base.select(array_to_vector(
-        transform(col(vecCol), _.cast("double"))).as("features"))
-      val model = new KMeans().setK(kCentroids).setSeed(seed).setMaxIter(10)
-        .fit(feat)
-      new Ivf(model.clusterCenters.map(_.toArray))
+        seed: Long = 42L, sampleCap: Int = 4096, maxIter: Int = 15): Ivf = {
+      val sample: Array[Array[Double]] = df
+        .select(transform(col(vecCol), _.cast("double")).as("__v"))
+        .withColumn("__h",
+          xxhash64(col("__v").cast("array<string>"), lit(seed)))
+        .orderBy(col("__h"), col("__v"))
+        .limit(sampleCap)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "Ivf.fit: empty training input")
+      new Ivf(lloyd(sample, math.min(kCentroids, sample.length), seed, maxIter))
+    }
+
+    private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    /** Seeded kmeans++ init + Lloyd's iterations; empty clusters are
+      * re-seeded to the point farthest from its assigned centroid so k
+      * centroids always survive. Fully deterministic for a given sample.
+      */
+    private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+        maxIter: Int): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      val dim = points(0).length
+      val centroids = Array.ofDim[Array[Double]](k)
+      centroids(0) = points(rnd.nextInt(points.length)).clone()
+      val minD = points.map(sqDist(_, centroids(0)))
+      for (c <- 1 until k) {
+        // kmeans++: sample proportional to squared distance to nearest.
+        val total = minD.sum
+        val pick =
+          if (total <= 0) rnd.nextInt(points.length)
+          else {
+            var r = rnd.nextDouble() * total; var i = 0
+            while (i < points.length - 1 && r >= minD(i)) { r -= minD(i); i += 1 }
+            i
+          }
+        centroids(c) = points(pick).clone()
+        var i = 0
+        while (i < points.length) {
+          val d = sqDist(points(i), centroids(c))
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+      val assign = Array.ofDim[Int](points.length)
+      var iter = 0; var moved = true
+      while (iter < maxIter && moved) {
+        moved = false
+        var i = 0
+        while (i < points.length) {
+          var best = 0; var bd = sqDist(points(i), centroids(0)); var c = 1
+          while (c < k) {
+            val d = sqDist(points(i), centroids(c))
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+          i += 1
+        }
+        val sums = Array.fill(k)(Array.ofDim[Double](dim))
+        val counts = Array.ofDim[Int](k)
+        i = 0
+        while (i < points.length) {
+          val c = assign(i); counts(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += points(i)(j); j += 1 }
+          i += 1
+        }
+        for (c <- 0 until k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dim) { sums(c)(j) /= counts(c); j += 1 }
+            centroids(c) = sums(c)
+          } else {
+            // Re-seed an emptied cluster to the globally farthest point.
+            var far = 0; var fd = -1.0; var p = 0
+            while (p < points.length) {
+              val d = sqDist(points(p), centroids(assign(p)))
+              if (d > fd) { fd = d; far = p }
+              p += 1
+            }
+            centroids(c) = points(far).clone()
+          }
+        }
+        iter += 1
+      }
+      centroids
     }
   }
 }

@@ -209,6 +209,14 @@ object Dedup {
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // Convergence witness: labels only ever DECREASE under min-propagation
+    // and the vertex set is fixed, so the label sum strictly decreases
+    // until fixpoint — equality means converged. One cheap scan of the
+    // fresh checkpoint per round instead of a join+count. (decimal(38,0)
+    // so the witness cannot overflow even at 10^12 64-bit vertex ids.)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -217,11 +225,10 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component")).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     // Silently returning partial labels would split real duplicate

@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.functions.{Embedding, EmbeddingProvider}
-import graft.model.{ElementRow, IngestionResult}
+import graft.model.{ElementRow, EmbeddedChunk, IngestionResult}
 import graft.store.VectorStore
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -61,6 +61,68 @@ object IngestionPipeline {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         col("error"))
       .as[IngestionResult]
+      .localCheckpoint(true)
+    embedded.unpersist()
+    results
+  }
+
+  /** Multi-source ingestion as ONE lineage: all sources are unioned and
+    * parsed/chunked/embedded in a single pass (one eager checkpoint, one
+    * embed computation, one results job) instead of paying the per-run job
+    * floor once per source; only the store writes remain per-collection
+    * (they land in different directories by design). At scale this is the
+    * shape you want anyway — heterogeneous readers feeding one cluster
+    * pipeline, partitioned by doc_id, not N serialized pipelines.
+    *
+    * `sources` maps a tag (reported in the result's `reader` column) to
+    * that source's element rows; `collectionOf` names the store collection
+    * per tag. Document ids must be disjoint across sources (the reference's
+    * identifiers — file names vs "Article #N" — are); collisions throw
+    * rather than silently cross-wiring chunks to the wrong collection.
+    */
+  def runTagged(sources: Seq[(String, Dataset[ElementRow])],
+      store: VectorStore, collectionOf: String => String,
+      chunker: SemanticChunker = SemanticChunker.default,
+      provider: EmbeddingProvider = Embedding.default): DataFrame = {
+    require(sources.nonEmpty, "runTagged: no sources")
+    val spark = sources.head._2.sparkSession
+    import spark.implicits._
+
+    val elems = sources.map { case (tag, ds) =>
+      ds.toDF().withColumn("__tag", lit(tag))
+    }.reduce(_.unionAll(_)).localCheckpoint(true)
+
+    val tagOf = elems.select(col("__tag"), col("doc_id")).distinct()
+    val collisions = tagOf.groupBy(col("doc_id"))
+      .agg(countDistinct(col("__tag")).as("nt")).filter(col("nt") > 1).count()
+    require(collisions == 0,
+      s"runTagged: $collisions doc_id(s) appear under multiple sources")
+
+    val failedDocs = elems.filter(col("element_type") === "error")
+      .groupBy(col("doc_id"))
+      .agg(first(col("text"), ignoreNulls = true).as("error"))
+    val good = elems.drop("__tag")
+      .join(failedDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .as[ElementRow]
+    val embedded = Embed.chunks(chunker.chunks(good), provider)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    sources.foreach { case (tag, _) =>
+      val docs = tagOf.filter(col("__tag") === tag).select(col("doc_id"))
+      store.upsert(
+        embedded.join(broadcast(docs), col("documentid") === col("doc_id"),
+          "left_semi").as[EmbeddedChunk],
+        collectionOf(tag))
+    }
+
+    val counts = embedded.groupBy(col("documentid").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val results = tagOf
+      .join(failedDocs, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("__tag").as("reader"), col("doc_id").as("documentid"),
+        col("error").isNull.as("succeeded"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"), col("error"))
       .localCheckpoint(true)
     embedded.unpersist()
     results

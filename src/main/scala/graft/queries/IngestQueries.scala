@@ -51,22 +51,20 @@ object IngestQueries {
     val storeRoot = Files.createTempDirectory("graft-q44-store").toString
     val store = new VectorStore(s, storeRoot)
 
-    val mdResults = IngestionPipeline.run(
-        MarkdownSource.elements(s, corpus.toString), store, "md")
-      .toDF().withColumn("reader", lit("markdown"))
-
-    val pdfResults = IngestionPipeline.run(
-        PdfSource.elements(s, s"$corpus/pdf"), store, "pdf")
-      .toDF().withColumn("reader", lit("pdf"))
-
     val rows = SqliteReader.readTable(s"$corpus/CMS.DB", "Items")
       .map(r => (r.long(0), r.string(1), r.string(2)))
-    val dbResults = IngestionPipeline.run(
-        DatabaseSource.elements(s.createDataFrame(rows)
-          .toDF("id", "title", "body")), store, "db")
-      .toDF().withColumn("reader", lit("database"))
+    // One pipeline lineage over all three readers (one parse/chunk/embed
+    // pass); collections stay separate per reader, as before.
+    val results = IngestionPipeline.runTagged(
+      Seq(
+        "markdown" -> MarkdownSource.elements(s, corpus.toString),
+        "pdf" -> PdfSource.elements(s, s"$corpus/pdf"),
+        "database" -> DatabaseSource.elements(s.createDataFrame(rows)
+          .toDF("id", "title", "body"))),
+      store,
+      Map("markdown" -> "md", "pdf" -> "pdf", "database" -> "db"))
 
-    mdResults.unionAll(pdfResults).unionAll(dbResults)
+    results
       .select(col("reader"), col("documentid"), col("succeeded"),
         col("n_chunks"))
       .orderBy(col("reader"), col("documentid"))

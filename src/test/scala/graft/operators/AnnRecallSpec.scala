@@ -96,12 +96,12 @@ class AnnRecallSpec extends SparkSpec {
     }
     val (r2, scan2) = meanRecallAndScan(cands(2))
     info(f"nprobe 2: recall@5 = $r2%.3f from scan fraction $scan2%.3f")
-    assert(r2 >= 0.5, s"nprobe-2 recall $r2 collapsed (measured 0.61)")
+    assert(r2 >= 0.5, s"nprobe-2 recall $r2 collapsed (measured 0.54)")
     assert(r2 >= 1.8 * scan2,
       s"no concentration: recall $r2 vs scan $scan2")
     val (r6, scan6) = meanRecallAndScan(cands(6))
     info(f"nprobe 6: recall@5 = $r6%.3f from scan fraction $scan6%.3f")
-    assert(r6 >= 0.9, s"nprobe-6 recall $r6 (measured 0.95)")
+    assert(r6 >= 0.9, s"nprobe-6 recall $r6 (measured 0.92)")
     assert(scan6 < 0.9, s"nprobe-6 scan fraction $scan6")
   }
 }
