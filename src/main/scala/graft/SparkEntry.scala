@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.IngestQueries.queries ++
       graft.queries.StreamBatchQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.OperatorQueries.oracle ++
       graft.queries.Relational2.oracle ++
-      graft.queries.StreamBatchQueries.oracle
+      graft.queries.StreamBatchQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

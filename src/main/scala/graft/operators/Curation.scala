@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: PII scrubbing, benchmark
+  * decontamination, repetition/quality filters (Gopher-style rules), and
+  * deterministic stratified sampling — the standard steps between "crawled
+  * corpus" and "training set" that run at full-corpus scale.
+  *
+  * Everything here is expression-level or shuffle-on-key — no UDFs, no
+  * driver-side loops — so Catalyst keeps scans pruned and aggregations
+  * map-side-combined at 100 TB.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- PII
+
+  /** RE2/Java-compatible patterns (work verbatim in Spark and DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[- ][0-9]{4}\\b"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Per-row PII detection counts + a redacted text column. Linear scan,
+    * pure codegen'd regex expressions; at scale this pipelines inside the
+    * parquet scan with zero shuffle.
+    *
+    * Redaction order matters and is fixed: emails, then IPs, then phones
+    * (an email's digits must not be half-eaten by the phone pass first).
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination by word n-gram overlap: for every train
+    * document, the fraction of its n-grams that appear anywhere in the
+    * eval corpus. Docs above `threshold` are flagged (the Dolma/GPT-3
+    * style train-test overlap filter).
+    *
+    * Scale shape: train n-grams are exploded map-side and hit-tested with
+    * a LEFT SEMI join against the DISTINCT eval n-gram set — one shuffle
+    * keyed on the n-gram, map-side combinable counts, never a cross
+    * product. (With a small eval set Spark broadcasts the semi join
+    * automatically; a bloom-filter pre-pass is the lossy variant when
+    * even the distinct eval set is huge.)
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    // n-gram = join of n consecutive tokens; built once per row as an
+    // array column, then exploded (map-side, no shuffle).
+    def ngramCol(textC: Column): Column = {
+      val toks = split(textC, " ")
+      // sequence(1, m) DESCENDS for m < 1, so short docs need the guard.
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val trainNg = train.select(col(idCol), explode(ngramCol(col(textCol)))
+      .as("g"))
+    val evalNg = eval.select(explode(ngramCol(col(textCol))).as("g")).distinct()
+    val totals = trainNg.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+    val hits = trainNg.join(evalNg, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_ngrams"), 4)
+          .as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= threshold)
+  }
+
+  // ------------------------------------------------- repetition rules
+
+  /** Gopher-style repetition/quality signals per document: word count,
+    * mean word length, top-word fraction, top-bigram fraction, and the
+    * composite keep/drop verdict. Two shuffles keyed on (id, term) with
+    * map-side combine; everything else is expression algebra.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, wordLenRange: (Double, Double) = (2.0, 10.0),
+      maxTopWordFrac: Double = 0.2, maxTopBigramFrac: Double = 0.18)
+      : DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol), toks.as("__t"),
+      size(toks).as("n_words"),
+      round(aggregate(transform(toks, w => length(w)), lit(0),
+        (acc, x) => acc + x).cast("double") / size(toks), 4)
+        .as("mean_word_len"))
+
+    def topFrac(term: Column, totalOf: Column, name: String) = {
+      base.select(col(idCol), explode(term).as("__term"), totalOf.as("__tot"))
+        .groupBy(col(idCol), col("__term"), col("__tot"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(round(max(col("__c")) / first(col("__tot")), 4).as(name))
+    }
+    val bigrams = zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
+      slice(col("__t"), lit(2), size(col("__t")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val topWord = topFrac(col("__t"), size(col("__t")), "top_word_frac")
+    val topBigram = topFrac(bigrams, size(col("__t")) - 1, "top_bigram_frac")
+
+    base.drop("__t")
+      .join(topWord, Seq(idCol), "left")
+      .join(topBigram, Seq(idCol), "left")
+      .withColumn("keep",
+        col("n_words") >= minWords &&
+          col("mean_word_len").between(wordLenRange._1, wordLenRange._2) &&
+          col("top_word_frac") <= maxTopWordFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+  }
+
+  // ------------------------------------------------- stratified sample
+
+  /** Deterministic stratified sampling: a row survives iff the first two
+    * hex chars of `md5(key)` fall below its stratum's threshold —
+    * `"80"` keeps 128/256 = 50%, `"40"` 25%, `"20"` 12.5%. md5-of-string
+    * is engine-portable (oracle-checkable) and partition-stable: the same
+    * row set survives any shuffle, repartition, or re-run, which is what
+    * makes the sample reproducible at 100 TB (and incrementally stable
+    * as new data arrives — old rows never flip).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      thresholds: Map[String, String], default: String = "00"): DataFrame = {
+    val thr = thresholds.foldLeft(lit(default)) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < thr)
+  }
+}

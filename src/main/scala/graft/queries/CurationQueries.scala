@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q62–q66: training-data curation surface (operators/Curation.scala) —
+  * PII scrubbing, benchmark decontamination, Gopher-style repetition
+  * rules, and deterministic stratified sampling, all DuckDB-oracle-checked
+  * over the documents table.
+  *
+  * The testdata text is digit-free word soup, so q63 PLANTS deterministic
+  * PII (email/IP/phone fragments derived from doc_id) identically in both
+  * engines before detecting and redacting it — the operator is generic,
+  * the query certifies detection+redaction byte-for-byte via md5.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // q63: PII detect + redact. Every 3rd doc gets an email, every 4th an
+  // IP, every 5th a phone — so counts vary and some docs carry none.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact doc"), col("doc_id"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" host 10.0."), col("doc_id") % 256,
+            lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555 "),
+            lpad(col("doc_id") % 10000, 4, "0"))).otherwise(lit(""))))
+    Curation.piiScrub(planted, "text2")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q64: train/eval 3-gram overlap decontamination; eval set = every 50th
+  // doc. The corpus's planted near-dups surface as contaminated docs.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.decontaminate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, threshold = 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  // q65: Gopher-style repetition/quality rules.
+  def q65(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q66: deterministic md5-bucket stratified sample: en 50%, zh 25%,
+  // de/es/fr 12.5%.
+  def q66(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> "80", "zh" -> "40", "de" -> "20", "es" -> "20",
+          "fr" -> "20"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_pii_redact" -> (q63 _),
+    "q64_decontam" -> (q64 _),
+    "q65_repetition" -> (q65 _),
+    "q66_stratified_sample" -> (q66 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q63_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN ' contact doc' || doc_id || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0
+         |    THEN ' host 10.0.' || (doc_id % 256) || '.1' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0
+         |    THEN ' call 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '${Curation.EmailRe}')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text2, '${Curation.Ipv4Re}')) AS INTEGER)
+         |    AS n_ips,
+         |  CAST(len(regexp_extract_all(text2, '${Curation.PhoneRe}')) AS INTEGER)
+         |    AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+         |    '${Curation.EmailRe}', '[EMAIL]', 'g'),
+         |    '${Curation.Ipv4Re}', '[IP]', 'g'),
+         |    '${Curation.PhoneRe}', '[PHONE]', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q64_decontam" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+        |              FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2 + 1)) AS i
+        |        FROM toks),
+        |ng AS (SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ') AS g
+        |       FROM pos),
+        |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+        |         SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END)
+        |           AS n_hits
+        |       FROM ng WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams, n_hits,
+        |  ROUND(n_hits * 1.0 / n_ngrams, 4) AS contam_frac,
+        |  ROUND(n_hits * 1.0 / n_ngrams, 4) >= 0.3 AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin,
+    "q65_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+        |              FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words,
+        |  ROUND(CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+        |    AS DOUBLE) / len(t), 4) AS mean_word_len FROM toks),
+        |w AS (SELECT doc_id, unnest(t) AS term, len(t) AS tot FROM toks),
+        |wc AS (SELECT doc_id, term, tot, COUNT(*) c FROM w GROUP BY 1, 2, 3),
+        |tw AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(tot), 4)
+        |         AS top_word_frac FROM wc GROUP BY doc_id),
+        |bpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+        |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term, len(t) - 1 AS tot
+        |      FROM bpos),
+        |bc AS (SELECT doc_id, term, tot, COUNT(*) c FROM b GROUP BY 1, 2, 3),
+        |tb AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(tot), 4)
+        |         AS top_bigram_frac FROM bc GROUP BY doc_id)
+        |SELECT base.doc_id, n_words, mean_word_len, top_word_frac,
+        |  top_bigram_frac,
+        |  (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 10.0
+        |   AND top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep
+        |FROM base JOIN tw ON base.doc_id = tw.doc_id
+        |JOIN tb ON base.doc_id = tb.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "q66_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40'
+        |    WHEN 'de' THEN '20' WHEN 'es' THEN '20' WHEN 'fr' THEN '20'
+        |    ELSE '00' END
+        |ORDER BY doc_id""".stripMargin
+  )
+}

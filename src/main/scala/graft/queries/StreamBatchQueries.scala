@@ -115,7 +115,28 @@ object StreamBatchQueries {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  // q62: backward as-of join — every 'view' event enriched with the value
+  // of the user's most recent prior-or-equal 'purchase' (union + single
+  // window pass, no range join; operator in operators/AsOfJoin.scala).
+  // Tie/visibility rule is lexicographic on (ts, event_id), replayed
+  // identically by the oracle's last(.. IGNORE NULLS) window.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value"), 2).as("purchase_value"),
+        col("event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.backward(views, purchases, Seq("user_id"),
+        "ts", Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_asof_join" -> (q62 _),
     "q45_stream_window" -> (q45 _),
     "q46_sessionize" -> (q46 _),
     "q47_tpch_q5" -> (q47 _),
@@ -126,6 +147,26 @@ object StreamBatchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q62_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS pid, CAST(NULL AS DOUBLE) AS pv
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS side, event_id,
+        |    event_id AS pid, ROUND(value, 2) AS pv
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, side, event_id,
+        |    last_value(pid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side, pid NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS purchase_id,
+        |    last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side, pid NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS purchase_value
+        |  FROM u)
+        |SELECT event_id, user_id, purchase_id, purchase_value
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q45_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS sv

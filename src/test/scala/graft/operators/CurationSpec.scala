@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub: counts and redaction, emails redacted before phones") {
+    val df = Seq(
+      (1L, "write to a.b+c@mail.example.org or 10.1.2.3 then call 555 0199"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co one ip 192.168.0.1")
+    ).toDF("id", "text")
+    val out = Curation.piiScrub(df, "text")
+      .select("id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "write to [EMAIL] or [IP] then call [PHONE]")
+    assert(out(2L) == (0, 0, 0, "no pii here at all"))
+    assert(out(3L)._1 == 2 && out(3L)._2 == 1 && out(3L)._3 == 0)
+  }
+
+  test("decontaminate: full containment flags, disjoint does not") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // all 3-grams in eval -> 1.0
+      (2L, "zeta eta theta iota kappa"),      // disjoint -> 0.0
+      (3L, "alpha beta gamma xx yy zz")       // 1 of 4 3-grams
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == (3L, 3L, 1.0, true))
+    assert(out(2L) == (3L, 0L, 0.0, false))
+    assert(out(3L) == (4L, 1L, 0.25, false))
+  }
+
+  test("decontaminate: docs shorter than n tokens drop from the report") {
+    val eval = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(Curation.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .count() == 0)
+  }
+
+  test("repetitionStats: repetitive docs fail the keep verdict") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog today ok fine")
+    ).toDF("doc_id", "text")
+    val byName = Curation.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Double]("top_word_frac"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(byName.size == 2)
+    assert(byName(1L)._2 == 1.0 && !byName(1L)._3)
+    assert(byName(2L)._2 <= 0.2 && byName(2L)._3)
+  }
+
+  test("stratifiedSample: deterministic, rate-proportional, default drops") {
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "xx")).toDF("id", "stratum")
+    val sampled = Curation.stratifiedSample(df, "stratum", "id",
+      Map("en" -> "80"))
+    val rows = sampled.collect().map(r => (r.getLong(0), r.getString(1)))
+    // unlisted stratum gets default "00" -> nothing survives
+    assert(rows.forall(_._2 == "en"))
+    // ~50% of 2000 en rows; md5 is uniform so allow a wide band
+    assert(rows.length > 800 && rows.length < 1200, rows.length)
+    // re-run selects the identical row set (partition-stable)
+    val again = Curation.stratifiedSample(df.repartition(7), "stratum", "id",
+      Map("en" -> "80")).collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
+  }
+}
