@@ -70,14 +70,16 @@ object Curation {
     val trainNg = train.select(col(idCol), explode(ngramCol(col(textCol)))
       .as("g"))
     val evalNg = eval.select(explode(ngramCol(col(textCol))).as("g")).distinct()
-    val totals = trainNg.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
-    val hits = trainNg.join(evalNg, Seq("g"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-    totals.join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / col("n_ngrams"), 4)
-          .as("contam_frac"))
+    // One pass over the exploded train n-grams: the distinct'd eval set
+    // joins 0-or-1 rows per n-gram, so count/sum in a single aggregate
+    // gives totals and hits together (vs a semi join + second groupBy,
+    // which would explode the train side twice).
+    trainNg.join(evalNg.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col(idCol), col("n_ngrams"), col("n_hits"),
+        round(col("n_hits") / col("n_ngrams"), 4).as("contam_frac"))
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
 
