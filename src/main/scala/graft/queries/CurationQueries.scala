@@ -65,14 +65,43 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  // q67: Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
+  // the data-layout operator's key function certified bit-for-bit (the
+  // oracle SQL is generated from the same (col, bit) loop); the write-side
+  // repartitionByRange+sort and the locality payoff are spec'd in
+  // LayoutSpec.
+  def q67(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zorderKey(
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(500)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_zorder_key" -> (q67 _),
     "q63_pii_redact" -> (q63 _),
     "q64_decontam" -> (q64 _),
     "q65_repetition" -> (q65 _),
     "q66_stratified_sample" -> (q66 _)
   )
 
+  /** The q67 Morton key as DuckDB bit algebra — generated from the same
+    * (column, bit-position) loop shape as [[graft.operators.Layout.zorderKey]]
+    * so oracle and engine cannot drift.
+    */
+  private val zkeySql: String = {
+    val cols = Seq("l_partkey", "l_suppkey")
+    (for { (c, i) <- cols.zipWithIndex; j <- 0 until 16 }
+      yield s"(((($c >> $j) & 1)) << ${j * cols.length + i})")
+      .mkString(" + ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q67_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST($zkeySql AS BIGINT) AS zkey
+         |FROM lineitem
+         |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 500""".stripMargin,
     "q63_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, text ||
          |  CASE WHEN doc_id % 3 = 0
