@@ -141,4 +141,40 @@ object Curation {
     }
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < thr)
   }
+
+  /** Temperature-balanced stratum sampling (the multilingual-LM mixing
+    * rule): stratum `s` with mass `p_s = n_s/N` is sampled at a rate that
+    * realizes mixture weight `q_s ∝ p_s^alpha` over an expected
+    * `targetFrac * N` kept rows — `alpha = 1` preserves the natural
+    * distribution, `alpha → 0` equalizes strata, 0.5–0.7 is the usual
+    * compromise. Rates are capped at 1 (a small stratum cannot be
+    * oversampled without replacement).
+    *
+    * Fully distributed: stratum masses come from one map-side-combined
+    * aggregate (a handful of rows), rates ride back on a broadcast join,
+    * and row selection reuses the md5-bucket rule — deterministic,
+    * partition-stable, engine-portable (rates rounded to 6 decimals so an
+    * IEEE ulp cannot flip a row across engines). No driver collect.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    // NB: column resolution is case-INsensitive — names here must differ
+    // by more than case (a `__n`/`__N` pair silently aliases).
+    val rates = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__tot", sum(col("__cnt")).over(whole))
+      .withColumn("__w", pow(col("__cnt") / col("__tot"), alpha))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(targetFrac) * col("__tot") *
+          (col("__w") / sum(col("__w")).over(whole)) / col("__cnt")), 6))
+      .select(col(strataCol), col("rate"))
+    // Keep iff the first 32 md5 bits, read as a fraction of 2^32, fall
+    // below the stratum's rate — compared in hex-string space so both
+    // engines evaluate the identical predicate.
+    val thr = lower(lpad(hex(floor(col("rate") * lit(4294967296L))
+      .cast("bigint")), 8, "0"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col(keyCol).cast("string")), 1, 8) < thr)
+  }
 }

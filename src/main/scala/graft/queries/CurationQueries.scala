@@ -78,7 +78,16 @@ object CurationQueries {
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       .limit(500)
 
+  // q68: temperature-balanced language sampling (alpha=0.5, target 30%):
+  // heavy strata are downsampled toward the flattened p^alpha mixture.
+  def q68(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureSample(docs(s, dir), "lang", "doc_id",
+        alpha = 0.5, targetFrac = 0.3)
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_temperature_sample" -> (q68 _),
     "q67_zorder_key" -> (q67 _),
     "q63_pii_redact" -> (q63 _),
     "q64_decontam" -> (q64 _),
@@ -98,6 +107,19 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q68_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT lang, cnt, SUM(cnt) OVER () AS tot,
+        |        POW(cnt * 1.0 / SUM(cnt) OVER (), 0.5) AS w FROM c),
+        |r AS (SELECT lang,
+        |        ROUND(LEAST(1.0, 0.3 * tot * (w / SUM(w) OVER ()) / cnt), 6)
+        |          AS rate FROM t)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE r.rate >= 1.0 OR
+        |  substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |  lower(lpad(to_hex(CAST(FLOOR(r.rate * 4294967296) AS BIGINT)), 8, '0'))
+        |ORDER BY d.doc_id""".stripMargin,
     "q67_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, CAST($zkeySql AS BIGINT) AS zkey
          |FROM lineitem

@@ -100,6 +100,92 @@ object Streams {
 
   final case class Ev(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp, value: Double)
+
+  final case class AsofMatch(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, matched_id: java.lang.Long,
+      matched_value: java.lang.Double)
+  /** rights: (ts_ms, event_id, value) ascending; pending: unemitted lefts. */
+  final case class AsofState(rights: List[(Long, Long, Double)],
+      pending: List[(Long, Long, Double)])
+
+  /** Streaming as-of enrichment (event-time temporal join): each left
+    * event is matched to the latest right event of the same user with
+    * `right.ts <= left.ts` — the stream counterpart of
+    * [[graft.operators.AsOfJoin.backward]] (which handles the batch path
+    * and is what this dispatches to on batch input).
+    *
+    * Correctness + bounded state, both from the watermark:
+    *   - a left event is EMITTED only once the watermark passes its
+    *     timestamp, so every right event that could precede it (any with
+    *     `ts <= left.ts`, admissible only while `ts >= watermark`) has
+    *     been seen — results are exact, not arrival-order-dependent;
+    *   - right history is pruned to "the latest row at-or-before the
+    *     watermark, plus everything after": older rows are superseded for
+    *     every still-unemittable left. State is O(lateness horizon), not
+    *     stream history.
+    * Pending lefts flush via event-time timeout when no new events arrive.
+    */
+  def asofEnrich(left: Dataset[Ev], right: Dataset[Ev],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    if (!left.isStreaming) {
+      val l = left.toDF().select(col("event_id"), col("user_id"), col("ts"))
+      val r = right.toDF().select(col("user_id"), col("ts"),
+        col("event_id").as("matched_id"), col("value").as("matched_value"))
+      return graft.operators.AsOfJoin.backward(l, r, Seq("user_id"), "ts",
+        Seq("matched_id", "matched_value"))
+    }
+    val tagged = right.map(e => e.copy(event_type = "__r"))
+      .union(left.map(e => e.copy(event_type = "__l")))
+    tagged
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[AsofState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            // Rights merge into the (ascending, event-id-tiebroken)
+            // history; lefts join the pending buffer.
+            val evs = it.toSeq
+            val newRights = evs.filter(_.event_type == "__r")
+              .map(e => (e.ts.getTime, e.event_id, e.value))
+            val newLefts = evs.filter(_.event_type == "__l")
+              .map(e => (e.ts.getTime, e.event_id, e.value))
+            st = AsofState(
+              (st.rights ++ newRights).sortBy(r => (r._1, r._2)),
+              st.pending ++ newLefts)
+          }
+          // Emit every pending left the watermark has passed; keep the rest.
+          val (ready, stillPending) = st.pending.partition(_._1 <= wm)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lts, lid, _) =>
+            val m = st.rights.takeWhile(r => r._1 <= lts).lastOption
+            AsofMatch(lid, userId, new java.sql.Timestamp(lts),
+              m.map(r => java.lang.Long.valueOf(r._2)).orNull,
+              m.map(r => java.lang.Double.valueOf(r._3)).orNull)
+          }
+          // Prune rights: drop all but the newest row at-or-before the
+          // watermark — no remaining or future left can match the older
+          // ones (their ts is > watermark).
+          val (old, live) = st.rights.partition(_._1 <= wm)
+          val pruned = old.lastOption.toList ++ live
+          if (stillPending.isEmpty && pruned.isEmpty) state.remove()
+          else {
+            state.update(AsofState(pruned, stillPending))
+            // Wake as soon as the watermark can pass a pending left so it
+            // flushes even if the user goes quiet. Rights-only state sets
+            // NO timeout: it is already pruned to O(lateness horizon) and
+            // only a future left (a fresh invocation) can consume it.
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                stillPending.map(_._1).min, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)

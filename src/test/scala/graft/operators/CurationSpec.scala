@@ -58,6 +58,35 @@ class CurationSpec extends SparkSpec {
     assert(byName(2L)._2 <= 0.2 && byName(2L)._3)
   }
 
+  test("temperatureSample: flattens the mixture toward small strata") {
+    // 3200 "en" vs 800 "de": natural mix 80/20; alpha=0.5 targets
+    // q_en ∝ sqrt(.8)=.894, q_de ∝ sqrt(.2)=.447 → 2:1 instead of 4:1.
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 5 == 4) "de" else "en")).toDF("id", "stratum")
+    val kept = Curation.temperatureSample(df, "stratum", "id",
+        alpha = 0.5, targetFrac = 0.4)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = kept("en").toDouble / kept("de")
+    assert(ratio > 1.4 && ratio < 2.8, s"en:de = $ratio, kept $kept")
+    // expected total ≈ 0.4 * 4000 = 1600
+    val total = kept.values.sum
+    assert(total > 1300 && total < 1900, s"total $total")
+    // alpha=1 preserves the natural 4:1 mixture (uniform rate per stratum)
+    val nat = Curation.temperatureSample(df, "stratum", "id", 1.0, 0.4)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natRatio = nat("en").toDouble / nat("de")
+    assert(natRatio > 3.0 && natRatio < 5.5, s"alpha=1 en:de = $natRatio")
+  }
+
+  test("temperatureSample: tiny strata cap at rate 1 and survive whole") {
+    val df = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1005L).map(i => (i, "rare"))).toDF("id", "stratum")
+    val out = Curation.temperatureSample(df, "stratum", "id", 0.3, 0.5)
+    assert(out.filter(col("stratum") === "rare").count() == 5)
+  }
+
   test("stratifiedSample: deterministic, rate-proportional, default drops") {
     val df = (0L until 4000L).map(i =>
       (i, if (i % 2 == 0) "en" else "xx")).toDF("id", "stratum")
