@@ -279,7 +279,10 @@ object Ann {
             while (j < dim) { sums(c)(j) /= counts(c); j += 1 }
             centroids(c) = sums(c)
           } else {
-            // Re-seed an emptied cluster to the globally farthest point.
+            // Re-seed an emptied cluster to the globally farthest point,
+            // then CLAIM that point (assign it here) so a second cluster
+            // emptied in the same round picks a different seed instead of
+            // duplicating this centroid.
             var far = 0; var fd = -1.0; var p = 0
             while (p < points.length) {
               val d = sqDist(points(p), centroids(assign(p)))
@@ -287,6 +290,7 @@ object Ann {
               p += 1
             }
             centroids(c) = points(far).clone()
+            assign(far) = c
           }
         }
         iter += 1

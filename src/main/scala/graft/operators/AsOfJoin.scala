@@ -44,7 +44,10 @@ object AsOfJoin {
         payload.intersect(leftCols).mkString(", "))
 
     val rStruct = struct(col(tsCol).as("__rts") +: payload.map(col): _*)
-    val r = right.select(
+    // A right row with no timestamp can never be "at or before" anything
+    // (SQL comparison semantics); unfiltered it would sort nulls-first and
+    // become a universal match.
+    val r = right.filter(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side"),
         rStruct.as("__r")): _*)
     val l = left.withColumn("__l", struct(leftCols.map(col): _*))

@@ -48,28 +48,32 @@ object Curation {
     * eval corpus. Docs above `threshold` are flagged (the Dolma/GPT-3
     * style train-test overlap filter).
     *
-    * Scale shape: train n-grams are exploded map-side and hit-tested with
-    * a LEFT SEMI join against the DISTINCT eval n-gram set — one shuffle
-    * keyed on the n-gram, map-side combinable counts, never a cross
-    * product. (With a small eval set Spark broadcasts the semi join
-    * automatically; a bloom-filter pre-pass is the lossy variant when
-    * even the distinct eval set is huge.)
+    * Scale shape: train n-grams are exploded map-side ONCE and hit-tested
+    * with a left outer join against the DISTINCT eval n-gram set (0-or-1
+    * matches per n-gram, so one count/sum aggregate yields totals and
+    * hits together) — one shuffle keyed on the n-gram, map-side
+    * combinable, never a cross product. (With a small eval set Spark
+    * broadcasts the join automatically; a bloom-filter pre-pass is the
+    * lossy variant when even the distinct eval set is huge.)
     */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // n-gram = join of n consecutive tokens; built once per row as an
-    // array column, then exploded (map-side, no shuffle).
-    def ngramCol(textC: Column): Column = {
-      val toks = split(textC, " ")
-      // sequence(1, m) DESCENDS for m < 1, so short docs need the guard.
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    // n-gram = join of n consecutive tokens. The token array is PROJECTED
+    // first so the transform lambda slices a materialized attribute —
+    // referencing split(text) inside the lambda would re-split the whole
+    // text once per position (CSE does not hoist out of higher-order
+    // lambdas; same trap Dedup.shingleHashes documents).
+    def ngrams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val toks = col("__toks")
+      df.select(cols :+ split(col(textCol), " ").as("__toks"): _*)
+        // sequence(1, m) DESCENDS for m < 1, so short docs need the guard.
+        .select(cols :+ explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("g"): _*)
     }
-    val trainNg = train.select(col(idCol), explode(ngramCol(col(textCol)))
-      .as("g"))
-    val evalNg = eval.select(explode(ngramCol(col(textCol))).as("g")).distinct()
+    val trainNg = ngrams(train, Seq(col(idCol)))
+    val evalNg = ngrams(eval, Seq.empty).distinct()
     // One pass over the exploded train n-grams: the distinct'd eval set
     // joins 0-or-1 rows per n-gram, so count/sum in a single aggregate
     // gives totals and hits together (vs a semi join + second groupBy,
@@ -117,11 +121,14 @@ object Curation {
     base.drop("__t")
       .join(topWord, Seq(idCol), "left")
       .join(topBigram, Seq(idCol), "left")
+      // A one-token doc has no bigrams: top_bigram_frac is null and the
+      // verdict must be a definite false, not null (such a doc also fails
+      // minWords, but null && false is null in SQL).
       .withColumn("keep",
         col("n_words") >= minWords &&
           col("mean_word_len").between(wordLenRange._1, wordLenRange._2) &&
           col("top_word_frac") <= maxTopWordFrac &&
-          col("top_bigram_frac") <= maxTopBigramFrac)
+          coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(false)))
   }
 
   // ------------------------------------------------- stratified sample

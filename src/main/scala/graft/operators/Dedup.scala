@@ -214,8 +214,12 @@ object Dedup {
     // until fixpoint — equality means converged. One cheap scan of the
     // fresh checkpoint per round instead of a join+count. (decimal(38,0)
     // so the witness cannot overflow even at 10^12 64-bit vertex ids.)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head
+      // sum over zero rows is null — an empty vertex set is already
+      // converged, not an NPE.
+      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -30,7 +30,12 @@ object Layout {
       (c, i) <- cols.zipWithIndex
       j <- 0 until bits
     } yield shiftleft(
-      shiftright(c.cast("long"), j).bitwiseAND(lit(1L)),
+      // A negative value would sign-extend to the all-ones key and
+      // silently destroy locality; fail the row loudly instead.
+      shiftright(when(c.cast("long") >= 0, c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit("zorderKey: negative input "), c.cast("string")))), j)
+        .bitwiseAND(lit(1L)),
       j * cols.length + i)
     terms.reduce(_.bitwiseOR(_))
   }

@@ -180,10 +180,13 @@ object CurationQueries {
         |         AS top_bigram_frac FROM bc GROUP BY doc_id)
         |SELECT base.doc_id, n_words, mean_word_len, top_word_frac,
         |  top_bigram_frac,
+        |  -- LEFT JOIN + COALESCE: a one-token doc has no bigrams; its
+        |  -- verdict is a definite FALSE (matches the engine), not null.
         |  (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 10.0
-        |   AND top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep
+        |   AND top_word_frac <= 0.2
+        |   AND COALESCE(top_bigram_frac <= 0.18, FALSE)) AS keep
         |FROM base JOIN tw ON base.doc_id = tw.doc_id
-        |JOIN tb ON base.doc_id = tb.doc_id
+        |LEFT JOIN tb ON base.doc_id = tb.doc_id
         |ORDER BY base.doc_id""".stripMargin,
     "q66_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -54,10 +54,12 @@ object OperatorQueries {
   }
 
   // q49: IVF (k-means coarse quantizer) ANN top-5 for the vec_id=0 query
-  // (rows-only: the MLlib k-means fit is not SQL-replayable; structural
-  // guarantees — probe-list pruning, exact re-scoring, planted-near-dup
-  // recall — are spec-gated in AnnSpec/AnnRecallSpec). Exact counterpart
-  // is q21; the LSH tier counterpart is q33.
+  // (rows-only: the fit is deterministic — hash-sampled driver-side
+  // Lloyd's — but an iterative kmeans++ is not practically replayable in
+  // SQL; structural guarantees — probe-list pruning, exact re-scoring,
+  // planted-near-dup recall, run-to-run determinism — are spec-gated in
+  // AnnSpec/AnnRecallSpec). Exact counterpart is q21; the LSH tier
+  // counterpart is q33.
   def q49(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)

@@ -129,6 +129,10 @@ object Streams {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    require(left.isStreaming == right.isStreaming,
+      "asofEnrich needs both sides batch or both sides streaming " +
+        "(a stream-batch union is not plannable); wrap the static side " +
+        "in a stream or collect the stream first")
     if (!left.isStreaming) {
       val l = left.toDF().select(col("event_id"), col("user_id"), col("ts"))
       val r = right.toDF().select(col("user_id"), col("ts"),

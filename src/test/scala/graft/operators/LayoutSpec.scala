@@ -22,6 +22,15 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("negative inputs fail loudly instead of sign-extending") {
+    val ex = intercept[Exception] {
+      Seq((-1, 2)).toDF("x", "y")
+        .select(Layout.zorderKey(Seq(col("x"), col("y")), 4)).collect()
+    }
+    assert(ex.getMessage.contains("negative input") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative input")))
+  }
+
   test("z-order yields tight per-partition ranges on BOTH columns") {
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
     val df = spark.createDataFrame(
