@@ -84,4 +84,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q62: as-of join is union + window — no join operator at all") {
+    // The range-join formulation would shuffle a per-key cross product;
+    // the union+window plan shuffles each input once on the key.
+    val p = plan("q62_asof_join")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q64: decontamination joins the distinct eval n-grams broadcast") {
+    val p = plan("q64_decontam")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q66: sampling scan prunes to the three projected columns") {
+    val p = plan("q66_stratified_sample")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("text"), p) // the wide column stays unread
+  }
+
+  test("q67: z-order key reduces via TakeOrderedAndProject, no full sort") {
+    val p = plan("q67_zorder_key")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
