@@ -36,5 +36,6 @@ object SparkEntry {
       graft.queries.OperatorQueries.oracle ++
       graft.queries.Relational2.oracle ++
       graft.queries.StreamBatchQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.IngestQueries.oracle
 }

@@ -70,9 +70,48 @@ object IngestQueries {
       .orderBy(col("reader"), col("documentid"))
   }
 
+  // q69: bucketed incremental merge (CDC upsert + tombstone delete) —
+  // builds a deterministic base/update pair from the documents table,
+  // runs the PHYSICAL merge (init + one batch over a temp bucketed
+  // store), reads the store back and emits the final state. The DuckDB
+  // oracle replays the same batch logically (latest-version-wins window
+  // over the union), so the hash-match certifies the whole on-disk path:
+  // bucket tagging, partition-pruned read, winner resolution, dynamic
+  // partition overwrite.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.BucketedMerge
+    val docs = graft.Tables.load(s, dir, "documents")
+    val base = docs.select(col("doc_id").as("id"), lit(0).as("version"),
+      col("n_chars").as("v"))
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), lit(1).as("version"),
+        (col("n_chars") + 1000).as("v"),
+        (col("doc_id") % 3 === 0).as("del"))
+    val store = Files.createTempDirectory("graft-q69-merge").toString
+    BucketedMerge.init(base, store, "id", nBuckets = 16)
+    BucketedMerge.merge(s, store, updates, "id", "version", 16,
+      tombstoneCol = Some("del"))
+    BucketedMerge.read(s, store)
+      .select(col("id"), col("version"), col("v"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q44_ingest_pipeline" -> (q44 _)
+    "q44_ingest_pipeline" -> (q44 _),
+    "q69_bucketed_merge" -> (q69 _)
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q69_bucketed_merge" ->
+      """WITH base AS (SELECT doc_id AS id, 0 AS version, n_chars AS v,
+        |                FALSE AS del, 0 AS src FROM documents),
+        |upd AS (SELECT doc_id AS id, 1 AS version, n_chars + 1000 AS v,
+        |          (doc_id % 3 = 0) AS del, 1 AS src
+        |        FROM documents WHERE doc_id % 7 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |        ORDER BY version DESC, src DESC) AS rn FROM u)
+        |SELECT id, version, v FROM r WHERE rn = 1 AND NOT del
+        |ORDER BY id""".stripMargin
+  )
 }

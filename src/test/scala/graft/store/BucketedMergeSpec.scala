@@ -1,0 +1,79 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class BucketedMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(dir: String): Map[Long, (Int, Long)] =
+    BucketedMerge.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("version"), r.getAs[Long]("v"))).toMap
+
+  private def bucketFiles(dir: String): Map[String, Set[(String, Long)]] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .map { p =>
+        p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => (f.getFileName.toString, Files.getLastModifiedTime(f).toMillis))
+            .toSet
+      }.toMap
+
+  test("merge: upserts, inserts, deletes resolve to latest per key") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val base = (0L until 100L).map(i => (i, 0, i * 10)).toDF("id", "version", "v")
+    BucketedMerge.init(base, dir, "id", nBuckets = 8)
+
+    val updates = Seq(
+      (5L, 1, 999L, false),   // update
+      (200L, 1, 1L, false),   // insert (new key)
+      (7L, 1, 0L, true),      // delete
+      (300L, 1, 0L, true)     // delete of absent key: no-op
+    ).toDF("id", "version", "v", "del")
+    BucketedMerge.merge(spark, dir, updates, "id", "version", 8,
+      tombstoneCol = Some("del"))
+
+    val s = state(dir)
+    assert(s.size == 100) // 100 - 1 delete + 1 insert
+    assert(s(5L) == (1, 999L))
+    assert(s(200L) == (1, 1L))
+    assert(!s.contains(7L))
+    assert(s(6L) == (0, 60L)) // untouched key unchanged
+  }
+
+  test("merge rewrites only the touched buckets") {
+    val dir = Files.createTempDirectory("graft-merge2").toString
+    val base = (0L until 100L).map(i => (i, 0, i)).toDF("id", "version", "v")
+    BucketedMerge.init(base, dir, "id", nBuckets = 8)
+    val before = bucketFiles(dir)
+    assert(before.size == 8)
+
+    // one-row batch: exactly one bucket is touched
+    Thread.sleep(20)
+    BucketedMerge.merge(spark, dir,
+      Seq((5L, 1, 999L)).toDF("id", "version", "v"), "id", "version", 8)
+    val after = bucketFiles(dir)
+    val changed = after.keySet.filter(b => before(b) != after(b))
+    assert(changed.size == 1, s"buckets rewritten: $changed")
+    // stale base version loses to the batch even on a later re-merge of
+    // the same batch (idempotent)
+    BucketedMerge.merge(spark, dir,
+      Seq((5L, 1, 999L)).toDF("id", "version", "v"), "id", "version", 8)
+    assert(state(dir)(5L) == (1, 999L))
+  }
+
+  test("older version in a batch does not clobber a newer base row") {
+    val dir = Files.createTempDirectory("graft-merge3").toString
+    BucketedMerge.init(Seq((1L, 5, 50L)).toDF("id", "version", "v"),
+      dir, "id", 4)
+    BucketedMerge.merge(spark, dir,
+      Seq((1L, 3, 30L)).toDF("id", "version", "v"), "id", "version", 4)
+    assert(state(dir)(1L) == (5, 50L))
+  }
+}
