@@ -86,7 +86,25 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("rate"))
       .orderBy(col("doc_id"))
 
+  // q70: sequence packing — documents into 512-token training bins via
+  // the start-based window rule, computed with the DISTRIBUTED two-pass
+  // prefix sum (never a single-partition global window); the oracle
+  // replays the same rule as a SQL window. Per-bin stats certify both
+  // the assignment and the aggregate shape. The exact no-overflow greedy
+  // variant is spec-gated (PackingSpec).
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val withTokens = docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    graft.operators.Packing.packByStart(withTokens, "doc_id", "n_toks",
+        capacity = 512)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_sequence_pack" -> (q70 _),
     "q68_temperature_sample" -> (q68 _),
     "q67_zorder_key" -> (q67 _),
     "q63_pii_redact" -> (q63 _),
@@ -107,6 +125,17 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q70_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(text, ' ')) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |    SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks AS cum_before FROM t),
+        |b AS (SELECT doc_id, n_toks,
+        |    CAST(FLOOR(cum_before / 512) AS BIGINT) AS bin FROM c)
+        |SELECT bin, COUNT(*) AS n_docs, SUM(n_toks) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q68_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
         |t AS (SELECT lang, cnt, SUM(cnt) OVER () AS tot,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ns: Seq[Long]) =
+    ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+
+  test("packByStart: bin = where the cumulative count starts") {
+    // capacity 10; cum-before: 0,4,8,14,17 -> bins 0,0,0,1,1
+    val out = Packing.packByStart(docs(Seq(4, 4, 6, 3, 9)), "id", "n", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packByStart: distributed prefix sum matches a single-node cumsum") {
+    val rnd = new scala.util.Random(11)
+    val ns = Seq.fill(5000)(rnd.nextInt(200).toLong + 1)
+    val expected = ns.scanLeft(0L)(_ + _).init.map(_ / 512)
+    val out = Packing.packByStart(docs(ns), "id", "n", 512, shards = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size == 5000)
+    ns.indices.foreach { i =>
+      assert(out(i.toLong) == expected(i), s"doc $i")
+    }
+  }
+
+  test("packGreedy: no bin exceeds capacity except singleton oversized docs") {
+    val rnd = new scala.util.Random(13)
+    val ns = Seq.fill(2000)(rnd.nextInt(300).toLong + 1) ++ Seq(999L)
+    val out = Packing.packGreedy(docs(ns), "id", "n", 512, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == ns.length) // every doc packed exactly once
+    val byBin = out.groupBy(_._3)
+    byBin.foreach { case (bin, rows) =>
+      val total = rows.map(_._2).sum
+      assert(total <= 512 || rows.length == 1,
+        s"bin $bin holds $total tokens in ${rows.length} docs")
+    }
+    // deterministic under re-run
+    val again = Packing.packGreedy(docs(ns), "id", "n", 512, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("packGreedy: fill order is ascending id within each shard") {
+    val out = Packing.packGreedy(docs(Seq(3, 3, 3, 3)), "id", "n", 6,
+        shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // ids 0,1 -> first bin; 2,3 -> second
+    assert(out(0L) == out(1L) && out(2L) == out(3L) && out(0L) != out(2L))
+  }
+}
