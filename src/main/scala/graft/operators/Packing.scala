@@ -37,11 +37,16 @@ object Packing {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // Eager local checkpoint: BOTH passes must see the identical range
+    // partitioning, and the blocks are freed by the ContextCleaner when
+    // the result plan is dropped (not fault-tolerant on executor loss —
+    // same documented tradeoff as Dedup.lshCandidatePairs; write to
+    // parquet between passes if that matters).
     val sorted = df.select(col(idCol).cast("long"), col(nTokensCol).cast("long"))
       .as[(Long, Long)]
       .repartitionByRange(shards, col(idCol))
       .sortWithinPartitions(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val partTotals = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var s = 0L
@@ -51,7 +56,7 @@ object Packing {
     // offset(pid) = sum of all earlier shards' totals (exclusive prefix).
     val offsets: Map[Int, Long] = partTotals.map(_._1)
       .zip(partTotals.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val result = sorted.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var running = offsets.getOrElse(pid, 0L)
       it.map { case (id, n) =>
@@ -60,9 +65,6 @@ object Packing {
         (id, n, bin)
       }
     }.toDF(idCol, "n_tokens", "bin")
-      .localCheckpoint(true)
-    sorted.unpersist()
-    result
   }
 
   /** Exact greedy packing inside id-range shards. Output: (id, n_tokens,

@@ -87,7 +87,10 @@ object IngestQueries {
       .select(col("doc_id").as("id"), lit(1).as("version"),
         (col("n_chars") + 1000).as("v"),
         (col("doc_id") % 3 === 0).as("del"))
-    val store = Files.createTempDirectory("graft-q69-merge").toString
+    // One store per JVM, fully rewritten by init each call (static
+    // overwrite) — repeated bench/verify invocations must not accumulate
+    // abandoned temp copies of the table.
+    val store = q69Store
     BucketedMerge.init(base, store, "id", nBuckets = 16)
     BucketedMerge.merge(s, store, updates, "id", "version", 16,
       tombstoneCol = Some("del"))
@@ -95,6 +98,9 @@ object IngestQueries {
       .select(col("id"), col("version"), col("v"))
       .orderBy(col("id"))
   }
+
+  private lazy val q69Store: String =
+    Files.createTempDirectory("graft-q69-merge").toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_ingest_pipeline" -> (q44 _),

@@ -15,15 +15,20 @@ class BucketedMergeSpec extends SparkSpec {
         (r.getAs[Int]("version"), r.getAs[Long]("v"))).toMap
 
   private def bucketFiles(dir: String): Map[String, Set[(String, Long)]] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .map { p =>
-        p.getFileName.toString ->
-          Files.list(p).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(f => (f.getFileName.toString, Files.getLastModifiedTime(f).toMillis))
-            .toSet
-      }.toMap
+    scala.util.Using.resource(Files.list(Paths.get(dir))) { outer =>
+      outer.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .map { p =>
+          p.getFileName.toString ->
+            scala.util.Using.resource(Files.list(p)) { inner =>
+              inner.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .map(f => (f.getFileName.toString,
+                  Files.getLastModifiedTime(f).toMillis))
+                .toSet
+            }
+        }.toMap
+    }
 
   test("merge: upserts, inserts, deletes resolve to latest per key") {
     val dir = Files.createTempDirectory("graft-merge").toString
@@ -66,6 +71,38 @@ class BucketedMergeSpec extends SparkSpec {
     BucketedMerge.merge(spark, dir,
       Seq((5L, 1, 999L)).toDF("id", "version", "v"), "id", "version", 8)
     assert(state(dir)(5L) == (1, 999L))
+  }
+
+  test("deletes that empty a whole bucket remove it — no resurrection") {
+    val dir = Files.createTempDirectory("graft-merge4").toString
+    // one key alone in its bucket (4 buckets, single row)
+    BucketedMerge.init(Seq((1L, 0, 10L)).toDF("id", "version", "v"),
+      dir, "id", 4)
+    assert(state(dir) == Map(1L -> (0, 10L)))
+    BucketedMerge.merge(spark, dir,
+      Seq((1L, 1, 0L, true)).toDF("id", "version", "v", "del"),
+      "id", "version", 4, tombstoneCol = Some("del"))
+    assert(state(dir).isEmpty, "tombstoned key must not survive via a stale bucket dir")
+  }
+
+  test("null tombstone means not-a-delete, not a silent drop") {
+    val dir = Files.createTempDirectory("graft-merge5").toString
+    BucketedMerge.init(Seq((1L, 0, 10L)).toDF("id", "version", "v"),
+      dir, "id", 4)
+    val upd = Seq((1L, 1, 20L)).toDF("id", "version", "v")
+      .withColumn("del", lit(null).cast("boolean"))
+    BucketedMerge.merge(spark, dir, upd, "id", "version", 4,
+      tombstoneCol = Some("del"))
+    assert(state(dir) == Map(1L -> (1, 20L)))
+  }
+
+  test("re-init fully rewrites: no stale buckets from an old layout") {
+    val dir = Files.createTempDirectory("graft-merge6").toString
+    BucketedMerge.init((0L until 50L).map(i => (i, 0, i)).toDF("id", "version", "v"),
+      dir, "id", 16)
+    BucketedMerge.init(Seq((7L, 0, 7L)).toDF("id", "version", "v"),
+      dir, "id", 4)
+    assert(state(dir) == Map(7L -> (0, 7L)))
   }
 
   test("older version in a batch does not clobber a newer base row") {
