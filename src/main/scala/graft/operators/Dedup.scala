@@ -215,7 +215,7 @@ object Dedup {
     // fresh checkpoint per round instead of a join+count. (decimal(38,0)
     // so the witness cannot overflow even at 10^12 64-bit vertex ids.)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
       // sum over zero rows is null — an empty vertex set is already
       // converged, not an NPE.
       if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
