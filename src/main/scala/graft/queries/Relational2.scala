@@ -147,7 +147,26 @@ object Relational2 {
       .select(col("r_name"), col("n_name"))
       .orderBy(col("r_name"), col("n_name"))
 
+  // q71: the generic exact salted skew join (operators/SkewJoin.scala) on
+  // lineitem (skewed side) vs orders, g=4 — the oracle replays the PLAIN
+  // join, so the hash-match certifies salting loses and duplicates
+  // nothing (the two-table generalization of q27/q50's salted self-join
+  // guarantee).
+  def q71(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.inner(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        Seq("l_orderkey"), g = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_salted_join" -> (q71 _),
     "q36_cube" -> (q36 _),
     "q37_pivot" -> (q37 _),
     "q38_percentiles" -> (q38 _),
@@ -160,6 +179,11 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q36_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,

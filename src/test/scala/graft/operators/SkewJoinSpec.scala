@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (90% of rows) plus a long tail
+  private lazy val big = ((1 to 900).map(i => ("hot", i.toLong)) ++
+    (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "bv")
+  private lazy val other = (Seq(("hot", 1.0), ("hot", 2.0)) ++
+    (1 to 50).map(i => (s"k$i", i * 1.0))).toDF("k", "ov")
+
+  test("salted join returns exactly the plain join's rows") {
+    val plain = big.join(other, Seq("k")).select("k", "bv", "ov")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val salted = SkewJoin.inner(big, other, Seq("k"), g = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == "hot") == 1800) // 900 x 2 matches survived
+  }
+
+  test("the hot key's rows spread across all g salt blocks") {
+    val g = 8
+    val salts = big.filter(col("k") === "hot")
+      .withColumn("__salt",
+        pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(g)))
+      .groupBy("__salt").count().collect().map(r => r.getLong(1))
+    assert(salts.length == g, s"expected $g blocks, got ${salts.length}")
+    // deterministic hash spread: no block holds more than 2x its share
+    assert(salts.max <= 2 * 900 / g, s"unbalanced blocks: ${salts.toSeq}")
+  }
+
+  test("g = 1 degenerates to the plain join") {
+    assert(SkewJoin.inner(big, other, Seq("k"), 1).count() ==
+      big.join(other, Seq("k")).count())
+  }
+}
