@@ -224,7 +224,7 @@ object Ann {
       * re-seeded to the point farthest from its assigned centroid so k
       * centroids always survive. Fully deterministic for a given sample.
       */
-    private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+    private[operators] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
         maxIter: Int): Array[Array[Double]] = {
       val rnd = new scala.util.Random(seed)
       val dim = points(0).length

@@ -122,7 +122,24 @@ object OperatorQueries {
       .limit(10)
   }
 
+  // q72: product-quantization ANN top-5 (rows-only, like q49: the
+  // per-subspace kmeans++ fit is not practically SQL-replayable; code
+  // determinism, ADC/exact rank agreement and planted-near-dup recall
+  // are spec-gated in PqSpec). The billion-vector tier: 32x-compressed
+  // codes ADC-ranked, floats read only for the re-scored pool.
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val pq = graft.operators.Pq.fit(corpus, "embedding", dim = EmbeddingDim,
+      m = 8, kSub = 16)
+    pq.search(pq.index(corpus, "embedding"), "vec_id", "embedding", q,
+      k = 5, pool = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_ann_pq" -> (q72 _),
     "q31_lang_id" -> (q31 _),
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
