@@ -60,6 +60,31 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized: agrees with the brute-force O(n^2) definition") {
+    val rnd = new scala.util.Random(23)
+    val keys = Seq("A", "B", "C")
+    val rights = (1 to 120).map { i =>
+      (keys(rnd.nextInt(3)), new Timestamp(rnd.nextInt(100000) * 1000L),
+        i.toDouble)
+    }
+    val lefts = (1 to 150).map { i =>
+      (i.toLong, keys(rnd.nextInt(3)),
+        new Timestamp(rnd.nextInt(100000) * 1000L))
+    }
+    val out = AsOfJoin.backward(
+        lefts.toDF("trade_id", "sym", "t"),
+        rights.toDF("sym", "t", "px"), Seq("sym"), "t", Seq("px"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some(r.getDouble(3)))).toMap
+    // brute force: max (ts, px) among rights at-or-before, per key
+    lefts.foreach { case (id, k, t) =>
+      val expected = rights.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+      assert(out(id) == expected, s"trade $id key $k ts $t")
+    }
+  }
+
   test("single shuffle plan: no join operator, one window") {
     val plan = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", Seq("px"))
       .queryExecution.optimizedPlan.toString

@@ -63,6 +63,22 @@ class PqSpec extends SparkSpec {
       s"ADC ranking diverged: $byExact vs $byAdc")
   }
 
+  test("IVF-PQ composition: coarse prune, ADC rank, exact re-score") {
+    val ivf = Ann.Ivf.fit(corpus, "embedding", kCentroids = 8)
+    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val indexed = pq.index(ivf.index(corpus, "embedding"), "embedding")
+      .cache()
+    val probe = ivf.probeCentroids(query, nprobe = 2)
+    val pruned = indexed.filter(col("centroid").isin(probe: _*))
+    val found = pq.search(pruned, "vec_id", "embedding", query, k = 5,
+        pool = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(found == planted.map(_._1).toSet)
+    // and the prune is real: the ADC scan saw a strict subset
+    assert(pruned.count() < indexed.count())
+    indexed.unpersist()
+  }
+
   test("dim must divide into m subspaces") {
     intercept[IllegalArgumentException] {
       Pq.fit(corpus, "embedding", dim = 64, m = 7)
