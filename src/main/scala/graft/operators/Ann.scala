@@ -24,6 +24,29 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Squared-L2 distance of a vector column to a literal centroid. */
+  private[operators] def sqDistCol(v: Column, c: Array[Double]): Column = {
+    val cLit = array(c.toIndexedSeq.map(lit): _*)
+    aggregate(zip_with(asDouble(v), cLit, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** The `sampleCap` lowest-hash vectors as driver-side arrays — the
+    * bounded deterministic training sample shared by the IVF and PQ fits
+    * (stable across runs and partitionings).
+    */
+  private[operators] def sampleVectors(df: DataFrame, vecCol: String,
+      seed: Long, sampleCap: Int): Array[Array[Double]] = {
+    val s = df.select(transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__h", xxhash64(col("__v").cast("array<string>"), lit(seed)))
+      .orderBy(col("__h"), col("__v"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(s.nonEmpty, "vector fit: empty training input")
+    s
+  }
+
   /** Cosine vs a literal query vector — the native codegen'd expression
     * ([[graft.functions.CosineSimilarity]]); same numeric semantics
     * (sequential double accumulation, 0.0 on zero norm) as the
@@ -155,16 +178,9 @@ object Ann {
     */
   final class Ivf(centroids: Array[Array[Double]]) extends Serializable {
 
-    private def centDist(v: Column, c: Array[Double]): Column = {
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      // squared L2: ||v-c||^2
-      aggregate(zip_with(asDouble(v), cLit, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }
-
     def assignCol(vecCol: Column): Column = {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
-        struct(centDist(vecCol, c).as("d"), lit(i).as("i"))
+        struct(sqDistCol(vecCol, c).as("d"), lit(i).as("i"))
       }
       array_min(array(dists.toIndexedSeq: _*)).getField("i")
     }
@@ -202,15 +218,7 @@ object Ann {
       */
     def fit(df: DataFrame, vecCol: String, kCentroids: Int,
         seed: Long = 42L, sampleCap: Int = 4096, maxIter: Int = 15): Ivf = {
-      val sample: Array[Array[Double]] = df
-        .select(transform(col(vecCol), _.cast("double")).as("__v"))
-        .withColumn("__h",
-          xxhash64(col("__v").cast("array<string>"), lit(seed)))
-        .orderBy(col("__h"), col("__v"))
-        .limit(sampleCap)
-        .collect()
-        .map(_.getSeq[Double](0).toArray)
-      require(sample.nonEmpty, "Ivf.fit: empty training input")
+      val sample = sampleVectors(df, vecCol, seed, sampleCap)
       new Ivf(lloyd(sample, math.min(kCentroids, sample.length), seed, maxIter))
     }
 

@@ -28,8 +28,19 @@ object SkewJoin {
       g: Int): DataFrame = {
     require(g >= 1, s"salt factor must be >= 1, got $g")
     require(keys.nonEmpty, "need at least one join key")
+    require(!big.columns.contains("__salt") && !other.columns.contains("__rep"),
+      "inputs must not already carry __salt/__rep columns")
+    val overlap = big.columns.toSet.intersect(other.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns collide across inputs: ${overlap.mkString(", ")}")
+    // Salt mixes a per-row physical position into the hash: byte-identical
+    // duplicate rows (pre-dedup corpora are full of them) must still
+    // spread across blocks. Salt values only steer BALANCE — any value in
+    // [0, g) yields the same exact result — so the result set stays
+    // deterministic even though the position-dependent salt is not.
     val b = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(g))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*),
+        spark_partition_id(), monotonically_increasing_id()), lit(g))
         .cast("int")).as("b")
     val o = other.withColumn("__rep",
       explode(array((0 until g).map(lit).toIndexedSeq: _*))).as("o")

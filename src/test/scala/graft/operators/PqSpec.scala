@@ -44,21 +44,20 @@ class PqSpec extends SparkSpec {
     assert(codes == again)
   }
 
-  test("ADC distance correlates with true distance (sanity on 20 rows)") {
+  test("ADC inner product correlates with the true dot product") {
     val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
     val rows = pq.index(corpus.filter(col("vec_id") < 20), "embedding")
       .select(col("vec_id"), col("embedding"),
-        pq.adcDistCol(col("pq_code"), query).as("adc"))
+        pq.adcIpCol(col("pq_code"), query).as("adc"))
       .collect()
       .map { r =>
         val v = r.getSeq[Float](1).toArray
-        val exact = v.zip(query).map { case (a, b) =>
-          (a.toDouble - b) * (a.toDouble - b) }.sum
+        val exact = v.zip(query).map { case (a, b) => a.toDouble * b }.sum
         (exact, r.getDouble(2))
       }
-    // Spearman-ish check: top-5 by ADC overlaps top-5 by exact distance.
-    val byExact = rows.sortBy(_._1).take(5).toSet
-    val byAdc = rows.sortBy(_._2).take(5).toSet
+    // Spearman-ish check: top-5 by ADC overlaps top-5 by exact dot.
+    val byExact = rows.sortBy(-_._1).take(5).toSet
+    val byAdc = rows.sortBy(-_._2).take(5).toSet
     assert(byExact.intersect(byAdc).size >= 3,
       s"ADC ranking diverged: $byExact vs $byAdc")
   }

@@ -27,11 +27,33 @@ class SkewJoinSpec extends SparkSpec {
     val g = 8
     val salts = big.filter(col("k") === "hot")
       .withColumn("__salt",
-        pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(g)))
+        pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*),
+          spark_partition_id(), monotonically_increasing_id()), lit(g)))
       .groupBy("__salt").count().collect().map(r => r.getLong(1))
     assert(salts.length == g, s"expected $g blocks, got ${salts.length}")
-    // deterministic hash spread: no block holds more than 2x its share
+    // hash spread: no block holds more than 2x its share
     assert(salts.max <= 2 * 900 / g, s"unbalanced blocks: ${salts.toSeq}")
+  }
+
+  test("byte-identical duplicate rows still spread (and join exactly)") {
+    val dupBig = (1 to 800).map(_ => ("hot", 1L)).toDF("k", "bv")
+    val out = SkewJoin.inner(dupBig, other, Seq("k"), g = 8)
+    assert(out.count() == 1600) // 800 x 2 hot matches, duplicates kept
+    val salts = dupBig
+      .withColumn("__salt",
+        pmod(xxhash64(struct(dupBig.columns.map(col).toIndexedSeq: _*),
+          spark_partition_id(), monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(salts > 1, "identical rows collapsed into one salt block")
+  }
+
+  test("colliding internal or non-key column names are rejected") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.inner(big.withColumn("__salt", lit(1)), other, Seq("k"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.inner(big, other.withColumnRenamed("ov", "bv"), Seq("k"), 2)
+    }
   }
 
   test("g = 1 degenerates to the plain join") {
