@@ -72,7 +72,11 @@ final class Pq(val codebooks: Array[Array[Array[Double]]]) extends Serializable 
       .orderBy(col("__adc").desc, col(idCol))
       .limit(pool)
       .select(col(idCol))
-    indexed.join(broadcast(poolIds), Seq(idCol), "left_semi")
+    // Structurally drop the code column on the re-score side — it is not
+    // needed there and recomputing it (when codes are derived inline
+    // rather than read from storage) would double the expensive part.
+    indexed.select(col(idCol), col(vecCol))
+      .join(broadcast(poolIds), Seq(idCol), "left_semi")
       .select(col(idCol),
         round(Ann.cosineCol(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
