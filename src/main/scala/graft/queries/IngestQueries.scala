@@ -102,12 +102,33 @@ object IngestQueries {
   private lazy val q69Store: String =
     Files.createTempDirectory("graft-q69-merge").toString
 
+  // q73: JSONL round-trip — the training-corpus interchange format. The
+  // documents table is written as JSON Lines and read back with an
+  // explicit schema; the oracle reads the ORIGINAL table, so the
+  // hash-match (md5 over every text) certifies the encode/decode cycle
+  // is byte-lossless, unicode and escaping included.
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+    val out = q73Dir
+    docs.write.mode("overwrite").json(out)
+    s.read.schema(docs.schema).json(out)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q73Dir: String =
+    Files.createTempDirectory("graft-q73-jsonl").toString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_ingest_pipeline" -> (q44 _),
-    "q69_bucketed_merge" -> (q69 _)
+    "q69_bucketed_merge" -> (q69 _),
+    "q73_jsonl_roundtrip" -> (q73 _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q69_bucketed_merge" ->
       """WITH base AS (SELECT doc_id AS id, 0 AS version, n_chars AS v,
         |                FALSE AS del, 0 AS src FROM documents),

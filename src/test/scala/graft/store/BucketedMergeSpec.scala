@@ -105,6 +105,36 @@ class BucketedMergeSpec extends SparkSpec {
     assert(state(dir) == Map(7L -> (0, 7L)))
   }
 
+  test("streaming CDC: a change stream applies via foreachBatch merges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-merge-cdc").toString
+    BucketedMerge.init(
+      (0L until 20L).map(i => (i, 0, i)).toDF("id", "version", "v"),
+      dir, "id", 4)
+
+    val mem = MemoryStream[(Long, Int, Long, Boolean)]
+    val q = mem.toDF().toDF("id", "version", "v", "del")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        BucketedMerge.merge(spark, dir, batch, "id", "version", 4,
+          tombstoneCol = Some("del"))
+      }
+      .outputMode("update").start()
+    try {
+      mem.addData((5L, 1, 500L, false), (20L, 1, 20L, false))
+      q.processAllAvailable()
+      mem.addData((5L, 2, 555L, false), (7L, 1, 0L, true))
+      q.processAllAvailable()
+      val s = state(dir)
+      assert(s(5L) == (2, 555L)) // two successive stream updates applied
+      assert(s(20L) == (1, 20L)) // stream insert
+      assert(!s.contains(7L)) // stream delete
+      assert(s(6L) == (0, 6L)) // untouched
+      assert(s.size == 20)
+    } finally q.stop()
+  }
+
   test("older version in a batch does not clobber a newer base row") {
     val dir = Files.createTempDirectory("graft-merge3").toString
     BucketedMerge.init(Seq((1L, 5, 50L)).toDF("id", "version", "v"),
