@@ -103,7 +103,20 @@ object CurationQueries {
       .orderBy(col("bin"))
   }
 
+  // q74: table profiling (ANALYZE-style column stats) over orders — one
+  // aggregation pass for all columns; exact distincts so the oracle can
+  // replay it. Doubles, dates and strings all surface through the
+  // type-uniform string min/max.
+  def q74(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.profile(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("column"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_profile" -> (q74 _),
     "q70_sequence_pack" -> (q70 _),
     "q68_temperature_sample" -> (q68 _),
     "q67_zorder_key" -> (q67 _),
@@ -125,6 +138,27 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q74_profile" ->
+      """WITH s AS (SELECT
+        |  COUNT(*) AS total,
+        |  COUNT(o_orderkey) c1, COUNT(DISTINCT o_orderkey) d1,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) mn1, CAST(MAX(o_orderkey) AS VARCHAR) mx1,
+        |  COUNT(o_custkey) c2, COUNT(DISTINCT o_custkey) d2,
+        |    CAST(MIN(o_custkey) AS VARCHAR) mn2, CAST(MAX(o_custkey) AS VARCHAR) mx2,
+        |  COUNT(o_orderstatus) c3, COUNT(DISTINCT o_orderstatus) d3,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) mn3, CAST(MAX(o_orderstatus) AS VARCHAR) mx3,
+        |  COUNT(o_orderpriority) c4, COUNT(DISTINCT o_orderpriority) d4,
+        |    CAST(MIN(o_orderpriority) AS VARCHAR) mn4, CAST(MAX(o_orderpriority) AS VARCHAR) mx4
+        |  FROM orders)
+        |SELECT 'o_custkey' AS "column", total - c2 AS n_nulls, d2 AS n_distinct,
+        |  mn2 AS min_value, mx2 AS max_value FROM s
+        |UNION ALL
+        |SELECT 'o_orderkey', total - c1, d1, mn1, mx1 FROM s
+        |UNION ALL
+        |SELECT 'o_orderpriority', total - c4, d4, mn4, mx4 FROM s
+        |UNION ALL
+        |SELECT 'o_orderstatus', total - c3, d3, mn3, mx3 FROM s
+        |ORDER BY "column"""".stripMargin,
     "q70_sequence_pack" ->
       """WITH t AS (SELECT doc_id,
         |    len(regexp_split_to_array(text, ' ')) AS n_toks FROM documents),
