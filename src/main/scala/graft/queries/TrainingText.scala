@@ -200,7 +200,72 @@ object TrainingText {
       .orderBy(col("c").desc, col("term"))
   }
 
+  /** BM25 scores (Okapi, k1=1.2, b=0.75) of every document against a
+    * literal term set — the lexical ranking half of hybrid retrieval.
+    * Shared by q75 (ranked list) and q76 (fusion input).
+    */
+  private def bm25(s: SparkSession, dir: String,
+      qTerms: Seq[String]): DataFrame = {
+    val d = t(s, dir, "documents")
+    val n = d.count()
+    val k1 = 1.2; val b = 0.75
+    val toks = d.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(true)
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // exact: integer sum / integer count — both engines agree bit-for-bit
+    val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(dfq, "term").join(lens, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"))
+  }
+
+  // q75: BM25 lexical ranking (top 10) for a fixed query term set.
+  def q75(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("table", "hash", "join"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+
+  // q76: HYBRID retrieval — reciprocal rank fusion (k=60) of the dense
+  // cosine ranking (top 20 for vec_id=0's vector, q21's exact tier) and
+  // the BM25 lexical ranking (top 20 for the fixed terms). The standard
+  // two-tower RAG retrieval merge, fully replayed by the oracle.
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val dense = graft.operators.Ann.bruteForceKnn(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+      .withColumn("rd", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("rd"))
+    val lex = bm25(s, dir, Seq("table", "hash", "join"))
+      .withColumn("rl", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rl") <= 20)
+      .select(col("doc_id").as("id"), col("rl"))
+    dense.join(lex, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)), 6))
+      .select(col("id"), col("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_bm25" -> (q75 _),
+    "q76_hybrid_rrf" -> (q76 _),
     "q19_dedup_exact" -> (q19 _),
     "q20_term_freq" -> (q20 _),
     "q21_cosine_topk" -> (q21 _),
@@ -213,7 +278,54 @@ object TrainingText {
     "q57_heavy_hitters" -> (q57 _)
   )
 
+  private val bm25Sql: String =
+    """toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |         FROM documents),
+      |t2 AS (SELECT doc_id, term FROM toks WHERE LENGTH(term) > 0),
+      |lens AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+      |stats AS (SELECT AVG(dl) AS avgdl FROM lens),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+      |       WHERE term IN ('table', 'hash', 'join') GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+      |        WHERE term IN ('table', 'hash', 'join') GROUP BY 1),
+      |parts AS (SELECT tf.doc_id,
+      |    LN(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avgdl)) AS part
+      |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+      |  CROSS JOIN nn CROSS JOIN stats),
+      |bm AS (SELECT doc_id, ROUND(SUM(part), 4) AS bm25 FROM parts
+      |       GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q75_bm25" ->
+      s"""WITH $bm25Sql
+         |SELECT doc_id, bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "q76_hybrid_rrf" ->
+      s"""WITH $bm25Sql,
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |vn AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM e GROUP BY vec_id),
+         |qv AS (SELECT pos, val FROM e WHERE vec_id = 0),
+         |dots AS (SELECT e.vec_id, SUM(e.val * qv.val) AS dot
+         |         FROM e JOIN qv ON e.pos = qv.pos
+         |         WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         |scored AS (SELECT dots.vec_id,
+         |    ROUND(dots.dot / (vn.nrm * (SELECT nrm FROM vn WHERE vec_id = 0)), 6)
+         |      AS score
+         |  FROM dots JOIN vn ON dots.vec_id = vn.vec_id),
+         |dense AS (SELECT vec_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rd
+         |  FROM scored QUALIFY rd <= 20),
+         |lex AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+         |  FROM bm QUALIFY rl <= 20)
+         |SELECT COALESCE(dense.id, lex.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + rd), 0) + COALESCE(1.0 / (60 + rl), 0), 6)
+         |    AS rrf
+         |FROM dense FULL OUTER JOIN lex ON dense.id = lex.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "q57_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),
