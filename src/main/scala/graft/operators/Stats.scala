@@ -33,8 +33,8 @@ object Stats {
     cols.map { c =>
       (c, totalCnt - row.getAs[Long](s"__cnt_$c"),
         row.getAs[Long](s"__ndv_$c"),
-        Option(row.getAs[String](s"__min_$c")).orNull,
-        Option(row.getAs[String](s"__max_$c")).orNull)
+        row.getAs[String](s"__min_$c"),
+        row.getAs[String](s"__max_$c"))
     }.toDF("column", "n_nulls", "n_distinct", "min_value", "max_value")
   }
 }

@@ -105,8 +105,10 @@ object CurationQueries {
 
   // q74: table profiling (ANALYZE-style column stats) over orders — one
   // aggregation pass for all columns; exact distincts so the oracle can
-  // replay it. Doubles, dates and strings all surface through the
-  // type-uniform string min/max.
+  // replay it. Restricted to integer/string columns on purpose: the
+  // type-uniform string min/max renders doubles and timestamps with
+  // engine-specific formats ('1.0E-4' vs '0.0001'), which would false-
+  // fail the oracle — profile those with the operator, not the oracle.
   def q74(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.profile(
         Tables.load(s, dir, "orders")

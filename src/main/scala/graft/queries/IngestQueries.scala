@@ -105,14 +105,15 @@ object IngestQueries {
   // q73: JSONL round-trip — the training-corpus interchange format. The
   // documents table is written as JSON Lines and read back with an
   // explicit schema; the oracle reads the ORIGINAL table, so the
-  // hash-match (md5 over every text) certifies the encode/decode cycle
-  // is byte-lossless, unicode and escaping included.
+  // hash-match over EVERY column (text via md5) certifies the
+  // encode/decode cycle is lossless, unicode and escaping included.
   def q73(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
     val out = q73Dir
     docs.write.mode("overwrite").json(out)
     s.read.schema(docs.schema).json(out)
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -127,7 +128,7 @@ object IngestQueries {
 
   val oracle: Map[String, String] = Map(
     "q73_jsonl_roundtrip" ->
-      """SELECT doc_id, lang, md5(text) AS text_md5
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q69_bucketed_merge" ->
       """WITH base AS (SELECT doc_id AS id, 0 AS version, n_chars AS v,

@@ -249,7 +249,11 @@ object TrainingText {
       .withColumn("rd", row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("score").desc, col("vec_id"))))
       .select(col("vec_id").as("id"), col("rd"))
+    // Both towers must exclude the query document (vec 0 / doc 0) — an
+    // asymmetric exclusion would let it rank on one tower while its
+    // dominant score on the other is suppressed.
     val lex = bm25(s, dir, Seq("table", "hash", "join"))
+      .filter(col("doc_id") =!= 0)
       .withColumn("rl", row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("bm25").desc, col("doc_id"))))
       .filter(col("rl") <= 20)
@@ -320,7 +324,7 @@ object TrainingText {
          |  FROM scored QUALIFY rd <= 20),
          |lex AS (SELECT doc_id AS id,
          |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
-         |  FROM bm QUALIFY rl <= 20)
+         |  FROM bm WHERE doc_id <> 0 QUALIFY rl <= 20)
          |SELECT COALESCE(dense.id, lex.id) AS id,
          |  ROUND(COALESCE(1.0 / (60 + rd), 0) + COALESCE(1.0 / (60 + rl), 0), 6)
          |    AS rrf
