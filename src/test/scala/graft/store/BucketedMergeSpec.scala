@@ -135,6 +135,33 @@ class BucketedMergeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized model check: 6 merge batches vs an in-memory reference") {
+    val rnd = new scala.util.Random(37)
+    val dir = Files.createTempDirectory("graft-merge-model").toString
+    val model = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+
+    val base = (0L until 60L).map(i => (i, 0, rnd.nextInt(1000).toLong))
+    base.foreach { case (id, ver, v) => model(id) = (ver, v) }
+    BucketedMerge.init(base.toDF("id", "version", "v"), dir, "id", 8)
+
+    for (round <- 1 to 6) {
+      // random batch: updates, inserts, deletes — one distinct version
+      // per key per batch (the operator's documented determinism duty)
+      val keys = rnd.shuffle((0L until 80L).toList).take(12)
+      val batch = keys.map { id =>
+        (id, round, rnd.nextInt(1000).toLong, rnd.nextInt(4) == 0)
+      }
+      batch.foreach { case (id, ver, v, del) =>
+        val newer = model.get(id).forall(_._1 <= ver)
+        if (newer) { if (del) model.remove(id) else model(id) = (ver, v) }
+      }
+      BucketedMerge.merge(spark, dir,
+        batch.toDF("id", "version", "v", "del"), "id", "version", 8,
+        tombstoneCol = Some("del"))
+      assert(state(dir) == model.toMap, s"diverged at merge round $round")
+    }
+  }
+
   test("older version in a batch does not clobber a newer base row") {
     val dir = Files.createTempDirectory("graft-merge3").toString
     BucketedMerge.init(Seq((1L, 5, 50L)).toDF("id", "version", "v"),
