@@ -109,4 +109,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q67_zorder_key")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q75/q76: retrieval joins broadcast; no cartesian anywhere") {
+    val p75 = plan("q75_bm25")
+    assert(p75.contains("BroadcastHashJoin"), p75)
+    assert(!p75.contains("CartesianProduct"), p75)
+    val p76 = plan("q76_hybrid_rrf")
+    assert(!p76.contains("CartesianProduct"), p76)
+  }
 }

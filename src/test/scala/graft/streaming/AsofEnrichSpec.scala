@@ -100,9 +100,14 @@ class AsofEnrichSpec extends SparkSpec {
       .writeStream.format("memory").queryName("asof3")
       .outputMode("append").start()
     try {
-      // Feed in event-time order (watermark admits everything), in chunks.
+      // Chunks advance in event time (so the watermark admits everything),
+      // but WITHIN each chunk arrival order is shuffled — left rows only
+      // emit after the watermark passes them, so local disorder must not
+      // change any match.
       val sorted = all.sortBy(e => (e.ts.getTime, e.event_id))
-      sorted.grouped(40).foreach { chunk =>
+      val shuf = new scala.util.Random(13)
+      sorted.grouped(40).foreach { chunk0 =>
+        val chunk = shuf.shuffle(chunk0)
         val (ls, rs) = chunk.partition(_.event_type == "l")
         if (rs.nonEmpty) rmem.addData(rs: _*)
         if (ls.nonEmpty) lmem.addData(ls: _*)
