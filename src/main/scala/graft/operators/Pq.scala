@@ -30,8 +30,19 @@ final class Pq(val codebooks: Array[Array[Array[Double]]]) extends Serializable 
   private def m = codebooks.length
   private def subDim = codebooks(0)(0).length
 
-  /** `m` codes per row (int array; code j indexes codebook j). */
-  def codeCol(vecCol: Column): Column = {
+  /** `m` codes per row (int array; code j indexes codebook j) — the
+    * native codegen'd expression ([[graft.functions.PqAssign]]): one
+    * tight primitive loop inside WholeStageCodegen instead of m × kSub
+    * interpreted higher-order aggregates per row.
+    */
+  def codeCol(vecCol: Column): Column =
+    graft.functions.PqAssign(vecCol, codebooks)
+
+  /** The declarative higher-order-function formulation of the same
+    * assignment — kept as the independent semantic reference the native
+    * expression is equivalence-tested against (PqSpec).
+    */
+  private[operators] def codeColHof(vecCol: Column): Column = {
     val v = transform(vecCol, _.cast("double"))
     array((0 until m).map { s =>
       val sub = slice(v, s * subDim + 1, subDim)

@@ -78,6 +78,19 @@ class PqSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("native pq_assign expression matches the HOF formulation exactly") {
+    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val both = corpus
+      .select(col("vec_id"), pq.codeCol(col("embedding")).as("native"),
+        pq.codeColHof(col("embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"codes diverge for vec ${r.getLong(0)}")
+    }
+  }
+
   test("dim must divide into m subspaces") {
     intercept[IllegalArgumentException] {
       Pq.fit(corpus, "embedding", dim = 64, m = 7)
