@@ -169,7 +169,8 @@ object CurationQueries {
         |      ROWS UNBOUNDED PRECEDING) - n_toks AS cum_before FROM t),
         |b AS (SELECT doc_id, n_toks,
         |    CAST(FLOOR(cum_before / 512) AS BIGINT) AS bin FROM c)
-        |SELECT bin, COUNT(*) AS n_docs, SUM(n_toks) AS bin_tokens,
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q68_temperature_sample" ->
@@ -220,8 +221,8 @@ object CurationQueries {
         |       FROM pos),
         |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
         |tr AS (SELECT doc_id, COUNT(*) AS n_ngrams,
-        |         SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END)
-        |           AS n_hits
+        |         CAST(SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_hits
         |       FROM ng WHERE doc_id % 50 <> 0 GROUP BY doc_id)
         |SELECT doc_id, n_ngrams, n_hits,
         |  ROUND(n_hits * 1.0 / n_ngrams, 4) AS contam_frac,

@@ -22,7 +22,10 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full round-trip precision, and '1.0' != '1': the driver's hash
+        # distinguishes int from float (DuckDB HUGEINT sums arrive as
+        # float64 through pandas), so the local gate must too.
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -48,17 +51,19 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            ocur = con.execute(sql)
-            ocols = [d[0] for d in ocur.description]
-            orows = ocur.fetchall()
+            # fetchdf, not fetchall: reproduces the driver's pandas-side
+            # type coercions (DuckDB HUGEINT -> float64, etc.).
+            odf = con.execute(sql).fetchdf()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        scur = con.execute(
-            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-        scols = [d[0] for d in scur.description]
-        srows = scur.fetchall()
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1
