@@ -203,31 +203,45 @@ object TrainingText {
   /** BM25 scores (Okapi, k1=1.2, b=0.75) of every document against a
     * literal term set — the lexical ranking half of hybrid retrieval.
     * Shared by q75 (ranked list) and q76 (fusion input).
+    *
+    * Plan shape: for a LITERAL term set there is no reason to explode the
+    * corpus into a token table — per-doc length and per-term tf are
+    * `size(filter(split(text)))` expressions in one narrow projection
+    * (5 longs per doc, checkpointed so the text is split once), followed
+    * by one scalar stats pass (N, Σdl, per-term df) and a per-row score.
+    * Zero wide shuffles; the same values the exploded formulation gave,
+    * so the DuckDB oracle is unchanged.
     */
   private def bm25(s: SparkSession, dir: String,
       qTerms: Seq[String]): DataFrame = {
-    val d = t(s, dir, "documents")
-    val n = d.count()
     val k1 = 1.2; val b = 0.75
-    val toks = d.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+    def toks = split(lower(col("text")), " ")
+    val tfCols = qTerms.zipWithIndex.map { case (term, i) =>
+      size(filter(toks, x => x === term)).cast("long").as(s"__tf$i") }
+    val per = t(s, dir, "documents")
+      .select(col("doc_id") +:
+        size(filter(toks, x => length(x) > 0)).cast("long").as("dl") +:
+        tfCols: _*)
       .localCheckpoint(true)
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // exact: integer sum / integer count — both engines agree bit-for-bit
-    val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
-    val tf = toks.filter(col("term").isin(qTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfq = toks.filter(col("term").isin(qTerms: _*))
-      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    tf.join(dfq, "term").join(lens, "doc_id")
-      .withColumn("idf",
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("part",
-        col("idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("part")), 4).as("bm25"))
+    val stats = per.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl") +: qTerms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+      .head()
+    val n = stats.getLong(0)
+    // Integer-valued partials: exact in double regardless of partition
+    // order, so sum/count here is bit-identical to avg() and DuckDB AVG.
+    val avgdl = stats.getLong(1).toDouble / n
+    val parts = qTerms.indices.map { i =>
+      val df = stats.getLong(2 + i)
+      val idf = math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+      when(col(s"__tf$i") > 0,
+        lit(idf) * col(s"__tf$i") * lit(k1 + 1) /
+          (col(s"__tf$i") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }
+    per.filter(qTerms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(parts.reduce(_ + _), 4).as("bm25"))
   }
 
   // q75: BM25 lexical ranking (top 10) for a fixed query term set.
@@ -252,11 +266,16 @@ object TrainingText {
     // Both towers must exclude the query document (vec 0 / doc 0) — an
     // asymmetric exclusion would let it rank on one tower while its
     // dominant score on the other is suppressed.
+    // TakeOrdered top-20 first, then rank the 20 survivors — the global
+    // row_number window over every scoring doc was a single-partition
+    // sort of the whole corpus' matches; the same (bm25 desc, doc_id)
+    // total order makes the two formulations identical.
     val lex = bm25(s, dir, Seq("table", "hash", "join"))
       .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
       .withColumn("rl", row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("rl") <= 20)
       .select(col("doc_id").as("id"), col("rl"))
     dense.join(lex, Seq("id"), "full_outer")
       .withColumn("rrf", round(
