@@ -110,10 +110,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q75/q76: retrieval joins broadcast; no cartesian anywhere") {
+  test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
+    // The literal-term BM25 plan is one projection over the checkpointed
+    // per-doc stats — any Join/Exchange/Generate appearing here means the
+    // token-table explode crept back in.
     val p75 = plan("q75_bm25")
-    assert(p75.contains("BroadcastHashJoin"), p75)
-    assert(!p75.contains("CartesianProduct"), p75)
+    assert(!p75.contains("Join"), p75)
+    assert(!p75.contains("Generate"), p75)
+    assert(p75.contains("TakeOrderedAndProject"), p75)
     val p76 = plan("q76_hybrid_rrf")
     assert(!p76.contains("CartesianProduct"), p76)
   }
