@@ -56,24 +56,26 @@ object Curation {
     * broadcasts the join automatically; a bloom-filter pre-pass is the
     * lossy variant when even the distinct eval set is huge.)
     */
+  // n-gram = join of n consecutive tokens. The token array is PROJECTED
+  // first so the transform lambda slices a materialized attribute —
+  // referencing split(text) inside the lambda would re-split the whole
+  // text once per position (CSE does not hoist out of higher-order
+  // lambdas; same trap Dedup.shingleHashes documents).
+  private def ngrams(df: DataFrame, textCol: String, n: Int,
+      cols: Seq[Column]): DataFrame = {
+    val toks = col("__toks")
+    df.select(cols :+ split(col(textCol), " ").as("__toks"): _*)
+      // sequence(1, m) DESCENDS for m < 1, so short docs need the guard.
+      .select(cols :+ explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("g"): _*)
+  }
+
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // n-gram = join of n consecutive tokens. The token array is PROJECTED
-    // first so the transform lambda slices a materialized attribute —
-    // referencing split(text) inside the lambda would re-split the whole
-    // text once per position (CSE does not hoist out of higher-order
-    // lambdas; same trap Dedup.shingleHashes documents).
-    def ngrams(df: DataFrame, cols: Seq[Column]): DataFrame = {
-      val toks = col("__toks")
-      df.select(cols :+ split(col(textCol), " ").as("__toks"): _*)
-        // sequence(1, m) DESCENDS for m < 1, so short docs need the guard.
-        .select(cols :+ explode(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-            concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("g"): _*)
-    }
-    val trainNg = ngrams(train, Seq(col(idCol)))
-    val evalNg = ngrams(eval, Seq.empty).distinct()
+    val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
+    val evalNg = ngrams(eval, textCol, n, Seq.empty).distinct()
     // One pass over the exploded train n-grams: the distinct'd eval set
     // joins 0-or-1 rows per n-gram, so count/sum in a single aggregate
     // gives totals and hits together (vs a semi join + second groupBy,
@@ -82,6 +84,57 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col(idCol), col("n_ngrams"), col("n_hits"),
+        round(col("n_hits") / col("n_ngrams"), 4).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= threshold)
+  }
+
+  /** Bloom-filter decontamination — the 100 TB tier of [[decontaminate]].
+    *
+    * The exact variant shuffles every train n-gram to join the eval set;
+    * at corpus scale that is a shuffle of the whole tokenized corpus. But
+    * an eval/benchmark suite is small and fixed, so instead: build ONE
+    * Bloom filter over the eval n-grams (Spark's native
+    * `BloomFilterAggregate` — mergeable sketch, map-side combined, no
+    * shuffle of eval beyond one sketch per partition), collect the few-MB
+    * filter to the driver, and hit-test train n-grams with the codegen'd
+    * `BloomFilterMightContain` against the filter as a literal — the
+    * whole train side becomes a SHUFFLE-FREE linear scan (one partial+
+    * final agg keyed on the doc id). One-sided error: `might_contain`
+    * has no false negatives, so no contaminated doc is ever missed;
+    * false positives inflate `n_hits` at the configured `fpp` rate
+    * (SketchesSpec pins both properties against the exact operator).
+    *
+    * Not DuckDB-replayable (the sketch layout is Spark's), so the driver
+    * gets a rows-only check; the semantics gate is the spec.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.3,
+      expectedEvalNgrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    // Optimal bit count for the target fpp; BloomFilterAggregate clamps
+    // to spark.sql.optimizer.runtime.bloomFilter.maxNumBits — raise that
+    // conf alongside expectedEvalNgrams for very large eval suites.
+    val numBits = math.ceil(
+      -expectedEvalNgrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    def xx(c: Column) = XxHash64(Seq(GraftBridge.expression(c)), 42L)
+    // No distinct on the eval side: inserting a duplicate n-gram into a
+    // Bloom filter is a no-op, so the build is explode → sketch, zero
+    // wide shuffles.
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(xx(col("g")),
+        Literal(expectedEvalNgrams), Literal(numBits)).toAggregateExpression())
+    val bloom = ngrams(eval, textCol, n, Seq.empty)
+      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val hit = GraftBridge.column(
+      BloomFilterMightContain(Literal(bloom, BinaryType), xx(col("g"))))
+    ngrams(train, textCol, n, Seq(col(idCol)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hits"))
       .select(col(idCol), col("n_ngrams"), col("n_hits"),
         round(col("n_hits") / col("n_ngrams"), 4).as("contam_frac"))
       .withColumn("contaminated", col("contam_frac") >= threshold)

@@ -117,7 +117,45 @@ object CurationQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy(col("column"))
 
+  // q78: bloom-filter decontamination — same train/eval split and
+  // output shape as q64, but hit-testing goes through the native
+  // BloomFilterAggregate/MightContain sketch instead of the eval-set
+  // join. Not SQL-replayable (rows-only at the driver); SketchesSpec
+  // certifies no-false-negatives + fpp envelope against q64's exact
+  // operator.
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.decontaminateBloom(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, threshold = 0.3,
+        expectedEvalNgrams = 1L << 20, fpp = 0.01)
+      .orderBy(col("doc_id"))
+  }
+
+  // q79: HLL++ approximate profiling — q74's documented 100 TB swap-in
+  // made executable. Rows-only (sketch estimates are Spark-internal);
+  // SketchesSpec pins the rsd envelope against the exact profile.
+  def q79(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.profileApprox(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        rsd = 0.02)
+      .orderBy(col("column"))
+
+  // q80: key-skew report over events.user_id — the diagnostic run before
+  // choosing a join/partitioning strategy; exact and oracle-replayed.
+  def q80(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.keySkew(
+        Tables.load(s, dir, "events"), "user_id", topK = 20)
+      .orderBy(col("cnt").desc, col("key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_decontam_bloom" -> (q78 _),
+    "q79_profile_approx" -> (q79 _),
+    "q80_skew_report" -> (q80 _),
     "q74_profile" -> (q74 _),
     "q70_sequence_pack" -> (q70 _),
     "q68_temperature_sample" -> (q68 _),
@@ -140,6 +178,19 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q80_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |             COUNT(*) AS cnt FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM events),
+        |r AS (SELECT key, cnt, ROW_NUMBER() OVER
+        |        (ORDER BY cnt DESC, key) AS rn FROM c)
+        |SELECT key, cnt,
+        |  ROUND(cnt * 1.0 / tot.n, 6) AS share,
+        |  ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1.0 / tot.n, 6)
+        |    AS cum_share
+        |FROM r CROSS JOIN tot WHERE rn <= 20
+        |ORDER BY cnt DESC, key""".stripMargin,
     "q74_profile" ->
       """WITH s AS (SELECT
         |  COUNT(*) AS total,

@@ -286,9 +286,17 @@ object TrainingText {
       .limit(10)
   }
 
+  // q77: inverted-index build — term → (df, capped ascending posting
+  // list) over the documents corpus; the materialized index behind q75.
+  def q77(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Indexing.postings(t(s, dir, "documents"),
+        "doc_id", "text", maxPostings = 5)
+      .orderBy(col("term"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_bm25" -> (q75 _),
     "q76_hybrid_rrf" -> (q76 _),
+    "q77_inverted_index" -> (q77 _),
     "q19_dedup_exact" -> (q19 _),
     "q20_term_freq" -> (q20 _),
     "q21_cosine_topk" -> (q21 _),
@@ -321,6 +329,19 @@ object TrainingText {
       |       GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q77_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM toks
+        |          WHERE LENGTH(term) > 0),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY term),
+        |ranked AS (SELECT term, doc_id, ROW_NUMBER() OVER
+        |    (PARTITION BY term ORDER BY doc_id) AS rn FROM pairs),
+        |top AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+        |          ORDER BY doc_id) AS postings
+        |        FROM ranked WHERE rn <= 5 GROUP BY term)
+        |SELECT term, df, postings FROM dfreq JOIN top USING (term)
+        |ORDER BY term""".stripMargin,
     "q75_bm25" ->
       s"""WITH $bm25Sql
          |SELECT doc_id, bm25 FROM bm

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Accuracy envelopes for the sketch-backed 100 TB tiers, pinned against
+  * their exact counterparts on real testdata — a sketch regression
+  * (wrong hash, wrong sizing, swapped build/probe side) fails here, not
+  * in production.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("decontaminateBloom: no false negatives vs exact, bounded fp inflation") {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Curation.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    val bloom = Curation.decontaminateBloom(train, eval, "doc_id", "text",
+        n = 3, expectedEvalNgrams = 1L << 16, fpp = 0.01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(exact.keySet == bloom.keySet)
+    // might_contain is one-sided: every exact hit must survive, and every
+    // exact-contaminated doc must stay flagged.
+    for ((id, (exHits, exFlag)) <- exact) {
+      assert(bloom(id)._2 >= exHits, s"doc $id lost hits: bloom=${bloom(id)._2} exact=$exHits")
+      if (exFlag) assert(bloom(id)._3, s"doc $id false negative")
+    }
+    // False-positive inflation across the corpus stays near the 1% fpp.
+    val totalNg = bloom.values.map(_._1).sum
+    val extraHits = exact.keys.map(id => bloom(id)._2 - exact(id)._1).sum
+    assert(extraHits.toDouble / totalNg < 0.03,
+      s"fp inflation ${extraHits.toDouble / totalNg} over $totalNg ngrams")
+  }
+
+  test("profileApprox: exact nulls/min/max, HLL distincts within envelope") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val exact = keyed(Stats.profile(orders, cols))
+    val approx = keyed(Stats.profileApprox(orders, cols, rsd = 0.02))
+    for (c <- cols) {
+      assert(approx(c)._1 == exact(c)._1, s"$c nulls")
+      assert(approx(c)._3 == exact(c)._3 && approx(c)._4 == exact(c)._4,
+        s"$c min/max must be exact")
+      val rel = math.abs(approx(c)._2 - exact(c)._2).toDouble /
+        math.max(exact(c)._2, 1L)
+      // rsd=0.02 is one sigma; 5x is a generous deterministic bound.
+      assert(rel <= 0.10, s"$c ndv off by $rel (approx=${approx(c)._2} exact=${exact(c)._2})")
+    }
+  }
+
+  test("keySkew: exact counts, shares and cumulative shares, stable ties") {
+    import spark.implicits._
+    val df = Seq.fill(6)("a").map(Tuple1(_)) ++
+      Seq.fill(3)("b").map(Tuple1(_)) ++
+      Seq.fill(3)("c").map(Tuple1(_)) ++ Seq(Tuple1("d"))
+    val out = Stats.keySkew(df.toDF("k"), "k", topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 13 rows total; tie between b and c broken by key.
+    assert(out.toSeq == Seq(
+      ("a", 6L, r6(6.0 / 13), r6(6.0 / 13)),
+      ("b", 3L, r6(3.0 / 13), r6(9.0 / 13)),
+      ("c", 3L, r6(3.0 / 13), r6(12.0 / 13))))
+  }
+}
