@@ -237,4 +237,44 @@ object Curation {
       .filter(col("rate") >= 1.0 ||
         substring(md5(col(keyCol).cast("string")), 1, 8) < thr)
   }
+
+  // ------------------------------------------------- training order
+
+  /** Deterministic corpus shuffle — the "randomize training order" step.
+    * Each row's position is `md5(seed || key)`: reproducible across
+    * re-runs, partition layouts and cluster sizes, incrementally stable
+    * (new rows interleave without moving old ones), and free of any
+    * driver-side RNG. At scale this is one range-partitioned sort on a
+    * 16-byte key; writing the result range-partitioned IS the shuffled
+    * shard layout.
+    */
+  def seededShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .orderBy(col("shuffle_key"))
+
+  /** Deterministic weighted upsampling WITH replacement — epoch mixing
+    * ("see wikipedia 3.3 times per epoch"). A row with weight `w` yields
+    * `floor(w)` copies plus one more iff its md5 fraction falls below
+    * `w - floor(w)` — expected copies = w, exact, reproducible, no RNG.
+    * Map-side explode only (`copy` index disambiguates downstream
+    * shuffles); no aggregation, no skew: a weight-10 stratum costs 10×
+    * its rows, spread evenly across partitions.
+    */
+  def upsample(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, x)) =>
+      when(col(strataCol) === s, lit(x)).otherwise(acc)
+    }
+    // frac(w) in hex-string space, same predicate family as the samplers.
+    val thr = lower(lpad(hex(floor((w - floor(w)) * lit(4294967296L))
+      .cast("bigint")), 8, "0"))
+    val copies = (floor(w) +
+      when(substring(md5(col(keyCol).cast("string")), 1, 8) < thr, 1)
+        .otherwise(0)).cast("int")
+    // sequence(1, 0) DESCENDS (same trap as ngrams): zero copies must be
+    // an empty array, not [1, 0].
+    df.withColumn("copy", explode(when(copies >= 1,
+      sequence(lit(1), copies)).otherwise(array().cast("array<int>"))))
+  }
 }

@@ -152,7 +152,25 @@ object CurationQueries {
         Tables.load(s, dir, "events"), "user_id", topK = 20)
       .orderBy(col("cnt").desc, col("key"))
 
+  // q81: deterministic seeded corpus shuffle (training order) — position
+  // is md5(seed || doc_id); first 100 rows of the shuffled order.
+  def q81(s: SparkSession, dir: String): DataFrame =
+    Curation.seededShuffle(docs(s, dir), "doc_id", "epoch7")
+      .select(col("doc_id"), col("lang"), col("shuffle_key"))
+      .limit(100)
+
+  // q82: deterministic weighted upsampling with replacement — epoch
+  // mixing at weights en×0.5, zh×2.5, de×1.0, es×3.0, fr×1.25.
+  def q82(s: SparkSession, dir: String): DataFrame =
+    Curation.upsample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 2.5, "de" -> 1.0, "es" -> 3.0,
+          "fr" -> 1.25))
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_seeded_shuffle" -> (q81 _),
+    "q82_upsample" -> (q82 _),
     "q78_decontam_bloom" -> (q78 _),
     "q79_profile_approx" -> (q79 _),
     "q80_skew_report" -> (q80 _),
@@ -178,6 +196,24 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q81_seeded_shuffle" ->
+      """SELECT doc_id, lang,
+        |  md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+    "q82_upsample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+        |      WHEN 'de' THEN 1.0 WHEN 'es' THEN 3.0 WHEN 'fr' THEN 1.25
+        |      ELSE 0.0 END AS DOUBLE) AS wt
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |    CAST(FLOOR(wt) + CASE WHEN
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |        lower(lpad(to_hex(CAST(FLOOR((wt - FLOOR(wt)) * 4294967296)
+        |          AS BIGINT)), 8, '0'))
+        |      THEN 1 ELSE 0 END AS INTEGER) AS n FROM w)
+        |SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
+        |FROM c WHERE n >= 1 ORDER BY doc_id, copy""".stripMargin,
     "q80_skew_report" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
         |             COUNT(*) AS cnt FROM events GROUP BY 1),

@@ -102,4 +102,35 @@ class CurationSpec extends SparkSpec {
       Map("en" -> "80")).collect().map(_.getLong(0)).toSet
     assert(again == rows.map(_._1).toSet)
   }
+
+  test("seededShuffle: total order, layout-invariant, seed-sensitive") {
+    val df = (0L until 500L).map(i => (i, s"t$i")).toDF("id", "text")
+    val a = Curation.seededShuffle(df, "id", "s1").collect().map(_.getLong(0))
+    assert(a.toSet == (0L until 500L).toSet)          // a permutation
+    assert(!a.sameElements(0L until 500L))            // actually shuffled
+    val b = Curation.seededShuffle(df.repartition(11), "id", "s1")
+      .collect().map(_.getLong(0))
+    assert(a.sameElements(b))                         // layout-invariant
+    val c = Curation.seededShuffle(df, "id", "s2").collect().map(_.getLong(0))
+    assert(!a.sameElements(c))                        // seed changes order
+  }
+
+  test("upsample: expected copy counts, zero-weight drop, no [1,0] trap") {
+    val df = ((0L until 2000L).map(i => (i, "a")) ++
+      (2000L until 2100L).map(i => (i, "b")) ++
+      (2100L until 2200L).map(i => (i, "zz"))).toDF("id", "stratum")
+    val out = Curation.upsample(df, "stratum", "id",
+      Map("a" -> 0.5, "b" -> 3.0))
+    val byS = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("b") == 300L)                          // integer weight exact
+    assert(byS("a") > 800L && byS("a") < 1200L)       // ~0.5 of 2000
+    assert(!byS.contains("zz"))                       // unlisted -> dropped
+    // copies are 1..n per kept row, deterministic under re-run
+    val copies = out.filter(col("stratum") === "b")
+      .groupBy("id").count().collect().map(_.getLong(1))
+    assert(copies.forall(_ == 3L))
+    assert(out.count() == Curation.upsample(df.repartition(13), "stratum",
+      "id", Map("a" -> 0.5, "b" -> 3.0)).count())
+  }
 }
