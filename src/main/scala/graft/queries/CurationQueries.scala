@@ -168,7 +168,33 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("copy"))
       .orderBy(col("doc_id"), col("copy"))
 
+  // q83: the composed curation pipeline — quality filter (q65's verdict)
+  // → exact text dedup (min doc_id wins) → stratified sample (q66's
+  // rule) → sequence packing (q70's distributed prefix sum) — certifying
+  // that the operators COMPOSE, end to end, against one replayed oracle.
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = Curation.repetitionStats(d, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val unique = d.join(kept, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+    val samp = Curation.stratifiedSample(unique, "lang", "doc_id",
+      Map("en" -> "80", "zh" -> "40", "de" -> "20", "es" -> "20",
+        "fr" -> "20"))
+    val withTokens = samp
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    graft.operators.Packing.packByStart(withTokens, "doc_id", "n_toks",
+        capacity = 512)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_curation_pipeline" -> (q83 _),
     "q81_seeded_shuffle" -> (q81 _),
     "q82_upsample" -> (q82 _),
     "q78_decontam_bloom" -> (q78 _),
@@ -195,7 +221,60 @@ object CurationQueries {
       .mkString(" + ")
   }
 
+  /** Gopher-repetition CTE block ending in `rep(doc_id, n_words,
+    * mean_word_len, top_word_frac, top_bigram_frac, keep)` — shared by
+    * q65 and the q83 pipeline so the two oracles cannot drift.
+    */
+  private val repetitionSql: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+      |              FROM documents),
+      |base AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words,
+      |  ROUND(CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+      |    AS DOUBLE) / len(t), 4) AS mean_word_len FROM toks),
+      |w AS (SELECT doc_id, unnest(t) AS term, len(t) AS tot FROM toks),
+      |wc AS (SELECT doc_id, term, tot, COUNT(*) c FROM w GROUP BY 1, 2, 3),
+      |tw AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(tot), 4)
+      |         AS top_word_frac FROM wc GROUP BY doc_id),
+      |bpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+      |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term, len(t) - 1 AS tot
+      |      FROM bpos),
+      |bc AS (SELECT doc_id, term, tot, COUNT(*) c FROM b GROUP BY 1, 2, 3),
+      |tb AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(tot), 4)
+      |         AS top_bigram_frac FROM bc GROUP BY doc_id),
+      |-- LEFT JOIN + COALESCE: a one-token doc has no bigrams; its
+      |-- verdict is a definite FALSE (matches the engine), not null.
+      |rep AS (SELECT base.doc_id, n_words, mean_word_len, top_word_frac,
+      |  top_bigram_frac,
+      |  (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 10.0
+      |   AND top_word_frac <= 0.2
+      |   AND COALESCE(top_bigram_frac <= 0.18, FALSE)) AS keep
+      |FROM base JOIN tw ON base.doc_id = tw.doc_id
+      |LEFT JOIN tb ON base.doc_id = tb.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q83_curation_pipeline" ->
+      s"""WITH $repetitionSql,
+         |keep AS (SELECT doc_id FROM rep WHERE keep),
+         |kd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |dd AS (SELECT kd.*, ROW_NUMBER() OVER
+         |         (PARTITION BY text ORDER BY doc_id) AS rn FROM kd),
+         |u AS (SELECT * FROM dd WHERE rn = 1),
+         |samp AS (SELECT * FROM u WHERE
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |    CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40'
+         |      WHEN 'de' THEN '20' WHEN 'es' THEN '20' WHEN 'fr' THEN '20'
+         |      ELSE '00' END),
+         |t2 AS (SELECT doc_id,
+         |    len(regexp_split_to_array(text, ' ')) AS n_toks FROM samp),
+         |c2 AS (SELECT doc_id, n_toks,
+         |    SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_toks AS cum_before FROM t2),
+         |b2 AS (SELECT doc_id, n_toks,
+         |    CAST(FLOOR(cum_before / 512) AS BIGINT) AS bin FROM c2)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM b2 GROUP BY bin ORDER BY bin""".stripMargin,
     "q81_seeded_shuffle" ->
       """SELECT doc_id, lang,
         |  md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -316,31 +395,10 @@ object CurationQueries {
         |  ROUND(n_hits * 1.0 / n_ngrams, 4) >= 0.3 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin,
     "q65_repetition" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
-        |              FROM documents),
-        |base AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words,
-        |  ROUND(CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
-        |    AS DOUBLE) / len(t), 4) AS mean_word_len FROM toks),
-        |w AS (SELECT doc_id, unnest(t) AS term, len(t) AS tot FROM toks),
-        |wc AS (SELECT doc_id, term, tot, COUNT(*) c FROM w GROUP BY 1, 2, 3),
-        |tw AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(tot), 4)
-        |         AS top_word_frac FROM wc GROUP BY doc_id),
-        |bpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
-        |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term, len(t) - 1 AS tot
-        |      FROM bpos),
-        |bc AS (SELECT doc_id, term, tot, COUNT(*) c FROM b GROUP BY 1, 2, 3),
-        |tb AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(tot), 4)
-        |         AS top_bigram_frac FROM bc GROUP BY doc_id)
-        |SELECT base.doc_id, n_words, mean_word_len, top_word_frac,
-        |  top_bigram_frac,
-        |  -- LEFT JOIN + COALESCE: a one-token doc has no bigrams; its
-        |  -- verdict is a definite FALSE (matches the engine), not null.
-        |  (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 10.0
-        |   AND top_word_frac <= 0.2
-        |   AND COALESCE(top_bigram_frac <= 0.18, FALSE)) AS keep
-        |FROM base JOIN tw ON base.doc_id = tw.doc_id
-        |LEFT JOIN tb ON base.doc_id = tb.doc_id
-        |ORDER BY base.doc_id""".stripMargin,
+      s"""WITH $repetitionSql
+         |SELECT doc_id, n_words, mean_word_len, top_word_frac,
+         |  top_bigram_frac, keep
+         |FROM rep ORDER BY doc_id""".stripMargin,
     "q66_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
