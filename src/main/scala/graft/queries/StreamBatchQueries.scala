@@ -135,7 +135,40 @@ object StreamBatchQueries {
       .orderBy(col("event_id"))
   }
 
+  // q84: the SAME windowed aggregate as q45 but executed as an ACTUAL
+  // Structured Streaming query — file-source stream over the events
+  // parquet, watermark, Trigger.AvailableNow, complete-mode memory sink —
+  // then the sink table is returned for the oracle compare. Certifies the
+  // unified-plan property end to end: the streaming runtime (source
+  // listing, microbatch planner, stateful agg, sink commit) produces
+  // bit-identical results to the batch plan under the batch oracle.
+  // (Complete mode: the watermark drives state mgmt but drops nothing,
+  // so multi-batch replays still equal the one-shot batch answer.)
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // The file stream source wants a directory basePath; the testdata
+    // table is a single FILE, so glob it — a glob in the path makes the
+    // source take the parent directory as base.
+    val stream0 = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/events.parque*")
+    val stream =
+      if (raw.schema.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val sink = "graft_q84_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val query = Streams.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sink).orderBy(col("window_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_stream_e2e" -> (q84 _),
     "q62_asof_join" -> (q62 _),
     "q45_stream_window" -> (q45 _),
     "q46_sessionize" -> (q46 _),
@@ -168,6 +201,10 @@ object StreamBatchQueries {
         |SELECT event_id, user_id, purchase_id, purchase_value
         |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q45_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q84_stream_e2e" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
