@@ -110,6 +110,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q77/q80/q83: new curation/retrieval plans stay cartesian-free") {
+    for (q <- Seq("q77_inverted_index", "q80_skew_report",
+        "q83_curation_pipeline")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q81: seeded shuffle's top-100 reduces via TakeOrderedAndProject") {
+    val p = plan("q81_seeded_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q82: upsampling is explode-only — no join, no aggregation") {
+    val p = plan("q82_upsample")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
