@@ -19,19 +19,31 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink (not .count) so the measured plan includes the final
-      // sort/project work the driver's correctness dump actually executes —
-      // count() would let Catalyst drop ordering entirely.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // Keep timing the rest, but a failed query must be VISIBLE in both
-        // channels — on stderr AND in the JSON — or its deceptively small
-        // timing would make the bench gate easier to pass while broken.
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      // Two reps, report the second: the DuckDB denominator
+      // (BASELINE_QUERIES.json) is a median of 3 warm reps, so the
+      // apples-to-apples Spark number is also a warm rep — rep 1 absorbs
+      // per-query codegen/JIT compilation that a long-lived deployment
+      // pays once, not per query.
+      var t = 0.0
+      var ok = true
+      for (rep <- 1 to 2 if ok) {
+        val t0 = System.nanoTime()
+        // noop sink (not .count) so the measured plan includes the final
+        // sort/project work the driver's correctness dump actually
+        // executes — count() would let Catalyst drop ordering entirely.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          // Keep timing the rest, but a failed query must be VISIBLE in
+          // both channels — on stderr AND in the JSON — or its deceptively
+          // small timing would make the bench gate easier to pass while
+          // broken.
+          ok = false
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        t = (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

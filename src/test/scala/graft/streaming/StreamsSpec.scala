@@ -322,4 +322,43 @@ class StreamsSpec extends SparkSpec {
         s"diff: stream-only=${stream -- batch}, batch-only=${batch -- stream}")
     } finally q.stop()
   }
+
+  test("file-source multi-microbatch replay equals the one-shot batch answer") {
+    // q84's claim, isolated: split input across TWO files, force one file
+    // per microbatch, run the windowed aggregate in complete mode — the
+    // final sink table must equal the batch plan over the union.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-files")
+    val part1 = (1 to 40).map(i =>
+      (i.toLong, i.toLong % 5, s"t${i % 3}", ts(i % 50), i * 0.5))
+    val part2 = (41 to 90).map(i =>
+      (i.toLong, i.toLong % 5, s"t${i % 3}", ts(i % 50), i * 0.5))
+    part1.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    part2.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*/part-*.parquet")
+    val q = Streams.windowedCounts(stream, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("mb_replay")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty microbatches")
+      val got = spark.table("mb_replay").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = Streams.windowedCounts(
+          (part1 ++ part2).toDF("event_id", "user_id", "event_type", "ts",
+            "value"), "10 minutes", "5 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == want, s"stream-only=${got -- want}, batch-only=${want -- got}")
+    } finally q.stop()
+  }
 }
