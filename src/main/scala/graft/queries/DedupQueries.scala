@@ -100,7 +100,27 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  // q85: the streaming incremental near-dup filter EXECUTED as a real
+  // Structured Streaming query (file-source stream over the documents
+  // parquet → foreachBatch MinHash/LSH filter against a fresh on-disk
+  // store → survivor parquet), then the survivors are oracle-replayed:
+  // DuckDB recomputes the same signatures/buckets/pair rule (q27's CTE
+  // chain + component-equality similarity) and derives the identical
+  // survivor set. Fresh temp store per call keeps bench reps identical.
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parque*")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
+    val q = graft.streaming.StreamNearDup.run(stream, "doc_id", "text",
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out").select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_stream_neardup" -> (q85 _),
     "q27_minhash_lsh" -> (q27 _),
     "q28_simhash" -> (q28 _),
     "q29_winnow_fp" -> (q29 _),
@@ -155,6 +175,19 @@ object DedupQueries {
     "q27_minhash_lsh" ->
       s"""WITH $candCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+    "q85_stream_neardup" -> {
+      val simSum = (0 until 16)
+        .map(j => s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $candCte,
+         |sims AS (SELECT c.a, c.b, ($simSum) / 16.0 AS sim
+         |  FROM cand c JOIN sig x ON x.doc_id = c.a
+         |  JOIN sig y ON y.doc_id = c.b),
+         |drops AS (SELECT DISTINCT b FROM sims WHERE sim >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT b FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q54_neardup_components" ->
       s"""WITH RECURSIVE $compCte
          |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
