@@ -73,6 +73,20 @@ object Main {
         }
       case "list" =>
         store.listCollections().foreach(println)
+      case "sql" =>
+        // Analytics REPL over the engine's full SQL surface: testdata
+        // tables (--data <sfDir>) and every store collection (as
+        // store_<name>) become temp views; blank line exits.
+        val data = opt(args, "data", "")
+        if (data.nonEmpty) Tables.registerAll(spark, data)
+        store.listCollections().foreach(c =>
+          store.read(c).createOrReplaceTempView(s"store_$c"))
+        var line = ""
+        while ({ print("sql> "); line = Option(StdIn.readLine()).getOrElse("")
+            line.trim.nonEmpty }) {
+          try spark.sql(line).show(50, truncate = false)
+          catch { case e: Exception => System.err.println(e.getMessage) }
+        }
       case other =>
         System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
     }
@@ -84,5 +98,6 @@ object Main {
       |  ingest --reader markdown|pdf|database --source <path>
       |         [--collection c] [--store dir]
       |  search [--collection c] [--store dir]
-      |  list   [--store dir]""".stripMargin)
+      |  list   [--store dir]
+      |  sql    [--data sfDir] [--store dir]""".stripMargin)
 }
