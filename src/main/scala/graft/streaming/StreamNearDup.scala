@@ -48,8 +48,13 @@ object StreamNearDup {
   def filterBatch(batch: DataFrame, idCol: String, textCol: String,
       store: Option[(DataFrame, DataFrame)], cfg: Cfg = Cfg())
       : (DataFrame, DataFrame, DataFrame) = {
+    // Eager checkpoint: the signature table is k longs per doc, and every
+    // downstream consumer (pair join, store probe, and the THREE output
+    // writes in run()) would otherwise re-run the whole shingle→minhash
+    // pipeline once per action.
     val sigs = Dedup.minhashSignatures(
       Dedup.shingles(batch, idCol, textCol, cfg.nShingle), cfg.k)
+      .localCheckpoint(true)
     val buckets = Dedup.lshBuckets(sigs, cfg.bands, cfg.rowsPerBand)
     val sigA = sigs.select(col("id").as("a"), col("sig").as("__siga"))
     val sigB = sigs.select(col("id").as("b"), col("sig").as("__sigb"))
@@ -69,8 +74,10 @@ object StreamNearDup {
           .select(col("b").as(idCol))
       case None => batch.select(col(idCol)).limit(0)
     }
-    val survivors = batch.join(
-      dropWithin.union(dropCross).distinct(), Seq(idCol), "left_anti")
+    // The drop set is tiny; checkpointing it stops the candidate joins
+    // from re-running under each of the three output writes.
+    val drops = dropWithin.union(dropCross).distinct().localCheckpoint(true)
+    val survivors = batch.join(drops, Seq(idCol), "left_anti")
     val sSigs = sigs.join(survivors.select(col(idCol).as("id")), Seq("id"),
       "left_semi")
     val sBuckets = buckets.join(survivors.select(col(idCol).as("id")),
