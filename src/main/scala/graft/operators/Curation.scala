@@ -30,7 +30,8 @@ object Curation {
     */
   def piiScrub(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+    graft.SparkUtil.ensureParallelism(df)
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)))
       .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)))
       .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
       .withColumn("redacted",
@@ -64,7 +65,8 @@ object Curation {
   private def ngrams(df: DataFrame, textCol: String, n: Int,
       cols: Seq[Column]): DataFrame = {
     val toks = col("__toks")
-    df.select(cols :+ split(col(textCol), " ").as("__toks"): _*)
+    graft.SparkUtil.ensureParallelism(df)
+      .select(cols :+ split(col(textCol), " ").as("__toks"): _*)
       // sequence(1, m) DESCENDS for m < 1, so short docs need the guard.
       .select(cols :+ explode(when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)), i =>
@@ -152,7 +154,8 @@ object Curation {
       maxTopWordFrac: Double = 0.2, maxTopBigramFrac: Double = 0.18)
       : DataFrame = {
     val toks = split(col(textCol), " ")
-    val base = df.select(col(idCol), toks.as("__t"),
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), toks.as("__t"),
       size(toks).as("n_words"),
       round(aggregate(transform(toks, w => length(w)), lit(0),
         (acc, x) => acc + x).cast("double") / size(toks), 4)

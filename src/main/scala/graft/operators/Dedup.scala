@@ -45,7 +45,8 @@ object Dedup {
     val toks = col("__toks")
     val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .select(col("id"),
         posexplode(transform(idxs,
           i => concat_ws(" ", (0 until n).map(j => toks(i + lit(j))): _*)))
@@ -169,7 +170,8 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame = {
     val tokHash = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val toks = df.select(col(idCol).as("id"),
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .select(col("id"), tokHash.as("h"))

@@ -64,7 +64,8 @@ object TextAnalysis {
       .map(l => struct(stopwordRatioOfTokens(col("__toks"), l).as("score"),
         lit(l).as("lang")))
     val best = array_max(array(latinScores: _*))
-    df.withColumn("__toks", split(lower(t), "\\s+"))
+    graft.SparkUtil.ensureParallelism(df)
+      .withColumn("__toks", split(lower(t), "\\s+"))
       .withColumn("lang_pred",
         when(zh > 0.25, lit("zh"))
           .when(ru > 0.25, lit("ru"))
@@ -87,7 +88,7 @@ object TextAnalysis {
     val noTags = regexp_replace(lowered, "<[^>]*>", " ")
     val digitsFolded = regexp_replace(noTags, "[0-9]+", "0")
     val squashed = regexp_replace(digitsFolded, "\\s+", " ")
-    df.withColumn(outCol, trim(squashed))
+    graft.SparkUtil.ensureParallelism(df).withColumn(outCol, trim(squashed))
   }
 
   /** Composite quality score in [0,1]: mean of
@@ -98,7 +99,8 @@ object TextAnalysis {
     * plus boolean flags for common filters. Mirrors the usual LLM-corpus
     * quality heuristics (length / punctuation / stopword mix).
     */
-  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+  def qualityScore(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.SparkUtil.ensureParallelism(df0)
     val toks = split(col(textCol), "\\s+")
     val nTok = size(toks)
     val longRatio = when(nTok > 0,
