@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Eagerly-materialized localCheckpoints (bm25 stats, LSH buckets,
+      // packing) are freed by the ContextCleaner only after a JVM GC;
+      // across 85 queries x 2 reps the orphaned blocks otherwise pile up
+      // in the block manager and late queries pay eviction churn.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-footer warmup so the first measured query does
