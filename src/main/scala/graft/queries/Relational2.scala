@@ -165,7 +165,22 @@ object Relational2 {
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  // q86: q38's 100 TB tier — approx_percentile (positional-error sketch,
+  // fixed-size mergeable buffer per group, map-side combined) instead of
+  // the per-group window sort. Rows-only at the driver (sketch internals
+  // are Spark's); SketchesSpec pins the rank-error envelope against the
+  // exact q38 values.
+  def q86(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+        round(avg(col("l_extendedprice")), 2).as("mean"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_approx_percentiles" -> (q86 _),
     "q71_salted_join" -> (q71 _),
     "q36_cube" -> (q36 _),
     "q37_pivot" -> (q37 _),

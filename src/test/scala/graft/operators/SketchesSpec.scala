@@ -57,6 +57,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tier: within rank-error envelope of exact q38") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = keyed(li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.9)").as("p90")))
+    val approx = keyed(li.groupBy(col("l_returnflag")).agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+      expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90")))
+    for ((flag, (p50, p90)) <- exact) {
+      // accuracy=10000 → rank error ~1e-4; values are well-spread prices,
+      // so a 2% relative band is a loose deterministic envelope.
+      assert(math.abs(approx(flag)._1 - p50) / p50 < 0.02, s"$flag p50")
+      assert(math.abs(approx(flag)._2 - p90) / p90 < 0.02, s"$flag p90")
+    }
+  }
+
   test("keySkew: exact counts, shares and cumulative shares, stable ties") {
     import spark.implicits._
     val df = Seq.fill(6)("a").map(Tuple1(_)) ++
