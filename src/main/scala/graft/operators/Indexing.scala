@@ -38,4 +38,37 @@ object Indexing {
         x => x.cast("string")), ",").as("postings"))
     dfreq.join(top, Seq("term"))
   }
+
+  /** Frequency-ranked vocabulary: id = dense rank by (count desc, term),
+    * zero-based. The ranking window runs over the DISTINCT TERM table —
+    * vocabulary-sized, not corpus-sized; for a truly huge vocab swap the
+    * window for zipWithIndex over a range-partitioned sort.
+    */
+  def vocab(df: DataFrame, textCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(df)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(
+        Window.orderBy(col("c").desc, col("term"))) - 1).cast("int"))
+      .select(col("term"), col("id"), col("c"))
+
+  /** Token-id encoding — the text → ids step before sequence packing.
+    * One explode, one (broadcastable) vocab join, one per-doc assembly;
+    * OOV tokens map to -1. Returns (idCol, ids ARRAY<INT>, toks
+    * ARRAY<STRING>) with both arrays in original token order, so
+    * `array_join(toks, " ")` is the exact decode.
+    */
+  def encode(df: DataFrame, vocabDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pairs = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    pairs.join(vocabDf.select(col("term"), col("id")), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("id"), lit(-1)).as("id"), col("term")))).as("__e"))
+      .select(col(idCol),
+        transform(col("__e"), x => x.getField("id")).as("ids"),
+        transform(col("__e"), x => x.getField("term")).as("toks"))
+  }
 }

@@ -293,7 +293,26 @@ object TrainingText {
         "doc_id", "text", maxPostings = 5)
       .orderBy(col("term"))
 
+  // q87: token-id encode/decode round trip — corpus-frequency vocab,
+  // every doc encoded to its id array and decoded back; the md5 pair
+  // certifies both directions byte-for-byte in both engines.
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val enc = graft.operators.Indexing.encode(
+      d, graft.operators.Indexing.vocab(d, "text"), "doc_id", "text")
+    enc.join(d.select(col("doc_id"), md5(col("text")).as("__tmd5")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_toks"),
+        md5(array_join(transform(col("ids"), x => x.cast("string")), ","))
+          .as("ids_md5"),
+        (md5(array_join(col("toks"), " ")) === col("__tmd5"))
+          .as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_tokenize_roundtrip" -> (q87 _),
     "q75_bm25" -> (q75 _),
     "q76_hybrid_rrf" -> (q76 _),
     "q77_inverted_index" -> (q77 _),
@@ -329,6 +348,25 @@ object TrainingText {
       |       GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q87_tokenize_roundtrip" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |              FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks),
+        |p AS (SELECT doc_id, i AS pos, t[i] AS term FROM idx),
+        |tf AS (SELECT term, COUNT(*) AS c FROM p GROUP BY term),
+        |v AS (SELECT term, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY c DESC, term) - 1 AS INTEGER) AS id FROM tf),
+        |e AS (SELECT p.doc_id, p.pos, COALESCE(v.id, -1) AS id, p.term
+        |      FROM p LEFT JOIN v USING (term)),
+        |g AS (SELECT doc_id, COUNT(*) AS n_toks,
+        |        md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
+        |          AS ids_md5,
+        |        md5(string_agg(term, ' ' ORDER BY pos)) AS dec_md5
+        |      FROM e GROUP BY doc_id)
+        |SELECT g.doc_id, n_toks, ids_md5,
+        |  (dec_md5 = md5(d.text)) AS roundtrip_ok
+        |FROM g JOIN documents d USING (doc_id) ORDER BY g.doc_id""".stripMargin,
     "q77_inverted_index" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
