@@ -224,15 +224,19 @@ object TrainingText {
         tfCols: _*)
       .localCheckpoint(true)
     val stats = per.agg(count(lit(1)).as("n"),
-      sum(col("dl")).as("sumdl") +: qTerms.indices.map(i =>
-        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+      sum(col("dl")).as("sumdl") +:
+        sum(when(col("dl") > 0, 1L).otherwise(0L)).as("n_dl") +:
+        qTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
       .head()
     val n = stats.getLong(0)
+    // avgdl averages docs WITH tokens (the oracle's lens CTE groups the
+    // exploded token table, so token-free docs have no row there).
     // Integer-valued partials: exact in double regardless of partition
-    // order, so sum/count here is bit-identical to avg() and DuckDB AVG.
-    val avgdl = stats.getLong(1).toDouble / n
+    // order, so sum/count here is bit-identical to AVG in both engines.
+    val avgdl = stats.getLong(1).toDouble / stats.getLong(2)
     val parts = qTerms.indices.map { i =>
-      val df = stats.getLong(2 + i)
+      val df = stats.getLong(3 + i)
       val idf = math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
       when(col(s"__tf$i") > 0,
         lit(idf) * col(s"__tf$i") * lit(k1 + 1) /
