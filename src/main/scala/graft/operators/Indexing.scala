@@ -63,10 +63,13 @@ object Indexing {
     val pairs = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-    pairs.join(vocabDf.select(col("term"), col("id")), Seq("term"), "left")
+    // The vocab's own `id` column is renamed before the join — a caller
+    // whose idCol is literally "id" would otherwise hit AMBIGUOUS_REFERENCE.
+    pairs.join(vocabDf.select(col("term"), col("id").as("__tid")),
+        Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("pos"),
-        coalesce(col("id"), lit(-1)).as("id"), col("term")))).as("__e"))
+        coalesce(col("__tid"), lit(-1)).as("id"), col("term")))).as("__e"))
       .select(col(idCol),
         transform(col("__e"), x => x.getField("id")).as("ids"),
         transform(col("__e"), x => x.getField("term")).as("toks"))
