@@ -37,5 +37,6 @@ object SparkEntry {
       graft.queries.Relational2.oracle ++
       graft.queries.StreamBatchQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
+      graft.queries.MultimodalQueries.oracle ++
       graft.queries.IngestQueries.oracle
 }

@@ -88,7 +88,40 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  // q88: the multimodal BINARY layer under the oracle — the media table's
+  // payload bytes and typed metadata are reconstructed by DuckDB from the
+  // same md5-chain/arithmetic recipe, so the hash-match certifies Spark's
+  // binary round trip (expression → unhex → parquet BINARY → hex) and the
+  // metadata struct byte-for-byte. (The codec operators stay rows-only in
+  // q48 — their internals are Scala, not SQL.)
+  def q88(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, 60).select(col("media_id"), col("kind"),
+        length(col("bytes")).as("n_bytes"),
+        lower(hex(col("bytes"))).as("bytes_hex"),
+        col("meta.width").as("width"),
+        col("meta.duration_ms").as("duration_ms"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q48_multimodal" -> (q48 _)
+    "q48_multimodal" -> (q48 _),
+    "q88_media_roundtrip" -> (q88 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q88_media_roundtrip" -> {
+      val chain = (0 until 8)
+        .map(k => s"md5(id || '_$k')").mkString(" || ")
+      s"""WITH m AS (SELECT unnest(range(60)) AS id),
+         |c AS (SELECT id, $chain AS chain,
+         |        (1 + id % 8) * 32 AS hexlen FROM m)
+         |SELECT id AS media_id,
+         |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS kind,
+         |  CAST((1 + id % 8) * 16 AS INTEGER) AS n_bytes,
+         |  substr(chain, 1, CAST(hexlen AS INTEGER)) AS bytes_hex,
+         |  CAST((id % 16 + 1) * 64 AS INTEGER) AS width,
+         |  CAST((id % 10 + 1) * 3000 AS BIGINT) AS duration_ms
+         |FROM c ORDER BY media_id""".stripMargin
+    }
   )
 }
