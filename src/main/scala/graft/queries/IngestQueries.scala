@@ -120,7 +120,28 @@ object IngestQueries {
   private lazy val q73Dir: String =
     Files.createTempDirectory("graft-q73-jsonl").toString
 
+  // q89: STREAMING ingest — the reference's embed→store loop as a real
+  // Structured Streaming run over the documents stream into a fresh
+  // temp store, then the store is read back. Content integrity (ids,
+  // text md5, embedding dim) is oracle-replayed; embedding VALUES are
+  // golden-spec'd (not SQL-expressible).
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parque*")
+    val tmp = Files.createTempDirectory("graft-q89").toString
+    val store = new VectorStore(s, s"$tmp/store")
+    val q = graft.streaming.StreamIngest.run(stream, store, "docs",
+      "doc_id", "text", "lang", s"$tmp/ckpt")
+    q.awaitTermination()
+    store.read("docs")
+      .select(col("documentid"), size(col("embedding")).as("dim"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("documentid").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_stream_ingest" -> (q89 _),
     "q44_ingest_pipeline" -> (q44 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _)
@@ -129,6 +150,10 @@ object IngestQueries {
   val oracle: Map[String, String] = Map(
     "q73_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q89_stream_ingest" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS documentid,
+        |  CAST(384 AS INTEGER) AS dim, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q69_bucketed_merge" ->
       """WITH base AS (SELECT doc_id AS id, 0 AS version, n_chars AS v,
