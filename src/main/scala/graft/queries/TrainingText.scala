@@ -65,6 +65,26 @@ object TrainingText {
       .limit(5)
   }
 
+  // q90: metadata-filtered KNN — q21's exact cosine top-k restricted to
+  // documents with lang = 'en' (the filtered-vector-search pattern:
+  // predicate prunes BEFORE scoring, so the scan and the score loop only
+  // touch qualifying vectors; same plan the store's searchFiltered uses).
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val enIds = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.join(enIds, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (l2norm(col("v")) * l2norm(col("qv"))), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   // q22: fixed-size token chunking (16 tokens) — the SQL-expressible core of
   // the chunker C1; reassembly order pinned via sort_array over (pos, tok).
   def q22(s: SparkSession, dir: String): DataFrame =
@@ -323,6 +343,7 @@ object TrainingText {
     "q19_dedup_exact" -> (q19 _),
     "q20_term_freq" -> (q20 _),
     "q21_cosine_topk" -> (q21 _),
+    "q90_filtered_knn" -> (q90 _),
     "q22_chunk_tokens" -> (q22 _),
     "q23_token_stats" -> (q23 _),
     "q24_quality_score" -> (q24 _),
@@ -443,6 +464,21 @@ object TrainingText {
       """SELECT term, COUNT(*) AS c FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY c DESC, term LIMIT 20""".stripMargin,
+    "q90_filtered_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+        |n AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM e GROUP BY vec_id),
+        |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
+        |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |d AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
+        |      FROM e JOIN q ON e.pos = q.pos
+        |      JOIN en ON en.doc_id = e.vec_id
+        |      WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT d.vec_id,
+        |  ROUND(d.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 4) AS sim
+        |FROM d JOIN n ON d.vec_id = n.vec_id
+        |ORDER BY sim DESC, d.vec_id LIMIT 5""".stripMargin,
     "q21_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
