@@ -129,6 +129,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("q87/q90: codec and filtered-KNN plans stay cartesian-free") {
+    val p87 = plan("q87_tokenize_roundtrip")
+    assert(!p87.contains("CartesianProduct"), p87)
+    val p90 = plan("q90_filtered_knn")
+    assert(!p90.contains("CartesianProduct"), p90)
+    // the single query vector rides a broadcast, never a shuffle
+    assert(p90.contains("BroadcastNestedLoopJoin") ||
+      p90.contains("BroadcastHashJoin"), p90)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
