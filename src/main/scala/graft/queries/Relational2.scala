@@ -45,8 +45,8 @@ object Relational2 {
   // third of lineitem, an executor OOM at scale). This window formulation
   // sorts within the group shuffle partition (spillable) and reduces each
   // row to at most two interpolation contributions: pos = p·(n−1)
-  // zero-based, result = v_floor·(1−frac) + v_ceil·frac — the identical
-  // double arithmetic both engines' exact quantiles use.
+  // zero-based, result = v_floor·(1−frac) + v_ceil·frac — DuckDB
+  // quantile_cont's interpolation verbatim (bitwise-checked).
   def q38(s: SparkSession, dir: String): DataFrame = {
     val byFlag = Window.partitionBy(col("l_returnflag"))
     val ranked = t(s, dir, "lineitem")
@@ -54,6 +54,8 @@ object Relational2 {
       .withColumn("rn",
         row_number().over(byFlag.orderBy(col("v"))))
       .withColumn("cnt", count(lit(1)).over(byFlag))
+    // v_floor·(1−frac) + v_ceil·frac — empirically DuckDB quantile_cont's
+    // exact double arithmetic (checked bitwise at frac 0.5 and 0.1).
     def quantileCont(p: Double): Column = {
       val pos = (col("cnt") - 1).cast("double") * p
       val frac = pos - floor(pos)
@@ -63,10 +65,17 @@ object Relational2 {
           when(col("rn") - 1 === floor(pos) + 1, col("v") * frac)
             .otherwise(lit(0.0)))
     }
+    // The quantiles ship UNROUNDED: the interpolation above is bit-equal
+    // to DuckDB's quantile_cont, while ROUND-of-double is NOT portable
+    // (DuckDB rounds v·100 with its binary error; Spark rounds the exact
+    // value — a median on a .005 boundary flips the cent, sf0.001's R
+    // group being the caught case). The mean keeps its round: avg's
+    // partial-sum order differs per engine, so there full precision
+    // would be the non-portable choice.
     ranked.groupBy(col("l_returnflag"))
       .agg(
-        round(quantileCont(0.5), 2).as("p50"),
-        round(quantileCont(0.9), 2).as("p90"),
+        quantileCont(0.5).as("p50"),
+        quantileCont(0.9).as("p90"),
         round(avg(col("v")), 2).as("mean"))
       .orderBy(col("l_returnflag"))
   }
@@ -217,8 +226,8 @@ object Relational2 {
         |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
     "q38_percentiles" ->
       """SELECT l_returnflag,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  ROUND(AVG(l_extendedprice), 2) AS mean
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_corr_subquery" ->
