@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.IngestQueries.queries ++
       graft.queries.StreamBatchQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.StreamBatchQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
-      graft.queries.IngestQueries.oracle
+      graft.queries.IngestQueries.oracle ++
+      graft.queries.ModelQueries.oracle
 }

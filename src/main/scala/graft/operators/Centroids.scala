@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Nearest-class-centroid operators over embedding columns — the Rocchio
+  * classifier / SemDeDup building block: average each labeled group into
+  * a centroid, then assign every vector to its closest centroid. The same
+  * primitive drives semantic-cluster dedup (assign, then dedup within a
+  * cluster) and embedding-space eval (label ↔ cluster confusion).
+  *
+  * Scale shape (100 TB of vectors): the centroid fit is one map-side-
+  * combinable aggregation over (label, dim) — k·d cells regardless of row
+  * count; assignment broadcasts the k centroids (k·d doubles — kilobytes)
+  * and scores each row in a codegen'd fold, shuffle-free. Nothing here is
+  * quadratic and nothing shuffles the vectors themselves.
+  *
+  * Determinism: float summation order across partitions is not portable,
+  * so the fit sums FIXED-POINT components — floor(x·1e6) as a long — and
+  * divides back after the aggregate (SURVEY §5.4: integer partials are
+  * exact in any order). Distances are per-row fixed-order folds, rounded
+  * to 4 dp before the argmin, ties broken by label.
+  */
+object Centroids {
+
+  /** Per-label fixed-point mean vectors. Output: labelCol,
+    * `centroid` array<double> (component = Σ floor(x·1e6) / n / 1e6).
+    */
+  def fit(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val comps = df
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__j", "__x")))
+      .groupBy(col(labelCol), col("__j"))
+      .agg(sum(floor(col("__x").cast("double") * 1e6).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col(labelCol), col("__j"),
+        (col("__s").cast("double") / col("__n") / 1e6).as("__c"))
+    comps.groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("__j"), col("__c")))),
+        s => s.getField("__c")).as("centroid"))
+  }
+
+  /** Assign each row of `df` to the nearest centroid (squared L2, 4 dp,
+    * label tiebreak). `centroids` is `fit`'s output — k driver-sized
+    * rows, folded into the plan as literals so assignment is a single
+    * codegen'd argmin expression per row: no join, no shuffle, the only
+    * data movement is the scan itself. The argmin is `array_min` over
+    * (dist2, label) structs — struct ordering compares dist2 first, then
+    * label, which IS the documented tiebreak. Output: df columns +
+    * `assigned` + `dist2`.
+    */
+  def assign(df: DataFrame, vecCol: String, centroids: DataFrame,
+      labelCol: String): DataFrame = {
+    val cents = centroids
+      .select(col(labelCol), col("centroid")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1.toString)
+    require(cents.nonEmpty, "assign: empty centroid set")
+    val scored = cents.map { case (lbl, cv) =>
+      struct(
+        round(aggregate(
+          zip_with(col(vecCol), lit(cv), (x, c) =>
+            (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, x) => acc + x), 4).as("dist2"),
+        lit(lbl).as("assigned"))
+    }
+    val best = array_min(array(scored.toIndexedSeq: _*))
+    df.withColumn("dist2", best.getField("dist2"))
+      .withColumn("assigned", best.getField("assigned"))
+  }
+}

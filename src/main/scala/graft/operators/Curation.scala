@@ -280,4 +280,45 @@ object Curation {
     df.withColumn("copy", explode(when(copies >= 1,
       sequence(lit(1), copies)).otherwise(array().cast("array<int>"))))
   }
+
+  /** Domain mixture reweighting — the static DoReMi/Pile-style mixing
+    * step: given per-domain token mass and a target share per domain,
+    * emit the sampling weight (target share ÷ actual share) each domain
+    * needs to hit the target mixture, capped at `maxWeight` so rare
+    * domains aren't repeated into memorization.
+    *
+    * One map-side-combinable aggregation keyed by domain (the domain
+    * count is tiny — tens, not millions) and a broadcast of the 1-row
+    * corpus total; everything after the agg is constant-size. Exact
+    * integer token counts; the weight is one fixed-shape double division
+    * per domain, so the oracle replays it bit-for-bit.
+    *
+    * `targetShare(domain)` defaults to uniform when the map has no entry.
+    * Output: domain, n_docs, n_tokens, share (6 dp), weight (4 dp),
+    * capped.
+    */
+  def mixtureWeights(df: DataFrame, domainCol: String, textCol: String,
+      targetShares: Map[String, Double] = Map.empty,
+      maxWeight: Double = 4.0): DataFrame = {
+    val nToks = size(filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)).cast("long")
+    val per = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(nToks).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"),
+      count(lit(1)).as("__nd"))
+    val target = targetShares.foldLeft(lit(1.0) / col("__nd")) {
+      case (acc, (d, s)) =>
+        when(col(domainCol) === d, lit(s)).otherwise(acc)
+    }
+    // weight = target / (n_tokens / tot), written as the single division
+    // target * tot / n_tokens so both engines evaluate one IEEE tree.
+    val rawW = target * col("__tot").cast("double") /
+      col("n_tokens").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(least(rawW, lit(maxWeight)), 4).as("weight"),
+        (rawW > lit(maxWeight)).as("capped"))
+  }
 }

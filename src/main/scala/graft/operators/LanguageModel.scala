@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level n-gram language-model scoring — the CCNet/KenLM-style
+  * quality signal: documents whose token transitions are improbable under
+  * a model trained on the corpus itself score high (junk), fluent text
+  * scores low. Here the model is an add-one-smoothed bigram LM estimated
+  * from the full corpus in one aggregation pass, and scoring is a join of
+  * each document's bigrams against the count tables — no model asset, no
+  * UDF, everything stays in Tungsten aggregates and shuffle joins.
+  *
+  * Scale shape (100 TB): tokenization + bigram assembly are map-side;
+  * the two count tables are map-side-combinable aggregations keyed by
+  * term/bigram (the classic word-count shuffle); scoring is two shuffle
+  * joins on those keys, skew-tolerant because the key space is the
+  * vocabulary (heavy keys are frequent words — AQE splits them). The
+  * per-document reduction is an integer sum, so partial aggregation is
+  * exact and order-independent.
+  *
+  * Determinism: the per-bigram negative log-likelihood is fixed to 1e-4
+  * nats (`round(-ln(p) * 10000)` as a long) BEFORE summation, so the
+  * cross-engine aggregate is an integer sum — immune to float summation
+  * order (SURVEY §5.4). The oracle replays the same counts, the same
+  * smoothing and the same fixed-point rule.
+  */
+object LanguageModel {
+
+  /** Per-document average bigram negative log-likelihood (nats, 4 dp)
+    * under an add-one-smoothed bigram LM estimated on `df` itself:
+    *
+    *   P(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V)
+    *
+    * with V = |vocabulary|. Documents with fewer than 2 tokens carry no
+    * bigram evidence and are dropped (they need a length-based filter,
+    * not an LM score). Output: idCol, n_bigrams, avg_nll.
+    */
+  def bigramNll(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toksExpr = filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)
+    // Tokenize ONCE: unigram counts, vocab size and bigram rows all read
+    // this projection (without it each consumer re-splits the corpus).
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), toksExpr.as("__t"))
+      .localCheckpoint(true)
+
+    val uni = toks.select(explode(col("__t")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w", "w1")
+    // V is a scalar: one number to the driver, folded into the score
+    // expression as a literal (a broadcast-join of a 1-row frame would
+    // work too but blocks constant folding).
+    val vocab = uni.select(countDistinct(col("w"))).head().getLong(0)
+
+    // Adjacent pairs via two shifted slices zipped in place — array
+    // algebra, no positional self-join.
+    val bigrams = toks
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+
+    val scored = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col(idCol),
+        round(-log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble)))
+          * 10000, 0).cast("long").as("nll_e4"))
+
+    // avg ships at FULL precision: the quotient of exact integers is the
+    // same IEEE double in every engine, while ROUND(x, 4) of a value that
+    // sits on a decimal boundary is not (SURVEY §5.4 — q38's lesson;
+    // 2/500 sf0.01 rows flipped the 4th decimal under a rounded avg).
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll_e4")) / 10000.0 / count(lit(1))).as("avg_nll"))
+  }
+}

@@ -117,4 +117,53 @@ object TextAnalysis {
       .withColumn("too_short", nTok < 10)
       .withColumn("low_diversity", uniqRatio < 0.3)
   }
+
+  /** Pretrained-linear-classifier inference — the fastText/logistic-head
+    * quality-filter shape: a fixed weight vector over engineered text
+    * features, evaluated as pure expression algebra so "model inference"
+    * is a codegen'd projection over the scan (the way a 100 TB quality
+    * pass actually ships: weights frozen offline, scoring embarrassingly
+    * parallel, no shuffle at all).
+    *
+    * Features: English stopword fraction, lexical diversity
+    * (distinct/total), mean token length, and a capped length feature
+    * min(n_tokens, 1000)/1000. `keep` = score >= threshold.
+    *
+    * Arithmetic is FIXED-POINT end to end (SURVEY §5.4): each feature is
+    * quantized to 1e-4 as a long (`round(raw·1e4, 0)` — scale-0 rounding
+    * of the same IEEE double is portable; `round(x, 4)` is not), weights
+    * are 2-dp (integer coefficients after ×100), so the score is an
+    * EXACT integer in 1e-6 space and a dot product of 4-dp features with
+    * 2-dp weights — which lands on .00005 decimal boundaries by
+    * construction — never meets a float round. Shipped values are exact
+    * integer quotients (bit-identical in every engine).
+    */
+  def linearQuality(df: DataFrame, textCol: String,
+      weights: Seq[Double] = Seq(-0.6, 1.8, 0.9, 0.08, 0.35),
+      threshold: Double = 0.5): DataFrame = {
+    val wE2 = weights.map(w => math.round(w * 100))
+    require(wE2.zip(weights).forall { case (i, w) => i / 100.0 == w },
+      s"linearQuality weights must be 2-dp decimals, got $weights")
+    val thrE6 = math.round(threshold * 1e6)
+    val toks = filter(split(lower(col(textCol)), " "), t => length(t) > 0)
+    val n = size(toks)
+    def e4(raw: Column): Column = round(raw * 10000, 0).cast("long")
+    val kStop = e4(when(n > 0,
+      size(filter(toks, t => array_contains(lit(stopwords("en").toArray), t)))
+        .cast("double") / n).otherwise(0.0))
+    val kUniq = e4(when(n > 0,
+      size(array_distinct(toks)).cast("double") / n).otherwise(0.0))
+    val kMeanWl = e4(when(n > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+      .otherwise(0.0))
+    val kLen = e4(least(n, lit(1000)).cast("double") / 1000.0)
+    val scoreE6 = lit(wE2.head * 10000L) + lit(wE2(1)) * kStop +
+      lit(wE2(2)) * kUniq + lit(wE2(3)) * kMeanWl + lit(wE2(4)) * kLen
+    graft.SparkUtil.ensureParallelism(df)
+      .withColumn("stop_frac", kStop / 10000.0)
+      .withColumn("uniq_frac", kUniq / 10000.0)
+      .withColumn("mean_wl", kMeanWl / 10000.0)
+      .withColumn("clf_score", scoreE6.cast("double") / 1000000.0)
+      .withColumn("keep", scoreE6 >= thrE6)
+  }
 }

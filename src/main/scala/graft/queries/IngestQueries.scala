@@ -120,6 +120,28 @@ object IngestQueries {
   private lazy val q73Dir: String =
     Files.createTempDirectory("graft-q73-jsonl").toString
 
+  // q95: CSV round-trip — the other interchange format a corpus pipeline
+  // must pass through losslessly (quoted fields, header, explicit
+  // schema on read: CSV has no types of its own). Same certification
+  // shape as q73: the oracle reads the ORIGINAL table, so the hash-match
+  // over every column (text via md5) proves encode/decode is lossless.
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+    val out = q95Dir
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+    s.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q95Dir: String =
+    Files.createTempDirectory("graft-q95-csv").toString
+
   // q89: STREAMING ingest — the reference's embed→store loop as a real
   // Structured Streaming run over the documents stream into a fresh
   // temp store, then the store is read back. Content integrity (ids,
@@ -150,11 +172,15 @@ object IngestQueries {
     "q89_stream_ingest" -> (q89 _),
     "q44_ingest_pipeline" -> (q44 _),
     "q69_bucketed_merge" -> (q69 _),
-    "q73_jsonl_roundtrip" -> (q73 _)
+    "q73_jsonl_roundtrip" -> (q73 _),
+    "q95_csv_roundtrip" -> (q95 _)
   )
 
   val oracle: Map[String, String] = Map(
     "q73_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q95_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q89_stream_ingest" ->

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Centroids, Curation, LanguageModel, Projection,
+  TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q91–q96: model-shaped curation operators — corpus LM scoring, frozen
+  * linear-classifier inference, random-projection dimensionality
+  * reduction, domain mixture reweighting, and nearest-centroid
+  * assignment. Every query is DuckDB-oracle-checked: the LM replays the
+  * count tables, the projection replays the seeded ±1 matrix (q33's
+  * generated-literals technique), the centroid fit is fixed-point so its
+  * aggregation is order-exact (SURVEY §5.4).
+  */
+object ModelQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Projection width (k) for q93. */
+  private val ProjDims = 16
+
+  // q91: add-one-smoothed bigram LM negative log-likelihood per document
+  // — the CCNet-style "perplexity filter" signal, model estimated on the
+  // corpus itself in one pass. Low = fluent under corpus statistics.
+  def q91(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramNll(s, docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q92: frozen linear quality classifier (fastText-head shape) — model
+  // inference as a codegen'd projection, zero shuffles.
+  def q92(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearQuality(docs(s, dir), "text")
+      .select(col("doc_id"), col("stop_frac"), col("uniq_frac"),
+        col("mean_wl"), col("clf_score"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  // q93: JL random projection 64→16 dims, then top-10 nearest to the
+  // vec_id=0 query in PROJECTED space — the cheap pre-filter tier under
+  // exact KNN (q21) and alongside the sign-only LSH tier (q33). The
+  // query's own projection is collected from the same Spark fold that
+  // projects the corpus, so both sides of the distance share one code
+  // path.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val proj = Projection.reduce(emb, "embedding", ProjDims,
+      OperatorQueries.EmbeddingDim)
+    val qp = proj.filter(col("vec_id") === 0)
+      .select("proj").head().getSeq[Double](0).toArray
+    proj.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(Projection.sqDist(col("proj"), lit(qp)), 4).as("pdist"))
+      .orderBy(col("pdist"), col("vec_id"))
+      .limit(10)
+  }
+
+  // q94: domain mixture reweighting over `source` — target shares 10%
+  // for src0, 8% for src1, uniform for the rest; weights capped at 4×.
+  def q94(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureWeights(docs(s, dir), "source", "text",
+        targetShares = Map("src0" -> 0.10, "src1" -> 0.08),
+        maxWeight = 4.0)
+      .orderBy(col("source"))
+
+  // q96: nearest-class-centroid assignment over the labeled embeddings —
+  // fit 10 fixed-point centroids, assign every vector shuffle-free, emit
+  // the label × assigned confusion counts.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Centroids.fit(emb, "label", "embedding")
+    Centroids.assign(emb, "embedding", cents, "label")
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_lm_score" -> (q91 _),
+    "q92_quality_classifier" -> (q92 _),
+    "q93_random_projection" -> (q93 _),
+    "q94_mixture_weights" -> (q94 _),
+    "q96_centroid_assign" -> (q96 _)
+  )
+
+  /** English stopword list as a DuckDB list literal (same vocabulary as
+    * the engine side — [[TextAnalysis.stopwords]]).
+    */
+  private val enStops: String =
+    TextAnalysis.stopwords("en")
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+
+  /** The q93 projection directions as DuckDB VALUES rows — generated from
+    * [[Projection.planes]] (seed 7) so the oracle replays the projection
+    * with the exact ±1 matrix the engine folded into codegen.
+    */
+  private val q93PlaneRows: String =
+    Projection.planes(ProjDims, OperatorQueries.EmbeddingDim)
+      .zipWithIndex.map { case (p, b) =>
+        val lst = p.map(x => if (x > 0) "1" else "-1").mkString(",")
+        s"($b, CAST([$lst] AS DOUBLE[]))"
+      }.mkString(",\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q91_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), ' '),
+        |                x -> LENGTH(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+        |bpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |         FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bpos),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |sc AS (SELECT bi.doc_id,
+        |    CAST(ROUND(-ln((c2.c2 + 1.0) / (c1.c1 + CAST(v.v AS DOUBLE)))
+        |      * 10000, 0) AS BIGINT) AS nll
+        |  FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+        |  JOIN c1 ON bi.w1 = c1.w CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(nll) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), ' '),
+         |                x -> LENGTH(x) > 0) AS t
+         |  FROM documents),
+         |-- Features quantized to e4 LONGS (scale-0 ROUND of the same
+         |-- IEEE double is portable; ROUND(x, 4) is not — SURVEY §5.4);
+         |-- the score is then EXACT integer arithmetic in 1e-6 space.
+         |f AS (SELECT doc_id,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_filter(t, x -> list_contains($enStops, x)))
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS k_stop,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS k_uniq,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS k_mw,
+         |  CAST(ROUND((CAST(LEAST(len(t), 1000) AS DOUBLE) / 1000.0)
+         |    * 10000, 0) AS BIGINT) AS k_len
+         |  FROM t),
+         |sc AS (SELECT doc_id, k_stop, k_uniq, k_mw,
+         |  -600000 + 180 * k_stop + 90 * k_uniq + 8 * k_mw + 35 * k_len
+         |    AS score_e6
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(k_stop AS DOUBLE) / 10000.0 AS stop_frac,
+         |  CAST(k_uniq AS DOUBLE) / 10000.0 AS uniq_frac,
+         |  CAST(k_mw AS DOUBLE) / 10000.0 AS mean_wl,
+         |  CAST(score_e6 AS DOUBLE) / 1000000.0 AS clf_score,
+         |  (score_e6 >= 500000) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q93_random_projection" ->
+      s"""WITH planes(b, p) AS (VALUES
+         |  $q93PlaneRows),
+         |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+         |       FROM planes),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |proj AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS pr
+         |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+         |qp AS (SELECT b, pr AS qpr FROM proj WHERE vec_id = 0),
+         |d AS (SELECT proj.vec_id,
+         |        ROUND(SUM((proj.pr - qp.qpr) * (proj.pr - qp.qpr)), 4)
+         |          AS pdist
+         |      FROM proj JOIN qp ON proj.b = qp.b
+         |      WHERE proj.vec_id <> 0 GROUP BY 1)
+         |SELECT vec_id, pdist FROM d
+         |ORDER BY pdist, vec_id LIMIT 10""".stripMargin,
+    "q94_mixture_weights" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), ' '),
+        |      x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+        |               COUNT(*) AS nd FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  -- ELSE arm is CAST AS DOUBLE: bare 1.0/nd is DECIMAL division
+        |  -- in DuckDB (truncating scale), not Spark's IEEE quotient.
+        |  ROUND(LEAST(
+        |    (CASE WHEN source = 'src0' THEN 0.10
+        |          WHEN source = 'src1' THEN 0.08
+        |          ELSE CAST(1.0 AS DOUBLE) / nd END)
+        |      * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+        |    4.0), 4) AS weight,
+        |  ((CASE WHEN source = 'src0' THEN 0.10
+        |         WHEN source = 'src1' THEN 0.08
+        |         ELSE CAST(1.0 AS DOUBLE) / nd END)
+        |     * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 4.0)
+        |    AS capped
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q96_centroid_assign" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |c AS (SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |cx AS (SELECT clabel, pos,
+        |         CAST(s AS DOUBLE) / n / 1000000.0 AS cx FROM c),
+        |d AS (SELECT e.vec_id, e.label, cx.clabel,
+        |        ROUND(SUM((e.x - cx.cx) * (e.x - cx.cx)), 4) AS d2
+        |      FROM e JOIN cx ON e.pos = cx.pos GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER
+        |        (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)
+        |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
