@@ -209,7 +209,16 @@ object Dedup {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("component"))
+    // Iterate ONLY over edge-touched vertices: isolated vertices (the
+    // overwhelming majority of a corpus — most documents have no
+    // near-dup candidate at all) can never change label under
+    // min-propagation, so keeping them in the loop would shuffle the
+    // whole corpus once per round for nothing. They rejoin as
+    // component = id at the end, lazily. Per-round cost is now
+    // O(dup-subgraph), not O(corpus).
+    val touched = und.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var labels = touched.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     // Convergence witness: labels only ever DECREASE under min-propagation
     // and the vertex set is fixed, so the label sum strictly decreases
@@ -245,7 +254,10 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(cluster diameter exceeds maxIter); raise maxIter")
-    labels
+    val isolated = vertices.select(col("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(isolated)
   }
 
   /** Winnowed document fingerprints (MOSS-style): rolling window of `w`
