@@ -50,11 +50,18 @@ object Bench {
       }
       name -> t
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Headline fields FIRST and per-query times sorted + rounded to 3 dp:
+    // the driver archives only a bounded tail of this output, so the
+    // compact deterministic layout keeps the newest (alphabetically last)
+    // queries inside the window and makes any cut reproducible instead of
+    // hash-map-order random.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val r3 = (v: Double) => math.rint(v * 1000) / 1000
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * Determinism: float summation order across partitions is not portable,
   * so the fit sums FIXED-POINT components — floor(x·1e6) as a long — and
   * divides back after the aggregate (SURVEY §5.4: integer partials are
-  * exact in any order). Distances are per-row fixed-order folds, rounded
-  * to 4 dp before the argmin, ties broken by label.
+  * exact in any order). Distances follow the same rule: each squared
+  * component difference is quantized to an e8 long before the fold, so
+  * the argmin compares exact integers, ties broken by label.
   */
 object Centroids {
 
@@ -39,14 +40,19 @@ object Centroids {
         s => s.getField("__c")).as("centroid"))
   }
 
-  /** Assign each row of `df` to the nearest centroid (squared L2, 4 dp,
-    * label tiebreak). `centroids` is `fit`'s output — k driver-sized
-    * rows, folded into the plan as literals so assignment is a single
-    * codegen'd argmin expression per row: no join, no shuffle, the only
-    * data movement is the scan itself. The argmin is `array_min` over
-    * (dist2, label) structs — struct ordering compares dist2 first, then
-    * label, which IS the documented tiebreak. Output: df columns +
-    * `assigned` + `dist2`.
+  /** Assign each row of `df` to the nearest centroid (squared L2 in e8
+    * fixed-point, label tiebreak). `centroids` is `fit`'s output — k
+    * driver-sized rows, folded into the plan as literals so assignment is
+    * a single codegen'd argmin expression per row: no join, no shuffle,
+    * the only data movement is the scan itself. Each squared component
+    * difference is quantized to an e8 long BEFORE the fold, so the
+    * distance is an exact integer in any summation order — which is what
+    * lets a row-order-agnostic oracle replay the argmin bit-for-bit
+    * (SURVEY §5.4, same rule as `fit`). The argmin is `array_min` over
+    * (dist2_e8, label) structs — struct ordering compares the distance
+    * first, then label, which IS the documented tiebreak. Output: df
+    * columns + `assigned` + `dist2` (= e8 integer / 1e8, one IEEE
+    * division of identical integers in every engine).
     */
   def assign(df: DataFrame, vecCol: String, centroids: DataFrame,
       labelCol: String): DataFrame = {
@@ -57,14 +63,15 @@ object Centroids {
     require(cents.nonEmpty, "assign: empty centroid set")
     val scored = cents.map { case (lbl, cv) =>
       struct(
-        round(aggregate(
+        aggregate(
           zip_with(col(vecCol), lit(cv), (x, c) =>
-            (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, x) => acc + x), 4).as("dist2"),
+            floor((x.cast("double") - c) * (x.cast("double") - c) * lit(1e8))
+              .cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d2e8"),
         lit(lbl).as("assigned"))
     }
     val best = array_min(array(scored.toIndexedSeq: _*))
-    df.withColumn("dist2", best.getField("dist2"))
+    df.withColumn("dist2", best.getField("d2e8").cast("double") / 1e8)
       .withColumn("assigned", best.getField("assigned"))
   }
 }

@@ -314,11 +314,18 @@ object Curation {
     // target * tot / n_tokens so both engines evaluate one IEEE tree.
     val rawW = target * col("__tot").cast("double") /
       col("n_tokens").cast("double")
+    // A domain whose texts are all empty (n_tokens = 0) must be guarded
+    // BEFORE the division: Spark's double 0-division yields Infinity while
+    // DuckDB's yields NULL, so the unguarded expression diverges across
+    // engines. Zero-token domains get the ceiling weight, explicitly
+    // capped — the upsample-to-target interpretation of "no tokens yet".
+    val hasToks = col("n_tokens") > 0
     per.crossJoin(broadcast(tot))
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("__tot").cast("double"), 6)
           .as("share"),
-        round(least(rawW, lit(maxWeight)), 4).as("weight"),
-        (rawW > lit(maxWeight)).as("capped"))
+        when(hasToks, round(least(rawW, lit(maxWeight)), 4))
+          .otherwise(lit(maxWeight)).as("weight"),
+        when(hasToks, rawW > lit(maxWeight)).otherwise(lit(true)).as("capped"))
   }
 }

@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * UDF, everything stays in Tungsten aggregates and shuffle joins.
   *
   * Scale shape (100 TB): tokenization + bigram assembly are map-side;
-  * the two count tables are map-side-combinable aggregations keyed by
-  * term/bigram (the classic word-count shuffle); scoring is two shuffle
-  * joins on those keys, skew-tolerant because the key space is the
-  * vocabulary (heavy keys are frequent words — AQE splits them). The
-  * per-document reduction is an integer sum, so partial aggregation is
-  * exact and order-independent.
+  * the per-token-instance bigram stream (the largest relation here) is
+  * aggregated ONCE — `(id, w1, w2) → cnt`, map-side-combinable, keyed by
+  * the well-distributed composite — and every downstream relation derives
+  * from that collapsed table: the corpus bigram counts re-aggregate it
+  * (vocabulary²-sized input, not instance-sized), the unigram counts join
+  * it into a per-bigram score table (both sides vocabulary-sized), and
+  * scoring is ONE join of the per-doc counts against that score table.
+  * The raw stream never crosses a join and never shuffles on a bare `w1`
+  * key (the most skewed key distribution there is — "the" heads a huge
+  * fraction of all bigrams; that skewed join lives entirely in the small
+  * count tables). The per-document reduction is an integer sum weighted
+  * by multiplicity, so partial aggregation is exact and order-independent.
   *
   * Determinism: the per-bigram negative log-likelihood is fixed to 1e-4
   * nats (`round(-ln(p) * 10000)` as a long) BEFORE summation, so the
@@ -64,13 +70,22 @@ object LanguageModel {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-    val c2 = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
+    // The ONLY aggregation of the instance-sized stream: collapse to
+    // per-document bigram multiplicities. Everything downstream works on
+    // this (much smaller) table.
+    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
 
-    val scored = bigrams
-      .join(c2, Seq("w1", "w2"))
+    // Corpus bigram counts derive from the collapsed table — the raw
+    // stream is not re-aggregated.
+    val c2 = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c2"))
+
+    // Per-bigram score table: the skewed w1 join happens HERE, between
+    // two vocabulary-sized count tables, never against the doc stream.
+    val perBigram = c2
       .join(c1, Seq("w1"))
-      .select(col(idCol),
+      .select(col("w1"), col("w2"),
         round(-log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble)))
           * 10000, 0).cast("long").as("nll_e4"))
 
@@ -78,8 +93,12 @@ object LanguageModel {
     // same IEEE double in every engine, while ROUND(x, 4) of a value that
     // sits on a decimal boundary is not (SURVEY §5.4 — q38's lesson;
     // 2/500 sf0.01 rows flipped the 4th decimal under a rounded avg).
-    scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("nll_e4")) / 10000.0 / count(lit(1))).as("avg_nll"))
+    // Σ cnt·nll_e4 over distinct (id,w1,w2) == Σ nll_e4 over instances,
+    // so the result is bit-identical to the instance-level formulation.
+    docBg.join(perBigram, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt") * col("nll_e4")) / 10000.0 / sum(col("cnt")))
+          .as("avg_nll"))
   }
 }

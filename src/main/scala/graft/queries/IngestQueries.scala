@@ -125,19 +125,52 @@ object IngestQueries {
   // schema on read: CSV has no types of its own). Same certification
   // shape as q73: the oracle reads the ORIGINAL table, so the hash-match
   // over every column (text via md5) proves encode/decode is lossless.
+  // Writer/reader options live in [[csvWrite]]/[[csvRead]] so the
+  // CsvRoundTripSpec (embedded newline / comma / quote / empty / null)
+  // exercises EXACTLY the q95 configuration.
   def q95(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
     val out = q95Dir
-    docs.write.mode("overwrite")
-      .option("header", "true").option("escape", "\"")
-      .csv(out)
-    s.read.schema(docs.schema)
-      .option("header", "true").option("escape", "\"")
-      .csv(out)
+    csvWrite(docs, out)
+    csvRead(s, docs.schema, out)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text")).as("text_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** The lossless CSV writer configuration: RFC-4180 quote-doubling
+    * (escape = quote), every string quoted, `\N` null marker (the
+    * Postgres COPY convention). emptyValue is the bare empty string —
+    * quoteAll renders it as `""` on disk; the default `"\""\""` would be
+    * re-escaped into a literal two-quote string. One reserved token:
+    * Spark's reader compares the null sentinel AFTER unquoting, so a text
+    * field exactly equal to `\N` cannot be distinguished from null
+    * (CsvRoundTripSpec pins this as the single documented collision).
+    */
+  private[graft] def csvWrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("quoteAll", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
+      // the WRITER trims whitespace by default — lossless means it must not
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  /** The matching reader: multiLine so embedded newlines don't split a
+    * record (each file then parses as a unit — correct for CSV, whose
+    * quoted newlines make byte-offset splits unsafe anyway; parallelism
+    * comes from the file count, which the writer's partitioning set),
+    * and empty-vs-null pinned to the writer's convention.
+    */
+  private[graft] def csvRead(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    s.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
+      .csv(path)
 
   private lazy val q95Dir: String =
     Files.createTempDirectory("graft-q95-csv").toString

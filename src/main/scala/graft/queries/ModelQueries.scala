@@ -48,12 +48,17 @@ object ModelQueries {
     val proj = Projection.reduce(emb, "embedding", ProjDims,
       OperatorQueries.EmbeddingDim)
     val qp = proj.filter(col("vec_id") === 0)
-      .select("proj").head().getSeq[Double](0).toArray
+      .select("proj").head().getSeq[Long](0).toArray
+    // Rank on the EXACT e12 integer distance (order-independent in both
+    // engines); pdist ships as one IEEE division of identical integers.
     proj.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        round(Projection.sqDist(col("proj"), lit(qp)), 4).as("pdist"))
-      .orderBy(col("pdist"), col("vec_id"))
+        Projection.sqDist(col("proj"), lit(qp)).as("__d2"))
+      .orderBy(col("__d2"), col("vec_id"))
       .limit(10)
+      .select(col("vec_id"),
+        (col("__d2").cast("double") / lit(Projection.Scale * Projection.Scale))
+          .as("pdist"))
   }
 
   // q94: domain mixture reweighting over `source` — target shares 10%
@@ -165,16 +170,22 @@ object ModelQueries {
          |       FROM planes),
          |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
-         |proj AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS pr
+         |-- e6 fixed-point BEFORE the sum: the aggregate is then exact
+         |-- integer arithmetic, immune to row-order float summation
+         |-- (Spark folds the array in place; this SUM sees arbitrary
+         |-- order — only integers make the two agree bit-for-bit).
+         |proj AS (SELECT e.vec_id, pe.b,
+         |           CAST(SUM(CAST(FLOOR(e.val * pe.pv * 1000000.0)
+         |             AS BIGINT)) AS BIGINT) AS pr
          |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
          |qp AS (SELECT b, pr AS qpr FROM proj WHERE vec_id = 0),
          |d AS (SELECT proj.vec_id,
-         |        ROUND(SUM((proj.pr - qp.qpr) * (proj.pr - qp.qpr)), 4)
-         |          AS pdist
+         |        CAST(SUM((proj.pr - qp.qpr) * (proj.pr - qp.qpr))
+         |          AS BIGINT) AS d2
          |      FROM proj JOIN qp ON proj.b = qp.b
          |      WHERE proj.vec_id <> 0 GROUP BY 1)
-         |SELECT vec_id, pdist FROM d
-         |ORDER BY pdist, vec_id LIMIT 10""".stripMargin,
+         |SELECT vec_id, CAST(d2 AS DOUBLE) / 1000000000000.0 AS pdist
+         |FROM d ORDER BY d2, vec_id LIMIT 10""".stripMargin,
     "q94_mixture_weights" ->
       """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), ' '),
@@ -186,17 +197,21 @@ object ModelQueries {
         |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
         |  -- ELSE arm is CAST AS DOUBLE: bare 1.0/nd is DECIMAL division
         |  -- in DuckDB (truncating scale), not Spark's IEEE quotient.
-        |  ROUND(LEAST(
+        |  -- n_tokens = 0 is guarded BEFORE the division on both engines
+        |  -- (Spark: Infinity, DuckDB: NULL — the unguarded forms diverge):
+        |  -- zero-token domains take the ceiling weight, explicitly capped.
+        |  CASE WHEN n_tokens > 0 THEN ROUND(LEAST(
         |    (CASE WHEN source = 'src0' THEN 0.10
         |          WHEN source = 'src1' THEN 0.08
         |          ELSE CAST(1.0 AS DOUBLE) / nd END)
         |      * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE),
-        |    4.0), 4) AS weight,
-        |  ((CASE WHEN source = 'src0' THEN 0.10
-        |         WHEN source = 'src1' THEN 0.08
-        |         ELSE CAST(1.0 AS DOUBLE) / nd END)
-        |     * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 4.0)
-        |    AS capped
+        |    4.0), 4) ELSE 4.0 END AS weight,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    ((CASE WHEN source = 'src0' THEN 0.10
+        |           WHEN source = 'src1' THEN 0.08
+        |           ELSE CAST(1.0 AS DOUBLE) / nd END)
+        |       * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 4.0)
+        |    ELSE TRUE END AS capped
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     "q96_centroid_assign" ->
       """WITH e AS (SELECT vec_id, label,
@@ -208,8 +223,12 @@ object ModelQueries {
         |  FROM e GROUP BY 1, 2),
         |cx AS (SELECT clabel, pos,
         |         CAST(s AS DOUBLE) / n / 1000000.0 AS cx FROM c),
+        |-- e8 fixed-point per squared component BEFORE the sum (exact
+        |-- integers in any row order — Spark folds arrays in place, this
+        |-- SUM is order-agnostic; only integers make the argmin portable).
         |d AS (SELECT e.vec_id, e.label, cx.clabel,
-        |        ROUND(SUM((e.x - cx.cx) * (e.x - cx.cx)), 4) AS d2
+        |        CAST(SUM(CAST(FLOOR((e.x - cx.cx) * (e.x - cx.cx)
+        |          * 100000000.0) AS BIGINT)) AS BIGINT) AS d2
         |      FROM e JOIN cx ON e.pos = cx.pos GROUP BY 1, 2, 3),
         |a AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER
         |        (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)

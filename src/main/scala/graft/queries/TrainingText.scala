@@ -168,17 +168,18 @@ object TrainingText {
   def q56(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val n = d.count()
-    // Tokenize ONCE: tf and df both consume the exploded rows; without
-    // the materialization each aggregate would re-scan + re-split the
-    // full corpus.
     val toks = d.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .localCheckpoint(true)
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // Document frequency derives from tf itself — its (doc_id, term) rows
+    // are already distinct, so a plain count per term IS the distinct doc
+    // count. The corpus is exploded + aggregated exactly once; the two
+    // consumers of `tf` share one identical aggregate subtree, which
+    // Catalyst collapses via ReusedExchange (no checkpoint needed).
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))

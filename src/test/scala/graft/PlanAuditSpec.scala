@@ -139,6 +139,28 @@ class PlanAuditSpec extends SparkSpec {
       p90.contains("BroadcastHashJoin"), p90)
   }
 
+  test("q91: the instance-sized bigram stream never crosses a join") {
+    // The LM score joins must happen between COUNT tables (vocabulary-
+    // sized), never against the raw exploded bigram stream — a Generate
+    // reaching a Join without an intervening Aggregate means the largest
+    // relation in the pipeline is being shuffled through the skewed w1
+    // join again (the round-7 plan bug).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q91_lm_score")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    def generateAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate => true
+      case other => other.children.exists(generateAboveAggregate)
+    }
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.size == 2, s"expected the two count-table joins:\n$lp")
+    joins.foreach { j =>
+      assert(!j.children.exists(generateAboveAggregate),
+        s"un-aggregated bigram stream feeds a join:\n$lp")
+    }
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the

@@ -80,7 +80,7 @@ class ModelOpsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     val proj = Projection.reduce(emb.union(planted), "embedding", 16, dim)
     val qp = proj.filter(col("vec_id") === 0)
-      .select("proj").head().getSeq[Double](0).toArray
+      .select("proj").head().getSeq[Long](0).toArray
     val top = proj.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         Projection.sqDist(col("proj"), lit(qp)).as("d"))
@@ -122,6 +122,21 @@ class ModelOpsSpec extends SparkSpec {
       .toMap
     assert(out("rare") == ((4.0, true)), s"rare: ${out("rare")}")
     assert(!out("big")._2)
+  }
+
+  test("mixtureWeights: zero-token domain gets the ceiling weight, capped") {
+    // All-whitespace texts make n_tokens = 0; the unguarded division is
+    // Infinity in Spark and NULL in DuckDB, so the guard must fire BEFORE
+    // the division (ADVICE r7).
+    val df = (Seq.tabulate(10)(i => (i.toLong, "full", "w w w")) ++
+      Seq((10L, "empty", ""), (11L, "empty", "   "))).toDF(
+      "id", "domain", "text")
+    val out = Curation.mixtureWeights(df, "domain", "text", maxWeight = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out("empty") == ((0L, 4.0, true)), s"empty: ${out("empty")}")
+    assert(out("full")._1 == 30L)
+    assert(!out("full")._3)
   }
 
   test("centroid fit/assign recovers well-separated clusters exactly") {
