@@ -68,6 +68,91 @@ object Stats {
     }.toDF("column", "n_nulls", "n_distinct", "min_value", "max_value")
   }
 
+  /** HLL register width: first 3 md5 hex chars = 2^12 buckets (standard
+    * error 1.04/√4096 ≈ 1.6%).
+    */
+  private val HllBuckets = 4096
+
+  /** Cross-engine-replayable HLL profiling — same output shape as
+    * [[profileApprox]] but the distinct sketch is OUR HyperLogLog over
+    * md5 hex algebra instead of Spark's opaque HLL++ buffer, so a SQL
+    * oracle can replay the estimate bit-for-bit (every intermediate is an
+    * integer or a fixed-shape IEEE expression; the register max and the
+    * scaled harmonic sum are exact integer aggregations, order-immune —
+    * SURVEY §5.4).
+    *
+    * Sketch: bucket = first 3 md5 hex chars (m = 4096); rho = 1 +
+    * leading-zero bits of the next 13 hex chars (52 bits), register =
+    * max(rho) per bucket capped at 50 so the harmonic term 2^(50-rho)
+    * stays an exact BIGINT (max Σ = 4096·2^50 = 2^62). Estimate =
+    * α·m²·2^50 / Σ with the standard linear-counting fallback
+    * m·ln(m/zeros) when raw ≤ 2.5m — the original HLL recipe.
+    *
+    * Scale shape: registers aggregate map-side to ≤ cols × 4096 states
+    * per task regardless of row count — the same mergeable-sketch
+    * property as HLL++ (this IS an HLL, just with a portable hash and
+    * register layout). Costs one extra scan vs [[profileApprox]] (the
+    * stacked string projection can't share the typed min/max pass);
+    * at 100 TB prefer [[profileApprox]] unless cross-engine
+    * reproducibility of the estimate itself is required.
+    */
+  def profileApproxPortable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileApproxPortable needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*).head()
+    val totalCnt = row.getAs[Long]("__total")
+
+    // One scan for every column's registers: stack to (column, value).
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.c").as("__c"), col("s.v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val h = md5(col("__v"))
+    // rho from hex digits: 4 zero bits per leading '0' char, plus the
+    // zero bits inside the first non-zero hex digit.
+    val t = ltrim(substring(h, 4, 13), "0")
+    val first = substring(t, 1, 1)
+    val zbits = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(t === "", lit(53))
+      .otherwise((lit(13) - length(t)) * 4 + zbits + 1)
+    val regs = stacked
+      .select(col("__c"), substring(h, 1, 3).as("__b"),
+        least(rho, lit(50)).as("__m"))
+      .groupBy(col("__c"), col("__b"))
+      .agg(max(col("__m")).as("__m"))
+    // Constant-size per column from here on. The α·m²·2^50 prefactor is
+    // written as the same left-associated literal tree the oracle uses,
+    // so constant folding reproduces DuckDB's runtime doubles exactly.
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+      lit(16777216.0) * lit(1125899906842624.0) / col("__s").cast("double")
+    val est = regs.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - __m)")).as("__sp"))
+      .withColumn("__zeros", lit(HllBuckets) - col("__present"))
+      .withColumn("__s", col("__sp") + col("__zeros") * lit(1L << 50))
+      .withColumn("__est",
+        when(raw <= lit(10240.0) && col("__zeros") > 0,
+          lit(4096.0) * log(lit(4096.0) / col("__zeros").cast("double")))
+          .otherwise(raw))
+      .select(col("__c"), round(col("__est"), 0).cast("long").as("__ndv"))
+    val ndv = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cols.map { c =>
+      (c, totalCnt - row.getAs[Long](s"__cnt_$c"),
+        ndv.getOrElse(c, 0L),
+        row.getAs[String](s"__min_$c"),
+        row.getAs[String](s"__max_$c"))
+    }.toDF("column", "n_nulls", "n_distinct", "min_value", "max_value")
+  }
+
   /** Key-skew diagnostic: per-key row counts for the `topK` heaviest
     * keys, each with its corpus share and a cumulative share — the
     * operator you run BEFORE choosing a partitioning/salting strategy

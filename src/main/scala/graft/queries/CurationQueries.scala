@@ -133,16 +133,19 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  // q79: HLL++ approximate profiling — q74's documented 100 TB swap-in
-  // made executable. Rows-only (sketch estimates are Spark-internal);
-  // SketchesSpec pins the rsd envelope against the exact profile.
+  // q79: HLL approximate profiling — q74's documented 100 TB swap-in
+  // made executable AND oracle-replayable: the portable HLL (md5 hex
+  // algebra, integer registers) lets DuckDB reproduce the ESTIMATES
+  // bit-for-bit, so the whole row hash-matches — nulls/min/max exact,
+  // distincts sketched, nothing rows-only. Spark's native HLL++ tier
+  // ([[graft.operators.Stats.profileApprox]]) stays envelope-pinned in
+  // SketchesSpec.
   def q79(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.profileApprox(
+    graft.operators.Stats.profileApproxPortable(
         Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_orderpriority")),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
-        rsd = 0.02)
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy(col("column"))
 
   // q80: key-skew report over events.user_id — the diagnostic run before
@@ -251,7 +254,65 @@ object CurationQueries {
       |FROM base JOIN tw ON base.doc_id = tw.doc_id
       |LEFT JOIN tb ON base.doc_id = tb.doc_id)""".stripMargin
 
+  /** Scalar-subquery replay of one column's portable-HLL estimate
+    * ([[graft.operators.Stats.profileApproxPortable]]): same md5 hex
+    * algebra, same integer registers, same left-associated double tree
+    * (e0 literals force DOUBLE — bare decimals are DECIMAL in DuckDB,
+    * whose truncating division would diverge from Spark's IEEE one).
+    */
+  private def hllNdvSql(c: String): String = {
+    val raw = "(0.7213e0 / (1.0e0 + 1.079e0 / 4096.0e0)) * 16777216.0e0" +
+      " * 1125899906842624.0e0 / CAST(s AS DOUBLE)"
+    s"""(WITH hh AS (SELECT md5(CAST($c AS VARCHAR)) AS h FROM orders
+       |    WHERE $c IS NOT NULL),
+       |  tt AS (SELECT substring(h, 1, 3) AS b,
+       |           ltrim(substring(h, 4, 13), '0') AS t FROM hh),
+       |  rr AS (SELECT b, MAX(LEAST(CASE WHEN t = '' THEN 53
+       |           ELSE (13 - LENGTH(t)) * 4
+       |             + CASE WHEN substring(t, 1, 1) = '1' THEN 3
+       |                    WHEN substring(t, 1, 1) IN ('2','3') THEN 2
+       |                    WHEN substring(t, 1, 1) IN ('4','5','6','7') THEN 1
+       |                    ELSE 0 END + 1 END, 50)) AS m
+       |         FROM tt GROUP BY b),
+       |  ss AS (SELECT COUNT(*) AS present,
+       |           CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT) AS sp
+       |         FROM rr),
+       |  ee AS (SELECT 4096 - present AS zeros,
+       |           sp + (4096 - present) * (CAST(1 AS BIGINT) << 50) AS s
+       |         FROM ss)
+       |  SELECT COALESCE(CAST(ROUND(CASE
+       |      WHEN $raw <= 10240.0e0 AND zeros > 0
+       |      THEN 4096.0e0 * ln(4096.0e0 / zeros)
+       |      ELSE $raw END, 0) AS BIGINT), 0)
+       |  FROM ee)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q79_profile_approx" ->
+      s"""WITH s AS (SELECT
+         |  COUNT(*) AS total,
+         |  COUNT(o_orderkey) c1, CAST(MIN(o_orderkey) AS VARCHAR) mn1,
+         |    CAST(MAX(o_orderkey) AS VARCHAR) mx1,
+         |  COUNT(o_custkey) c2, CAST(MIN(o_custkey) AS VARCHAR) mn2,
+         |    CAST(MAX(o_custkey) AS VARCHAR) mx2,
+         |  COUNT(o_orderstatus) c3, CAST(MIN(o_orderstatus) AS VARCHAR) mn3,
+         |    CAST(MAX(o_orderstatus) AS VARCHAR) mx3,
+         |  COUNT(o_orderpriority) c4, CAST(MIN(o_orderpriority) AS VARCHAR) mn4,
+         |    CAST(MAX(o_orderpriority) AS VARCHAR) mx4
+         |  FROM orders)
+         |SELECT 'o_custkey' AS "column", total - c2 AS n_nulls,
+         |  ${hllNdvSql("o_custkey")} AS n_distinct,
+         |  mn2 AS min_value, mx2 AS max_value FROM s
+         |UNION ALL
+         |SELECT 'o_orderkey', total - c1, ${hllNdvSql("o_orderkey")},
+         |  mn1, mx1 FROM s
+         |UNION ALL
+         |SELECT 'o_orderpriority', total - c4, ${hllNdvSql("o_orderpriority")},
+         |  mn4, mx4 FROM s
+         |UNION ALL
+         |SELECT 'o_orderstatus', total - c3, ${hllNdvSql("o_orderstatus")},
+         |  mn3, mx3 FROM s
+         |ORDER BY "column"""".stripMargin,
     "q83_curation_pipeline" ->
       s"""WITH $repetitionSql,
          |keep AS (SELECT doc_id FROM rep WHERE keep),

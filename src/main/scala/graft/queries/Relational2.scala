@@ -174,19 +174,37 @@ object Relational2 {
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
 
-  // q86: q38's 100 TB tier — approx_percentile (positional-error sketch,
-  // fixed-size mergeable buffer per group, map-side combined) instead of
-  // the per-group window sort. Rows-only at the driver (sketch internals
-  // are Spark's); SketchesSpec pins the rank-error envelope against the
-  // exact q38 values.
-  def q86(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
-        round(avg(col("l_extendedprice")), 2).as("mean"))
+  // q86: q38's 100 TB tier — approximate percentiles via a DETERMINISTIC
+  // hash sample (md5-bucket rule, the q66 convention: first hex char
+  // < '4' keeps 25%) + an exact integer rank pick within the sample
+  // (value at sorted position floor(p·(n−1))+1 — well-defined under ties,
+  // no float interpolation), so unlike an opaque sketch the estimate is
+  // replayed bit-for-bit by the DuckDB oracle: full hash-match, nothing
+  // rows-only. Rank error ~1/√(rate·n): tune the hex threshold down
+  // (1/256, 1/4096 …) as n grows — the per-group sort only ever touches
+  // the sample. The mean stays exact over the FULL data. Spark's native
+  // approx_percentile tier remains envelope-pinned in SketchesSpec.
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val samp = li.filter(
+      substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 1) < "4")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val ranked = samp.select(col("l_returnflag"), col("l_extendedprice"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("nw"))
+    def pick(p: Double) = max(when(
+      col("rn") === floor(lit(p) * (col("nw") - 1)) + 1,
+      col("l_extendedprice")))
+    val picks = ranked.groupBy(col("l_returnflag"))
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"))
+    val means = li.groupBy(col("l_returnflag"))
+      .agg(round(avg(col("l_extendedprice")), 2).as("mean"))
+    picks.join(means, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("mean"))
       .orderBy(col("l_returnflag"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_approx_percentiles" -> (q86 _),
@@ -203,6 +221,26 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_approx_percentiles" ->
+      """WITH samp AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+        |  WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 1) < '4'),
+        |r AS (SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nw FROM samp),
+        |-- e0 literals force DOUBLE (bare decimals are DECIMAL in DuckDB);
+        |-- the rank pick is integer-exact, no float interpolation.
+        |p AS (SELECT l_returnflag,
+        |    MAX(CASE WHEN rn = CAST(FLOOR(0.5e0 * (nw - 1)) AS BIGINT) + 1
+        |        THEN l_extendedprice END) AS p50,
+        |    MAX(CASE WHEN rn = CAST(FLOOR(0.9e0 * (nw - 1)) AS BIGINT) + 1
+        |        THEN l_extendedprice END) AS p90
+        |  FROM r GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, ROUND(AVG(l_extendedprice), 2) AS mean
+        |      FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, p50, p90, mean FROM p JOIN m USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q71_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -57,6 +57,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("profileApproxPortable: exact base stats, portable HLL in envelope") {
+    // The q79 sketch (md5-hex HLL, m=4096 → ~1.6% standard error). The
+    // oracle gate certifies cross-engine bit-equality; THIS pins that the
+    // estimate is also close to the truth — 5% covers 3σ, and the
+    // linear-counting branch makes tiny cardinalities exact.
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.01/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val exact = keyed(Stats.profile(orders, cols))
+    val port = keyed(Stats.profileApproxPortable(orders, cols))
+    for (c <- cols) {
+      assert(port(c)._1 == exact(c)._1, s"$c nulls")
+      assert(port(c)._3 == exact(c)._3 && port(c)._4 == exact(c)._4,
+        s"$c min/max must be exact")
+      val rel = math.abs(port(c)._2 - exact(c)._2).toDouble /
+        math.max(exact(c)._2, 1L)
+      assert(rel <= 0.05,
+        s"$c ndv off by $rel (portable=${port(c)._2} exact=${exact(c)._2})")
+    }
+    assert(port("o_orderstatus")._2 == 3 && port("o_orderpriority")._2 == 5,
+      "linear-counting branch must be exact on tiny cardinalities")
+  }
+
   test("approx_percentile tier: within rank-error envelope of exact q38") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_returnflag", "l_extendedprice")
@@ -73,6 +100,25 @@ class SketchesSpec extends SparkSpec {
       // so a 2% relative band is a loose deterministic envelope.
       assert(math.abs(approx(flag)._1 - p50) / p50 < 0.02, s"$flag p50")
       assert(math.abs(approx(flag)._2 - p90) / p90 < 0.02, s"$flag p90")
+    }
+  }
+
+  test("q86 sample quantiles: within value envelope of exact percentiles") {
+    // The deterministic 25% md5-sample rank pick (q86) vs the exact
+    // per-group percentile. Rank error ~1/√(rate·n) ≈ 2% here; prices are
+    // well-spread so 5% value error is a loose deterministic band.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = keyed(li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.9)").as("p90")))
+    val samp = keyed(graft.queries.Relational2
+      .q86(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "p50", "p90"))
+    for ((flag, (p50, p90)) <- exact) {
+      assert(math.abs(samp(flag)._1 - p50) / p50 < 0.05, s"$flag p50")
+      assert(math.abs(samp(flag)._2 - p90) / p90 < 0.05, s"$flag p90")
     }
   }
 
