@@ -194,15 +194,24 @@ object Dedup {
     * from it — the step that turns candidate PAIRS into dedup DECISIONS
     * (one canonical document per duplicate cluster).
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and takes the per-vertex min; converges in O(cluster diameter)
-    * rounds — near-dup clusters are shallow (a few hops), so this is
-    * 2-4 rounds in practice. Each round is one shuffle join + one
-    * map-side-combinable min aggregate; labels are locally checkpointed
-    * per round so lineage stays O(1) and the convergence count is cheap.
-    * (For adversarially long chains the same loop body upgrades to the
-    * alternating large-star/small-star iteration; the per-round plan
-    * shape — join + min-agg — is identical.)
+    * Iterative min-label propagation WITH pointer doubling: each round
+    * (1) joins labels across edges and takes the per-vertex min, then
+    * (2) jumps every label to its label's label (path doubling, the
+    * Shiloach–Vishkin accelerator). Step 1 alone converges in O(cluster
+    * diameter) rounds; the jump step halves every propagation path per
+    * round, so convergence is O(log diameter) — a 1000-hop chain closes
+    * in ~15 rounds instead of 1000 (property-tested). Near-dup clusters
+    * are shallow anyway (2-4 rounds); the doubling removes the
+    * adversarial-diameter failure mode for free. Each round is one
+    * edge join + one map-side-combinable min aggregate + one
+    * label-table self-join (labels-sized, the small relation); labels
+    * are locally checkpointed per round so lineage stays O(1).
+    *
+    * Invariant (why the jump is sound): `component(v)` is always the id
+    * of a vertex in v's own component and only ever decreases; jumping
+    * to `component(component(v))` preserves both. At fixpoint every
+    * edge has equal labels on both ends, and since the minimum vertex
+    * of a component keeps its own id, the constant is the component min.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
@@ -237,8 +246,17 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNeighbors = und.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.union(viaNeighbors)
+      // Materialized before the self-join: the two join sides shuffle on
+      // different keys, so without it the min-aggregate would run twice.
+      val stepped = labels.union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // Pointer jump: component := component(component). Every label IS
+      // a touched vertex id, so the self-join is total (inner-safe).
+      val next = stepped.join(
+          stepped.select(col("id").as("__pid"), col("component").as("__pc")),
+          col("component") === col("__pid"))
+        .select(col("id"), col("__pc").as("component"))
         .localCheckpoint(true)
       val curSum = labelSum(next)
       labels = next
@@ -247,13 +265,12 @@ object Dedup {
       iter += 1
     }
     // Silently returning partial labels would split real duplicate
-    // clusters with no signal; an adversarially deep chain must surface
-    // as an explicit failure so the caller raises maxIter (or switches to
-    // the large-star/small-star iteration, which converges in
-    // O(log diameter)).
+    // clusters with no signal; with pointer doubling the default
+    // maxIter=25 covers diameters past 2^25, so tripping this means
+    // something is structurally wrong, not merely a long chain.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        "(cluster diameter exceeds maxIter); raise maxIter")
+        "(O(log diameter) expected under pointer doubling); raise maxIter")
     val isolated = vertices.select(col("id"))
       .join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))

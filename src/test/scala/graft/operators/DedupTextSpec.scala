@@ -56,6 +56,38 @@ class DedupTextSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("connected components: 1000-vertex path converges in O(log d) rounds") {
+    // Diameter 999: pure min-propagation would need 999 rounds, so
+    // converging under maxIter=20 proves the pointer-doubling step works.
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val verts = (0L to 999L).toDF("id")
+    val got = Dedup.connectedComponents(edges, verts, maxIter = 20)
+      .collect()
+    assert(got.length == 1000)
+    assert(got.forall(_.getLong(1) == 0L),
+      "every path vertex must label to the minimum id 0")
+  }
+
+  test("connected components match driver union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val verts = (0L until 200L).toDF("id")
+    // Driver-side union-find oracle, min-id canonical labels.
+    val parent = Array.tabulate(200)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until 200).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("language id picks the right stopword profile per language") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy with this"),
