@@ -53,12 +53,18 @@ object LanguageModel {
       .localCheckpoint(true)
 
     val uni = toks.select(explode(col("__t")).as("w"))
+    // Materialized (vocabulary-sized): consumed twice — the V scalar and
+    // the score-table join — and each consumption would otherwise re-run
+    // the unigram aggregation over the exploded corpus.
     val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       .withColumnRenamed("w", "w1")
-    // V is a scalar: one number to the driver, folded into the score
-    // expression as a literal (a broadcast-join of a 1-row frame would
-    // work too but blocks constant folding).
-    val vocab = uni.select(countDistinct(col("w"))).head().getLong(0)
+      .localCheckpoint(true)
+    // V = |vocabulary| is just the count-table row count — no separate
+    // countDistinct pass over the unigram stream. One number to the
+    // driver, folded into the score expression as a literal (a
+    // broadcast-join of a 1-row frame would work too but blocks constant
+    // folding).
+    val vocab = c1.count()
 
     // Adjacent pairs via two shifted slices zipped in place — array
     // algebra, no positional self-join.
