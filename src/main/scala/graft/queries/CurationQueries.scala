@@ -104,7 +104,8 @@ object CurationQueries {
   }
 
   // q74: table profiling (ANALYZE-style column stats) over orders — one
-  // aggregation pass for all columns; exact distincts so the oracle can
+  // narrow base-stats aggregate + one stacked exact-distinct pipeline
+  // (no Expand row replication); exact distincts so the oracle can
   // replay it. Restricted to integer/string columns on purpose: the
   // type-uniform string min/max renders doubles and timestamps with
   // engine-specific formats ('1.0E-4' vs '0.0001'), which would false-
