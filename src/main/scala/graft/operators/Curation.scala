@@ -112,23 +112,33 @@ object Curation {
     */
   def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.3,
-      expectedEvalNgrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+      expectedEvalNgrams: Long = 0L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    // expectedEvalNgrams <= 0 → auto-size: one distinct-count over the
+    // eval side (small by definition — it's the benchmark suite, not the
+    // corpus). A hand-guessed 2^20 on a 20k-ngram eval set made the
+    // sketch literal 50× oversized, and that literal rides EVERY task
+    // closure of the train-side scan — right-sizing is a per-task
+    // serialization win, not just memory hygiene.
+    val expected =
+      if (expectedEvalNgrams > 0) expectedEvalNgrams
+      else math.max(
+        ngrams(eval, textCol, n, Seq.empty).distinct().count(), 1024L)
     // Optimal bit count for the target fpp; BloomFilterAggregate clamps
     // to spark.sql.optimizer.runtime.bloomFilter.maxNumBits — raise that
     // conf alongside expectedEvalNgrams for very large eval suites.
     val numBits = math.ceil(
-      -expectedEvalNgrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      -expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     def xx(c: Column) = XxHash64(Seq(GraftBridge.expression(c)), 42L)
     // No distinct on the eval side: inserting a duplicate n-gram into a
     // Bloom filter is a no-op, so the build is explode → sketch, zero
     // wide shuffles.
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(xx(col("g")),
-        Literal(expectedEvalNgrams), Literal(numBits)).toAggregateExpression())
+        Literal(expected), Literal(numBits)).toAggregateExpression())
     val bloom = ngrams(eval, textCol, n, Seq.empty)
       .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val hit = GraftBridge.column(

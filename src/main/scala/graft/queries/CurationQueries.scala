@@ -129,8 +129,7 @@ object CurationQueries {
     Curation.decontaminateBloom(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 3, threshold = 0.3,
-        expectedEvalNgrams = 1L << 20, fpp = 0.01)
+        "doc_id", "text", n = 3, threshold = 0.3, fpp = 0.01)
       .orderBy(col("doc_id"))
   }
 
