@@ -139,6 +139,14 @@ class PlanAuditSpec extends SparkSpec {
       p90.contains("BroadcastHashJoin"), p90)
   }
 
+  test("q86: sample-quantile plan prunes columns and stays cartesian-free") {
+    val p = plan("q86_approx_percentiles")
+    assert(!p.contains("CartesianProduct"), p)
+    // only the rank keys + value + group column reach the scan
+    assert(!p.contains("l_tax") && !p.contains("l_quantity") &&
+      !p.contains("l_shipdate"), p)
+  }
+
   test("q91: the instance-sized bigram stream never crosses a join") {
     // The LM score joins must happen between COUNT tables (vocabulary-
     // sized), never against the raw exploded bigram stream — a Generate
