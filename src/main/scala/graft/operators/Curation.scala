@@ -156,8 +156,11 @@ object Curation {
 
   /** Gopher-style repetition/quality signals per document: word count,
     * mean word length, top-word fraction, top-bigram fraction, and the
-    * composite keep/drop verdict. Two shuffles keyed on (id, term) with
-    * map-side combine; everything else is expression algebra.
+    * composite keep/drop verdict. The word and bigram streams ride ONE
+    * union through a single (id, kind, term) count + per-doc max chain
+    * and ONE join back to the base stats — the corpus is tokenized once
+    * (materialized: three consumers) and crosses one aggregation
+    * pipeline, map-side-combined; everything else is expression algebra.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 10, wordLenRange: (Double, Double) = (2.0, 10.0),
@@ -170,23 +173,26 @@ object Curation {
       round(aggregate(transform(toks, w => length(w)), lit(0),
         (acc, x) => acc + x).cast("double") / size(toks), 4)
         .as("mean_word_len"))
+      .localCheckpoint(true)
 
-    def topFrac(term: Column, totalOf: Column, name: String) = {
-      base.select(col(idCol), explode(term).as("__term"), totalOf.as("__tot"))
-        .groupBy(col(idCol), col("__term"), col("__tot"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy(col(idCol))
-        .agg(round(max(col("__c")) / first(col("__tot")), 4).as(name))
-    }
     val bigrams = zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
       slice(col("__t"), lit(2), size(col("__t")) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val topWord = topFrac(col("__t"), size(col("__t")), "top_word_frac")
-    val topBigram = topFrac(bigrams, size(col("__t")) - 1, "top_bigram_frac")
+    val words = base.select(col(idCol), lit("w").as("__k"),
+      explode(col("__t")).as("__term"), size(col("__t")).as("__tot"))
+    val bgs = base.select(col(idCol), lit("b").as("__k"),
+      explode(bigrams).as("__term"), (size(col("__t")) - 1).as("__tot"))
+    val fracs = words.union(bgs)
+      .groupBy(col(idCol), col("__k"), col("__term"), col("__tot"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__k"))
+      .agg(round(max(col("__c")) / first(col("__tot")), 4).as("__frac"))
+      .groupBy(col(idCol))
+      .agg(max(when(col("__k") === "w", col("__frac"))).as("top_word_frac"),
+        max(when(col("__k") === "b", col("__frac"))).as("top_bigram_frac"))
 
     base.drop("__t")
-      .join(topWord, Seq(idCol), "left")
-      .join(topBigram, Seq(idCol), "left")
+      .join(fracs, Seq(idCol), "left")
       // A one-token doc has no bigrams: top_bigram_frac is null and the
       // verdict must be a definite false, not null (such a doc also fails
       // minWords, but null && false is null in SQL).

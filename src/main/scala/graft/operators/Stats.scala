@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE-style statistics pass that feeds size
@@ -112,6 +112,25 @@ object Stats {
     * at 100 TB prefer [[profileApprox]] unless cross-engine
     * reproducibility of the estimate itself is required.
     */
+  /** HLL register value from an md5-hex column: rho = 1 + leading-zero
+    * BITS of hex chars 4..16 (52 bits), capped at 50 so the harmonic
+    * term 2^(50-rho) stays an exact BIGINT. Hex-digit algebra — 4 zero
+    * bits per leading '0' char plus the zero bits inside the first
+    * non-zero digit — so the identical expression runs in DuckDB
+    * (bit-level property-tested in SketchesSpec).
+    */
+  private[graft] def hllRegister(h: Column): Column = {
+    val t = ltrim(substring(h, 4, 13), "0")
+    val first = substring(t, 1, 1)
+    val zbits = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(t === "", lit(53))
+      .otherwise((lit(13) - length(t)) * 4 + zbits + 1)
+    least(rho, lit(50))
+  }
+
   def profileApproxPortable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileApproxPortable needs at least one column")
     val spark = df.sparkSession
@@ -130,19 +149,9 @@ object Stats {
       .select(col("s.c").as("__c"), col("s.v").as("__v"))
       .filter(col("__v").isNotNull)
     val h = md5(col("__v"))
-    // rho from hex digits: 4 zero bits per leading '0' char, plus the
-    // zero bits inside the first non-zero hex digit.
-    val t = ltrim(substring(h, 4, 13), "0")
-    val first = substring(t, 1, 1)
-    val zbits = when(first === "1", 3)
-      .when(first.isin("2", "3"), 2)
-      .when(first.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = when(t === "", lit(53))
-      .otherwise((lit(13) - length(t)) * 4 + zbits + 1)
     val regs = stacked
       .select(col("__c"), substring(h, 1, 3).as("__b"),
-        least(rho, lit(50)).as("__m"))
+        hllRegister(h).as("__m"))
       .groupBy(col("__c"), col("__b"))
       .agg(max(col("__m")).as("__m"))
     // Constant-size per column from here on. The α·m²·2^50 prefactor is

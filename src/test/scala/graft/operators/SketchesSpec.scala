@@ -103,6 +103,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllRegister: hex-digit algebra matches bit-level leading zeros") {
+    // The portable HLL's rho is computed from md5 hex CHARS; this pins it
+    // against a reference that parses the same 52 bits as an integer and
+    // counts leading zeros directly — a wrong CASE arm or off-by-one in
+    // the digit table would shift estimates silently.
+    import spark.implicits._
+    val inputs = (1 to 500).map(i => s"value-$i")
+    val got = inputs.toDF("v")
+      .select(col("v"), Stats.hllRegister(md5(col("v"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    inputs.foreach { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bits = BigInt(hex.substring(3, 16), 16) // 13 hex chars = 52 bits
+      val rho = if (bits == 0) 53 else 52 - bits.bitLength + 1
+      assert(got(s) == math.min(rho, 50), s"$s: ${got(s)} vs $rho")
+    }
+  }
+
   test("q86 sample quantiles: within value envelope of exact percentiles") {
     // The deterministic 25% md5-sample rank pick (q86) vs the exact
     // per-group percentile. Rank error ~1/√(rate·n) ≈ 2% here; prices are
