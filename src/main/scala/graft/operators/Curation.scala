@@ -91,6 +91,49 @@ object Curation {
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
 
+  /** Leakage attribution — [[decontaminate]] answers "how contaminated
+    * is this train doc"; this answers "WHICH train docs carry WHICH eval
+    * doc's content": every (eval, train) pair sharing at least
+    * `minShared` distinct n-grams, with the shared count and the
+    * fraction of the eval doc's n-grams covered — the benchmark-leak
+    * triage report a curation pipeline runs after the q64 filter fires.
+    *
+    * Scale shape: both sides collapse to DISTINCT (doc, gram) rows
+    * first (map-side combinable); the pair join is keyed on the n-gram,
+    * and n-grams present in more than `maxTrainDf` train docs are
+    * semi-joined away BEFORE it. That bounds the per-gram pair fanout —
+    * the skew guard: a boilerplate phrase in 10^6 train docs would
+    * otherwise emit 10^6 pairs per eval hit — and is also the right
+    * semantics, since ubiquitous boilerplate is not leakage evidence.
+    * Deterministic, no sketch: the DuckDB oracle replays it exactly.
+    */
+  def leakageReport(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Int = 5,
+      maxTrainDf: Int = 100): DataFrame = {
+    // ngrams() applies `cols` on both sides of its explode, so aliases
+    // must happen after it, not inside it.
+    val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
+      .withColumnRenamed(idCol, "train_id").distinct()
+    val evalNg = ngrams(eval, textCol, n, Seq(col(idCol)))
+      .withColumnRenamed(idCol, "eval_id").distinct()
+    val evalTot = evalNg.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_ngrams"))
+    val rare = trainNg.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTrainDf)
+      .select(col("g"))
+    trainNg.join(rare, Seq("g"), "left_semi")
+      .join(evalNg, Seq("g"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(evalTot, Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"), col("n_shared"),
+        col("eval_ngrams"),
+        round(col("n_shared").cast("double") / col("eval_ngrams"), 4)
+          .as("overlap_frac"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB tier of [[decontaminate]].
     *
     * The exact variant shuffles every train n-gram to join the eval set;

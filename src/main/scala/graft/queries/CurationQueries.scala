@@ -148,6 +148,19 @@ object CurationQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy(col("column"))
 
+  // q97: leakage attribution — which train docs carry which eval doc's
+  // content (same split as q64/q78): (eval, train) pairs sharing >= 3
+  // distinct 3-grams after the ubiquity prefilter, with the fraction of
+  // the eval doc covered. The triage report behind q64's verdict.
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.leakageReport(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minShared = 3, maxTrainDf = 100)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   // q80: key-skew report over events.user_id — the diagnostic run before
   // choosing a join/partitioning strategy; exact and oracle-replayed.
   def q80(s: SparkSession, dir: String): DataFrame =
@@ -203,6 +216,7 @@ object CurationQueries {
     "q78_decontam_bloom" -> (q78 _),
     "q79_profile_approx" -> (q79 _),
     "q80_skew_report" -> (q80 _),
+    "q97_leakage_report" -> (q97 _),
     "q74_profile" -> (q74 _),
     "q70_sequence_pack" -> (q70 _),
     "q68_temperature_sample" -> (q68 _),
@@ -439,6 +453,28 @@ object CurationQueries {
          |    '${Curation.Ipv4Re}', '[IP]', 'g'),
          |    '${Curation.PhoneRe}', '[PHONE]', 'g')) AS redacted_md5
          |FROM p ORDER BY doc_id""".stripMargin,
+    "q97_leakage_report" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+        |              FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2 + 1)) AS i
+        |        FROM toks),
+        |ng AS (SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ') AS g
+        |       FROM pos),
+        |tn AS (SELECT DISTINCT doc_id AS train_id, g FROM ng
+        |       WHERE doc_id % 50 <> 0),
+        |en AS (SELECT DISTINCT doc_id AS eval_id, g FROM ng
+        |       WHERE doc_id % 50 = 0),
+        |et AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS eval_ngrams
+        |       FROM en GROUP BY eval_id),
+        |rare AS (SELECT g FROM tn GROUP BY g HAVING COUNT(*) <= 100),
+        |pairs AS (SELECT en.eval_id, tn.train_id,
+        |            CAST(COUNT(*) AS BIGINT) AS n_shared
+        |          FROM tn JOIN rare USING (g) JOIN en USING (g)
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT eval_id, train_id, n_shared, eval_ngrams,
+        |  ROUND(CAST(n_shared AS DOUBLE) / eval_ngrams, 4) AS overlap_frac
+        |FROM pairs JOIN et USING (eval_id)
+        |ORDER BY eval_id, train_id""".stripMargin,
     "q64_decontam" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
         |              FROM documents),

@@ -36,6 +36,27 @@ class SketchesSpec extends SparkSpec {
       s"fp inflation ${extraHits.toDouble / totalNg} over $totalNg ngrams")
   }
 
+  test("leakageReport: pair attribution, threshold, and ubiquity filter") {
+    import spark.implicits._
+    // eval 100 = "a b c d e" (3-grams: abc, bcd, cde); train 1 shares all
+    // three, train 2 shares only abc.
+    val train = Seq((1L, "a b c d e x"), (2L, "a b c q r s"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    def run(minShared: Int, maxTrainDf: Int) =
+      Curation.leakageReport(train, eval, "doc_id", "text",
+          n = 3, minShared = minShared, maxTrainDf = maxTrainDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // threshold: train 2's single shared gram stays below minShared=2
+    val out = run(2, 100)
+    assert(out == Map((100L, 1L) -> ((3L, 3L, 1.0))), out.toString)
+    // ubiquity: with maxTrainDf=1, "a b c" (in both train docs) is
+    // filtered BEFORE pairing, so train 1 drops to 2 shared grams
+    val out2 = run(2, 1)
+    assert(out2 == Map((100L, 1L) -> ((2L, 3L, 0.6667))), out2.toString)
+  }
+
   test("profileApprox: exact nulls/min/max, HLL distincts within envelope") {
     val orders = spark.read
       .parquet("/root/testdata/sf0.001/orders.parquet")
