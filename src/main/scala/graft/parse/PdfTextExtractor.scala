@@ -18,13 +18,53 @@ import scala.util.matching.Regex
   *   - CID text via each font's /ToUnicode CMap (beginbfchar/beginbfrange)
   *   - literal `(...)` and hex `<...>` strings
   *
-  * Lines are grouped into blocks by vertical gap (coarse Docstrum stand-in,
-  * `PdfReader.cs:38-40`): a gap > 1.5× the dominant line pitch starts a new
-  * block. Unsupported structure throws — callers turn that into error rows.
+  * Layout (coarse Docstrum/XY-cut stand-in, `PdfReader.cs:38-40`): text
+  * runs carry their (x, y) pen position; a page first splits into COLUMNS
+  * where the starting-x distribution has a gutter wider than [[GutterPt]]
+  * AND the clusters genuinely coexist vertically (a centered title above
+  * a body is not a column). Within a column, runs group into lines by y
+  * and lines into blocks by vertical gap: a gap > 1.5× the dominant line
+  * pitch starts a new block; columns emit left-to-right. Single-column
+  * pages take the exact pre-split path. Unsupported structure throws —
+  * callers turn that into error rows.
   */
 object PdfTextExtractor {
 
   final case class Block(page: Int, text: String)
+
+  private final case class Run(x: Double, y: Double, text: String)
+
+  /** Minimum starting-x gutter (points) that can separate two columns. */
+  private val GutterPt = 90.0
+
+  /** Coarse XY-cut: cluster runs on starting x at gutters wider than
+    * [[GutterPt]]; accept the split only when every cluster carries a
+    * meaningful share of the page's runs AND adjacent clusters overlap
+    * vertically by at least half the smaller cluster's y-span — real
+    * columns coexist in y, while an indented heading or centered title
+    * does not. Anything implausible collapses back to one column,
+    * preserving the single-column behavior bit-for-bit.
+    */
+  private def splitColumns(runs: IndexedSeq[Run]): Seq[IndexedSeq[Run]] = {
+    val xs = runs.map(_.x).distinct.sorted
+    val bounds = (1 until xs.length)
+      .filter(i => xs(i) - xs(i - 1) > GutterPt)
+      .map(i => (xs(i - 1) + xs(i)) / 2)
+    if (bounds.isEmpty) return Seq(runs)
+    val groups = runs.groupBy(r => bounds.count(_ < r.x)).toSeq
+      .sortBy(_._1).map(_._2)
+    val minShare = math.max(3.0, runs.length * 0.2)
+    val plausible = groups.forall(_.length >= minShare) &&
+      groups.sliding(2).forall {
+        case Seq(a, b) =>
+          val (aLo, aHi) = (a.map(_.y).min, a.map(_.y).max)
+          val (bLo, bHi) = (b.map(_.y).min, b.map(_.y).max)
+          val overlap = math.min(aHi, bHi) - math.max(aLo, bLo)
+          overlap >= 0.5 * math.min(aHi - aLo, bHi - bLo)
+        case _ => true
+      }
+    if (plausible) groups else Seq(runs)
+  }
 
   private val ObjRe: Regex =
     """(?s)(\d+) 0 obj\s*(.*?)\s*endobj""".r
@@ -152,24 +192,19 @@ object PdfTextExtractor {
     new String(codes.flatMap(Character.toChars))
   }
 
-  /** Interpret one page's content stream: collect (y, text) lines, then
-    * group into blocks by y-gap.
+  /** Interpret one page's content stream: collect (x, y, text) runs,
+    * split into columns, then group each column's lines into blocks by
+    * y-gap.
     */
   private def extractPage(content: String, page: Int,
       fonts: Map[String, Map[Int, String]],
       fallback: Map[Int, String]): Seq[Block] = {
     // Tokens we care about: Tf (font select), Tm (6 args), Td/TD (2 args),
     // TJ (array), Tj (string).
-    final case class Line(y: Double, sb: StringBuilder)
-    val lines = ArrayBuffer.empty[Line]
+    val runs = ArrayBuffer.empty[Run]
     var curFont: Map[Int, String] = fallback
+    var x = 0.0
     var y = 0.0
-
-    def lineFor(yPos: Double): Line = {
-      lines.find(l => math.abs(l.y - yPos) < 0.5).getOrElse {
-        val l = Line(yPos, new StringBuilder); lines += l; l
-      }
-    }
 
     def decodeHex(hex: String): String =
       hex.grouped(4).filter(_.length == 4)
@@ -206,41 +241,57 @@ object PdfTextExtractor {
         curFont = fonts.getOrElse(m.group(4), fallback)
       } else if (m.group(5) != null) { // Tm
         val nums = m.group(5).trim.split("\\s+").map(_.toDouble)
+        x = nums(4)
         y = nums(5)
       } else if (m.group(6) != null) { // Td/TD: relative line move
         val nums = m.group(6).trim.split("\\s+").map(_.toDouble)
+        x += nums(0)
         y += nums(1)
       } else if (m.group(1) != null) { // TJ array
-        val sb = lineFor(y).sb
+        val sb = new StringBuilder
         val itemRe = """<([0-9A-Fa-f]*)>|\(((?:[^()\\]|\\.)*)\)""".r
         for (im <- itemRe.findAllMatchIn(m.group(1))) {
           if (im.group(1) != null) sb ++= decodeHex(im.group(1))
           else sb ++= decodeLiteral(im.group(2))
         }
+        runs += Run(x, y, sb.toString)
       } else if (m.group(2) != null) { // hex Tj
-        lineFor(y).sb ++= decodeHex(m.group(2))
+        runs += Run(x, y, decodeHex(m.group(2)))
       } else if (m.group(3) != null) { // literal Tj
-        lineFor(y).sb ++= decodeLiteral(m.group(3))
+        runs += Run(x, y, decodeLiteral(m.group(3)))
       }
     }
+    if (runs.isEmpty) return Seq.empty
 
-    val ordered = lines.filter(_.sb.nonEmpty).sortBy(_.y).toIndexedSeq
-    if (ordered.isEmpty) return Seq.empty
-    // Dominant line pitch = median positive gap; block break at >1.5×.
-    val gaps = (1 until ordered.length)
-      .map(i => ordered(i).y - ordered(i - 1).y)
-      .filter(_ > 0.01).sorted
-    val pitch = if (gaps.isEmpty) 0.0 else gaps(gaps.length / 2)
     val out = ArrayBuffer.empty[Block]
-    var cur = new StringBuilder(ordered.head.sb.toString)
-    (1 until ordered.length).foreach { i =>
-      val gap = ordered(i).y - ordered(i - 1).y
-      if (pitch > 0 && gap > pitch * 1.5) {
-        out += Block(page, cur.toString.trim); cur = new StringBuilder
-      } else if (cur.nonEmpty) cur += ' '
-      cur ++= ordered(i).sb.toString
+    for (colRuns <- splitColumns(runs.toIndexedSeq)) {
+      // Line assembly within a column: stream order, y tolerance 0.5 —
+      // the exact pre-column behavior when the page is one column.
+      final case class Line(y: Double, sb: StringBuilder)
+      val lines = ArrayBuffer.empty[Line]
+      def lineFor(yPos: Double): Line =
+        lines.find(l => math.abs(l.y - yPos) < 0.5).getOrElse {
+          val l = Line(yPos, new StringBuilder); lines += l; l
+        }
+      colRuns.foreach(r => lineFor(r.y).sb ++= r.text)
+      val ordered = lines.filter(_.sb.nonEmpty).sortBy(_.y).toIndexedSeq
+      if (ordered.nonEmpty) {
+        // Dominant line pitch = median positive gap; block break at >1.5×.
+        val gaps = (1 until ordered.length)
+          .map(i => ordered(i).y - ordered(i - 1).y)
+          .filter(_ > 0.01).sorted
+        val pitch = if (gaps.isEmpty) 0.0 else gaps(gaps.length / 2)
+        var cur = new StringBuilder(ordered.head.sb.toString)
+        (1 until ordered.length).foreach { i =>
+          val gap = ordered(i).y - ordered(i - 1).y
+          if (pitch > 0 && gap > pitch * 1.5) {
+            out += Block(page, cur.toString.trim); cur = new StringBuilder
+          } else if (cur.nonEmpty) cur += ' '
+          cur ++= ordered(i).sb.toString
+        }
+        if (cur.nonEmpty) out += Block(page, cur.toString.trim)
+      }
     }
-    if (cur.nonEmpty) out += Block(page, cur.toString.trim)
     out.filter(_.text.nonEmpty).toSeq
   }
 }
