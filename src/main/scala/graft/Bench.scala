@@ -23,7 +23,13 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated prefix filter for local iteration on a
+    // subset (e.g. SPARK_GRAFT_ONLY=q30,q92); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       // Two reps, report the second: the DuckDB denominator
       // (BASELINE_QUERIES.json) is a median of 3 warm reps, so the
       // apples-to-apples Spark number is also a warm rep — rep 1 absorbs
