@@ -110,24 +110,34 @@ object Curation {
   def leakageReport(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Int = 5,
       maxTrainDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // ngrams() applies `cols` on both sides of its explode, so aliases
     // must happen after it, not inside it.
+    //
+    // The train side crosses exactly ONE shuffle: distinct (map-side
+    // combined, keyed (g, train_id)) and then a count-over-window
+    // partitioned by g alone — HashPartitioning(g, train_id) does NOT
+    // satisfy a window on g, so the window repartitions, but that is
+    // still one shuffle of the DISTINCT stream instead of the old
+    // aggregate-then-semi-join shape that recomputed and reshuffled the
+    // full exploded corpus twice. The eval side is the benchmark suite —
+    // small by definition (same argument as decontaminateBloom) — so it
+    // broadcasts and the pair join never shuffles train rows again;
+    // only actual (eval, train) hits reach the final aggregate.
     val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "train_id").distinct()
     val evalNg = ngrams(eval, textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "eval_id").distinct()
     val evalTot = evalNg.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("eval_ngrams"))
-    val rare = trainNg.groupBy(col("g"))
-      .agg(count(lit(1)).as("__df"))
+    trainNg
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("__df") <= maxTrainDf)
-      .select(col("g"))
-    trainNg.join(rare, Seq("g"), "left_semi")
-      .join(evalNg, Seq("g"))
+      .join(broadcast(evalNg), Seq("g"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .join(evalTot, Seq("eval_id"))
+      .join(broadcast(evalTot), Seq("eval_id"))
       .select(col("eval_id"), col("train_id"), col("n_shared"),
         col("eval_ngrams"),
         round(col("n_shared").cast("double") / col("eval_ngrams"), 4)

@@ -47,7 +47,11 @@ object SkewJoin {
     val cond = keys.map(k => col(s"b.$k") === col(s"o.$k"))
       .reduce(_ && _) && col("b.__salt") === col("o.__rep")
     val otherCols = other.columns.filterNot(keys.contains)
-    b.join(o, cond)
+    // Hash-join the replicated side instead of sort-merge: salting already
+    // guarantees no block exceeds ~|hot key|/g rows, so the build side is
+    // bounded and the two per-side sorts are pure overhead. (AQE can't
+    // pick this itself: the salted key's NDV estimate looks huge.)
+    b.join(o.hint("shuffle_hash"), cond)
       .select(big.columns.map(c => col(s"b.$c")).toIndexedSeq ++
         otherCols.map(c => col(s"o.$c")): _*)
   }
