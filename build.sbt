@@ -38,6 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whichever query is running when the 30s timer fires (measured: the
   // same query 1.5s isolated vs 15.6s mid-suite). Concurrent-cycle it.
   "-XX:+ExplicitGCInvokesConcurrent",
+  // 97 queries x whole-stage codegen blows through the 240m default code
+  // cache; when it fills, the JIT disables itself and late queries run
+  // interpreted (random 5-10x spikes that move between runs).
+  "-XX:ReservedCodeCacheSize=1g",
 )
 
 run / connectInput := true

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.StreamBatchQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.ModelQueries.queries
+      graft.queries.ModelQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.IngestQueries.oracle ++
-      graft.queries.ModelQueries.oracle
+      graft.queries.ModelQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

@@ -397,4 +397,81 @@ object Curation {
           .otherwise(lit(maxWeight)).as("weight"),
         when(hasToks, rawW > lit(maxWeight)).otherwise(lit(true)).as("capped"))
   }
+
+  /** Adaptive per-group quality cutoffs — the data-driven replacement for
+    * hand-tuned filter thresholds: within each group (language, source),
+    * keep documents whose quality score is at or above that group's
+    * `pct` percentile, reporting the cutoff and the kept share.
+    *
+    * The score must be an INTEGER expression (fixed-point if derived
+    * from a ratio): the whole computation then reduces to ONE map-side-
+    * combinable aggregate over (group, score) — count cells — followed by
+    * a running sum over that TINY table. No corpus sort, no per-group
+    * window over data rows, no sketch: the exact percentile comes from
+    * the score histogram, which is the scalable way to take exact
+    * quantiles of bounded-cardinality scores at 100 TB. The rank rule is
+    * integer arithmetic (`ceil(pct*n)` as `(pct_num*n + den-1) div den`),
+    * so the DuckDB oracle replays it exactly.
+    *
+    * Output: one row per group — groupCol, cutoff, n_docs, n_kept,
+    * kept_frac (one IEEE division of two exact longs).
+    */
+  def adaptiveThreshold(df: DataFrame, groupCol: String, score: Column,
+      pctNum: Int = 1, pctDen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol), score.cast("long").as("__s"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val byScore = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+    val grp = Window.partitionBy(col(groupCol))
+    // cum counts docs with score <= __s; the pct-rank doc sits at
+    // position ceil(pct * n): the cutoff is the smallest score whose
+    // cumulative count reaches it. Everything below is dropped.
+    val ranked = hist
+      .withColumn("__cum", sum(col("__c")).over(byScore))
+      .withColumn("__n", sum(col("__c")).over(grp))
+      .withColumn("__rank",
+        expr(s"(${pctNum}L * __n + ${pctDen - 1}) div $pctDen"))
+    val cutoff = ranked.filter(col("__cum") >= col("__rank"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__s")).as("cutoff"))
+    ranked.join(cutoff, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("cutoff")).as("cutoff"),
+        max(col("__n")).as("n_docs"),
+        sum(when(col("__s") >= col("cutoff"), col("__c"))
+          .otherwise(lit(0L))).as("n_kept"))
+      .select(col(groupCol), col("cutoff"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_frac"))
+  }
+
+  /** N-gram novelty attribution: for every document, how many of its
+    * distinct n-grams appear HERE FIRST (no lower-id document contains
+    * them)? The diversity-decay curve of a corpus in document order —
+    * high novelty early, boilerplate-dominated tails late — and the
+    * per-document signal behind "does adding this shard still add
+    * information?".
+    *
+    * Two map-side-combinable aggregates of the exploded stream and one
+    * doc-count-sized join — deliberately NO gram-keyed join back to the
+    * corpus: the novel count per doc is just the histogram of
+    * min(doc_id) over grams, so a boilerplate gram in 10^6 docs costs
+    * one combiner cell and hot keys never meet a window or a join.
+    * Output: idCol, n_grams, n_novel, novelty_frac; docs with fewer
+    * than n tokens emit nothing.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val pairs = ngrams(df, textCol, n, Seq(col(idCol))).distinct()
+    val perDoc = pairs.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val novel = pairs.groupBy(col("g"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty_frac"))
+  }
 }

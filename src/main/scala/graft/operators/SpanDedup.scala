@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-SPAN detection and removal — substring-level dedup.
+  *
+  * Document-level dedup (exact [[Dedup.exact]], near [[Dedup]] MinHash /
+  * SimHash) misses the dominant real-world contamination shape: two
+  * mostly-different documents sharing a long verbatim run (boilerplate,
+  * license headers, quoted passages, templated sections). Training-data
+  * pipelines strip the RUN, not the document. This operator finds every
+  * maximal token span covered by k-token shingles that occur in at least
+  * `minDocFreq` distinct documents, and [[stripSpans]] rewrites the
+  * corpus with those spans removed.
+  *
+  * Scale shape: the shingle stream is exploded once per use; the
+  * duplicated-shingle set derives from a map-side-combinable
+  * groupBy(shingle).count over DISTINCT (doc, shingle) pairs — never a
+  * window over the raw stream, so a boilerplate shingle in 10^6 docs
+  * costs one combiner cell, not a 10^6-row window partition. Positions
+  * rejoin that set with a semi join (AQE broadcasts it when small,
+  * skew-splits when not). Span merging is a per-document
+  * gaps-and-islands window — partitioned by doc id, bounded by document
+  * length. Everything is exact integer arithmetic; the DuckDB oracle
+  * replays it bit-for-bit.
+  */
+object SpanDedup {
+
+  /** k-token shingles with their 1-based start position:
+    * (idCol, n_words, i, g). Documents shorter than k emit nothing.
+    */
+  private def shingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), size(col("__t")).as("n_words"),
+        explode(transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(col("__t"), i, lit(k))).as("g"))))
+          .as("__s"))
+      .select(col(idCol), col("n_words"),
+        col("__s.i").as("i"), col("__s.g").as("g"))
+  }
+
+  /** Shingle start positions (idCol, n_words, i) whose shingle occurs in
+    * >= minDocFreq distinct docs.
+    */
+  private def dupPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocFreq: Int): DataFrame = {
+    val pos = shingles(df, idCol, textCol, k)
+    val dup = pos.select(col(idCol), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("g"))
+    pos.join(dup, Seq("g"), "left_semi")
+  }
+
+  /** Merged duplicated spans per document: one row per maximal run of
+    * overlapping/adjacent duplicated k-shingles, with 1-based inclusive
+    * token bounds. Columns: idCol, n_words, span_start, span_end.
+    */
+  def spans(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      minDocFreq: Int = 2): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    // A shingle at i covers [i, i+k-1]; runs merge while the next start
+    // is within k of the previous (overlap or exact adjacency).
+    dupPositions(df, idCol, textCol, k, minDocFreq)
+      .withColumn("__new",
+        when(col("i") > lag(col("i"), 1, -(k + 1)).over(byDoc) + k, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("n_words"), col("__island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + (k - 1)).as("span_end"))
+      .drop("__island")
+  }
+
+  /** Per-document duplicated-span report: span count, tokens covered,
+    * and covered fraction. Only documents with at least one duplicated
+    * span appear. dup_frac is a single IEEE division of two exact
+    * integers — portable across engines without rounding.
+    */
+  def report(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      minDocFreq: Int = 2): DataFrame =
+    spans(df, idCol, textCol, k, minDocFreq)
+      .groupBy(col(idCol), col("n_words"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      .select(col(idCol), col("n_words").cast("long").as("n_words"),
+        col("n_spans"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_words"))
+          .as("dup_frac"))
+
+  /** The rewrite: corpus with every duplicated span removed. Documents
+    * keep their surviving tokens in original order (empty if fully
+    * covered); docs with no duplicated span pass through verbatim.
+    * Output: idCol, textCol (rewritten), n_removed.
+    *
+    * Coverage join is per-token-position against the span table
+    * (doc-keyed, so co-partitioned with the token stream) — an anti join
+    * keeps uncovered positions, and the document reassembles with an
+    * array_sort(collect_list(struct(pos, token))) — order restored by
+    * the sort, not by any shuffle-order assumption.
+    */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      minDocFreq: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val tokens = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), posexplode(toks).as(Seq("__p", "__w")))
+      .withColumn("__j", col("__p") + 1) // 1-based like span bounds
+    val covered = spans(df, idCol, textCol, k, minDocFreq)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("__j"))
+    val rebuilt = tokens.join(covered, Seq(idCol, "__j"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__j"), col("__w")))),
+          s => s.getField("__w"))).as("__text"),
+        count(lit(1)).as("__kept"))
+    // Left join from the corpus: a fully-covered document keeps its row
+    // with empty text rather than vanishing from the output.
+    df.select(col(idCol), size(toks).as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, SpanDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q98–q101: substring-level dedup and corpus-adaptive curation — the
+  * span tier. Document-level dedup (q19/q27/q28) treats a document as
+  * the unit; these operators work BELOW it (duplicated token runs,
+  * q98/q101), or ABOVE it (corpus-derived thresholds q99, novelty
+  * attribution q100). All four are exact integer/string algebra with
+  * full DuckDB oracles.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val K = 8 // span shingle width (tokens)
+
+  // q98: duplicated-span report — maximal cross-doc verbatim runs of
+  // >= K tokens, per doc: span count, covered tokens, covered fraction.
+  def q98(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.report(docs(s, dir), "doc_id", "text", k = K, minDocFreq = 2)
+      .orderBy(col("doc_id"))
+
+  // q99: adaptive per-language quality cutoff — keep docs at/above the
+  // language's P25 of the e3 fixed-point mean-word-length score. The
+  // cutoff is DERIVED from the corpus (histogram percentile), not
+  // hand-tuned.
+  def q99(s: SparkSession, dir: String): DataFrame =
+    Curation.adaptiveThreshold(docs(s, dir), "lang",
+        expr("(CAST(n_chars AS BIGINT) * 1000) div size(split(text, ' '))"),
+        pctNum = 1, pctDen = 4)
+      .orderBy(col("lang"))
+
+  // q100: n-gram novelty attribution — per doc, the fraction of its
+  // distinct 3-grams that no lower-id doc contains (diversity decay in
+  // corpus order).
+  def q100(s: SparkSession, dir: String): DataFrame =
+    Curation.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+
+  // q101: the q98 rewrite applied — corpus with duplicated spans
+  // REMOVED, certified byte-for-byte via md5 of the rebuilt text.
+  def q101(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.stripSpans(docs(s, dir), "doc_id", "text", k = K,
+        minDocFreq = 2)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_span_dedup" -> (q98 _),
+    "q99_adaptive_threshold" -> (q99 _),
+    "q100_ngram_novelty" -> (q100 _),
+    "q101_span_strip" -> (q101 _))
+
+  // Shared CTE prefix: K-shingle positions and the merged duplicated
+  // spans (the SQL mirror of SpanDedup.spans at k=8, minDocFreq=2).
+  private val SpanCtes =
+    """toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+      |          FROM documents),
+      |pos AS (SELECT doc_id, len(t) AS n_words, t,
+      |          unnest(range(1, len(t) - 8 + 2)) AS i
+      |        FROM toks WHERE len(t) >= 8),
+      |ng AS (SELECT doc_id, n_words, i,
+      |         list_aggregate(t[i:i+7], 'string_agg', ' ') AS g FROM pos),
+      |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+      |        GROUP BY g HAVING COUNT(*) >= 2),
+      |dp AS (SELECT ng.doc_id, ng.n_words, ng.i FROM ng JOIN dup USING (g)),
+      |isl AS (SELECT doc_id, n_words, i,
+      |          CASE WHEN i > COALESCE(LAG(i) OVER
+      |            (PARTITION BY doc_id ORDER BY i), -9) + 8
+      |          THEN 1 ELSE 0 END AS nw
+      |        FROM dp),
+      |run AS (SELECT doc_id, n_words, i, SUM(nw) OVER
+      |          (PARTITION BY doc_id ORDER BY i) AS island FROM isl),
+      |sp AS (SELECT doc_id, n_words, MIN(i) AS s, MAX(i) + 7 AS e
+      |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q98_span_dedup" ->
+      s"""WITH $SpanCtes
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(SUM(e - s + 1) AS DOUBLE) / n_words AS dup_frac
+         |FROM sp GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin,
+    "q99_adaptive_threshold" ->
+      """WITH d AS (SELECT lang,
+        |    (CAST(n_chars AS BIGINT) * 1000)
+        |      // len(regexp_split_to_array(text, ' ')) AS s
+        |  FROM documents),
+        |hist AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM d GROUP BY 1, 2),
+        |r AS (SELECT lang, s, c,
+        |        SUM(c) OVER (PARTITION BY lang ORDER BY s) AS cum,
+        |        SUM(c) OVER (PARTITION BY lang) AS n
+        |      FROM hist),
+        |r2 AS (SELECT lang, s, c, cum, n, (1 * n + 3) // 4 AS rnk FROM r),
+        |cut AS (SELECT lang, MIN(s) AS cutoff FROM r2 WHERE cum >= rnk
+        |        GROUP BY lang)
+        |SELECT r2.lang, CAST(cut.cutoff AS BIGINT) AS cutoff,
+        |  CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN s >= cutoff THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN s >= cutoff THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(MAX(n) AS DOUBLE) AS kept_frac
+        |FROM r2 JOIN cut USING (lang)
+        |GROUP BY r2.lang, cut.cutoff ORDER BY lang""".stripMargin,
+    "q100_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |              FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2 + 1)) AS i
+        |        FROM toks),
+        |ng AS (SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ')
+        |         AS g FROM pos),
+        |pairs AS (SELECT DISTINCT doc_id, g FROM ng),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |        FROM pairs GROUP BY doc_id),
+        |nov AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        |        FROM (SELECT g, MIN(doc_id) AS fd FROM pairs GROUP BY g)
+        |        GROUP BY fd)
+        |SELECT per.doc_id, per.n_grams,
+        |  COALESCE(nov.n_novel, 0) AS n_novel,
+        |  CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) / per.n_grams
+        |    AS novelty_frac
+        |FROM per LEFT JOIN nov ON per.doc_id = nov.doc_id
+        |ORDER BY per.doc_id""".stripMargin,
+    "q101_span_strip" ->
+      s"""WITH $SpanCtes,
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS j
+         |        FROM sp),
+         |tok AS (SELECT doc_id, unnest(t) AS w,
+         |          generate_subscripts(t, 1) AS j FROM toks),
+         |keep AS (SELECT tok.doc_id, tok.j, tok.w FROM tok
+         |         LEFT JOIN cov ON tok.doc_id = cov.doc_id
+         |           AND tok.j = cov.j
+         |         WHERE cov.j IS NULL),
+         |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text2,
+         |          CAST(COUNT(*) AS BIGINT) AS kept
+         |        FROM keep GROUP BY doc_id)
+         |SELECT toks.doc_id, md5(COALESCE(reb.text2, '')) AS clean_md5,
+         |  CAST(len(toks.t) - COALESCE(reb.kept, 0) AS BIGINT) AS n_removed
+         |FROM toks LEFT JOIN reb USING (doc_id)
+         |ORDER BY toks.doc_id""".stripMargin)
+}
