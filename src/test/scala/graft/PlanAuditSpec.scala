@@ -169,6 +169,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q98-q101: span tier prunes columns and stays cartesian-free") {
+    for (q <- Seq("q98_span_dedup", "q100_ngram_novelty",
+        "q101_span_strip")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // only doc_id + text feed the shingle/gram streams
+      assert(!p.contains("n_chars") && !p.contains("source"), s"$q:\n$p")
+    }
+  }
+
+  test("q99: the corpus crosses ONE aggregate; percentiles run on the histogram") {
+    // The whole point of the histogram percentile: the only shuffle of
+    // data-sized input is the partial+final (lang, score) count — the
+    // windows run on the tiny histogram after it. A Window whose child
+    // subtree contains the parquet scan without an intervening Aggregate
+    // means the corpus is being sorted per language (the shape that dies
+    // at 100 TB).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q99_adaptive_threshold")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case l: LeafNode => true
+      case other => other.children.exists(scanAboveAggregate)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAggregate(w.child),
+        s"window over un-aggregated corpus:\n$lp")
+    }
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
