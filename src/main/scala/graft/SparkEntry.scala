@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.ModelQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.IngestQueries.oracle ++
       graft.queries.ModelQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

@@ -167,7 +167,44 @@ object StreamBatchQueries {
     s.table(sink).orderBy(col("window_start"), col("event_type"))
   }
 
+  // q107: the q58 interval join executed as an ACTUAL stream-stream join
+  // — two watermarked file-source streams (purchases ⋈ clicks within
+  // [p_ts − 30 min, p_ts]), append-mode memory sink, then the per-purchase
+  // click counts aggregated from the sink and replayed under q58's batch
+  // oracle. Certifies the streaming join runtime (dual watermarks, join
+  // state store, append emission) against the batch answer — the
+  // stream-stream analogue of what q84 certifies for stateful aggregation.
+  // State bound at scale: both sides evict once the watermark passes
+  // `ts + 30 min + delay`; state is O(events in the lateness+window
+  // horizon), not stream history.
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def stream(): DataFrame = {
+      val st0 = s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*")
+      if (raw.schema.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        st0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else st0
+    }
+    val joined = Streams.attributionJoin(
+      stream().filter(col("event_type") === "purchase"),
+      stream().filter(col("event_type") === "click"),
+      windowMs = 30 * 60 * 1000L)
+    val sink = "graft_q107_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_stream_join" -> (q107 _),
     "q84_stream_e2e" -> (q84 _),
     "q62_asof_join" -> (q62 _),
     "q45_stream_window" -> (q45 _),
@@ -263,6 +300,13 @@ object StreamBatchQueries {
         |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q107_stream_join" ->
+      """SELECT p.event_id, COUNT(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "q58_interval_join" ->
       """SELECT p.event_id, COUNT(*) AS n_clicks
         |FROM events p JOIN events c

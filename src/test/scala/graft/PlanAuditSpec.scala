@@ -200,6 +200,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q102: sketch build is two-phase; estimate join is broadcast") {
+    // The register aggregate must map-side-combine (d·w partial cells)
+    // and the tiny register table must broadcast into the probe side —
+    // a SortMergeJoin here means the sketch is being treated as data.
+    val p = plan("q102_countmin")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q103: bounded-state sample has no Window and no per-stratum sort") {
+    // The aggregate IS the point: a Window/row_number plan would sort
+    // every stratum. ObjectHashAggregate partial+final carries the
+    // k-pair state instead.
+    val p = plan("q103_sample_k")
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q104: extraction is a single-pass projection (one Exchange, for the final sort)") {
+    val p = plan("q104_html_extract")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q106: cluster-scoped pair search — no cartesian, assignment joinless") {
+    // The pair stage joins ON the assigned cluster; anything cartesian
+    // means the O(n²/k) restriction was lost. The centroid argmin is a
+    // literal-folded expression, so exactly one join (a↔b) may appear.
+    val p = plan("q106_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
