@@ -277,6 +277,62 @@ object Dedup {
     labels.union(isolated)
   }
 
+  /** Incremental (snapshot-vs-arrivals) dedup — the CDC shape: new
+    * documents are checked against an EXISTING corpus without
+    * re-deduplicating it. Two tiers, same as the batch operators:
+    *   - exact: arrival text md5 ∈ snapshot md5 set → verdict 'exact',
+    *     matched = the smallest snapshot id with that text;
+    *   - near: an LSH band collision between the two sides' minhash
+    *     signatures, confirmed by ≥ `minEqual` of `k` equal signature
+    *     components → verdict 'near', matched = smallest colliding
+    *     snapshot id;
+    *   - otherwise 'new'.
+    * Exact beats near. Output: id, verdict, matched (null for 'new').
+    *
+    * Scale: both signature tables are k longs per doc and the candidate
+    * join is band-bucketed (never all-pairs); at 100 TB the snapshot
+    * side's signatures are the first-class dataset you persist between
+    * ingest runs, so the snapshot corpus is scanned only for NEW md5/sig
+    * builds (or not at all, with the store pattern of
+    * [[graft.streaming.StreamNearDup]] — this is its batch counterpart).
+    * Signatures are locally checkpointed: each feeds both the bucket
+    * join and the similarity confirm, and the planner does not share the
+    * shingle pipeline across the two consumers.
+    */
+  def snapshotDedup(snapshot: DataFrame, arrivals: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4, rowsPerBand: Int = 4, minEqual: Int = 8): DataFrame = {
+    val snapMd5 = snapshot
+      .select(md5(col(textCol)).as("__m"), col(idCol).as("__sid"))
+      .groupBy(col("__m")).agg(min(col("__sid")).as("__exact"))
+    val sigS = minhashSignatures(shingles(snapshot, idCol, textCol, n), k)
+      .withColumnRenamed("sig", "__ssig").withColumnRenamed("id", "__sid")
+      .localCheckpoint(true)
+    val sigA = minhashSignatures(shingles(arrivals, idCol, textCol, n), k)
+      .localCheckpoint(true)
+    val bS = lshBuckets(sigS.select(col("__sid").as("id"),
+        col("__ssig").as("sig")), bands, rowsPerBand)
+      .select(col("id").as("__sid"), col("band"), col("band_hash"))
+    val bA = lshBuckets(sigA, bands, rowsPerBand)
+    val nEqual = aggregate(
+      zip_with(col("__ssig"), col("sig"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, z) => acc + z)
+    val near = bA.join(bS, Seq("band", "band_hash"))
+      .select(col("id"), col("__sid")).distinct()
+      .join(sigA, Seq("id")).join(sigS, Seq("__sid"))
+      .filter(nEqual >= minEqual)
+      .groupBy(col("id")).agg(min(col("__sid")).as("__near"))
+    arrivals.select(col(idCol), md5(col(textCol)).as("__m"))
+      .join(snapMd5, Seq("__m"), "left")
+      .join(near, col(idCol) === near("id"), "left")
+      .select(col(idCol),
+        when(col("__exact").isNotNull, lit("exact"))
+          .when(col("__near").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("__exact"), col("__near")).as("matched"))
+  }
+
   /** Winnowed document fingerprints (MOSS-style): rolling window of `w`
     * consecutive shingle hashes keeps the minimum; the distinct kept hashes
     * are the document's fingerprints. Cheap containment/near-dup sketch.

@@ -107,4 +107,65 @@ object LanguageModel {
         (sum(col("cnt") * col("nll_e4")) / 10000.0 / sum(col("cnt")))
           .as("avg_nll"))
   }
+
+  /** Per-GROUP bigram LMs in one pass — the CCNet shape proper: each
+    * language (or domain) gets its own add-one-smoothed model, estimated
+    * and scored without looping over groups. Same plan discipline as
+    * [[bigramNll]] — the instance stream aggregates once on
+    * `(id, group, w1, w2)`; count tables, per-group vocab sizes and the
+    * smoothing join are all (group × vocabulary)-sized. The per-group
+    * vocabulary size joins in as a groups-sized relation (broadcast)
+    * instead of a driver literal.
+    *
+    * Output: idCol, groupCol, n_bigrams, `score_e4` = the integer
+    * quotient `Σ cnt·nll_e4 div Σ cnt` — an exact long in both engines,
+    * histogram-bucketable downstream (q99's machinery) without float
+    * portability caveats.
+    */
+  def bigramNllBy(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val toksExpr = filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), col(groupCol), toksExpr.as("__t"))
+      .localCheckpoint(true)
+
+    val uni = toks.select(col(groupCol), explode(col("__t")).as("w"))
+    val c1 = uni.groupBy(col(groupCol), col("w"))
+      .agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w", "w1")
+      .localCheckpoint(true)
+    // Per-group V: a groups-sized table, broadcast into the score join.
+    val vocabs = c1.groupBy(col(groupCol)).agg(count(lit(1)).as("__v"))
+
+    val bigrams = toks
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), col(groupCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col(groupCol), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+
+    val docBg = bigrams
+      .groupBy(col(idCol), col(groupCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val c2 = docBg.groupBy(col(groupCol), col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c2"))
+
+    val perBigram = c2
+      .join(c1, Seq(groupCol, "w1"))
+      .join(broadcast(vocabs), Seq(groupCol))
+      .select(col(groupCol), col("w1"), col("w2"),
+        round(-log((col("c2") + lit(1.0)) /
+            (col("c1") + col("__v").cast("double"))) * 10000, 0)
+          .cast("long").as("nll_e4"))
+
+    docBg.join(perBigram, Seq(groupCol, "w1", "w2"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        expr("CAST(sum(cnt * nll_e4) div sum(cnt) AS BIGINT)")
+          .as("score_e4"))
+  }
 }

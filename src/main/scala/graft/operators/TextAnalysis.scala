@@ -164,6 +164,7 @@ object TextAnalysis {
       .withColumn("uniq_frac", kUniq / 10000.0)
       .withColumn("mean_wl", kMeanWl / 10000.0)
       .withColumn("clf_score", scoreE6.cast("double") / 1000000.0)
+      .withColumn("score_e6", scoreE6)
       .withColumn("keep", scoreE6 >= thrE6)
   }
 }

@@ -119,7 +119,26 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q109: incremental snapshot-vs-arrivals dedup (the CDC ingest shape):
+  // docs with doc_id%10 < 8 are the EXISTING corpus, the rest arrive new.
+  // Each arrival gets a verdict — 'exact' (md5 match, smallest snapshot
+  // id), 'near' (LSH band collision confirmed by >= 8/16 equal minhash
+  // components, smallest colliding id), or 'new'. The existing corpus is
+  // never re-deduplicated; its signature table is the persisted asset.
+  // Oracle: the q27 CTE chain over ALL docs, with cross-side pairs
+  // filtered out of `cand` (a doc's signature depends only on itself, so
+  // per-side signature builds and the all-docs build agree exactly).
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.snapshotDedup(
+        d.filter(col("doc_id") % 10 < 8),
+        d.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_snapshot_dedup" -> (q109 _),
     "q85_stream_neardup" -> (q85 _),
     "q27_minhash_lsh" -> (q27 _),
     "q28_simhash" -> (q28 _),
@@ -142,9 +161,10 @@ object DedupQueries {
     }.mkString("\n  UNION ALL\n  ")
 
   /** Shared CTE chain computing the LSH candidate pairs (`cand(a, b)`) —
-    * the q27 oracle body, reused by the recursive clustering oracles.
+    * the q27 oracle body, reused by the recursive clustering oracles and
+    * the q109 snapshot-dedup oracle.
     */
-  private val candCte: String =
+  private[queries] val candCte: String =
     s"""toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
        |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
        |sh AS (SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle FROM idx),
@@ -175,6 +195,33 @@ object DedupQueries {
     "q27_minhash_lsh" ->
       s"""WITH $candCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+    "q109_snapshot_dedup" -> {
+      val eqSum = (0 until 16)
+        .map(j => s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $candCte,
+         |cr AS (SELECT CASE WHEN a % 10 < 8 THEN a ELSE b END AS s,
+         |         CASE WHEN a % 10 < 8 THEN b ELSE a END AS ar
+         |       FROM cand WHERE (a % 10 < 8) <> (b % 10 < 8)),
+         |sims AS (SELECT cr.ar, cr.s, ($eqSum) AS eq
+         |         FROM cr JOIN sig x ON x.doc_id = cr.s
+         |         JOIN sig y ON y.doc_id = cr.ar),
+         |near AS (SELECT ar, MIN(s) AS nid FROM sims WHERE eq >= 8
+         |         GROUP BY ar),
+         |em AS (SELECT md5(text) AS m, MIN(doc_id) AS sid FROM documents
+         |       WHERE doc_id % 10 < 8 GROUP BY 1),
+         |arr AS (SELECT doc_id, md5(text) AS m FROM documents
+         |        WHERE doc_id % 10 >= 8),
+         |ex AS (SELECT arr.doc_id, em.sid FROM arr
+         |       LEFT JOIN em USING (m))
+         |SELECT ex.doc_id,
+         |  CASE WHEN ex.sid IS NOT NULL THEN 'exact'
+         |       WHEN near.nid IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict,
+         |  COALESCE(ex.sid, near.nid) AS matched
+         |FROM ex LEFT JOIN near ON near.ar = ex.doc_id
+         |ORDER BY ex.doc_id""".stripMargin
+    },
     "q85_stream_neardup" -> {
       val simSum = (0 until 16)
         .map(j => s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END")

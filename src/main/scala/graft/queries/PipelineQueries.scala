@@ -106,8 +106,12 @@ object PipelineQueries {
     val cents = Centroids.fit(emb, "label", "embedding")
     val v = Centroids.assign(emb, "embedding", cents, "label")
       .select(col("vec_id"), col("assigned"), col("embedding"))
-    val a = v.select(col("assigned"), col("vec_id").as("a"),
-      col("embedding").as("va"))
+    // The probe side spreads across all cores (a small parquet scan is
+    // 1-2 partitions — without this the whole quadratic pair stage runs
+    // in ONE task); the build side broadcasts, so no co-location needed.
+    val a = graft.SparkUtil.ensureParallelism(
+      v.select(col("assigned"), col("vec_id").as("a"),
+        col("embedding").as("va")))
     val b = v.select(col("assigned"), col("vec_id").as("b"),
       col("embedding").as("vb"))
     val d2 = aggregate(
@@ -115,7 +119,8 @@ object PipelineQueries {
         floor((x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double")) * lit(1e8)).cast("long")),
       lit(0L), (acc, z) => acc + z)
-    val dup = a.join(b, Seq("assigned")).filter(col("a") < col("b"))
+    val dup = a.join(broadcast(b), Seq("assigned"))
+      .filter(col("a") < col("b"))
       .withColumn("__d2", d2).filter(col("__d2") <= SemTau)
     val perCluster = dup.groupBy(col("assigned"))
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b")).as("n_dups"))
@@ -127,12 +132,86 @@ object PipelineQueries {
       .orderBy(col("assigned"))
   }
 
+  /** q108 curriculum geometry: difficulty buckets (clamped quartiles of
+    * the e6 classifier score), packed easy-first. The order key encodes
+    * (bucket desc, md5 shuffle, id) in one long — `(3−bucket)·2^44 +
+    * hash24·2^20 + id` — so the distributed prefix-sum packer
+    * ([[graft.operators.Packing.packByStart]]) needs no new machinery.
+    * The 20-bit id field covers the tested SFs; a deployment widens the
+    * key or packs per bucket.
+    */
+  private val BucketShift = 1L << 44
+  private val IdShift = 1L << 20
+
+  // q108: curriculum construction — score every document with the frozen
+  // quality classifier (q92), bucket into difficulty quartiles, order
+  // easy-first with a seeded shuffle inside each bucket, and pack into
+  // 512-token training bins via the two-pass distributed prefix sum.
+  // Per-bin bucket span (b_hi/b_lo) certifies curriculum monotonicity.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.TextAnalysis
+      .linearQuality(docs(s, dir), "text")
+      .select(col("doc_id"), col("score_e6"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val bucket = least(greatest(expr("score_e6 div 250000"), lit(0L)),
+      lit(3L))
+    val h24 = conv(substring(md5(concat_ws(":", lit("c8"), col("doc_id"))),
+      1, 6), 16, 10).cast("long")
+    val ord = scored.select(
+      ((lit(3L) - bucket) * BucketShift + h24 * IdShift + col("doc_id"))
+        .as("ok"),
+      col("n_toks"))
+    graft.operators.Packing.packByStart(ord, "ok", "n_toks", capacity = 512)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        expr(s"3 - (min(ok) div $BucketShift)").as("b_hi"),
+        expr(s"3 - (max(ok) div $BucketShift)").as("b_lo"),
+        (min(col("ok")) % IdShift).as("first_doc"))
+      .orderBy(col("bin"))
+  }
+
+  // q110: the CCNet pipeline shape end to end — per-LANGUAGE bigram LMs
+  // estimated in one pass (no per-language loop), each document scored
+  // under its own language's model (integer e4 NLL), then split into
+  // head/middle/tail by exact per-language tercile cutoffs from the
+  // (lang, score) histogram (q99's machinery — the corpus crosses the
+  // aggregates once; windows run on the histogram).
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.operators.LanguageModel
+      .bigramNllBy(docs(s, dir), "lang", "doc_id", "text")
+    val hist = scored.groupBy(col("lang"), col("score_e4"))
+      .agg(count(lit(1)).as("__c"))
+    val r = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("score_e4"))))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col("lang"))))
+    val cuts = r.groupBy(col("lang")).agg(
+      min(when(col("__cum") >= expr("(__n + 2) div 3"), col("score_e4")))
+        .as("__cut1"),
+      min(when(col("__cum") >= expr("(2 * __n + 2) div 3"),
+        col("score_e4"))).as("__cut2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("score_e4") <= col("__cut1"), lit("head"))
+          .when(col("score_e4") <= col("__cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_e4")).as("min_score"),
+        max(col("score_e4")).as("max_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_countmin" -> (q102 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
     "q105_url_report" -> (q105 _),
-    "q106_semantic_dedup" -> (q106 _))
+    "q106_semantic_dedup" -> (q106 _),
+    "q108_curriculum" -> (q108 _),
+    "q110_ccnet_buckets" -> (q110 _))
 
   /** The q104/q105 HTML and URL builders as SQL (must stay byte-identical
     * to [[WebIngest.withHtml]] / [[WebIngest.withUrl]]).
@@ -161,6 +240,40 @@ object PipelineQueries {
     "|| CASE WHEN doc_id % 5 = 0",
     "THEN '?ref=feed&page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END")
     .mkString(" ")
+
+  /** English stopword list as a DuckDB list literal (q92's convention). */
+  private val enStops: String =
+    graft.operators.TextAnalysis.stopwords("en")
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+
+  /** The q92 classifier score as CTEs ending in `sc(doc_id, score_e6)` —
+    * the SQL mirror of [[graft.operators.TextAnalysis.linearQuality]].
+    */
+  private val ScoreCtes: String =
+    s"""t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), ' '),
+       |                x -> LENGTH(x) > 0) AS t
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+       |    CAST(len(list_filter(t, x -> list_contains($enStops, x)))
+       |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+       |    AS k_stop,
+       |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+       |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS k_uniq,
+       |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+       |    CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+       |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+       |    AS k_mw,
+       |  CAST(ROUND((CAST(LEAST(len(t), 1000) AS DOUBLE) / 1000.0)
+       |    * 10000, 0) AS BIGINT) AS k_len
+       |  FROM t),
+       |sc AS (SELECT doc_id,
+       |  -600000 + 180 * k_stop + 90 * k_uniq + 8 * k_mw + 35 * k_len
+       |    AS score_e6
+       |  FROM f)""".stripMargin
 
   /** md5-derived count-min bucket of VARCHAR expression `k` in row `r`
     * (the SQL mirror of [[CountMin.bucket]]).
@@ -245,6 +358,73 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN page IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_paged
          |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q108_curriculum" ->
+      s"""WITH $ScoreCtes,
+         |b AS (SELECT doc_id,
+         |        LEAST(GREATEST(score_e6 // 250000, 0), 3) AS bucket
+         |      FROM sc),
+         |o AS (SELECT b.doc_id,
+         |    (3 - bucket) * $BucketShift
+         |      + CAST(('0x' || substring(md5('c8:'
+         |          || CAST(b.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         |        * $IdShift
+         |      + b.doc_id AS ok,
+         |    len(regexp_split_to_array(d.text, ' ')) AS n_toks
+         |  FROM b JOIN documents d ON b.doc_id = d.doc_id),
+         |cum AS (SELECT ok, n_toks, SUM(n_toks) OVER (ORDER BY ok
+         |          ROWS UNBOUNDED PRECEDING) - n_toks AS cb FROM o),
+         |pk AS (SELECT ok, n_toks,
+         |         CAST(FLOOR(cb / 512) AS BIGINT) AS bin FROM cum)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |  CAST(3 - (MIN(ok) // $BucketShift) AS BIGINT) AS b_hi,
+         |  CAST(3 - (MAX(ok) // $BucketShift) AS BIGINT) AS b_lo,
+         |  CAST(MIN(ok) % $IdShift AS BIGINT) AS first_doc
+         |FROM pk GROUP BY bin ORDER BY bin""".stripMargin,
+    "q110_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), ' '),
+        |                x -> LENGTH(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT lang, unnest(t) AS w FROM toks),
+        |c1 AS (SELECT lang, w, COUNT(*) AS c1 FROM uni GROUP BY 1, 2),
+        |v AS (SELECT lang, COUNT(*) AS v FROM c1 GROUP BY 1),
+        |bpos AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+        |         FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2 FROM bpos),
+        |c2 AS (SELECT lang, w1, w2, COUNT(*) AS c2 FROM bi
+        |       GROUP BY 1, 2, 3),
+        |nll AS (SELECT c2.lang, c2.w1, c2.w2,
+        |    CAST(ROUND(-ln((c2.c2 + 1.0) / (c1.c1 + CAST(v.v AS DOUBLE)))
+        |      * 10000, 0) AS BIGINT) AS nll_e4
+        |  FROM c2 JOIN c1 ON c2.lang = c1.lang AND c2.w1 = c1.w
+        |  JOIN v ON v.lang = c2.lang),
+        |ds AS (SELECT bi.doc_id, bi.lang,
+        |         CAST(COUNT(*) AS BIGINT) AS nb,
+        |         CAST(SUM(nll_e4) AS BIGINT) AS se
+        |       FROM bi JOIN nll ON bi.lang = nll.lang
+        |         AND bi.w1 = nll.w1 AND bi.w2 = nll.w2
+        |       GROUP BY 1, 2),
+        |s AS (SELECT doc_id, lang, se // nb AS score FROM ds),
+        |hist AS (SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM s GROUP BY 1, 2),
+        |r AS (SELECT lang, score, c,
+        |        SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+        |        SUM(c) OVER (PARTITION BY lang) AS n
+        |      FROM hist),
+        |cut AS (SELECT lang,
+        |    MIN(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS c1,
+        |    MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS c2
+        |  FROM r GROUP BY lang),
+        |bkt AS (SELECT s.doc_id, s.lang, s.score,
+        |    CASE WHEN s.score <= cut.c1 THEN 'head'
+        |         WHEN s.score <= cut.c2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM s JOIN cut USING (lang))
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(score) AS BIGINT) AS min_score,
+        |  CAST(MAX(score) AS BIGINT) AS max_score
+        |FROM bkt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q106_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    generate_subscripts(embedding, 1) AS pos,

@@ -192,11 +192,22 @@ object StreamBatchQueries {
       windowMs = 30 * 60 * 1000L)
     val sink = "graft_q107_" + java.util.UUID.randomUUID().toString
       .replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // The join's state-store count = shuffle partitions AT STREAM START;
+    // 32 stores × (commit + delta file) per micro-batch is pure fixed
+    // cost at this volume, so the stream runs at 8 and the session
+    // setting is restored after. A real deployment sizes this to state
+    // volume / executor count, not to the batch shuffle default.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // Restore only after the stream DRAINS: micro-batches capture the
+      // shuffle setting when each batch plans, not at start().
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sink)
       .groupBy(col("p_id").as("event_id"))
       .agg(count(lit(1)).as("n_clicks"))

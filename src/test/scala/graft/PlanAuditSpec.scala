@@ -234,6 +234,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q110: tercile windows run on the histogram, never the corpus") {
+    // Same invariant as q99 at the pipeline level: the per-language
+    // cutoffs come from the (lang, score) histogram; a Window whose
+    // subtree reaches a scan without an Aggregate means the corpus is
+    // being sorted per language.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q110_ccnet_buckets")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(scanAboveAggregate)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAggregate(w.child),
+        s"window over un-aggregated corpus:\n$lp")
+    }
+  }
+
+  test("q108: curriculum packing plan has no Window and no cartesian") {
+    // Ordering + binning run through the two-pass prefix-sum packer
+    // (mapPartitions over range partitions); a Window here would be the
+    // single-partition global cumulative sum that dies at scale.
+    val p = plan("q108_curriculum")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the

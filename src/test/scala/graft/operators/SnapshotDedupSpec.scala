@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental snapshot-vs-arrivals dedup verdicts on handcrafted cases:
+  * exact ties to the smallest snapshot id, near-dup catches an edited
+  * copy, disjoint text is 'new', and a shingle-less (too short) arrival
+  * can still be exact but never near.
+  */
+class SnapshotDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // One token changed near the end: most shingles shared -> near-dup.
+  private val longAEdit = longA.replace("upsilon", "psi")
+
+  private lazy val snapshot = Seq(
+    (10L, longA),
+    (11L, longA), // duplicate inside the snapshot: min id 10 must win
+    (12L, "the quick brown fox jumps over the lazy dog again and again"),
+    (13L, "hi")
+  ).toDF("doc_id", "text")
+
+  private lazy val arrivals = Seq(
+    (20L, longA),          // exact (matches 10, not 11)
+    (21L, longAEdit),      // near
+    (22L, "completely different words entirely unrelated content here"),
+    (23L, "hi"),           // exact vs 13, despite having no 3-shingles
+    (24L, "yo")            // too short, no match -> new
+  ).toDF("doc_id", "text")
+
+  private lazy val verdicts =
+    Dedup.snapshotDedup(snapshot, arrivals, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+
+  test("exact duplicate matches the smallest snapshot id") {
+    assert(verdicts(20L) == (("exact", 10L)))
+  }
+
+  test("edited copy is a near-dup of its source") {
+    assert(verdicts(21L) == (("near", 10L)))
+  }
+
+  test("disjoint text is new") {
+    assert(verdicts(22L) == (("new", null)))
+  }
+
+  test("a shingle-less arrival can be exact but never near") {
+    assert(verdicts(23L) == (("exact", 13L)))
+    assert(verdicts(24L) == (("new", null)))
+  }
+}
