@@ -204,14 +204,125 @@ object PipelineQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  // q111: hard-negative mining for contrastive training — for every
+  // class centroid, the 5 nearest vectors of OTHER classes (e8 integer
+  // distance, vec_id tiebreak). The top-k-per-class runs through the
+  // bounded SampleK aggregate on a fixed-width order key — k×classes of
+  // state, no per-class sort of the scored stream (the ROW_NUMBER plan
+  // the oracle replays). Distances against all centroids are one
+  // literal-folded projection (q96's machinery), exploded ×k_classes
+  // map-side.
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Centroids.fit(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val scored = cents.map { case (lbl, cv) =>
+      struct(lit(lbl).as("class"),
+        aggregate(
+          zip_with(col("embedding"), lit(cv), (x, c) =>
+            floor((x.cast("double") - c) * (x.cast("double") - c) * lit(1e8))
+              .cast("long")),
+          lit(0L), (acc, z) => acc + z).as("d2"))
+    }
+    val ex = emb.select(col("vec_id"), col("label"),
+        explode(array(scored.toIndexedSeq: _*)).as("s"))
+      .select(col("vec_id"), col("label"), col("s.class").as("class"),
+        col("s.d2").as("d2"))
+      .filter(col("label") =!= col("class"))
+    // Fixed-width key: lexicographic == numeric (d2, vec_id) order.
+    val key = format_string("%018d:%010d", col("d2"), col("vec_id"))
+    ex.groupBy(col("class"))
+      .agg(SampleK(key, col("vec_id"), 5).as("__s"))
+      .select(col("class"), posexplode(col("__s")))
+      .select(col("class"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (substring(col("col.key"), 1, 18).cast("long").cast("double") / 1e8)
+          .as("dist2"))
+      .orderBy(col("class"), col("rank"))
+  }
+
+  /** q113 chunk geometry: 100-token windows, stride 60 (40-token
+    * overlap) — the sliding-window chunker of every RAG/pretraining
+    * pipeline, exact and oracle-replayed (the semantic chunker q34 is
+    * its embedding-gated sibling).
+    */
+  private val ChunkW = 100
+  private val ChunkStride = 60
+
+  // q113: overlapping sliding-window chunking — per chunk: start token,
+  // length, md5 of the joined text. Pure array algebra (slice on the
+  // tokenized column), map-side only. Convention: every stride multiple
+  // that still lands inside the document starts a chunk; the final
+  // chunk is simply shorter.
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // Window starts: 0, stride, 2·stride, …, the last one that still
+    // begins inside the document.
+    val starts = sequence(lit(0), greatest(
+      (n - 1).cast("int") - pmod(n - 1, lit(ChunkStride)), lit(0)),
+      lit(ChunkStride))
+    d.select(col("doc_id"), n.as("n_toks"), toks.as("__t"),
+        explode(starts).as("start"))
+      .select(col("doc_id"), col("n_toks"), col("start"),
+        slice(col("__t"), col("start") + 1,
+          least(lit(ChunkW), col("n_toks") - col("start"))).as("__c"))
+      .select(col("doc_id"), (col("start") / ChunkStride).cast("int")
+          .as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(col("__c")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q112 BPE geometry: merge budget and the vocabulary cap for the
+    * driver-side merge loop (the cap documents the 100 TB contract — the
+    * loop runs on the top-`MaxVocab` weighted words; it never binds at
+    * the tested scale factors, where the synthetic vocabulary is tiny).
+    */
+  private val BpeMerges = 10
+  private val BpeMaxVocab = 100000
+
+  // q112: BPE tokenizer, trained AND applied — word counting is the one
+  // distributed pass (map-side-combinable aggregate); the merge loop
+  // runs on the bounded weighted vocabulary; encoding is a
+  // mapPartitions over the DISTINCT-WORD table (vocabulary-sized, never
+  // the corpus) whose dictionary joins back by weight. The oracle
+  // replays the whole thing — training iterations included — as
+  // generated SQL (pair-count + argmax + replace per merge), so the
+  // learned merges are certified, not just the final counts.
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir).select(explode(filter(
+      split(lower(col("text")), " "), t => length(t) > 0)).as("w"))
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val vocab = wc.orderBy(col("cnt").desc, col("w")).limit(BpeMaxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.operators.Bpe.trainMerges(vocab, BpeMerges)
+    val dict = wc.as[(String, Long)].mapPartitions { it =>
+      it.map { case (w, c) =>
+        (w, c, graft.operators.Bpe.encodeWord(w, merges))
+      }
+    }.toDF("w", "cnt", "toks")
+    dict.select(explode(col("toks")).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_bpe_tokens" -> (q112 _),
     "q102_countmin" -> (q102 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
     "q105_url_report" -> (q105 _),
     "q106_semantic_dedup" -> (q106 _),
     "q108_curriculum" -> (q108 _),
-    "q110_ccnet_buckets" -> (q110 _))
+    "q110_ccnet_buckets" -> (q110 _),
+    "q111_hard_negatives" -> (q111 _),
+    "q113_chunk_windows" -> (q113 _))
 
   /** The q104/q105 HTML and URL builders as SQL (must stay byte-identical
     * to [[WebIngest.withHtml]] / [[WebIngest.withUrl]]).
@@ -285,7 +396,54 @@ object PipelineQueries {
   private val blockedInList: String =
     Blocked.map(d => s"'$d'").mkString("(", ", ", ")")
 
+  /** The q112 oracle, generated: `BpeMerges` unrolled training
+    * iterations (adjacent-pair count → weighted argmax with the
+    * (count desc, a, b) tie-break → literal replace), then token counts
+    * from the final segmentation. Data-driven end to end — the SQL
+    * learns the same merges the engine does at ANY scale factor. An
+    * exhausted vocabulary (no pairs left) degrades to a no-op replace
+    * via the chr(1) sentinel.
+    */
+  private def bpeOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(list_filter(
+             |      regexp_split_to_array(lower(text), ' '),
+             |      x -> LENGTH(x) > 0)) AS w FROM documents)
+             |  GROUP BY 1),
+             |seg0 AS MATERIALIZED (SELECT w, cnt,
+             |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sp
+             |  FROM wc)""".stripMargin
+    for (i <- 1 to BpeMerges) {
+      val p = i - 1
+      sb ++= s""",
+                |pc$i AS MATERIALIZED (SELECT t[j] AS a, t[j + 1] AS b,
+                |    CAST(SUM(cnt) AS BIGINT) AS c
+                |  FROM (SELECT cnt, t, unnest(range(1, len(t))) AS j
+                |    FROM (SELECT cnt, list_filter(
+                |        regexp_split_to_array(trim(sp), ' '),
+                |        x -> LENGTH(x) > 0) AS t FROM seg$p))
+                |  GROUP BY 1, 2),
+                |b$i AS MATERIALIZED (SELECT a, b FROM pc$i ORDER BY c DESC, a, b
+                |        LIMIT 1),
+                |seg$i AS MATERIALIZED (SELECT w, cnt, replace(sp,
+                |    COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM b$i),
+                |      chr(1)),
+                |    COALESCE((SELECT ' ' || a || b || ' ' FROM b$i),
+                |      chr(1))) AS sp
+                |  FROM seg$p)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+              |FROM (SELECT cnt, unnest(list_filter(
+              |    regexp_split_to_array(trim(sp), ' '),
+              |    x -> LENGTH(x) > 0)) AS token FROM seg$BpeMerges)
+              |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q112_bpe_tokens" -> bpeOracle,
     "q102_countmin" ->
       s"""WITH rs(r) AS (SELECT unnest(range(0, $CmD))),
          |src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
@@ -358,6 +516,37 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN page IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_paged
          |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q111_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |c AS (SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |cx AS (SELECT clabel, pos,
+        |         CAST(s AS DOUBLE) / n / 1000000.0 AS cx FROM c),
+        |d AS (SELECT e.vec_id, e.label, cx.clabel,
+        |        CAST(SUM(CAST(FLOOR((e.x - cx.cx) * (e.x - cx.cx)
+        |          * 100000000.0) AS BIGINT)) AS BIGINT) AS d2
+        |      FROM e JOIN cx ON e.pos = cx.pos GROUP BY 1, 2, 3),
+        |r AS (SELECT clabel AS class, vec_id, d2, ROW_NUMBER() OVER
+        |        (PARTITION BY clabel ORDER BY d2, vec_id) AS rn
+        |      FROM d WHERE label <> clabel)
+        |SELECT class, CAST(rn AS INT) AS rank, vec_id,
+        |  CAST(d2 AS DOUBLE) / 100000000.0 AS dist2
+        |FROM r WHERE rn <= 5 ORDER BY class, rank""".stripMargin,
+    "q113_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |           FROM documents),
+        |st AS (SELECT doc_id, t, len(t) AS n,
+        |         unnest(range(0, len(t), 60)) AS s FROM t),
+        |c AS (SELECT doc_id, s, t[s + 1 : s + 100] AS c FROM st)
+        |SELECT doc_id, CAST(s // 60 AS INT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(len(c) AS BIGINT) AS n_tok,
+        |  md5(list_aggregate(c, 'string_agg', ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q108_curriculum" ->
       s"""WITH $ScoreCtes,
          |b AS (SELECT doc_id,

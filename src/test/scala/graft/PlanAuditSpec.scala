@@ -262,6 +262,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q111: top-k per class via bounded aggregate — no Window, no join") {
+    // The scored stream (vectors × classes) must reach the SampleK
+    // ObjectHashAggregate directly: a Window means per-class sorting of
+    // the exploded stream; a Join means the centroid table stopped
+    // folding into the projection.
+    val p = plan("q111_hard_negatives")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q113: chunking is a map-side generate — no shuffle before the sort") {
+    val p = plan("q113_chunk_windows")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
