@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.SampleK
 import graft.operators.{Centroids, CountMin, WebIngest}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** q102–q106: pipeline-completion tier — bounded-state frequency and
@@ -312,8 +312,82 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("token")).limit(30)
   }
 
+  /** q114 KMV geometry: 64-minimum-values sketches; 2^52 hash space
+    * (13 md5 hex digits). A sketch smaller than k IS the set — the
+    * estimator takes the exact branch.
+    */
+  private val KmvK = 64
+
+  // q114: audience-overlap estimation from KMV (k-minimum-values) set
+  // sketches — distinct counts, union, intersection and Jaccard for
+  // every event-type pair, from 64-hash summaries instead of the sets
+  // themselves. Sketch collection reuses the bounded SampleK aggregate
+  // (a KMV sketch IS "the k smallest hashes"); sketch MERGE is SampleK
+  // again over the two sides' sketch rows. At 100 TB each set ships as
+  // k hashes however large the audience is; the membership predicate
+  // (user has the event type ∧ md5(type:user) in the lower half) keeps
+  // the five sets differentiated at every scale factor.
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val mem = ev.select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct()
+      .filter(substring(md5(concat_ws(":", col("t"), col("u"))), 1, 1)
+        < lit("8"))
+    val hx = md5(concat_ws(":", lit("v"), col("u")))
+    val sk = mem.groupBy(col("t"))
+      .agg(SampleK(hx, col("u"), KmvK).as("kmv"))
+      .localCheckpoint(true) // feeds per-type stats AND both pair sides
+    val skx = sk.select(col("t"), explode(col("kmv")).as("e"))
+      .select(col("t"), col("e.key").as("h"), col("e.id").as("u"))
+    val perType = skx.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+    val types = sk.select(col("t"))
+    val pairs = types.select(col("t").as("ta"))
+      .crossJoin(types.select(col("t").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val both = pairs
+      .join(skx, col("t") === col("ta") || col("t") === col("tb"))
+      .select(col("ta"), col("tb"), col("h"), col("u")).distinct()
+    val usk = both.groupBy(col("ta"), col("tb"))
+      .agg(SampleK(col("h"), col("u"), KmvK).as("kmv"))
+      .select(col("ta"), col("tb"), explode(col("kmv")).as("e"))
+      .select(col("ta"), col("tb"), col("e.key").as("h"))
+    val um = usk
+      .join(skx.select(col("t").as("ta"), col("h"), lit(1).as("__a")),
+        Seq("ta", "h"), "left")
+      .join(skx.select(col("t").as("tb"), col("h"), lit(1).as("__b")),
+        Seq("tb", "h"), "left")
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("ku"), max(col("h")).as("uhk"),
+        sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)).as("m"))
+    // (k−1)·2^52 / kth-hash, or the exact size when the sketch IS the
+    // set. The literal product constant-folds to the same exact double
+    // DuckDB computes at runtime; the division tree matches the oracle
+    // textually (SURVEY §5.4 / q79's e0 discipline).
+    def est(n: Column, hk: Column): Column =
+      when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(4503599627370496.0) /
+          conv(substring(hk, 1, 13), 16, 10).cast("long").cast("double"))
+    um
+      .join(perType.select(col("t").as("ta"), col("n_sk").as("na"),
+        col("hk").as("ha")), Seq("ta"))
+      .join(perType.select(col("t").as("tb"), col("n_sk").as("nb"),
+        col("hk").as("hb")), Seq("tb"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        est(col("na"), col("ha")).as("est_a"),
+        est(col("nb"), col("hb")).as("est_b"),
+        est(col("ku"), col("uhk")).as("est_union"),
+        col("m"),
+        (col("m").cast("double") / col("ku").cast("double")).as("jaccard"),
+        (col("m").cast("double") * est(col("ku"), col("uhk")) /
+          col("ku").cast("double")).as("est_intersection"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_bpe_tokens" -> (q112 _),
+    "q114_kmv_overlap" -> (q114 _),
     "q102_countmin" -> (q102 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
@@ -442,8 +516,56 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The q114 KMV estimator as SQL: exact branch for sub-k sketches,
+    * else (k−1)·2^52 / kth-hash — e0 literals and the same association
+    * as the engine-side expression tree.
+    */
+  private def kmvEstSql(n: String, hk: String): String =
+    s"CASE WHEN $n < $KmvK THEN CAST($n AS DOUBLE) " +
+      s"ELSE ${KmvK - 1}.0e0 * 4503599627370496.0e0 / " +
+      s"CAST(CAST(('0x' || substring($hk, 1, 13)) AS BIGINT) AS DOUBLE) END"
+
   val oracle: Map[String, String] = Map(
     "q112_bpe_tokens" -> bpeOracle,
+    "q114_kmv_overlap" ->
+      s"""WITH mem AS (SELECT t, u FROM
+         |    (SELECT DISTINCT event_type AS t, user_id AS u FROM events)
+         |  WHERE substring(md5(t || ':' || CAST(u AS VARCHAR)), 1, 1)
+         |    < '8'),
+         |h AS (SELECT t, u, md5('v:' || CAST(u AS VARCHAR)) AS hx
+         |      FROM mem),
+         |rk AS (SELECT t, u, hx, ROW_NUMBER() OVER
+         |         (PARTITION BY t ORDER BY hx, u) AS rn FROM h),
+         |sk AS (SELECT t, u, hx FROM rk WHERE rn <= $KmvK),
+         |pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_sk,
+         |         MAX(hx) AS hk FROM sk GROUP BY t),
+         |tp AS (SELECT DISTINCT t FROM sk),
+         |pairs AS (SELECT a.t AS ta, b.t AS tb FROM tp a JOIN tp b
+         |          ON a.t < b.t),
+         |uni AS (SELECT DISTINCT ta, tb, hx, u FROM pairs
+         |        JOIN sk ON sk.t = ta OR sk.t = tb),
+         |urk AS (SELECT ta, tb, hx, u, ROW_NUMBER() OVER
+         |          (PARTITION BY ta, tb ORDER BY hx, u) AS rn FROM uni),
+         |usk AS (SELECT ta, tb, hx FROM urk WHERE rn <= $KmvK),
+         |um AS (SELECT usk.ta, usk.tb,
+         |         CAST(COUNT(*) AS BIGINT) AS ku, MAX(usk.hx) AS uhk,
+         |         CAST(SUM(CASE WHEN sa.hx IS NOT NULL
+         |           AND sb.hx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS m
+         |       FROM usk
+         |       LEFT JOIN sk sa ON sa.t = usk.ta AND sa.hx = usk.hx
+         |       LEFT JOIN sk sb ON sb.t = usk.tb AND sb.hx = usk.hx
+         |       GROUP BY 1, 2)
+         |SELECT um.ta AS type_a, um.tb AS type_b,
+         |  ${kmvEstSql("pa.n_sk", "pa.hk")} AS est_a,
+         |  ${kmvEstSql("pb.n_sk", "pb.hk")} AS est_b,
+         |  ${kmvEstSql("um.ku", "um.uhk")} AS est_union,
+         |  m,
+         |  CAST(m AS DOUBLE) / CAST(ku AS DOUBLE) AS jaccard,
+         |  CAST(m AS DOUBLE) * ${kmvEstSql("um.ku", "um.uhk")}
+         |    / CAST(ku AS DOUBLE) AS est_intersection
+         |FROM um JOIN pt pa ON pa.t = um.ta JOIN pt pb ON pb.t = um.tb
+         |ORDER BY type_a, type_b""".stripMargin,
     "q102_countmin" ->
       s"""WITH rs(r) AS (SELECT unnest(range(0, $CmD))),
          |src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
