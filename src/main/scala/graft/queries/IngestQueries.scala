@@ -175,6 +175,25 @@ object IngestQueries {
   private lazy val q95Dir: String =
     Files.createTempDirectory("graft-q95-csv").toString
 
+  // q116: ORC round-trip — the third interchange format (fully typed
+  // columnar, unlike CSV/JSONL), written and read back with Spark's
+  // native ORC source; same certification shape as q73/q95: the oracle
+  // reads the ORIGINAL parquet, so the hash-match certifies the
+  // write→read cycle lost nothing (types included — n_chars arrives
+  // back as a long without the explicit-schema crutch CSV needs).
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+    val out = q116Dir
+    docs.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q116Dir: String =
+    Files.createTempDirectory("graft-q116-orc").toString
+
   // q89: STREAMING ingest — the reference's embed→store loop as a real
   // Structured Streaming run over the documents stream into a fresh
   // temp store, then the store is read back. Content integrity (ids,
@@ -206,7 +225,8 @@ object IngestQueries {
     "q44_ingest_pipeline" -> (q44 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
-    "q95_csv_roundtrip" -> (q95 _)
+    "q95_csv_roundtrip" -> (q95 _),
+    "q116_orc_roundtrip" -> (q116 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -214,6 +234,9 @@ object IngestQueries {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q95_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q116_orc_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q89_stream_ingest" ->

@@ -385,9 +385,59 @@ object PipelineQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  // q115: declarative data-quality validation (the dbt-test/Deequ stage
+  // every pipeline runs before training): primary-key uniqueness,
+  // referential integrity (broadcast anti-joins), range / accepted-value
+  // / not-null constraints and an outlier screen, one report row per
+  // check. Each check is an independent aggregate; the union evaluates
+  // as one job. The outlier screen is deliberately tight so the report
+  // exercises its failure path on real data.
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val events = Tables.load(s, dir, "events")
+    def row(name: String, table: String, viol: DataFrame): DataFrame =
+      viol.select(lit(name).as("check_name"), lit(table).as("table_name"),
+        col("violations").cast("long").as("violations"))
+    def dupKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .agg(count(lit(1)).as("violations"))
+    def countWhere(df: DataFrame, pred: Column): DataFrame =
+      df.agg(sum(when(pred, 1L).otherwise(0L)).as("violations"))
+    val checks = Seq(
+      row("accepted_values_orderstatus", "orders",
+        countWhere(orders,
+          !col("o_orderstatus").isin("O", "F", "P"))),
+      row("fk_lineitem_orders", "lineitem",
+        lineitem.join(broadcast(orders.select(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))),
+      row("fk_orders_customer", "orders",
+        orders.join(broadcast(customer.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))),
+      row("not_null_customer_name", "customer",
+        countWhere(customer, col("c_name").isNull)),
+      row("outlier_event_value", "events",
+        countWhere(events, col("value") > 500.0)),
+      row("pk_unique_lineitem", "lineitem",
+        dupKeys(lineitem, Seq("l_orderkey", "l_linenumber"))),
+      row("pk_unique_orders", "orders",
+        dupKeys(orders, Seq("o_orderkey"))),
+      row("range_quantity", "lineitem",
+        countWhere(lineitem,
+          col("l_quantity") < 1 || col("l_quantity") > 50)))
+    checks.reduce(_.unionAll(_))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_bpe_tokens" -> (q112 _),
     "q114_kmv_overlap" -> (q114 _),
+    "q115_data_checks" -> (q115 _),
     "q102_countmin" -> (q102 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
@@ -527,6 +577,38 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q112_bpe_tokens" -> bpeOracle,
+    "q115_data_checks" ->
+      """WITH c AS (
+        |  SELECT 'accepted_values_orderstatus' AS check_name,
+        |    'orders' AS table_name,
+        |    (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS violations
+        |  UNION ALL SELECT 'fk_lineitem_orders', 'lineitem',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL SELECT 'fk_orders_customer', 'orders',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'not_null_customer_name', 'customer',
+        |    (SELECT CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM customer)
+        |  UNION ALL SELECT 'outlier_event_value', 'events',
+        |    (SELECT CAST(SUM(CASE WHEN value > 500.0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM events)
+        |  UNION ALL SELECT 'pk_unique_lineitem', 'lineitem',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |       HAVING COUNT(*) > 1))
+        |  UNION ALL SELECT 'pk_unique_orders', 'orders',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT 1 FROM orders GROUP BY o_orderkey
+        |       HAVING COUNT(*) > 1))
+        |  UNION ALL SELECT 'range_quantity', 'lineitem',
+        |    (SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem))
+        |SELECT check_name, table_name, violations,
+        |  (violations = 0) AS passed
+        |FROM c ORDER BY check_name""".stripMargin,
     "q114_kmv_overlap" ->
       s"""WITH mem AS (SELECT t, u FROM
          |    (SELECT DISTINCT event_type AS t, user_id AS u FROM events)
