@@ -214,7 +214,79 @@ object StreamBatchQueries {
       .orderBy(col("event_id"))
   }
 
+  // q117: q46's sessionization executed as an ACTUAL custom-state stream
+  // — flatMapGroupsWithState with event-time timeouts over a file-source
+  // events stream, replayed under the same gaps-and-islands batch
+  // oracle. Completes the streaming-runtime certificates: q84 stateful
+  // aggregation, q107 stream-stream join, q117 arbitrary user state.
+  // Append-mode sessions only emit when the watermark passes
+  // `last + gap`, so two far-future sentinel rows (written as SEPARATE
+  // parquet files; the data file enters as a symlink keeping its older
+  // mtime, and the source processes files in mtime order one per
+  // micro-batch) advance the watermark and fire every idle user's
+  // timeout — the same flush technique StreamsSpec uses with
+  // MemoryStream, here through the real file source.
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val isNanos = raw.schema.exists(f => f.name == "ts" &&
+      f.dataType == org.apache.spark.sql.types.LongType)
+    val tmp = Files.createTempDirectory("graft-q117").toString
+    Files.createSymbolicLink(Paths.get(tmp, "data.parquet"),
+      Paths.get(dir, "events.parquet"))
+    val maxNs: Long =
+      if (isNanos) raw.agg(max(col("ts"))).head().getLong(0)
+      else raw.agg(max(col("ts"))).head().getTimestamp(0).getTime * 1000000L
+    val scratch = Files.createTempDirectory("graft-q117-s").toString
+    def writeSentinel(name: String, offsetNs: Long): Unit = {
+      val ns = maxNs + offsetNs
+      val row = raw.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("sentinel"))
+        .withColumn("value", lit(0.0))
+        .withColumn("ts",
+          if (isNanos) lit(ns) else timestamp_micros(lit(ns / 1000L)))
+      val d = s"$scratch/$name"
+      row.coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(tmp, name))
+    }
+    // Two sentinels: watermark advancement lags a micro-batch; the
+    // second one triggers the timeout sweep that closes every session.
+    writeSentinel("sentinel1.parquet", 2L * 24 * 3600 * 1000000000L)
+    writeSentinel("sentinel2.parquet", 3L * 24 * 3600 * 1000000000L)
+    val st0 = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val st = if (isNanos)
+      st0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else st0
+    import s.implicits._
+    val ev = st.select(col("event_id"), col("user_id"), col("event_type"),
+      col("ts"), col("value")).as[Streams.Ev]
+    val sink = "graft_q117_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Streams.sessionize(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(sink).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_trunc("second", col("session_start")).as("session_start"),
+        date_trunc("second", col("session_end")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_stream_sessions" -> (q117 _),
     "q107_stream_join" -> (q107 _),
     "q84_stream_e2e" -> (q84 _),
     "q62_asof_join" -> (q62 _),
@@ -311,6 +383,22 @@ object StreamBatchQueries {
         |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q117_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN pts IS NULL
+        |      OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+        |  CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q107_stream_join" ->
       """SELECT p.event_id, COUNT(*) AS n_clicks
         |FROM events p JOIN events c
