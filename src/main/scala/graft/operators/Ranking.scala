@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative weighted propagation over a graph — PageRank in exact
+  * integer fixed-point, used here for canonical-document selection on
+  * the near-dup candidate graph (the highest-ranked member of a
+  * duplicate neighborhood is the one to keep; its neighbors are the
+  * redundant copies).
+  *
+  * Arithmetic contract (what makes the DuckDB oracle replay bit-for-bit
+  * and the distributed sum order-independent): ranks live in e9 integer
+  * space, every contribution is the integer-division chain
+  * `r · d_e2 div 100 div deg`, and an iteration is
+  * `r' = (100 − d_e2)·1e9 div 100 + Σ contributions` — longs end to
+  * end, no floats anywhere (SURVEY §5.4).
+  *
+  * Scale shape: per iteration ONE join of the rank table against the
+  * edge list (both shuffled on vertex id) and one map-side-combinable
+  * integer sum; ranks are locally checkpointed per round so lineage
+  * stays O(1) — same discipline as
+  * [[Dedup.connectedComponents]]. Only edge-touched vertices iterate.
+  */
+object Ranking {
+
+  /** `edges`: undirected pairs (a, b). Returns (id, rank_e9) for every
+    * edge-touched vertex after `iterations` damped rounds
+    * (`dampingE2`/100 is the damping factor, default 0.85).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      dampingE2: Int = 85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingE2 >= 0 && dampingE2 <= 100, "dampingE2 in [0,100]")
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val base = (100L - dampingE2) * 1000000000L / 100L
+    var ranks = deg.select(col("src").as("id"),
+        lit(1000000000L).as("rank_e9"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = und
+        .join(ranks, col("src") === col("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          expr(s"rank_e9 * $dampingE2 div 100 div deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      ranks = ranks.select(col("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_e9"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -137,8 +137,22 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q118: canonical-document ranking — integer fixed-point PageRank
+  // (3 damped rounds, e9 ranks, pure long arithmetic) over the LSH
+  // candidate graph; the top-ranked docs are the canonical keepers of
+  // the densest duplicate neighborhoods. The oracle replays training
+  // end to end: the same candidate CTE chain, then the three unrolled
+  // iterations in MATERIALIZED CTEs with the identical integer-division
+  // contribution chain.
+  def q118(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.pageRank(lshPairs(s, dir), iterations = 3)
+      .select(col("id").as("doc_id"), col("rank_e9"))
+      .orderBy(col("rank_e9").desc, col("doc_id"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_snapshot_dedup" -> (q109 _),
+    "q118_canonical_rank" -> (q118 _),
     "q85_stream_neardup" -> (q85 _),
     "q27_minhash_lsh" -> (q27 _),
     "q28_simhash" -> (q28 _),
@@ -195,6 +209,28 @@ object DedupQueries {
     "q27_minhash_lsh" ->
       s"""WITH $candCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+    "q118_canonical_rank" -> {
+      val iters = (1 to 3).map { i =>
+        val p = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT und.dst,
+           |  CAST(SUM(r * 85 // 100 // deg) AS BIGINT) AS cin
+           |  FROM und JOIN $p ON $p.id = und.src
+           |  JOIN deg ON deg.src = und.src GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT $p.id,
+           |  CAST(150000000 + COALESCE(c$i.cin, 0) AS BIGINT) AS r
+           |  FROM $p LEFT JOIN c$i ON c$i.dst = $p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $candCte,
+         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand
+         |  UNION ALL SELECT b AS src, a AS dst FROM cand),
+         |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT src AS id,
+         |  CAST(1000000000 AS BIGINT) AS r FROM deg),
+         |$iters
+         |SELECT id AS doc_id, r AS rank_e9 FROM r3
+         |ORDER BY rank_e9 DESC, doc_id LIMIT 20""".stripMargin
+    },
     "q109_snapshot_dedup" -> {
       val eqSum = (0 until 16)
         .map(j => s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END")
