@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.ModelQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.IngestQueries.oracle ++
       graft.queries.ModelQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.EventQueries.oracle
 }

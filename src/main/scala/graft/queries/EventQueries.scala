@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q119–q120: event-sequence analytics — ordered funnels and retention
+  * cohorts, the product-analytics half of an events pipeline. Both are
+  * exact (timestamp arithmetic is lossless at the table's µs
+  * granularity; counts and ratios are integer-derived) and fully
+  * oracle-replayed.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // q119: ordered conversion funnel signup → view → purchase, each step
+  // within 7 days of the previous, greedy-first semantics (first
+  // qualifying event per step). The plan is the scale-safe join chain —
+  // three per-user aggregates, no per-user event-list materialization
+  // (a hot user with 10^8 events would OOM a collect_list walk; here it
+  // just aggregates).
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t2")).as("n_view7"),
+        count(col("t3")).as("n_purchase7"))
+      .select(col("n_signup"), col("n_view7"), col("n_purchase7"),
+        when(col("n_signup") > 0,
+          col("n_view7").cast("double") / col("n_signup").cast("double"))
+          .as("conv_view"),
+        when(col("n_view7") > 0,
+          col("n_purchase7").cast("double") / col("n_view7").cast("double"))
+          .as("conv_purchase"))
+  }
+
+  // q120: weekly retention cohorts — users grouped by the ISO week of
+  // their first event; each later active week contributes to the
+  // (cohort, offset) cell. Two map-side-combinable aggregates plus one
+  // join on user_id; the cohort matrix is weeks², tiny at any corpus
+  // size.
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val act = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("aw")).distinct()
+    act.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        ((unix_timestamp(col("aw")) - unix_timestamp(col("cohort_week")))
+          / 604800L).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_funnel" -> (q119 _),
+    "q120_retention" -> (q120 _))
+
+  val oracle: Map[String, String] = Map(
+    "q119_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+        |        CAST(COUNT(s2.t2) AS BIGINT) AS n_view7,
+        |        CAST(COUNT(s3.t3) AS BIGINT) AS n_purchase7
+        |      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |      LEFT JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT n_signup, n_view7, n_purchase7,
+        |  CASE WHEN n_signup > 0 THEN
+        |    CAST(n_view7 AS DOUBLE) / CAST(n_signup AS DOUBLE) END
+        |    AS conv_view,
+        |  CASE WHEN n_view7 > 0 THEN
+        |    CAST(n_purchase7 AS DOUBLE) / CAST(n_view7 AS DOUBLE) END
+        |    AS conv_purchase
+        |FROM f""".stripMargin,
+    "q120_retention" ->
+      """WITH first AS (SELECT user_id,
+        |    date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |        FROM events)
+        |SELECT CAST(first.cohort_week AS TIMESTAMP) AS cohort_week,
+        |  CAST((epoch(act.aw) - epoch(first.cohort_week)) / 604800
+        |    AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN first ON act.user_id = first.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
