@@ -5,7 +5,9 @@ import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Oracle-checked dedup / fingerprint query surface (q27–q30).
+/** Oracle-checked dedup / fingerprint query surface (q27–q30, q52,
+  * q54–q55, the q85 stream replay, snapshot dedup q109, canonical
+  * PageRank q118).
   *
   * Every signature here is built from `md5` so the DuckDB oracle replays the
   * *exact* MinHash signatures, LSH bands, SimHash bits and winnowed

@@ -6,14 +6,17 @@ import graft.operators.{Centroids, CountMin, WebIngest}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** q102–q106: pipeline-completion tier — bounded-state frequency and
-  * sampling summaries (count-min point estimates q102, exact seeded
-  * k-sample q103), web-corpus ingest (HTML main-content extraction q104,
-  * URL parsing/public-suffix/blocklist curation q105), and SemDeDup-style
-  * cluster-scoped semantic dedup (q106). All five under full DuckDB
-  * oracles: sketches by md5 register algebra (q79's technique), distances
-  * in fixed-point integers (SURVEY §5.4), HTML/URL by the identical
-  * regex algebra on both engines.
+/** Pipeline-completion tiers — bounded-state summaries (count-min q102,
+  * exact seeded k-sample q103, KMV set-overlap q114), web-corpus ingest
+  * (HTML extraction q104, URL/public-suffix/blocklist q105), SemDeDup
+  * cluster-scoped semantic dedup (q106), curriculum packing (q108),
+  * per-language CCNet LM terciles (q110), hard-negative mining (q111),
+  * the BPE tokenizer (q112 — its oracle replays the training loop),
+  * sliding-window chunking (q113), and dbt-style data-quality checks
+  * (q115). All under full DuckDB oracles: sketches by md5 register
+  * algebra (q79's technique), distances and scores in fixed-point
+  * integers (SURVEY §5.4), HTML/URL by identical regex algebra on both
+  * engines.
   */
 object PipelineQueries {
 
