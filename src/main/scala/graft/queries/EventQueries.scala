@@ -68,9 +68,39 @@ object EventQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  // q121: time-series gap fill + moving aggregate — hourly counts per
+  // event type on a DENSE hour grid (missing buckets zero-filled from a
+  // generated sequence over the observed range), then a 3-bucket
+  // trailing moving average. q99's shape discipline: the corpus crosses
+  // ONE aggregate; the grid join and the window run on the tiny
+  // (types × hours) table. ma3 is a quotient of exact integers — the
+  // same IEEE double in every engine.
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir)
+    val b = e.select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val hours = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val grid = e.select(col("event_type")).distinct().crossJoin(hours)
+    val filled = grid.join(b, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-2, 0)
+    filled
+      .withColumn("ma3", sum(col("c")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double"))
+      .select(col("event_type"), col("h").as("bucket_start"), col("c"),
+        col("ma3"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_funnel" -> (q119 _),
-    "q120_retention" -> (q120 _))
+    "q120_retention" -> (q120 _),
+    "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
     "q119_funnel" ->
@@ -99,6 +129,26 @@ object EventQueries {
         |    CAST(n_purchase7 AS DOUBLE) / CAST(n_view7 AS DOUBLE) END
         |    AS conv_purchase
         |FROM f""".stripMargin,
+    "q121_gap_fill" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |r AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |        date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |            AS h FROM r),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT event_type, h FROM t CROSS JOIN hours),
+        |f AS (SELECT g.event_type, g.h, COALESCE(b.c, 0) AS c
+        |      FROM g LEFT JOIN b ON g.event_type = b.event_type
+        |        AND g.h = b.h)
+        |SELECT event_type, CAST(h AS TIMESTAMP) AS bucket_start,
+        |  CAST(c AS BIGINT) AS c,
+        |  CAST(SUM(c) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+        |    AS ma3
+        |FROM f
+        |WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, bucket_start""".stripMargin,
     "q120_retention" ->
       """WITH first AS (SELECT user_id,
         |    date_trunc('week', MIN(ts)) AS cohort_week

@@ -437,10 +437,54 @@ object PipelineQueries {
       .orderBy(col("check_name"))
   }
 
+  /** The deletion-1 neighborhood of a word column as SQL/Column algebra
+    * (FastSS blocking): `{w} ∪ {w with character i removed}`. Two words
+    * are within edit distance 1 (sub/ins/del) iff their neighborhoods
+    * intersect — so the candidate join is keyed, never all-pairs.
+    */
+  private def del1Keys(w: String): String =
+    s"array_union(array($w), transform(sequence(1, length($w)), " +
+      s"i -> concat(substr($w, 1, i - 1), substr($w, i + 1, 1000))))"
+
+  // q122: fuzzy dictionary match via deletion-1 blocking — the
+  // OCR/typo-normalization join. Noisy tokens (the first word of every
+  // 7th document with its 2nd character deleted; every doc_id%7==1 doc
+  // contributes its first word unchanged, exercising the exact path)
+  // are matched back to the corpus vocabulary through the keyed
+  // neighborhood join, each candidate confirmed with a real
+  // `levenshtein` ≤ 1 (native in both engines), smallest matching word
+  // wins. q52 computes edit distance all-pairs on a tiny slice; THIS is
+  // the formulation that survives a billion-word dictionary.
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dict = d.select(explode(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)).as("w")).distinct()
+    val noisy = d
+      .filter(col("doc_id") % 7 <= 1)
+      .select(col("doc_id"),
+        expr("element_at(split(lower(text), ' '), 1)").as("__w"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          expr("concat(substr(__w, 1, 1), substr(__w, 3, 1000))"))
+          .otherwise(col("__w")).as("token"))
+    val dictKeys = dict.select(col("w"),
+      explode(expr(del1Keys("w"))).as("k"))
+    val noisyKeys = noisy.select(col("doc_id"), col("token"),
+      explode(expr(del1Keys("token"))).as("k"))
+    noisyKeys.join(dictKeys, Seq("k"))
+      .select(col("doc_id"), col("token"), col("w")).distinct()
+      .filter(levenshtein(col("token"), col("w")) <= 1)
+      .groupBy(col("doc_id"), col("token")).agg(min(col("w")).as("matched"))
+      .select(col("doc_id"), col("token"), col("matched"),
+        levenshtein(col("token"), col("matched")).as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_bpe_tokens" -> (q112 _),
     "q114_kmv_overlap" -> (q114 _),
     "q115_data_checks" -> (q115 _),
+    "q122_fuzzy_match" -> (q122 _),
     "q102_countmin" -> (q102 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
@@ -580,6 +624,32 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q112_bpe_tokens" -> bpeOracle,
+    "q122_fuzzy_match" ->
+      """WITH dict AS (SELECT DISTINCT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), ' '),
+        |    x -> LENGTH(x) > 0)) AS w FROM documents),
+        |noisy AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN substr(w0, 1, 1) || substr(w0, 3, 1000) ELSE w0 END
+        |      AS token
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(text), ' ')[1] AS w0
+        |        FROM documents WHERE doc_id % 7 <= 1)),
+        |dk AS (SELECT w, unnest(list_append(
+        |    list_transform(range(1, LENGTH(w) + 1),
+        |      i -> substr(w, 1, i - 1) || substr(w, i + 1, 1000)), w))
+        |    AS k FROM dict),
+        |nk AS (SELECT doc_id, token, unnest(list_append(
+        |    list_transform(range(1, LENGTH(token) + 1),
+        |      i -> substr(token, 1, i - 1) || substr(token, i + 1, 1000)),
+        |    token)) AS k FROM noisy),
+        |cand AS (SELECT DISTINCT nk.doc_id, nk.token, dk.w
+        |         FROM nk JOIN dk USING (k)),
+        |ok AS (SELECT doc_id, token, MIN(w) AS matched FROM cand
+        |       WHERE levenshtein(token, w) <= 1 GROUP BY 1, 2)
+        |SELECT doc_id, token, matched,
+        |  CAST(levenshtein(token, matched) AS INT) AS dist
+        |FROM ok ORDER BY doc_id""".stripMargin,
     "q115_data_checks" ->
       """WITH c AS (
         |  SELECT 'accepted_values_orderstatus' AS check_name,
