@@ -480,11 +480,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q123: the web-corpus pipeline composed END TO END — HTML
+  // main-content extraction (q104) feeding the frozen quality classifier
+  // (q92's keep rule) on the EXTRACTED text, exact dedup (min doc_id per
+  // body), then 512-token training bins via the distributed prefix-sum
+  // packer. One replayed oracle certifies the whole chain composes —
+  // the ingest-side sibling of q83's curation composition.
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ext = WebIngest.extract(
+        WebIngest.withHtml(docs(s, dir), "doc_id", "text", "lang", "source"),
+        "html")
+      .select(col("doc_id"), col("main_text").as("text"))
+    val kept = graft.operators.TextAnalysis.linearQuality(ext, "text")
+      .filter(col("keep"))
+    val unique = kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    graft.operators.Packing.packByStart(unique, "doc_id", "n_toks",
+        capacity = 512)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_bpe_tokens" -> (q112 _),
     "q114_kmv_overlap" -> (q114 _),
     "q115_data_checks" -> (q115 _),
     "q122_fuzzy_match" -> (q122 _),
+    "q123_web_pipeline" -> (q123 _),
     "q102_countmin" -> (q102 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
@@ -624,6 +653,48 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q112_bpe_tokens" -> bpeOracle,
+    "q123_web_pipeline" ->
+      s"""WITH h AS (SELECT doc_id, $HtmlSql AS html FROM documents),
+         |x AS (SELECT doc_id,
+         |        regexp_extract(html, '<p>([^<]*)</p>', 1) AS text
+         |      FROM h),
+         |t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), ' '),
+         |                w -> LENGTH(w) > 0) AS t, text
+         |  FROM x),
+         |f AS (SELECT doc_id, text,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_filter(t, w -> list_contains($enStops, w)))
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS k_stop,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS k_uniq,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS k_mw,
+         |  CAST(ROUND((CAST(LEAST(len(t), 1000) AS DOUBLE) / 1000.0)
+         |    * 10000, 0) AS BIGINT) AS k_len
+         |  FROM t),
+         |kp AS (SELECT doc_id, text FROM f
+         |       WHERE -600000 + 180 * k_stop + 90 * k_uniq + 8 * k_mw
+         |         + 35 * k_len >= 500000),
+         |u AS (SELECT doc_id, text FROM
+         |    (SELECT doc_id, text, ROW_NUMBER() OVER
+         |       (PARTITION BY text ORDER BY doc_id) AS rn FROM kp)
+         |    WHERE rn = 1),
+         |t2 AS (SELECT doc_id,
+         |    len(regexp_split_to_array(text, ' ')) AS n_toks FROM u),
+         |c2 AS (SELECT doc_id, n_toks,
+         |    SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_toks AS cb FROM t2),
+         |b2 AS (SELECT doc_id, n_toks,
+         |    CAST(FLOOR(cb / 512) AS BIGINT) AS bin FROM c2)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM b2 GROUP BY bin ORDER BY bin""".stripMargin,
     "q122_fuzzy_match" ->
       """WITH dict AS (SELECT DISTINCT unnest(list_filter(
         |    regexp_split_to_array(lower(text), ' '),
