@@ -279,6 +279,41 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 1, p)
   }
 
+  test("q114: KMV sketches flow through bounded aggregates, never a sort") {
+    // Sketch collection AND sketch merge are SampleK ObjectHashAggregates;
+    // a Window/Sort here means the per-set ranking plan crept back in.
+    val p = plan("q114_kmv_overlap")
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q121: gap-fill window runs on the generated grid, not the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q121_gap_fill")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(scanAboveAgg)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAgg(w.child), s"window over un-aggregated corpus:\n$lp")
+    }
+  }
+
+  test("q122: fuzzy match is a keyed join — no cartesian, no nested loop") {
+    val p = plan("q122_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q118: PageRank rounds stay cartesian-free with bounded lineage") {
+    val p = plan("q118_canonical_rank")
+    assert(!p.contains("CartesianProduct"), p)
+    // final plan reads the checkpointed rank table, not a 3-round lineage
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
