@@ -54,4 +54,14 @@ class SnapshotDedupSpec extends SparkSpec {
     assert(verdicts(23L) == (("exact", 13L)))
     assert(verdicts(24L) == (("new", null)))
   }
+
+  test("verdicts are partition-invariant") {
+    def run(parts: Int) =
+      Dedup.snapshotDedup(snapshot.repartition(parts),
+          arrivals.repartition(parts), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(run(1) == run(16))
+  }
 }

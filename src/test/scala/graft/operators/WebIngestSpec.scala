@@ -61,6 +61,16 @@ class WebIngestSpec extends SparkSpec {
     assert(got("https://www.src0.com/en/d1") == ((null, "/en/d1")))
   }
 
+  test("degenerate bodies survive the round trip: empty and single-word") {
+    val df = Seq((1L, "", "en", "src0"), (2L, "x", "de", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = WebIngest.extract(
+        WebIngest.withHtml(df, "doc_id", "text", "lang", "source"), "html")
+      .select(col("doc_id"), col("main_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "", 2L -> "x"))
+  }
+
   test("blocklist anti-join drops exactly the listed domains") {
     val df = Seq("src1.com", "src2.com", "src1.org").toDF("rd")
     val kept = WebIngest.filterBlocked(df, "rd", Seq("src1.com").toDF("b"))
