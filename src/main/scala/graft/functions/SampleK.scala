@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -39,7 +39,8 @@ case class SampleK(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(UTF8String, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(UTF8String, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
@@ -125,6 +126,10 @@ case class SampleK(
   override def children: Seq[Expression] = Seq(hash, id)
   override def nullable: Boolean = false
   override def dataType: DataType = SampleK.resultType
+  // Declared input types so a mismatched call site (e.g. an INT id)
+  // coerces or fails at analysis time instead of ClassCastException
+  // inside update().
+  override def inputTypes = GraftBridge.inputTypes(StringType, LongType)
   override def prettyName: String = "sample_k"
 
   override protected def withNewChildrenInternal(

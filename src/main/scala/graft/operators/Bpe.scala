@@ -23,9 +23,14 @@ import scala.collection.mutable
   */
 object Bpe {
 
-  /** `'abc'` → `' a b c '` (space-delimited symbols, space-bounded). */
+  /** `'abc'` → `' a b c '` (space-delimited symbols, space-bounded).
+    * Splits on CODEPOINTS, not UTF-16 chars: the oracle segments with
+    * a per-codepoint regex, and a per-char split would emit broken
+    * surrogate halves for non-BMP input (emoji, rare CJK).
+    */
   def spaced(word: String): String =
-    " " + word.map(_.toString).mkString(" ") + " "
+    " " + word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).mkString(" ") + " "
 
   /** Apply merges in learned order via literal replaces. */
   def applyMerges(sp: String, merges: Seq[(String, String)]): String =

@@ -207,48 +207,57 @@ object Curation {
 
   // ------------------------------------------------- repetition rules
 
+  /** Most-frequent-element count of a string array, as pure expression
+    * algebra: the max count of any element equals the longest run of
+    * identical ADJACENT elements once the array is sorted — one per-row
+    * array_sort + one linear fold, no explode, no shuffle. State is
+    * (prev, current run, best run); a first element equal to the ""
+    * seed still starts its run at 0+1 = 1, so the seed cannot
+    * overcount.
+    */
+  private def maxElemCount(arr: Column): Column = {
+    val run = (acc: Column, x: Column) =>
+      when(x === acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(lit(1L))
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
+        greatest(acc.getField("best"), run(acc, x)).as("best")),
+      acc => acc.getField("best"))
+  }
+
   /** Gopher-style repetition/quality signals per document: word count,
     * mean word length, top-word fraction, top-bigram fraction, and the
-    * composite keep/drop verdict. The word and bigram streams ride ONE
-    * union through a single (id, kind, term) count + per-doc max chain
-    * and ONE join back to the base stats — the corpus is tokenized once
-    * (materialized: three consumers) and crosses one aggregation
-    * pipeline, map-side-combined; everything else is expression algebra.
+    * composite keep/drop verdict. Every signal is per-row expression
+    * algebra over the tokenized array ([[maxElemCount]] for the top
+    * fractions) — the corpus crosses ZERO shuffles and zero joins; the
+    * round-8 explode + triple-aggregate + join-back shape left ~0.9 s
+    * of real work at sf0.1 that this removes outright, and at 100 TB it
+    * removes the only data-sized exchange the verdict had.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 10, wordLenRange: (Double, Double) = (2.0, 10.0),
       maxTopWordFrac: Double = 0.2, maxTopBigramFrac: Double = 0.18)
       : DataFrame = {
     val toks = split(col(textCol), " ")
-    val base = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), toks.as("__t"),
-      size(toks).as("n_words"),
-      round(aggregate(transform(toks, w => length(w)), lit(0),
-        (acc, x) => acc + x).cast("double") / size(toks), 4)
-        .as("mean_word_len"))
-      .localCheckpoint(true)
-
     val bigrams = zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
       slice(col("__t"), lit(2), size(col("__t")) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val words = base.select(col(idCol), lit("w").as("__k"),
-      explode(col("__t")).as("__term"), size(col("__t")).as("__tot"))
-    val bgs = base.select(col(idCol), lit("b").as("__k"),
-      explode(bigrams).as("__term"), (size(col("__t")) - 1).as("__tot"))
-    val fracs = words.union(bgs)
-      .groupBy(col(idCol), col("__k"), col("__term"), col("__tot"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol), col("__k"))
-      .agg(round(max(col("__c")) / first(col("__tot")), 4).as("__frac"))
-      .groupBy(col(idCol))
-      .agg(max(when(col("__k") === "w", col("__frac"))).as("top_word_frac"),
-        max(when(col("__k") === "b", col("__frac"))).as("top_bigram_frac"))
-
-    base.drop("__t")
-      .join(fracs, Seq(idCol), "left")
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), toks.as("__t"),
+        size(toks).as("n_words"),
+        round(aggregate(transform(toks, w => length(w)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(toks), 4)
+          .as("mean_word_len"))
+      .withColumn("top_word_frac",
+        round(maxElemCount(col("__t")) / size(col("__t")), 4))
       // A one-token doc has no bigrams: top_bigram_frac is null and the
       // verdict must be a definite false, not null (such a doc also fails
       // minWords, but null && false is null in SQL).
+      .withColumn("top_bigram_frac",
+        when(size(col("__t")) > 1,
+          round(maxElemCount(bigrams) / (size(col("__t")) - 1), 4)))
+      .drop("__t")
       .withColumn("keep",
         col("n_words") >= minWords &&
           col("mean_word_len").between(wordLenRange._1, wordLenRange._2) &&

@@ -46,7 +46,14 @@ object Ranking {
         .join(ranks, col("src") === col("id"))
         .join(deg, Seq("src"))
         .select(col("dst"),
-          expr(s"rank_e9 * $dampingE2 div 100 div deg").as("__c"))
+          // div-first ordering: `rank_e9 * 85` overflows Long once a
+          // vertex's e9 rank exceeds ~1.08e17 (rank mass of ~1e8
+          // vertices on one hub — plausible on a boilerplate-dominated
+          // 100 TB candidate graph, and silent). Dividing first bounds
+          // the intermediate at rank scale; the truncation cost is
+          // <= 99/1e9 relative. The q118 oracle replays this exact
+          // association.
+          expr(s"rank_e9 div 100 div deg * $dampingE2").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
       ranks = ranks.select(col("id"))
         .join(contrib, col("id") === col("dst"), "left")

@@ -48,10 +48,17 @@ object SpanDedup {
 
   /** Shingle start positions (idCol, n_words, i) whose shingle occurs in
     * >= minDocFreq distinct docs.
+    *
+    * The shingle stream is consumed twice (document-frequency aggregate
+    * + position semi join) and Catalyst does NOT share the subtree — an
+    * un-materialized `pos` explodes the corpus into shingles once per
+    * consumer. Materialize it once (same tokenize-once discipline as
+    * [[LanguageModel.bigramNll]]); the explode is the dominant cost of
+    * the whole span tier, so this halves it.
     */
   private def dupPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int, minDocFreq: Int): DataFrame = {
-    val pos = shingles(df, idCol, textCol, k)
+    val pos = shingles(df, idCol, textCol, k).localCheckpoint(true)
     val dup = pos.select(col(idCol), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)

@@ -215,7 +215,7 @@ object DedupQueries {
       val iters = (1 to 3).map { i =>
         val p = if (i == 1) "r0" else s"r${i - 1}"
         s"""c$i AS MATERIALIZED (SELECT und.dst,
-           |  CAST(SUM(r * 85 // 100 // deg) AS BIGINT) AS cin
+           |  CAST(SUM(r // 100 // deg * 85) AS BIGINT) AS cin
            |  FROM und JOIN $p ON $p.id = und.src
            |  JOIN deg ON deg.src = und.src GROUP BY 1),
            |r$i AS MATERIALIZED (SELECT $p.id,

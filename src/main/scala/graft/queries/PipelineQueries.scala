@@ -302,6 +302,13 @@ object PipelineQueries {
       split(lower(col("text")), " "), t => length(t) > 0)).as("w"))
     val wc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+    // The oracle trains on the FULL vocabulary; if the cap ever binds,
+    // learned merges would silently diverge and the hash gate would
+    // fail with no pointer to the cause — fail fast instead.
+    val nVocab = wc.count()
+    require(nVocab <= BpeMaxVocab,
+      s"q112 vocabulary $nVocab exceeds BpeMaxVocab=$BpeMaxVocab: " +
+        "the training cap would bind and diverge from the oracle")
     val vocab = wc.orderBy(col("cnt").desc, col("w")).limit(BpeMaxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val merges = graft.operators.Bpe.trainMerges(vocab, BpeMerges)

@@ -13,4 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  // `AbstractDataType` is private[sql] in Spark 4; expressions outside
+  // this package declare their `inputTypes` through this widener.
+  def inputTypes(ts: types.DataType*): Seq[types.AbstractDataType] = ts
 }

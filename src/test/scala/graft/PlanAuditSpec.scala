@@ -179,6 +179,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q98/q101: corpus explodes into shingles exactly ONCE") {
+    // SpanDedup consumes the shingle stream twice (df aggregate + semi
+    // join); without materialization Catalyst plants TWO corpus-fed
+    // Generate subtrees (the round-8 plan bug). After the checkpoint the
+    // per-query plan must show ZERO Generates fed by a parquet scan in
+    // q98 (the one explode ran inside the materialized RDD), and exactly
+    // ONE in q101 (the token posexplode — the span-expansion Generate
+    // feeds from the checkpointed shingles, not the corpus).
+    def corpusGenerates(q: String): Int = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val lp = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      def feedsFromParquet(p: LogicalPlan): Boolean =
+        p.collectFirst { case _: LogicalRelation => true }.nonEmpty
+      lp.collect { case g: Generate if feedsFromParquet(g.child) => g }.size
+    }
+    assert(corpusGenerates("q98_span_dedup") == 0)
+    assert(corpusGenerates("q101_span_strip") == 1)
+  }
+
   test("q99: the corpus crosses ONE aggregate; percentiles run on the histogram") {
     // The whole point of the histogram percentile: the only shuffle of
     // data-sized input is the partial+final (lang, score) count — the
