@@ -73,12 +73,21 @@ object Bench {
     // queries inside the window and makes any cut reproducible instead of
     // hash-map-order random.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The six queries that execute a REAL streaming run or physical
+    // store write: their DuckDB denominators are single-statement batch
+    // replays (the oracle certifies their answers, not their runtime
+    // model — BASELINE.md fairness notes), so the 2x gate is read on
+    // the batch tier and the stream tier is reported separately.
+    val streamExec = Set("q69_bucketed_merge", "q84_stream_e2e",
+      "q85_stream_neardup", "q89_stream_ingest", "q107_stream_join",
+      "q117_stream_sessions")
+    val batchTotal = results.filterNot(r => streamExec(r._1)).values.sum
     val r3 = (v: Double) => math.rint(v * 1000) / 1000
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     // The driver archives only a bounded TAIL of stdout, which has
     // truncated the per-query map (alphabetically-early q100-q123 keys)
     // two rounds running. The complete artifact therefore also goes to a

@@ -110,20 +110,22 @@ object Curation {
   def leakageReport(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Int = 5,
       maxTrainDf: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ngrams() applies `cols` on both sides of its explode, so aliases
     // must happen after it, not inside it.
     //
     // The train side crosses exactly ONE shuffle: distinct (map-side
-    // combined, keyed (g, train_id)) and then a count-over-window
-    // partitioned by g alone — HashPartitioning(g, train_id) does NOT
-    // satisfy a window on g, so the window repartitions, but that is
-    // still one shuffle of the DISTINCT stream instead of the old
-    // aggregate-then-semi-join shape that recomputed and reshuffled the
-    // full exploded corpus twice. The eval side is the benchmark suite —
-    // small by definition (same argument as decontaminateBloom) — so it
-    // broadcasts and the pair join never shuffles train rows again;
-    // only actual (eval, train) hits reach the final aggregate.
+    // combined, keyed (g, train_id)) and then a per-gram aggregate that
+    // carries BOTH the doc frequency and the carrier ids in bounded
+    // state — [[graft.functions.SampleK]] with k = maxTrainDf keeps
+    // every id of a gram that can pass the ubiquity filter (df <= k
+    // means nothing was evicted) and caps state at k pairs for
+    // boilerplate grams that are about to be discarded anyway. This
+    // replaces the r8 count-over-window, whose exchange + full sort of
+    // the distinct stream was q97's single heaviest job. The eval side
+    // is the benchmark suite — small by definition (same argument as
+    // decontaminateBloom) — so it broadcasts and the pair join never
+    // shuffles train rows again; only actual (eval, train) hits reach
+    // the final aggregate.
     val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "train_id").distinct()
     val evalNg = ngrams(eval, textCol, n, Seq(col(idCol)))
@@ -131,8 +133,13 @@ object Curation {
     val evalTot = evalNg.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("eval_ngrams"))
     trainNg
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"),
+        graft.functions.SampleK(col("g"), col("train_id"), maxTrainDf)
+          .as("__ids"))
       .filter(col("__df") <= maxTrainDf)
+      .select(col("g"), explode(col("__ids")).as("__e"))
+      .select(col("g"), col("__e.id").as("train_id"))
       .join(broadcast(evalNg), Seq("g"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
