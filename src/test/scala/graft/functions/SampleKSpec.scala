@@ -63,4 +63,15 @@ class SampleKSpec extends SparkSpec {
     val hashes = arr.map(_.getString(0))
     assert(hashes == hashes.sorted)
   }
+
+  test("an integer id coerces at analysis time instead of crashing") {
+    // r9: declared inputTypes (ImplicitCastInputTypes) — an INT id used
+    // to pass analysis and throw ClassCastException inside update().
+    val got = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "id")
+      .groupBy(col("g"))
+      .agg(SampleK(md5(col("id").cast("string")), col("id"), 5).as("s"))
+      .select(explode(col("s")).as("e")).select(col("e.id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
 }

@@ -40,4 +40,12 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val merges = Bpe.trainMerges(Seq(("xy", 100L), ("pq", 1L)), 1)
     assert(merges == Seq(("x", "y")))
   }
+
+  test("spaced splits on codepoints, not UTF-16 chars") {
+    // U+1F600 is a surrogate pair in UTF-16; a per-char split would
+    // emit two broken half-symbols. The oracle segments per codepoint.
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Bpe.spaced(s"a${emoji}b") == s" a $emoji b ")
+    assert(Bpe.symbols(Bpe.spaced(s"$emoji$emoji")) == Seq(emoji, emoji))
+  }
 }

@@ -64,4 +64,25 @@ class SnapshotDedupSpec extends SparkSpec {
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
     assert(run(1) == run(16))
   }
+
+  test("works when the id column is literally named 'id'") {
+    // r9 regression guard: the near-side join used an unanchored
+    // col("id") that was ambiguous for idCol = "id" callers.
+    val got = Dedup.snapshotDedup(
+        snapshot.withColumnRenamed("doc_id", "id"),
+        arrivals.withColumnRenamed("doc_id", "id"), "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(20L) == "exact" && got(21L) == "near" && got(22L) == "new")
+  }
+
+  test("rejects a non-integral id column") {
+    val err = intercept[IllegalArgumentException] {
+      Dedup.snapshotDedup(
+        snapshot.withColumn("doc_id", col("doc_id").cast("string")),
+        arrivals.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", "text")
+    }
+    assert(err.getMessage.contains("integral"))
+  }
 }
