@@ -113,31 +113,29 @@ object Curation {
     // ngrams() applies `cols` on both sides of its explode, so aliases
     // must happen after it, not inside it.
     //
-    // The train side crosses exactly ONE shuffle: distinct (map-side
-    // combined, keyed (g, train_id)) and then a per-gram aggregate that
-    // carries BOTH the doc frequency and the carrier ids in bounded
-    // state — [[graft.functions.SampleK]] with k = maxTrainDf keeps
-    // every id of a gram that can pass the ubiquity filter (df <= k
-    // means nothing was evicted) and caps state at k pairs for
-    // boilerplate grams that are about to be discarded anyway. This
-    // replaces the r8 count-over-window, whose exchange + full sort of
-    // the distinct stream was q97's single heaviest job. The eval side
-    // is the benchmark suite — small by definition (same argument as
-    // decontaminateBloom) — so it broadcasts and the pair join never
-    // shuffles train rows again; only actual (eval, train) hits reach
-    // the final aggregate.
+    // The train side crosses exactly ONE shuffle — the raw exploded
+    // n-gram stream goes straight into a per-gram
+    // [[graft.functions.SampleKDistinct]] aggregate with
+    // k = maxTrainDf + 1: duplicates collapse inside the bounded
+    // buffer (no separate `.distinct()` exchange — the r8→r9a plans
+    // paid one), a FULL buffer proves df > maxTrainDf (gram dropped as
+    // ubiquitous boilerplate), and a non-full buffer IS the exact
+    // distinct carrier set. State caps at maxTrainDf+1 pairs per gram
+    // however hot the gram. The eval side is the benchmark suite —
+    // small by definition (same argument as decontaminateBloom) — so
+    // it broadcasts and the pair join never shuffles train rows again;
+    // only actual (eval, train) hits reach the final aggregate.
     val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
-      .withColumnRenamed(idCol, "train_id").distinct()
+      .withColumnRenamed(idCol, "train_id")
     val evalNg = ngrams(eval, textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "eval_id").distinct()
     val evalTot = evalNg.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("eval_ngrams"))
     trainNg
       .groupBy(col("g"))
-      .agg(count(lit(1)).as("__df"),
-        graft.functions.SampleK(col("g"), col("train_id"), maxTrainDf)
-          .as("__ids"))
-      .filter(col("__df") <= maxTrainDf)
+      .agg(graft.functions.SampleKDistinct(col("g"), col("train_id"),
+        maxTrainDf + 1).as("__ids"))
+      .filter(size(col("__ids")) <= maxTrainDf)
       .select(col("g"), explode(col("__ids")).as("__e"))
       .select(col("g"), col("__e.id").as("train_id"))
       .join(broadcast(evalNg), Seq("g"))
