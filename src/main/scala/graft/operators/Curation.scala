@@ -477,7 +477,13 @@ object Curation {
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // Materialized: the distinct (doc, gram) stream feeds BOTH the
+    // per-doc count and the min-doc histogram, and Catalyst does not
+    // share the subtree — un-checkpointed, the corpus explode +
+    // distinct ran once per consumer (two parquet scans + two
+    // Generates, confirmed via PlanDump in r9).
     val pairs = ngrams(df, textCol, n, Seq(col(idCol))).distinct()
+      .localCheckpoint(true)
     val perDoc = pairs.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val novel = pairs.groupBy(col("g"))
       .agg(min(col(idCol)).as(idCol))

@@ -198,6 +198,9 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(corpusGenerates("q98_span_dedup") == 0)
     assert(corpusGenerates("q101_span_strip") == 1)
+    // q100: the distinct (doc, gram) stream is materialized once too
+    // (both consumers read the checkpointed RDD).
+    assert(corpusGenerates("q100_ngram_novelty") == 0)
   }
 
   test("q99: the corpus crosses ONE aggregate; percentiles run on the histogram") {
