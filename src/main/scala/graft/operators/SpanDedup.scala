@@ -107,35 +107,35 @@ object SpanDedup {
     * covered); docs with no duplicated span pass through verbatim.
     * Output: idCol, textCol (rewritten), n_removed.
     *
-    * Coverage join is per-token-position against the span table
-    * (doc-keyed, so co-partitioned with the token stream) — an anti join
-    * keeps uncovered positions, and the document reassembles with an
-    * array_sort(collect_list(struct(pos, token))) — order restored by
-    * the sort, not by any shuffle-order assumption.
+    * The span table collapses to ONE doc-keyed row (a span LIST bounded
+    * by document length), joins back to the corpus, and the rewrite is
+    * a per-row index-aware `filter` over the token array — a token
+    * survives iff its 1-based position lies in no span. No token
+    * posexplode, no per-position anti join, no collect_list reassembly
+    * shuffle: the corpus crosses zero exchanges in the rebuild (the r9a
+    * shape paid a Generate + an anti join + a reassembly aggregate).
+    * Per-token cost is O(spans in this doc) — bounded by doc length.
     */
   def stripSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
       minDocFreq: Int = 2): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val tokens = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), posexplode(toks).as(Seq("__p", "__w")))
-      .withColumn("__j", col("__p") + 1) // 1-based like span bounds
-    val covered = spans(df, idCol, textCol, k, minDocFreq)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("__j"))
-    val rebuilt = tokens.join(covered, Seq(idCol, "__j"), "left_anti")
+    val spanLists = spans(df, idCol, textCol, k, minDocFreq)
       .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("__j"), col("__w")))),
-          s => s.getField("__w"))).as("__text"),
-        count(lit(1)).as("__kept"))
-    // Left join from the corpus: a fully-covered document keeps its row
-    // with empty text rather than vanishing from the output.
-    df.select(col(idCol), size(toks).as("__total"))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = split(col(textCol), " ")
+    // Left join: docs with no duplicated span carry an empty span list
+    // and pass through verbatim.
+    val noSpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    df.join(spanLists, Seq(idCol), "left")
+      .select(col(idCol), toks.as("__t"),
+        coalesce(col("__spans"), noSpans).as("__s"))
+      .select(col(idCol), col("__t"),
+        filter(col("__t"), (_, j) => !exists(col("__s"),
+          s => j + 1 >= s.getField("span_start") &&
+            j + 1 <= s.getField("span_end"))).as("__kept"))
       .select(col(idCol),
-        coalesce(col("__text"), lit("")).as(textCol),
-        (col("__total") - coalesce(col("__kept"), lit(0L))).cast("long")
+        concat_ws(" ", col("__kept")).as(textCol),
+        (size(col("__t")) - size(col("__kept"))).cast("long")
           .as("n_removed"))
   }
 }

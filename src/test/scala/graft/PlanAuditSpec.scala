@@ -184,9 +184,9 @@ class PlanAuditSpec extends SparkSpec {
     // join); without materialization Catalyst plants TWO corpus-fed
     // Generate subtrees (the round-8 plan bug). After the checkpoint the
     // per-query plan must show ZERO Generates fed by a parquet scan in
-    // q98 (the one explode ran inside the materialized RDD), and exactly
-    // ONE in q101 (the token posexplode — the span-expansion Generate
-    // feeds from the checkpointed shingles, not the corpus).
+    // q98 (the one explode ran inside the materialized RDD) and in q101
+    // (the rewrite is a per-row index-aware filter over the token
+    // array — no token posexplode at all since r9b).
     def corpusGenerates(q: String): Int = {
       import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
       import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -197,7 +197,7 @@ class PlanAuditSpec extends SparkSpec {
       lp.collect { case g: Generate if feedsFromParquet(g.child) => g }.size
     }
     assert(corpusGenerates("q98_span_dedup") == 0)
-    assert(corpusGenerates("q101_span_strip") == 1)
+    assert(corpusGenerates("q101_span_strip") == 0)
     // q100: the distinct (doc, gram) stream is materialized once too
     // (both consumers read the checkpointed RDD).
     assert(corpusGenerates("q100_ngram_novelty") == 0)
