@@ -355,16 +355,30 @@ object Dedup {
   /** Winnowed document fingerprints (MOSS-style): rolling window of `w`
     * consecutive shingle hashes keeps the minimum; the distinct kept hashes
     * are the document's fingerprints. Cheap containment/near-dup sketch.
+    *
+    * Pure per-row array algebra (r9): the shingle-hash array, its
+    * rolling minima (prefix-partial for the first w-1 positions, exactly
+    * like `ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW`) and the distinct
+    * count all happen inside one projection — the r8 shape exploded the
+    * shingle stream and paid a per-doc window sort + two aggregates for
+    * what is a per-document computation. The corpus now crosses zero
+    * exchanges; docs shorter than n tokens emit nothing, as before.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n)
-      .select(col("id"), col("pos"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), 0)
-    sh.select(col("id"), min(col("h")).over(win).as("fp"))
-      .groupBy(col("id"))
-      .agg(countDistinct(col("fp")).as("n_fp"))
+    val toks = split(col(textCol), " ")
+    val winStart = (i: Column) => greatest(lit(1), i - (w - 1))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"),
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)), i =>
+          conv(substring(md5(concat_ws(" ", slice(col("__t"), i, lit(n)))),
+            1, 15), 16, 10).cast("long")).as("__h"))
+      .select(col("id"),
+        size(array_distinct(transform(sequence(lit(1), size(col("__h"))),
+          i => array_min(slice(col("__h"), winStart(i),
+            i - winStart(i) + 1)))))
+          .cast("long").as("n_fp"))
   }
 }
