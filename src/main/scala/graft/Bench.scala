@@ -81,6 +81,12 @@ object Bench {
     val streamExec = Set("q69_bucketed_merge", "q84_stream_e2e",
       "q85_stream_neardup", "q89_stream_ingest", "q107_stream_join",
       "q117_stream_sessions")
+    // Self-check the split on a full run: a renamed stream query would
+    // otherwise silently land in (and inflate) the gated batch tier.
+    if (only.isEmpty)
+      require(streamExec.subsetOf(results.keySet),
+        s"stream split out of sync with the registry: missing " +
+          (streamExec -- results.keySet).mkString(", "))
     val batchTotal = results.filterNot(r => streamExec(r._1)).values.sum
     val r3 = (v: Double) => math.rint(v * 1000) / 1000
     val qs = results.toSeq.sortBy(_._1)
@@ -95,8 +101,15 @@ object Bench {
     // regardless of how the console output is cut.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      .toAbsolutePath
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The artifact only counts if it lands in the repo; a cwd outside
+    // the project would quietly leave the committed copy stale.
+    if (!java.nio.file.Files.exists(out.getParent.resolve("build.sbt")))
+      System.err.println(s"[bench] WARNING: wrote $out outside a repo " +
+        "root (no build.sbt beside it) — the committed BENCH_FULL.json " +
+        "was NOT updated")
     println(line)
     spark.stop()
   }

@@ -125,6 +125,15 @@ object Curation {
     // small by definition (same argument as decontaminateBloom) — so
     // it broadcasts and the pair join never shuffles train rows again;
     // only actual (eval, train) hits reach the final aggregate.
+    // The bounded aggregate carries ids as longs; fail fast for a
+    // non-integral id column instead of ANSI-cast surprises mid-job
+    // (the r8 window implementation was type-agnostic — this is the
+    // documented price of the bounded-state fusion).
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType)
+        .contains(train.schema(idCol).dataType),
+      s"leakageReport needs an integral $idCol for the bounded " +
+        "carrier-set aggregate")
     val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "train_id")
     val evalNg = ngrams(eval, textCol, n, Seq(col(idCol)))
@@ -133,7 +142,11 @@ object Curation {
       .agg(count(lit(1)).as("eval_ngrams"))
     trainNg
       .groupBy(col("g"))
-      .agg(graft.functions.SampleKDistinct(col("g"), col("train_id"),
+      // Constant hash: within a per-gram group the ordering is decided
+      // by id alone, and storing the gram string k times per buffer
+      // would multiply the shuffle bytes by gram-length × k for no
+      // semantic difference.
+      .agg(graft.functions.SampleKDistinct(lit(""), col("train_id"),
         maxTrainDf + 1).as("__ids"))
       .filter(size(col("__ids")) <= maxTrainDf)
       .select(col("g"), explode(col("__ids")).as("__e"))

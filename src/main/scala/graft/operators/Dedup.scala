@@ -320,12 +320,18 @@ object Dedup {
       .select((col(idCol) * 2).as("__cid"), col(textCol))
       .unionAll(arrivals
         .select((col(idCol) * 2 + 1).as("__cid"), col(textCol)))
+    // pmod + floor-style decode: Spark's % keeps the dividend's sign,
+    // so a plain `% 2 === 1` / `div 2` pair would silently drop and
+    // mis-decode NEGATIVE ids (legal for e.g. xxhash64-derived ids).
+    // (cid - pmod(cid, 2)) div 2 recovers the original id exactly for
+    // every long of either sign.
     val sigAll = minhashSignatures(shingles(tagged, "__cid", textCol, n), k)
       .localCheckpoint(true)
-    val sigS = sigAll.filter(col("id") % 2 === 0)
-      .select(expr("id div 2").as("__sid"), col("sig").as("__ssig"))
-    val sigA = sigAll.filter(col("id") % 2 === 1)
-      .select(expr("id div 2").as("id"), col("sig"))
+    val decoded = expr("(id - pmod(id, 2)) div 2")
+    val sigS = sigAll.filter(pmod(col("id"), lit(2)) === 0)
+      .select(decoded.as("__sid"), col("sig").as("__ssig"))
+    val sigA = sigAll.filter(pmod(col("id"), lit(2)) === 1)
+      .select(decoded.as("id"), col("sig"))
     val bS = lshBuckets(sigS.select(col("__sid").as("id"),
         col("__ssig").as("sig")), bands, rowsPerBand)
       .select(col("id").as("__sid"), col("band"), col("band_hash"))

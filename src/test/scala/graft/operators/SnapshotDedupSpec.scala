@@ -76,6 +76,22 @@ class SnapshotDedupSpec extends SparkSpec {
     assert(got(20L) == "exact" && got(21L) == "near" && got(22L) == "new")
   }
 
+  test("negative ids survive the parity tagging (near tier included)") {
+    // r9 regression guard: a sign-keeping `% 2` filter silently dropped
+    // negative arrival ids from the signature table (verdict flipped to
+    // 'new'); pmod + (cid - pmod) div 2 decode handles both signs.
+    val snapNeg = Seq((-10L, longA)).toDF("doc_id", "text")
+    val arrNeg = Seq((-20L, longA), (-21L, longAEdit), (-22L, "other "
+      + "completely different unrelated words here now")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDedup(snapNeg, arrNeg, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got(-20L) == (("exact", -10L)))
+    assert(got(-21L) == (("near", -10L)))
+    assert(got(-22L)._1 == "new")
+  }
+
   test("rejects a non-integral id column") {
     val err = intercept[IllegalArgumentException] {
       Dedup.snapshotDedup(
