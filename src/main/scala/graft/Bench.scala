@@ -6,6 +6,55 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime.max(0L)).sum
   }
+
+  /** Re-time the DuckDB denominators in THIS session (best effort).
+    *
+    * Dumps [[SparkEntry.oracleSql]] to a temp json and shells out to
+    * `tools/bench_oracle.py` — the exact script that produced the
+    * committed BASELINE_QUERIES.json — so the denominator is measured
+    * under the same box conditions as the numerator it will divide.
+    * Returns per-query medians, or None when python3/duckdb/the script
+    * is unavailable (a bare cluster): the bench must degrade, not fail,
+    * without the oracle harness.
+    */
+  private def timeDuckdbDenominators(sfDir: String, names: Set[String])
+      : Option[Map[String, Double]] = {
+    val script = java.nio.file.Paths.get("tools/bench_oracle.py")
+    if (!java.nio.file.Files.exists(script)) return None
+    try {
+      val tmpSql = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+      val tmpOut = java.nio.file.Files.createTempFile("baseline_q", ".json")
+      val esc = (s: String) => s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "").replace("\t", "\\t")
+      val sqlJson = SparkEntry.oracleSql.view.filterKeys(names).toSeq
+        .sortBy(_._1)
+        .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(tmpSql,
+        sqlJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val pb = new ProcessBuilder("python3", script.toString, sfDir,
+        tmpSql.toString, tmpOut.toString)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val done = p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); return None }
+      if (p.exitValue() != 0) return None
+      val txt = new String(java.nio.file.Files.readAllBytes(tmpOut),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // Minimal extraction of the flat {"queries":{"name":sec,...}} map —
+      // values written by bench_oracle.py are plain numbers.
+      val qBlock = txt.split("\"queries\"", 2)(1)
+      val body = qBlock.substring(qBlock.indexOf('{') + 1,
+        qBlock.indexOf('}'))
+      val entries = body.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+        }.toMap
+      if (entries.isEmpty) None else Some(entries)
+    } catch { case _: Throwable => None }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,7 +83,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
+    // Empty-job floor, measured IN THIS RUN (same probe as graft.Profile):
+    // the fixed scheduling+codegen cost of one no-op job. Embedding it in
+    // the artifact (r10) lets any reader subtract `njobs × floor` without
+    // trusting BASELINE.md prose measured in a different hour's box
+    // conditions — the r9 verdict found +30% wall swings between two runs
+    // of identical code, so every artifact must carry its own error bar.
+    val floorReps = (1 to 10).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val allWalls = selected.map { case (name, fn) =>
       // Three reps, report the MEDIAN of the last three measured walls:
       // the DuckDB denominator (BASELINE_QUERIES.json) is a median of 3
       // warm reps, so the apples-to-apples Spark number is a warm median
@@ -65,8 +125,13 @@ object Bench {
         if (sys.env.contains("SPARK_GRAFT_GCDBG"))
           System.err.println(f"[gcdbg] $name rep$rep wall=$t%.2f gc=${(gcMillis() - gc0) / 1000.0}%.2f")
       }
-      name -> walls.sorted.apply(walls.size / 2)
-    }.toMap
+      name -> walls.toSeq.sorted
+    }
+    val results = allWalls.map { case (n, w) => n -> w(w.size / 2) }.toMap
+    // Per-query [min,max] over the reps: the run-to-run noise band, so a
+    // single committed artifact shows which timings are stable and which
+    // are scheduler wobble.
+    val spreads = allWalls.map { case (n, w) => n -> (w.head, w.last) }.toMap
     // Headline fields FIRST and per-query times sorted + rounded to 3 dp:
     // the driver archives only a bounded tail of this output, so the
     // compact deterministic layout keeps the newest (alphabetically last)
@@ -92,15 +157,44 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val spreadJson = spreads.toSeq.sortBy(_._1)
+      .map { case (k, (lo, hi)) => s"\"" + k + s"\":[${r3(lo)},${r3(hi)}]" }
+      .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
+    // Same-session DuckDB denominators: numerator and denominator must
+    // share box conditions or the gate ratio inherits the box's hour-to-
+    // hour wobble (r9: 3.47× vs 4.25× on identical code). python3+duckdb
+    // live on this machine for the oracle harness; when present, re-time
+    // every oracle SQL NOW and embed totals + the resulting ratio. Absent
+    // (a bare cluster), the fields are null and the committed
+    // BASELINE_QUERIES.json remains the fallback denominator.
+    val duck = timeDuckdbDenominators(sfDir, results.keySet)
+    val duckBatch = duck.map(_.filterNot(d => streamExec(d._1)))
+    val ratioJson = duckBatch match {
+      case Some(d) if d.nonEmpty =>
+        // Ratio strictly over the intersection of measured numerators and
+        // same-session denominators — BOTH sides restricted, or a partial
+        // run would divide 3 queries by 117 denominators.
+        val common = d.keySet.intersect(results.keySet)
+        val num = results.filter(r => common(r._1)).values.sum
+        val den = d.filter(x => common(x._1)).values.sum
+        val ratio = if (den > 0) r3(num / den).toString else "null"
+        s""""duckdb_batch_total":${r3(den)},"duckdb_total":${r3(duck.get.filter(x => results.contains(x._1)).values.sum)},"ratio_batch":$ratio"""
+      case _ =>
+        s""""duckdb_batch_total":null,"duckdb_total":null,"ratio_batch":null"""
+    }
+    val partial = only.nonEmpty
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"spread":$spreadJson}"""
     // The driver archives only a bounded TAIL of stdout, which has
     // truncated the per-query map (alphabetically-early q100-q123 keys)
     // two rounds running. The complete artifact therefore also goes to a
     // repo file — committed post-run — so every timing is verifiable
-    // regardless of how the console output is cut.
+    // regardless of how the console output is cut. A SPARK_GRAFT_ONLY
+    // subset run lands in BENCH_PARTIAL.json instead: a partial run must
+    // never silently replace the committed full-suite artifact.
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (partial) "BENCH_PARTIAL.json" else "BENCH_FULL.json"))
       .toAbsolutePath
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -106,6 +106,13 @@ object Curation {
     * otherwise emit 10^6 pairs per eval hit — and is also the right
     * semantics, since ubiquitous boilerplate is not leakage evidence.
     * Deterministic, no sketch: the DuckDB oracle replays it exactly.
+    *
+    * Rows with a NULL train id are dropped up front (a null id cannot
+    * be attributed, and the bounded carrier-set aggregate skips nulls
+    * anyway — the filter makes that contract explicit). `train_id` is
+    * cast back to the caller's id type on output, so an IntegerType
+    * caller gets IntegerType back even though the bounded buffer
+    * carries longs internally.
     */
   def leakageReport(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Int = 5,
@@ -134,7 +141,8 @@ object Curation {
         .contains(train.schema(idCol).dataType),
       s"leakageReport needs an integral $idCol for the bounded " +
         "carrier-set aggregate")
-    val trainNg = ngrams(train, textCol, n, Seq(col(idCol)))
+    val trainNg = ngrams(train.filter(col(idCol).isNotNull),
+        textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "train_id")
     val evalNg = ngrams(eval, textCol, n, Seq(col(idCol)))
       .withColumnRenamed(idCol, "eval_id").distinct()
@@ -156,8 +164,9 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(broadcast(evalTot), Seq("eval_id"))
-      .select(col("eval_id"), col("train_id"), col("n_shared"),
-        col("eval_ngrams"),
+      .select(col("eval_id"),
+        col("train_id").cast(train.schema(idCol).dataType).as("train_id"),
+        col("n_shared"), col("eval_ngrams"),
         round(col("n_shared").cast("double") / col("eval_ngrams"), 4)
           .as("overlap_frac"))
   }

@@ -306,32 +306,30 @@ object Dedup {
       .select(md5(col(textCol)).as("__m"), col(idCol).as("__sid"))
       .groupBy(col("__m")).agg(min(col("__sid")).as("__exact"))
     // ONE shingle explode + minhash aggregate covers BOTH sides: tag
-    // rows with a parity-composite id (snapshot even, arrival odd) and
-    // split the materialized signature table by parity afterwards — a
-    // doc's signature depends only on itself, so per-side and combined
-    // builds agree exactly. Halves the heaviest stage of the operator
-    // (r8 ran the shingle pipeline once per side).
+    // rows with a struct id (side tag + original id) and split the
+    // materialized signature table by the tag afterwards — a doc's
+    // signature depends only on itself, so per-side and combined builds
+    // agree exactly. Halves the heaviest stage of the operator (r8 ran
+    // the shingle pipeline once per side). The tag is carried
+    // OUT-OF-BAND in the struct, not encoded arithmetically: a
+    // `(id*2, id*2+1)` composite overflows for |id| >= 2^62, which is
+    // half the range of e.g. xxhash64-derived ids.
     require(Seq(org.apache.spark.sql.types.LongType,
         org.apache.spark.sql.types.IntegerType)
         .contains(snapshot.schema(idCol).dataType),
-      s"snapshotDedup needs an integral $idCol for the parity-tagged " +
-        "one-pass signature build")
-    val tagged = snapshot
-      .select((col(idCol) * 2).as("__cid"), col(textCol))
-      .unionAll(arrivals
-        .select((col(idCol) * 2 + 1).as("__cid"), col(textCol)))
-    // pmod + floor-style decode: Spark's % keeps the dividend's sign,
-    // so a plain `% 2 === 1` / `div 2` pair would silently drop and
-    // mis-decode NEGATIVE ids (legal for e.g. xxhash64-derived ids).
-    // (cid - pmod(cid, 2)) div 2 recovers the original id exactly for
-    // every long of either sign.
+      s"snapshotDedup needs an integral $idCol for the one-pass " +
+        "signature build (matched ids are emitted as bigint)")
+    val tag = (side: Int, df: DataFrame) => df.select(
+      struct(lit(side).as("side"), col(idCol).cast("long").as("oid"))
+        .as("__cid"),
+      col(textCol))
+    val tagged = tag(0, snapshot).unionAll(tag(1, arrivals))
     val sigAll = minhashSignatures(shingles(tagged, "__cid", textCol, n), k)
       .localCheckpoint(true)
-    val decoded = expr("(id - pmod(id, 2)) div 2")
-    val sigS = sigAll.filter(pmod(col("id"), lit(2)) === 0)
-      .select(decoded.as("__sid"), col("sig").as("__ssig"))
-    val sigA = sigAll.filter(pmod(col("id"), lit(2)) === 1)
-      .select(decoded.as("id"), col("sig"))
+    val sigS = sigAll.filter(col("id.side") === 0)
+      .select(col("id.oid").as("__sid"), col("sig").as("__ssig"))
+    val sigA = sigAll.filter(col("id.side") === 1)
+      .select(col("id.oid").as("id"), col("sig"))
     val bS = lshBuckets(sigS.select(col("__sid").as("id"),
         col("__ssig").as("sig")), bands, rowsPerBand)
       .select(col("id").as("__sid"), col("band"), col("band_hash"))

@@ -263,14 +263,21 @@ object IngestQueries {
     * SF. Cross-checked by GoldenChunksSpec and the idempotence specs.
     */
   private lazy val q44GoldenSql: String = {
-    val src = scala.io.Source.fromInputStream(
-      getClass.getClassLoader.getResourceAsStream("q44_store_golden.csv"),
-      "UTF-8")
+    val in = getClass.getClassLoader.getResourceAsStream("q44_store_golden.csv")
+    require(in != null,
+      "q44_store_golden.csv missing from main resources — the q44 oracle " +
+        "golden was moved or renamed (regenerate by running q44 and " +
+        "dumping its result)")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val rows = try src.getLines().filter(_.nonEmpty).toList
     finally src.close()
     def q(x: String) = "'" + x.replace("'", "''") + "'"
     val values = rows.map { l =>
-      val Array(reader, docid, succ, nch, cmd5, esum) = l.split(",", -1)
+      val parts = l.split(",", -1)
+      require(parts.length == 6,
+        s"q44_store_golden.csv: expected 6 comma fields per line, got " +
+          s"${parts.length} in: $l")
+      val Array(reader, docid, succ, nch, cmd5, esum) = parts
       val cm = if (cmd5.isEmpty) "CAST(NULL AS VARCHAR)" else q(cmd5)
       val es = if (esum.isEmpty) "CAST(NULL AS BIGINT)"
         else s"CAST($esum AS BIGINT)"

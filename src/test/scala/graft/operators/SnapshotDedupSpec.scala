@@ -92,6 +92,23 @@ class SnapshotDedupSpec extends SparkSpec {
     assert(got(-22L)._1 == "new")
   }
 
+  test("full-range 64-bit ids survive the one-pass signature build") {
+    // r10 regression guard: the r9 parity composite `(id*2, id*2+1)`
+    // overflowed Long for |id| >= 2^62 (ANSI mode throws; non-ANSI
+    // silently decodes a wrong id). The side tag is now carried
+    // out-of-band in a struct id, so any long is legal.
+    val big = Long.MaxValue - 1L
+    val snapBig = Seq((big, longA)).toDF("doc_id", "text")
+    val arrBig = Seq((Long.MinValue, longA), (Long.MinValue + 1L, longAEdit))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDedup(snapBig, arrBig, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got(Long.MinValue) == (("exact", big)))
+    assert(got(Long.MinValue + 1L) == (("near", big)))
+  }
+
   test("rejects a non-integral id column") {
     val err = intercept[IllegalArgumentException] {
       Dedup.snapshotDedup(
