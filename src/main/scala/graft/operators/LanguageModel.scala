@@ -33,6 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** The fused 1-gram/2-gram corpus pass shared by [[bigramNll]] and
+    * [[bigramNllBy]]: tokenize, emit every token instance as a unigram
+    * row (`w2` NULL) and every adjacent pair as a bigram row from ONE
+    * explode, and collapse to multiplicities keyed by `keyCols × (w1,
+    * w2)` in ONE aggregate. Eagerly materialized — it is the single
+    * corpus-derived relation every downstream count table reads, and it
+    * has multiple consumers (Catalyst does not share subtrees).
+    */
+  private def gramCounts(df: DataFrame, keyCols: Seq[org.apache.spark.sql
+      .Column], idCol: String, textCol: String): DataFrame = {
+    val toksExpr = filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)
+    // Adjacent pairs via two shifted slices zipped in place — array
+    // algebra, no positional self-join. `greatest(…, 0)` keeps the slice
+    // length legal for 0/1-token docs (they emit no bigram rows).
+    val bgLen = greatest(size(col("__t")) - 1, lit(0))
+    val uniPart = transform(col("__t"),
+      t => struct(t.as("w1"), lit(null).cast("string").as("w2")))
+    val bgPart = zip_with(
+      slice(col("__t"), lit(1), bgLen),
+      slice(col("__t"), lit(2), bgLen),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(keyCols :+ toksExpr.as("__t"): _*)
+      .select(keyCols :+ explode(concat(uniPart, bgPart)).as("g"): _*)
+      .select(keyCols ++ Seq(col("g.w1").as("w1"), col("g.w2").as("w2")): _*)
+      .groupBy(keyCols ++ Seq(col("w1"), col("w2")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+  }
+
   /** Per-document average bigram negative log-likelihood (nats, 4 dp)
     * under an add-one-smoothed bigram LM estimated on `df` itself:
     *
@@ -44,20 +75,20 @@ object LanguageModel {
     */
   def bigramNll(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toksExpr = filter(split(lower(col(textCol)), " "),
-      t => length(t) > 0)
-    // Tokenize ONCE: unigram counts, vocab size and bigram rows all read
-    // this projection (without it each consumer re-splits the corpus).
-    val toks = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), toksExpr.as("__t"))
-      .localCheckpoint(true)
-
-    val uni = toks.select(explode(col("__t")).as("w"))
-    // Materialized (vocabulary-sized): consumed twice — the V scalar and
-    // the score-table join — and each consumption would otherwise re-run
-    // the unigram aggregation over the exploded corpus.
-    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      .withColumnRenamed("w", "w1")
+    // ONE corpus pass (r10 — was two: a unigram explode for the count
+    // table and a bigram explode for the doc stream, each re-reading the
+    // tokenized checkpoint): a single explode emits every token instance
+    // as a unigram row (w2 NULL) and every adjacent pair as a bigram row,
+    // and ONE map-side-combinable aggregate collapses both to per-doc
+    // multiplicities. The materialized result is the only relation any
+    // count table reads — the corpus is scanned once, exploded once.
+    val grams = gramCounts(df, Seq(col(idCol)), idCol, textCol)
+    val docBg = grams.filter(col("w2").isNotNull)
+    // Unigram counts derive from the collapsed table (vocabulary-sized
+    // re-aggregation, not an instance pass). Materialized: consumed twice
+    // — the V scalar and the score-table join.
+    val c1 = grams.filter(col("w2").isNull)
+      .groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
       .localCheckpoint(true)
     // V = |vocabulary| is just the count-table row count — no separate
     // countDistinct pass over the unigram stream. One number to the
@@ -65,22 +96,6 @@ object LanguageModel {
     // broadcast-join of a 1-row frame would work too but blocks constant
     // folding).
     val vocab = c1.count()
-
-    // Adjacent pairs via two shifted slices zipped in place — array
-    // algebra, no positional self-join.
-    val bigrams = toks
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-
-    // The ONLY aggregation of the instance-sized stream: collapse to
-    // per-document bigram multiplicities. Everything downstream works on
-    // this (much smaller) table.
-    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
 
     // Corpus bigram counts derive from the collapsed table — the raw
     // stream is not re-aggregated.
@@ -124,32 +139,16 @@ object LanguageModel {
     */
   def bigramNllBy(df: DataFrame, groupCol: String, idCol: String,
       textCol: String): DataFrame = {
-    val toksExpr = filter(split(lower(col(textCol)), " "),
-      t => length(t) > 0)
-    val toks = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), col(groupCol), toksExpr.as("__t"))
-      .localCheckpoint(true)
-
-    val uni = toks.select(col(groupCol), explode(col("__t")).as("w"))
-    val c1 = uni.groupBy(col(groupCol), col("w"))
-      .agg(count(lit(1)).as("c1"))
-      .withColumnRenamed("w", "w1")
+    // ONE corpus pass for both gram orders (r10) — see [[gramCounts]].
+    val grams = gramCounts(df, Seq(col(idCol), col(groupCol)), idCol,
+      textCol)
+    val docBg = grams.filter(col("w2").isNotNull)
+    val c1 = grams.filter(col("w2").isNull)
+      .groupBy(col(groupCol), col("w1"))
+      .agg(sum(col("cnt")).as("c1"))
       .localCheckpoint(true)
     // Per-group V: a groups-sized table, broadcast into the score join.
     val vocabs = c1.groupBy(col(groupCol)).agg(count(lit(1)).as("__v"))
-
-    val bigrams = toks
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol), col(groupCol), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col(groupCol), col("bg.w1").as("w1"),
-        col("bg.w2").as("w2"))
-
-    val docBg = bigrams
-      .groupBy(col(idCol), col(groupCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
 
     val c2 = docBg.groupBy(col(groupCol), col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c2"))

@@ -181,8 +181,12 @@ object PipelineQueries {
   // aggregates once; windows run on the histogram).
   def q110(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Materialized: consumed by BOTH the histogram and the final bucket
+    // join, and each consumer would otherwise re-run the scoring joins
+    // from the gram checkpoints (docs-sized — one row per scored doc).
     val scored = graft.operators.LanguageModel
       .bigramNllBy(docs(s, dir), "lang", "doc_id", "text")
+      .localCheckpoint(true)
     val hist = scored.groupBy(col("lang"), col("score_e4"))
       .agg(count(lit(1)).as("__c"))
     val r = hist
