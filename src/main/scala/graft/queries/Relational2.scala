@@ -185,24 +185,28 @@ object Relational2 {
   // the sample. The mean stays exact over the FULL data. Spark's native
   // approx_percentile tier remains envelope-pinned in SketchesSpec.
   def q86(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan, ONE aggregate (r10 — was two scans: a windowed
+    // rank over the sample plus a separate full-data mean, then a join):
+    // the exact mean aggregates over ALL rows while the md5-sampled
+    // values ride the same aggregate as a collected array (conditional
+    // collect_list skips the unsampled rows' NULLs), and the rank pick
+    // is an index into the sorted array — the same value the ROW_NUMBER
+    // formulation picked, since only the values themselves are ordered.
+    // Per-group state = the sample (rate · n_group doubles): the rate is
+    // the knob that keeps it bounded as n grows, exactly as before when
+    // the window sort touched the same sample.
     val li = t(s, dir, "lineitem")
-    val samp = li.filter(
-      substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string"))), 1, 1) < "4")
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"))
-    val ranked = samp.select(col("l_returnflag"), col("l_extendedprice"),
-      row_number().over(w).as("rn"),
-      count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("nw"))
-    def pick(p: Double) = max(when(
-      col("rn") === floor(lit(p) * (col("nw") - 1)) + 1,
-      col("l_extendedprice")))
-    val picks = ranked.groupBy(col("l_returnflag"))
-      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"))
-    val means = li.groupBy(col("l_returnflag"))
-      .agg(round(avg(col("l_extendedprice")), 2).as("mean"))
-    picks.join(means, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("p50"), col("p90"), col("mean"))
+    val sampled = substring(md5(concat(col("l_orderkey").cast("string"),
+      lit(":"), col("l_linenumber").cast("string"))), 1, 1) < "4"
+    def pick(p: Double) = when(size(col("__s")) > 0,
+      element_at(col("__s"),
+        (floor(lit(p) * (size(col("__s")) - 1)) + 1).cast("int")))
+    li.groupBy(col("l_returnflag"))
+      .agg(round(avg(col("l_extendedprice")), 2).as("mean"),
+        sort_array(collect_list(when(sampled, col("l_extendedprice"))))
+          .as("__s"))
+      .select(col("l_returnflag"), pick(0.5).as("p50"), pick(0.9).as("p90"),
+        col("mean"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -222,25 +226,21 @@ object Relational2 {
 
   val oracle: Map[String, String] = Map(
     "q86_approx_percentiles" ->
-      """WITH samp AS (SELECT l_returnflag, l_extendedprice FROM lineitem
-        |  WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
-        |    CAST(l_linenumber AS VARCHAR)), 1, 1) < '4'),
-        |r AS (SELECT l_returnflag, l_extendedprice,
-        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice) AS rn,
-        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nw FROM samp),
-        |-- e0 literals force DOUBLE (bare decimals are DECIMAL in DuckDB);
-        |-- the rank pick is integer-exact, no float interpolation.
-        |p AS (SELECT l_returnflag,
-        |    MAX(CASE WHEN rn = CAST(FLOOR(0.5e0 * (nw - 1)) AS BIGINT) + 1
-        |        THEN l_extendedprice END) AS p50,
-        |    MAX(CASE WHEN rn = CAST(FLOOR(0.9e0 * (nw - 1)) AS BIGINT) + 1
-        |        THEN l_extendedprice END) AS p90
-        |  FROM r GROUP BY l_returnflag),
-        |m AS (SELECT l_returnflag, ROUND(AVG(l_extendedprice), 2) AS mean
-        |      FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, p50, p90, mean FROM p JOIN m USING (l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin,
+      """-- Single-scan replay: the sorted sample array's element at rank
+        |-- FLOOR(p*(n-1))+1 is the same value the ROW_NUMBER formulation
+        |-- picked (only the values are ordered). e0 literals force DOUBLE
+        |-- (bare decimals are DECIMAL in DuckDB).
+        |WITH a AS (SELECT l_returnflag,
+        |    ROUND(AVG(l_extendedprice), 2) AS mean,
+        |    list_sort(list(l_extendedprice) FILTER (WHERE
+        |      substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |        CAST(l_linenumber AS VARCHAR)), 1, 1) < '4')) AS s
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  s[CAST(FLOOR(0.5e0 * (len(s) - 1)) AS BIGINT) + 1] AS p50,
+        |  s[CAST(FLOOR(0.9e0 * (len(s) - 1)) AS BIGINT) + 1] AS p90,
+        |  mean
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q71_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

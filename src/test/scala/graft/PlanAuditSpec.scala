@@ -145,6 +145,12 @@ class PlanAuditSpec extends SparkSpec {
     // only the rank keys + value + group column reach the scan
     assert(!p.contains("l_tax") && !p.contains("l_quantity") &&
       !p.contains("l_shipdate"), p)
+    // r10: exact mean + sample pick fused into ONE aggregate over ONE
+    // lineitem scan — the r9 shape scanned the table twice (windowed
+    // rank over the sample, separate full-data mean) and joined.
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q91: the instance-sized bigram stream never crosses a join") {
