@@ -32,14 +32,19 @@ object Profile {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val starts = scala.collection.mutable.Map.empty[Int, Long]
-    val jobs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val starts = scala.collection.mutable.Map.empty[Int, (Long, String)]
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts.synchronized { starts(j.jobId) = j.time }
+        starts.synchronized {
+          val desc = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+            .getOrElse("?")
+          starts(j.jobId) = (j.time, desc)
+        }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.synchronized {
-          jobs += j.time - starts.getOrElse(j.jobId, j.time)
+          val (t0, desc) = starts.getOrElse(j.jobId, (j.time, "?"))
+          jobs += ((j.time - t0, desc))
         }
     })
 
@@ -60,10 +65,19 @@ object Profile {
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // let async listener events drain
         val (nj, sumS, maxS) = starts.synchronized {
-          (jobs.size, jobs.sum / 1000.0, jobs.maxOption.getOrElse(0L) / 1000.0)
+          (jobs.size, jobs.map(_._1).sum / 1000.0,
+            jobs.map(_._1).maxOption.getOrElse(0L) / 1000.0)
         }
         println(f"$n rep$rep wall=$wall%.2f njobs=$nj jobsum=$sumS%.2f " +
           f"maxjob=$maxS%.2f driver=${wall - sumS}%.2f")
+        // SPARK_GRAFT_JOBDBG: per-job wall + submitting call site, last
+        // rep only — which operator pays the njobs × floor tax.
+        if (rep == 3 && sys.env.contains("SPARK_GRAFT_JOBDBG"))
+          starts.synchronized {
+            jobs.zipWithIndex.foreach { case ((ms, desc), i) =>
+              println(f"  job$i%3d ${ms / 1000.0}%6.2fs  $desc")
+            }
+          }
       }
     }
     spark.stop()

@@ -92,30 +92,46 @@ object IngestionPipeline {
       ds.toDF().withColumn("__tag", lit(tag))
     }.reduce(_.unionAll(_)).localCheckpoint(true)
 
-    val tagOf = elems.select(col("__tag"), col("doc_id")).distinct()
-    val collisions = tagOf.groupBy(col("doc_id"))
-      .agg(countDistinct(col("__tag")).as("nt")).filter(col("nt") > 1).count()
+    // Docs-sized relations with many consumers are materialized ONCE:
+    // tagOf feeds the collision check, the per-chunk tag join and the
+    // results join, failedDocs feeds the anti-join and the results join
+    // — un-materialized, every consumer re-runs the distinct/groupBy
+    // shuffle from elems, and under AQE each re-run is its own fan of
+    // stage jobs (the r9 plan paid ~10 extra scheduling floors here).
+    val tagAgg = elems.groupBy(col("doc_id"))
+      .agg(countDistinct(col("__tag")).as("__nt"),
+        first(col("__tag")).as("__tag"))
+      .localCheckpoint(true)
+    val collisions = tagAgg.filter(col("__nt") > 1).count()
     require(collisions == 0,
       s"runTagged: $collisions doc_id(s) appear under multiple sources")
+    // Safe after the check: every doc has exactly one tag.
+    val tagOf = tagAgg.select(col("__tag"), col("doc_id"))
 
     val failedDocs = elems.filter(col("element_type") === "error")
       .groupBy(col("doc_id"))
       .agg(first(col("text"), ignoreNulls = true).as("error"))
+      .localCheckpoint(true)
     val good = elems.drop("__tag")
       .join(failedDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .as[ElementRow]
-    val embedded = Embed.chunks(chunker.chunks(good), provider)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE broadcast join tags every chunk with its source, materialized
+    // eagerly — the per-collection writes below are then plain filters
+    // over the checkpointed blocks (the r9 shape ran one broadcast
+    // semi-join per collection against the cached-but-lazy embed).
+    val embTagged = Embed.chunks(chunker.chunks(good), provider)
+      .join(broadcast(tagOf), col("documentid") === col("doc_id"))
+      .drop("doc_id")
+      .localCheckpoint(true)
 
     sources.foreach { case (tag, _) =>
-      val docs = tagOf.filter(col("__tag") === tag).select(col("doc_id"))
       store.upsert(
-        embedded.join(broadcast(docs), col("documentid") === col("doc_id"),
-          "left_semi").as[EmbeddedChunk],
+        embTagged.filter(col("__tag") === tag).drop("__tag")
+          .as[EmbeddedChunk],
         collectionOf(tag))
     }
 
-    val counts = embedded.groupBy(col("documentid").as("doc_id"))
+    val counts = embTagged.groupBy(col("documentid").as("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
     val results = tagOf
       .join(failedDocs, Seq("doc_id"), "left")
@@ -124,7 +140,6 @@ object IngestionPipeline {
         col("error").isNull.as("succeeded"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"), col("error"))
       .localCheckpoint(true)
-    embedded.unpersist()
     results
   }
 }

@@ -38,6 +38,14 @@ final class VectorStore(spark: SparkSession, root: String) {
   def read(collection: String): DataFrame =
     spark.read.parquet(path(collection))
 
+  /** Schema-supplied read: skips the footer-sampling schema-inference
+    * job — the right call when the caller already knows the chunk
+    * schema (every re-read in a pipeline does).
+    */
+  def read(collection: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path(collection))
+
   /** Q2: list collection names (subdirectories with parquet data). */
   def listCollections(): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
