@@ -41,7 +41,7 @@ object Ranking {
     var ranks = deg.select(col("src").as("id"),
         lit(1000000000L).as("rank_e9"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = und
         .join(ranks, col("src") === col("id"))
         .join(deg, Seq("src"))
@@ -55,11 +55,19 @@ object Ranking {
           // association.
           expr(s"rank_e9 div 100 div deg * $dampingE2").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      ranks = ranks.select(col("id"))
+      // The vertex set comes from the STATIC deg checkpoint, so `ranks`
+      // has exactly one consumer per round (the contrib join) and an
+      // un-materialized round re-executes nothing twice. That makes it
+      // safe to checkpoint every SECOND round (r10): lineage stays
+      // bounded at two rounds, the per-round materialization job count
+      // halves, and the integer arithmetic is association-identical —
+      // hashes unchanged.
+      ranks = deg.select(col("src").as("id"))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_e9"))
-        .localCheckpoint(true)
+      if (i % 2 == 0 || i == iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
