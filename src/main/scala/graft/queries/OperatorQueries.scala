@@ -106,7 +106,14 @@ object OperatorQueries {
   }
 
   // q35: embed + brute-force KNN over document texts with the hashing
-  // embedder (rows-only): E1+Q1 composed, all engine-side.
+  // embedder: E1+Q1 composed, all engine-side. Fully oracle-checked
+  // (r10): the DuckDB side replays the embedder exactly — tokenize
+  // (regex + 8-char wordpiece split), FNV-1a per feature in UBIGINT
+  // with HUGEINT mod-2^64 multiply, signed bucket sums in integer space
+  // (weights ×2, so the float accumulation is provably exact), float32
+  // L2 normalization via REAL casts (DuckDB REAL arithmetic IS IEEE
+  // float32), and the cosine in doubles. The query vector and its
+  // self-norm are generated from the LIVE embedder at dump time.
   def q35(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -177,7 +184,93 @@ object OperatorQueries {
         s"($b, CAST([$lst] AS DOUBLE[]))"
     }.mkString(",\n  ")
 
+  /** q35 oracle ingredients, generated from the LIVE hashing embedder so
+    * the replay cannot drift from the engine: the query's nonzero buckets
+    * as a VALUES relation (bucket, double value of the float32) and the
+    * query self-norm Σq² — the exact double [[graft.functions
+    * .CosineSimilarity]] accumulates (zero terms are IEEE no-ops).
+    */
+  private lazy val q35QueryVec: Array[Float] =
+    graft.functions.Embedding.default
+      .embed("fast hash join on the customer table")
+  private lazy val q35QvRows: String =
+    q35QueryVec.zipWithIndex.collect { case (v, i) if v != 0f =>
+      s"($i,CAST(${v.toDouble} AS DOUBLE))"
+    }.mkString(",")
+  private lazy val q35Ny: String = {
+    var ny = 0.0
+    var i = 0
+    while (i < q35QueryVec.length) {
+      val y = q35QueryVec(i).toDouble; ny += y * y; i += 1
+    }
+    ny.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q35_embed_knn" ->
+      s"""WITH tok0 AS (
+         |  SELECT doc_id, i1, toks[i1] AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text),
+         |          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks FROM documents),
+         |       UNNEST(range(1, len(toks)+1)) AS r(i1)),
+         |pieces AS (
+         |  SELECT doc_id, i1, i2,
+         |    CASE WHEN np = 1 THEN tok
+         |         WHEN i2 = 1 THEN substring(tok, 1, 8)
+         |         ELSE '##' || substring(tok, (i2-1)*8+1, 8) END AS piece
+         |  FROM (SELECT doc_id, i1, tok,
+         |          CASE WHEN length(tok) > 8 AND
+         |               substring(tok,1,1) BETWEEN 'a' AND 'z'
+         |               THEN CAST(ceil(length(tok)/8.0) AS INT) ELSE 1
+         |          END AS np
+         |        FROM tok0),
+         |       UNNEST(range(1, np+1)) AS r2(i2)),
+         |seqd AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY i1, i2) AS seq, piece
+         |  FROM pieces),
+         |feats AS (
+         |  SELECT doc_id, piece AS f, 2 AS w2 FROM seqd
+         |  UNION ALL
+         |  SELECT doc_id, piece || chr(1) || nxt, 1
+         |  FROM (SELECT doc_id, piece, lead(piece) OVER (PARTITION BY
+         |          doc_id ORDER BY seq) AS nxt FROM seqd)
+         |  WHERE nxt IS NOT NULL),
+         |hashed AS (
+         |  SELECT doc_id, w2, list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |      list_transform(split(f, ''),
+         |        c -> CAST(unicode(c) AS UBIGINT))),
+         |    (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) *
+         |      1099511628211) % 18446744073709551616 AS UBIGINT)) AS h
+         |  FROM feats),
+         |bks AS (
+         |  SELECT doc_id, CAST(h % 384 AS INT) AS bucket,
+         |    SUM(CASE WHEN ((h >> 62) & 1) = 0 THEN w2 ELSE -w2 END) AS w2s
+         |  FROM hashed GROUP BY 1, 2),
+         |nz AS (SELECT doc_id, bucket, w2s FROM bks WHERE w2s <> 0),
+         |nrm AS (SELECT doc_id, SUM(CAST(w2s AS DOUBLE)*w2s)/4 AS n2
+         |        FROM nz GROUP BY 1),
+         |vecs AS (
+         |  SELECT nz.doc_id, bucket,
+         |    CAST(CAST(CAST(w2s AS DOUBLE)/2 AS REAL) *
+         |      CAST(1.0/sqrt(n2) AS REAL) AS REAL) AS vf
+         |  FROM nz JOIN nrm ON nz.doc_id = nrm.doc_id WHERE n2 > 0),
+         |qv(bucket, qval) AS (VALUES $q35QvRows),
+         |scored AS (
+         |  SELECT v.doc_id,
+         |    SUM(CAST(v.vf AS DOUBLE) * CAST(v.vf AS DOUBLE)) AS nx,
+         |    SUM(CASE WHEN qv.bucket IS NOT NULL
+         |        THEN CAST(v.vf AS DOUBLE) * qv.qval ELSE 0.0 END) AS dot
+         |  FROM vecs v LEFT JOIN qv ON v.bucket = qv.bucket
+         |  GROUP BY v.doc_id)
+         |SELECT d.doc_id,
+         |  ROUND(CASE WHEN s.nx IS NULL OR s.nx = 0.0 THEN 0.0
+         |    ELSE COALESCE(s.dot, 0.0) / sqrt(s.nx * $q35Ny) END, 6)
+         |    AS score
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  LEFT JOIN scored s ON d.doc_id = s.doc_id
+         |ORDER BY score DESC, d.doc_id LIMIT 10""".stripMargin,
     "q61_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
