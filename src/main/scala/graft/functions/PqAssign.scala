@@ -17,18 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * generates one tight primitive triple loop (no boxing, no intermediate
   * arrays) and keeps the projection inside WholeStageCodegen.
   *
-  * Semantics are bit-identical to the HOF formulation (same double
-  * arithmetic in the same order, first minimal index wins ties) — pinned
-  * by PqSpec's equivalence test.
+  * Arithmetic is e6 fixed-point (r10): each vector component quantizes to
+  * `floor(x·1e6)` as a long, codebook entries are e6 longs, and every
+  * squared distance is an exact integer — order-independent and
+  * bit-replayable by a SQL oracle (SURVEY §5.4). First minimal index wins
+  * ties. Semantics are identical to the HOF formulation — pinned by
+  * PqSpec's equivalence test.
   */
 case class PqAssign(child: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    codebooks: Array[Array[Array[Long]]]) extends UnaryExpression {
 
   private val m = codebooks.length
   private val kSub = codebooks(0).length
   private val subDim = codebooks(0)(0).length
   // flat layout: ((s * kSub) + c) * subDim + j
-  private lazy val flat: Array[Double] =
+  private lazy val flat: Array[Long] =
     codebooks.flatten.flatten
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -45,14 +48,15 @@ case class PqAssign(child: Expression,
     var s = 0
     while (s < m) {
       var best = 0
-      var bd = Double.PositiveInfinity
+      var bd = Long.MaxValue
       var c = 0
       while (c < kSub) {
         val base = (s * kSub + c) * subDim
-        var d = 0.0
+        var d = 0L
         var j = 0
         while (j < subDim) {
-          val diff = v.getFloat(s * subDim + j).toDouble - flat(base + j)
+          val xe = math.floor(v.getFloat(s * subDim + j).toDouble * 1e6).toLong
+          val diff = xe - flat(base + j)
           d += diff * diff
           j += 1
         }
@@ -66,7 +70,7 @@ case class PqAssign(child: Expression,
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "long[]")
     nullSafeCodeGen(ctx, ev, v => {
       val codes = ctx.freshName("codes")
       val s = ctx.freshName("s")
@@ -77,17 +81,19 @@ case class PqAssign(child: Expression,
       val d = ctx.freshName("d")
       val base = ctx.freshName("base")
       val diff = ctx.freshName("diff")
+      val xe = ctx.freshName("xe")
       s"""
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $best = 0;
-         |  double $bd = Double.POSITIVE_INFINITY;
+         |  long $bd = Long.MAX_VALUE;
          |  for (int $c = 0; $c < $kSub; $c++) {
          |    int $base = ($s * $kSub + $c) * $subDim;
-         |    double $d = 0.0;
+         |    long $d = 0L;
          |    for (int $j = 0; $j < $subDim; $j++) {
-         |      double $diff = (double) $v.getFloat($s * $subDim + $j)
-         |        - $flatRef[$base + $j];
+         |      long $xe = (long) java.lang.Math.floor(
+         |        (double) $v.getFloat($s * $subDim + $j) * 1.0E6);
+         |      long $diff = $xe - $flatRef[$base + $j];
          |      $d += $diff * $diff;
          |    }
          |    if ($d < $bd) { $bd = $d; $best = $c; }
@@ -105,6 +111,6 @@ case class PqAssign(child: Expression,
 }
 
 object PqAssign {
-  def apply(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+  def apply(vec: Column, codebooks: Array[Array[Array[Long]]]): Column =
     GraftBridge.column(PqAssign(GraftBridge.expression(vec), codebooks))
 }

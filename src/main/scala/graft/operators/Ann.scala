@@ -174,13 +174,28 @@ object Ann {
 
   /** IVF (inverted-file) index: k-means centroids as the coarse quantizer.
     * Centroids are fit once (sampled), broadcast as literals; assignment is
-    * an argmin over centroid dot products — expression-level, no UDF.
+    * an argmin over centroid distances — expression-level, no UDF.
+    *
+    * All distances live in e6 fixed-point integer space: vectors quantize
+    * component-wise to `floor(x·1e6)` longs and every squared distance is
+    * an exact integer sum — order-independent, overflow-audited
+    * (|x| < 10 ⇒ component diff < 2·10^7 ⇒ per-dim square < 4·10^14 ⇒
+    * dim=384 sum < 1.6·10^17 « 2^63), and bit-replayable by a SQL oracle
+    * (SURVEY §5.4). Ties break toward the lower centroid index.
     */
-  final class Ivf(centroids: Array[Array[Double]]) extends Serializable {
+  final class Ivf(val centroidsE6: Array[Array[Long]]) extends Serializable {
+
+    private def sqDistE6Col(vecCol: Column, c: Array[Long]): Column = {
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      aggregate(zip_with(vecCol, cLit, (x, ce) => {
+        val d = floor(x.cast("double") * 1e6).cast("long") - ce
+        d * d
+      }), lit(0L), (acc, x) => acc + x)
+    }
 
     def assignCol(vecCol: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        struct(sqDistCol(vecCol, c).as("d"), lit(i).as("i"))
+      val dists = centroidsE6.zipWithIndex.map { case (c, i) =>
+        struct(sqDistE6Col(vecCol, c).as("d"), lit(i).as("i"))
       }
       array_min(array(dists.toIndexedSeq: _*)).getField("i")
     }
@@ -188,10 +203,12 @@ object Ann {
     def index(df: DataFrame, vecCol: String): DataFrame =
       df.withColumn("centroid", assignCol(col(vecCol)))
 
-    def probeCentroids(q: Array[Float], nprobe: Int): Seq[Int] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    def probeCentroids(q: Array[Float], nprobe: Int): Seq[Int] = {
+      val qe = Ivf.quantizeE6(q)
+      centroidsE6.zipWithIndex.map { case (c, i) =>
+        (Ivf.sqDistE6(qe, c), i)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
+    }
 
     def search(indexed: DataFrame, idCol: String, vecCol: String,
         q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
@@ -204,104 +221,109 @@ object Ann {
   }
 
   object Ivf {
+
+    private[operators] def quantizeE6(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6).toLong)
+
+    private[operators] def sqDistE6(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
     /** Fit centroids on a bounded, deterministically-chosen sample.
       *
       * At 100 TB you never fit the coarse quantizer on the full corpus:
       * quantization error is dominated by k, not sample size, so a few
       * thousand sampled vectors pin the centroids as well as billions
       * (the standard IVF train-on-sample practice). One cluster job
-      * selects the `sampleCap` lowest-hash vectors (stable across runs
-      * and partitionings); Lloyd's with kmeans++ seeding then runs on the
-      * driver in microseconds — no multi-pass distributed iteration at
-      * all. Assignment of the full corpus stays expression-level and
-      * distributed ([[Ivf.assignCol]]).
+      * selects the `sampleCap` lowest-`md5(id)` vectors (stable across
+      * runs and partitionings); the driver then runs farthest-point
+      * (max-min) seeding followed by `rounds` FIXED Lloyd steps — every
+      * operation in e6 integer space (quantized components, exact
+      * integer distances, truncating-division means), every tie broken
+      * by sample order. No float, no RNG: a SQL oracle replays the fit
+      * verbatim (the r9 kmeans++ fit was driver-deterministic but not
+      * replayable — its seeding walked a float cdf under a JVM RNG).
+      * Empty clusters keep their previous centroid. Assignment of the
+      * full corpus stays expression-level and distributed
+      * ([[Ivf#assignCol]]).
       */
-    def fit(df: DataFrame, vecCol: String, kCentroids: Int,
-        seed: Long = 42L, sampleCap: Int = 4096, maxIter: Int = 15): Ivf = {
-      val sample = sampleVectors(df, vecCol, seed, sampleCap)
-      new Ivf(lloyd(sample, math.min(kCentroids, sample.length), seed, maxIter))
+    def fit(df: DataFrame, idCol: String, vecCol: String, kCentroids: Int,
+        sampleCap: Int = 4096, rounds: Int = 3): Ivf =
+      new Ivf(deterministicKmeans(
+        sampleE6(df, idCol, vecCol, sampleCap), kCentroids, rounds))
+
+    /** The `sampleCap` lowest-`md5(id)` vectors, e6-quantized — the
+      * bounded deterministic training sample shared by the IVF and PQ
+      * fits (stable across runs and partitionings, and replayable by a
+      * SQL oracle: both engines order by the same md5 strings).
+      */
+    private[operators] def sampleE6(df: DataFrame, idCol: String,
+        vecCol: String, sampleCap: Int): Array[Array[Long]] = {
+      val pts = df
+        .select(transform(col(vecCol),
+            x => floor(x.cast("double") * 1e6).cast("long")).as("__v"),
+          md5(col(idCol).cast("string")).as("__h"))
+        .orderBy(col("__h"))
+        .limit(sampleCap)
+        .collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(pts.nonEmpty, "vector fit: empty training input")
+      pts
     }
 
-    private def sqDist(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-
-    /** Seeded kmeans++ init + Lloyd's iterations; empty clusters are
-      * re-seeded to the point farthest from its assigned centroid so k
-      * centroids always survive. Fully deterministic for a given sample.
+    /** Farthest-point (max-min) seeding + `rounds` fixed Lloyd steps,
+      * entirely in e6 integer space: exact integer distances, earliest-
+      * position/lowest-index tiebreaks, truncating-division means, empty
+      * clusters keep their previous centroid. No float, no RNG — a SQL
+      * oracle replays the fit verbatim (the r9 kmeans++ fit was driver-
+      * deterministic but not replayable: its seeding walked a float cdf
+      * under a JVM RNG).
       */
-    private[operators] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
-        maxIter: Int): Array[Array[Double]] = {
-      val rnd = new scala.util.Random(seed)
-      val dim = points(0).length
-      val centroids = Array.ofDim[Array[Double]](k)
-      centroids(0) = points(rnd.nextInt(points.length)).clone()
-      val minD = points.map(sqDist(_, centroids(0)))
-      for (c <- 1 until k) {
-        // kmeans++: sample proportional to squared distance to nearest.
-        val total = minD.sum
-        val pick =
-          if (total <= 0) rnd.nextInt(points.length)
-          else {
-            var r = rnd.nextDouble() * total; var i = 0
-            while (i < points.length - 1 && r >= minD(i)) { r -= minD(i); i += 1 }
-            i
-          }
-        centroids(c) = points(pick).clone()
+    private[operators] def deterministicKmeans(pts: Array[Array[Long]],
+        kCentroids: Int, rounds: Int): Array[Array[Long]] = {
+      val k = math.min(kCentroids, pts.length)
+      val dim = pts(0).length
+      val cents = scala.collection.mutable.ArrayBuffer(pts(0))
+      val minD = pts.map(sqDistE6(_, cents(0)))
+      for (j <- 1 until k) {
+        var best = 0; var bd = -1L
         var i = 0
-        while (i < points.length) {
-          val d = sqDist(points(i), centroids(c))
+        while (i < pts.length) {
+          if (minD(i) > bd) { bd = minD(i); best = i }
+          i += 1
+        }
+        cents += pts(best)
+        i = 0
+        while (i < pts.length) {
+          val d = sqDistE6(pts(i), cents(j))
           if (d < minD(i)) minD(i) = d
           i += 1
         }
       }
-      val assign = Array.ofDim[Int](points.length)
-      var iter = 0; var moved = true
-      while (iter < maxIter && moved) {
-        moved = false
-        var i = 0
-        while (i < points.length) {
-          var best = 0; var bd = sqDist(points(i), centroids(0)); var c = 1
+      var centroids = cents.toArray
+      // Fixed round count — a data-dependent convergence test would not
+      // be statically replayable.
+      for (_ <- 1 to rounds) {
+        val sums = Array.fill(k)(Array.ofDim[Long](dim))
+        val counts = Array.ofDim[Long](k)
+        for (p <- pts) {
+          var best = 0; var bd = sqDistE6(p, centroids(0))
+          var c = 1
           while (c < k) {
-            val d = sqDist(points(i), centroids(c))
+            val d = sqDistE6(p, centroids(c))
             if (d < bd) { bd = d; best = c }
             c += 1
           }
-          if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
-          i += 1
-        }
-        val sums = Array.fill(k)(Array.ofDim[Double](dim))
-        val counts = Array.ofDim[Int](k)
-        i = 0
-        while (i < points.length) {
-          val c = assign(i); counts(c) += 1
+          counts(best) += 1
           var j = 0
-          while (j < dim) { sums(c)(j) += points(i)(j); j += 1 }
-          i += 1
+          while (j < dim) { sums(best)(j) += p(j); j += 1 }
         }
-        for (c <- 0 until k) {
-          if (counts(c) > 0) {
-            var j = 0
-            while (j < dim) { sums(c)(j) /= counts(c); j += 1 }
-            centroids(c) = sums(c)
-          } else {
-            // Re-seed an emptied cluster to the globally farthest point,
-            // then CLAIM that point (assign it here) so a second cluster
-            // emptied in the same round picks a different seed instead of
-            // duplicating this centroid.
-            var far = 0; var fd = -1.0; var p = 0
-            while (p < points.length) {
-              val d = sqDist(points(p), centroids(assign(p)))
-              if (d > fd) { fd = d; far = p }
-              p += 1
-            }
-            centroids(c) = points(far).clone()
-            assign(far) = c
-          }
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) > 0) sums(c).map(_ / counts(c))
+          else centroids(c)
         }
-        iter += 1
       }
       centroids
     }

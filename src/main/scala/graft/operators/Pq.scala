@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
   * them coincide — unnormalized corpora with wildly varying norms can
   * rank a high-cosine/low-norm vector outside the pool.)
   *
-  * Fit mirrors [[Ann.Ivf]] — the shared bounded hash-ordered sample and
-  * seeded kmeans++ Lloyd's, per subspace, on the driver. Compose with
-  * the IVF centroid column for IVF-PQ (coarse prune → ADC → re-score).
+  * Fit mirrors [[Ann.Ivf]] — the shared bounded md5-ordered sample and
+  * the deterministic farthest-point + fixed-Lloyd k-means, per subspace,
+  * on the driver. Everything lives in e6 fixed-point integer space
+  * (quantized components, exact integer distances and ADC lookups, e12
+  * integer ADC scores), so a SQL oracle replays fit, codes and ranking
+  * verbatim (SURVEY §5.4). Compose with the IVF centroid column for
+  * IVF-PQ (coarse prune → ADC → re-score).
   */
-final class Pq(val codebooks: Array[Array[Array[Double]]]) extends Serializable {
-  private def m = codebooks.length
-  private def subDim = codebooks(0)(0).length
+final class Pq(val codebooksE6: Array[Array[Array[Long]]]) extends Serializable {
+  private def m = codebooksE6.length
+  private def subDim = codebooksE6(0)(0).length
 
   /** `m` codes per row (int array; code j indexes codebook j) — the
     * native codegen'd expression ([[graft.functions.PqAssign]]): one
@@ -36,18 +40,24 @@ final class Pq(val codebooks: Array[Array[Array[Double]]]) extends Serializable 
     * interpreted higher-order aggregates per row.
     */
   def codeCol(vecCol: Column): Column =
-    graft.functions.PqAssign(vecCol, codebooks)
+    graft.functions.PqAssign(vecCol, codebooksE6)
 
   /** The declarative higher-order-function formulation of the same
     * assignment — kept as the independent semantic reference the native
     * expression is equivalence-tested against (PqSpec).
     */
   private[operators] def codeColHof(vecCol: Column): Column = {
-    val v = transform(vecCol, _.cast("double"))
+    val ve = transform(vecCol,
+      x => floor(x.cast("double") * 1e6).cast("long"))
     array((0 until m).map { s =>
-      val sub = slice(v, s * subDim + 1, subDim)
-      val cands = codebooks(s).zipWithIndex.map { case (c, i) =>
-        struct(Ann.sqDistCol(sub, c).as("d"), lit(i).as("i"))
+      val sub = slice(ve, s * subDim + 1, subDim)
+      val cands = codebooksE6(s).zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.toIndexedSeq.map(lit): _*)
+        val d = aggregate(zip_with(sub, cLit, (x, ce) => {
+          val diff = x - ce
+          diff * diff
+        }), lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(i).as("i"))
       }
       array_min(array(cands.toIndexedSeq: _*)).getField("i")
     }: _*)
@@ -56,12 +66,17 @@ final class Pq(val codebooks: Array[Array[Array[Double]]]) extends Serializable 
   def index(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("pq_code", codeCol(col(vecCol)))
 
-  /** ADC approximate inner product of each row's code with `q`. */
+  /** ADC approximate inner product of each row's code with `q`, as an
+    * EXACT e12 integer: the query quantizes to e6 longs and each lookup
+    * value is `Σ q_e6 · c_e6` — a long both engines compute identically
+    * (per-term magnitude < 10^14 · subDim, no overflow at any sane dim).
+    */
   def adcIpCol(codeCol: Column, q: Array[Float]): Column = {
-    val luts: Array[Array[Double]] = Array.tabulate(m) { s =>
-      codebooks(s).map { c =>
-        var d = 0.0; var j = 0
-        while (j < subDim) { d += q(s * subDim + j) * c(j); j += 1 }
+    val qe = Ann.Ivf.quantizeE6(q)
+    val luts: Array[Array[Long]] = Array.tabulate(m) { s =>
+      codebooksE6(s).map { c =>
+        var d = 0L; var j = 0
+        while (j < subDim) { d += qe(s * subDim + j) * c(j); j += 1 }
         d
       }
     }
@@ -97,19 +112,20 @@ final class Pq(val codebooks: Array[Array[Array[Double]]]) extends Serializable 
 
 object Pq {
   /** Fit per-subspace codebooks on the shared bounded deterministic
-    * sample ([[Ann.sampleVectors]]). `dim` must divide into `m` equal
-    * subspaces.
+    * sample ([[Ann.Ivf.sampleE6]]): the same md5-ordered e6-quantized
+    * points, sliced per subspace, through the same farthest-point +
+    * fixed-Lloyd k-means. `dim` must divide into `m` equal subspaces.
     */
-  def fit(df: DataFrame, vecCol: String, dim: Int, m: Int = 8,
-      kSub: Int = 16, seed: Long = 42L, sampleCap: Int = 4096,
-      maxIter: Int = 15): Pq = {
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, kSub: Int = 16, sampleCap: Int = 4096,
+      rounds: Int = 3): Pq = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val sample = Ann.sampleVectors(df, vecCol, seed, sampleCap)
+    val sample = Ann.Ivf.sampleE6(df, idCol, vecCol, sampleCap)
     val books = Array.tabulate(m) { s =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v,
         s * subDim, (s + 1) * subDim))
-      Ann.Ivf.lloyd(subs, math.min(kSub, subs.length), seed + s, maxIter)
+      Ann.Ivf.deterministicKmeans(subs, kSub, rounds)
     }
     new Pq(books)
   }

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * q31/q32/q33 have full DuckDB oracles (the language-ID vocabulary and the
   * deterministic LSH hyperplanes are generated INTO the SQL from the same
   * Scala constants the engine uses, the way q27 inlines its minhash
-  * parameters); q34/q35 depend on the engine-side hashing embedder that SQL
-  * cannot replay, so the driver records rows-only checks (their exact
-  * semantics are unit-tested in `src/test/scala/graft/operators/`).
+  * parameters). Since r10, q35/q49/q72 do too: the hashing embedder is
+  * replayed feature-for-feature (FNV-1a in UBIGINT, float32 normalization
+  * via REAL casts) and the IVF/PQ k-means fits are replayed level-for-level
+  * as generated MATERIALIZED-CTE chains over the deterministic integer
+  * fit. Only q34 remains rows-only here (the semantic chunker's float
+  * cosine boundary decisions sit on thresholds SQL cannot hold bit-stable;
+  * golden-manifest + property specs gate it instead).
   */
 object OperatorQueries {
 
@@ -53,19 +57,19 @@ object OperatorQueries {
       "vec_id", "embedding", q, k = 5, probes = 1)
   }
 
-  // q49: IVF (k-means coarse quantizer) ANN top-5 for the vec_id=0 query
-  // (rows-only: the fit is deterministic — hash-sampled driver-side
-  // Lloyd's — but an iterative kmeans++ is not practically replayable in
-  // SQL; structural guarantees — probe-list pruning, exact re-scoring,
-  // planted-near-dup recall, run-to-run determinism — are spec-gated in
-  // AnnSpec/AnnRecallSpec). Exact counterpart is q21; the LSH tier
-  // counterpart is q33.
+  // q49: IVF (k-means coarse quantizer) ANN top-5 for the vec_id=0 query.
+  // Fully oracle-checked (r10): the fit is the deterministic integer
+  // k-means (md5-ordered sample, farthest-point seeding, fixed Lloyd
+  // rounds — [[Ann.Ivf.deterministicKmeans]]), so [[q49OracleSql]]
+  // replays the ENTIRE build in SQL, fit included. Recall/pruning
+  // structure stays spec-gated in AnnSpec/AnnRecallSpec. Exact
+  // counterpart is q21; the LSH tier counterpart is q33.
   def q49(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     val corpus = emb.filter(col("vec_id") =!= 0)
-    val ivf = Ann.Ivf.fit(corpus, "embedding", kCentroids = 8)
+    val ivf = Ann.Ivf.fit(corpus, "vec_id", "embedding", kCentroids = 8)
     ivf.search(ivf.index(corpus, "embedding"), "vec_id", "embedding", q,
       k = 5, nprobe = 2)
   }
@@ -129,17 +133,19 @@ object OperatorQueries {
       .limit(10)
   }
 
-  // q72: product-quantization ANN top-5 (rows-only, like q49: the
-  // per-subspace kmeans++ fit is not practically SQL-replayable; code
-  // determinism, ADC/exact rank agreement and planted-near-dup recall
-  // are spec-gated in PqSpec). The billion-vector tier: 32x-compressed
-  // codes ADC-ranked, floats read only for the re-scored pool.
+  // q72: product-quantization ANN top-5. Fully oracle-checked (r10):
+  // the per-subspace codebooks come from the same deterministic integer
+  // k-means as q49, so [[q72OracleSql]] replays fit, code assignment,
+  // integer ADC ranking and the exact re-score end to end; ADC/exact
+  // rank agreement and planted-near-dup recall stay spec-gated in
+  // PqSpec. The billion-vector tier: 32x-compressed codes ADC-ranked,
+  // floats read only for the re-scored pool.
   def q72(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     val corpus = emb.filter(col("vec_id") =!= 0)
-    val pq = graft.operators.Pq.fit(corpus, "embedding", dim = EmbeddingDim,
+    val pq = graft.operators.Pq.fit(corpus, "vec_id", "embedding", dim = EmbeddingDim,
       m = 8, kSub = 16)
     pq.search(pq.index(corpus, "embedding"), "vec_id", "embedding", q,
       k = 5, pool = 50)
@@ -206,7 +212,203 @@ object OperatorQueries {
     ny.toString
   }
 
+  /** q49's oracle: a generated MATERIALIZED-CTE chain that replays the
+    * ENTIRE deterministic IVF build in SQL — e6 quantization, the
+    * md5-ordered sample, farthest-point seeding (one CTE level per
+    * centroid), the fixed Lloyd rounds with truncating-division means,
+    * corpus assignment, probe selection and the exact cosine re-score.
+    * Every step is integer arithmetic except the final q21-style cosine,
+    * so the replay is bit-exact; every level is MATERIALIZED because
+    * DuckDB inlines plain CTEs at each reference (the q112 lesson —
+    * exponential re-execution otherwise). Parameters must mirror
+    * [[q49]]: k=8, rounds=3, sampleCap=4096, nprobe=2, top-5.
+    */
+  private lazy val q49OracleSql: String = {
+    val (dim, k, rounds, cap, nprobe, topk) = (EmbeddingDim, 8, 3, 4096, 2, 5)
+    def dist(p: String, c: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""corpus AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+         |  FROM embeddings WHERE vec_id <> 0)""".stripMargin,
+      s"""samp AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+         |    AS ord, pt
+         |  FROM corpus QUALIFY ord <= $cap)""".stripMargin,
+      "c0 AS MATERIALIZED (SELECT 0 AS cid, pt AS c FROM samp WHERE ord = 1)",
+      s"""md0 AS MATERIALIZED (SELECT s.ord, s.pt, ${dist("s.pt", "c.c")}
+         |  AS d FROM samp s, c0 c)""".stripMargin)
+    var prevMd = "md0"
+    val centParts = scala.collection.mutable.ArrayBuffer("c0")
+    for (j <- 1 until k) {
+      ctes += s"""pick$j AS MATERIALIZED (SELECT $j AS cid, pt AS c
+                 |  FROM $prevMd ORDER BY d DESC, ord LIMIT 1)""".stripMargin
+      centParts += s"pick$j"
+      if (j < k - 1) {
+        ctes += s"""md$j AS MATERIALIZED (
+                   |  SELECT m.ord, m.pt, least(m.d, ${dist("m.pt", "p.c")})
+                   |    AS d FROM $prevMd m, pick$j p)""".stripMargin
+        prevMd = s"md$j"
+      }
+    }
+    ctes += centParts.map(t => s"SELECT cid, c FROM $t")
+      .mkString("cents0 AS MATERIALIZED (", " UNION ALL ", ")")
+    var prev = "cents0"
+    for (r <- 1 to rounds) {
+      ctes += s"""asg$r AS MATERIALIZED (
+                 |  SELECT ord, pt, cid FROM (
+                 |    SELECT s.ord, s.pt, c.cid,
+                 |      row_number() OVER (PARTITION BY s.ord
+                 |        ORDER BY ${dist("s.pt", "c.c")}, c.cid) AS rn
+                 |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+      ctes += s"""mean$r AS MATERIALIZED (
+                 |  SELECT cid, list(cs ORDER BY j) AS c FROM (
+                 |    SELECT cid, j, CASE WHEN SUM(pt[j]) < 0
+                 |      THEN -((-SUM(pt[j])) // COUNT(*))
+                 |      ELSE SUM(pt[j]) // COUNT(*) END AS cs
+                 |    FROM asg$r, UNNEST(range(1, ${dim + 1})) AS r(j)
+                 |    GROUP BY cid, j) GROUP BY cid)""".stripMargin
+      ctes += s"""cents$r AS MATERIALIZED (
+                 |  SELECT o.cid, COALESCE(m.c, o.c) AS c
+                 |  FROM $prev o LEFT JOIN mean$r m ON o.cid = m.cid)""".stripMargin
+      prev = s"cents$r"
+    }
+    ctes += s"""qpt AS MATERIALIZED (SELECT list_transform(embedding,
+               |  x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+               |  FROM embeddings WHERE vec_id = 0)""".stripMargin
+    ctes += s"""probe AS MATERIALIZED (
+               |  SELECT c.cid FROM $prev c, qpt q
+               |  ORDER BY ${dist("q.pt", "c.c")}, c.cid LIMIT $nprobe)""".stripMargin
+    ctes += s"""asgc AS MATERIALIZED (
+               |  SELECT vec_id, cid FROM (
+               |    SELECT co.vec_id, c.cid,
+               |      row_number() OVER (PARTITION BY co.vec_id
+               |        ORDER BY ${dist("co.pt", "c.c")}, c.cid) AS rn
+               |    FROM corpus co CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    ctes += """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              |  CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)""".stripMargin
+    ctes += "n AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM e GROUP BY vec_id)"
+    ctes += "q AS (SELECT pos, val FROM e WHERE vec_id = 0)"
+    ctes += """d AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot FROM e
+              |  JOIN q ON e.pos = q.pos WHERE e.vec_id <> 0
+              |  GROUP BY e.vec_id)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT d.vec_id, ROUND(d.dot / (n.nrm *
+       |    (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
+       |FROM d JOIN n ON d.vec_id = n.vec_id
+       |JOIN asgc a ON d.vec_id = a.vec_id
+       |WHERE a.cid IN (SELECT cid FROM probe)
+       |ORDER BY score DESC, d.vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** q72's oracle: the [[q49OracleSql]] discipline applied per subspace —
+    * the same md5-ordered sample sliced into m=8 subvectors (one `subs`
+    * relation keyed by subspace, so all subspaces advance through the
+    * same CTE levels together), farthest-point seeding (one level per of
+    * the kSub=16 codebook entries), fixed Lloyd rounds, integer ADC
+    * lookup tables from the e6-quantized query, the top-`pool` ADC
+    * ranking, and the exact cosine re-score. Parameters mirror [[q72]]:
+    * m=8, kSub=16, rounds=3, sampleCap=4096, pool=50, top-5.
+    */
+  private lazy val q72OracleSql: String = {
+    val (dim, m, kSub, rounds, cap, pool, topk) =
+      (EmbeddingDim, 8, 16, 3, 4096, 50, 5)
+    val sub = dim / m
+    def dist(p: String, c: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""corpus AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+         |  FROM embeddings WHERE vec_id <> 0)""".stripMargin,
+      s"""samp AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+         |    AS ord, pt
+         |  FROM corpus QUALIFY ord <= $cap)""".stripMargin,
+      s"""subs AS MATERIALIZED (
+         |  SELECT s, ord, pt[s*$sub+1 : s*$sub+$sub] AS p
+         |  FROM samp, UNNEST(range(0, $m)) AS r(s))""".stripMargin,
+      "c0 AS MATERIALIZED (SELECT s, 0 AS cid, p AS c FROM subs WHERE ord = 1)",
+      s"""md0 AS MATERIALIZED (
+         |  SELECT u.s, u.ord, u.p, ${dist("u.p", "c.c")} AS d
+         |  FROM subs u JOIN c0 c ON u.s = c.s)""".stripMargin)
+    var prevMd = "md0"
+    val centParts = scala.collection.mutable.ArrayBuffer("c0")
+    for (j <- 1 until kSub) {
+      ctes += s"""pick$j AS MATERIALIZED (
+                 |  SELECT s, $j AS cid, p AS c FROM (
+                 |    SELECT s, p, row_number() OVER (PARTITION BY s
+                 |      ORDER BY d DESC, ord) AS rn
+                 |    FROM $prevMd) WHERE rn = 1)""".stripMargin
+      centParts += s"pick$j"
+      if (j < kSub - 1) {
+        ctes += s"""md$j AS MATERIALIZED (
+                   |  SELECT m.s, m.ord, m.p, least(m.d, ${dist("m.p", "p.c")})
+                   |    AS d FROM $prevMd m JOIN pick$j p ON m.s = p.s)""".stripMargin
+        prevMd = s"md$j"
+      }
+    }
+    ctes += centParts.map(t => s"SELECT s, cid, c FROM $t")
+      .mkString("cents0 AS MATERIALIZED (", " UNION ALL ", ")")
+    var prev = "cents0"
+    for (r <- 1 to rounds) {
+      ctes += s"""asg$r AS MATERIALIZED (
+                 |  SELECT s, ord, p, cid FROM (
+                 |    SELECT u.s, u.ord, u.p, c.cid,
+                 |      row_number() OVER (PARTITION BY u.s, u.ord
+                 |        ORDER BY ${dist("u.p", "c.c")}, c.cid) AS rn
+                 |    FROM subs u JOIN $prev c ON u.s = c.s) WHERE rn = 1)""".stripMargin
+      ctes += s"""mean$r AS MATERIALIZED (
+                 |  SELECT s, cid, list(cs ORDER BY j) AS c FROM (
+                 |    SELECT s, cid, j, CASE WHEN SUM(p[j]) < 0
+                 |      THEN -((-SUM(p[j])) // COUNT(*))
+                 |      ELSE SUM(p[j]) // COUNT(*) END AS cs
+                 |    FROM asg$r, UNNEST(range(1, ${sub + 1})) AS r(j)
+                 |    GROUP BY s, cid, j) GROUP BY s, cid)""".stripMargin
+      ctes += s"""cents$r AS MATERIALIZED (
+                 |  SELECT o.s, o.cid, COALESCE(m.c, o.c) AS c
+                 |  FROM $prev o LEFT JOIN mean$r m
+                 |    ON o.s = m.s AND o.cid = m.cid)""".stripMargin
+      prev = s"cents$r"
+    }
+    ctes += s"""qpt AS MATERIALIZED (SELECT list_transform(embedding,
+               |  x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+               |  FROM embeddings WHERE vec_id = 0)""".stripMargin
+    ctes += s"""lut AS MATERIALIZED (
+               |  SELECT c.s, c.cid, list_sum(list_transform(range(1, ${sub + 1}),
+               |    j -> q.pt[c.s*$sub+j] * c.c[j])) AS v
+               |  FROM $prev c, qpt q)""".stripMargin
+    ctes += s"""codes AS MATERIALIZED (
+               |  SELECT vec_id, s, cid FROM (
+               |    SELECT co.vec_id, c.s, c.cid,
+               |      row_number() OVER (PARTITION BY co.vec_id, c.s
+               |        ORDER BY ${dist(s"co.pt[c.s*$sub+1 : c.s*$sub+$sub]", "c.c")},
+               |          c.cid) AS rn
+               |    FROM corpus co CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    ctes += s"""pool AS MATERIALIZED (
+               |  SELECT c.vec_id FROM codes c
+               |  JOIN lut l ON c.s = l.s AND c.cid = l.cid
+               |  GROUP BY c.vec_id ORDER BY SUM(l.v) DESC, c.vec_id
+               |  LIMIT $pool)""".stripMargin
+    ctes += """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              |  CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)""".stripMargin
+    ctes += "n AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM e GROUP BY vec_id)"
+    ctes += "q AS (SELECT pos, val FROM e WHERE vec_id = 0)"
+    ctes += """d AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot FROM e
+              |  JOIN q ON e.pos = q.pos WHERE e.vec_id <> 0
+              |  GROUP BY e.vec_id)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT d.vec_id, ROUND(d.dot / (n.nrm *
+       |    (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
+       |FROM d JOIN n ON d.vec_id = n.vec_id
+       |WHERE d.vec_id IN (SELECT vec_id FROM pool)
+       |ORDER BY score DESC, d.vec_id LIMIT $topk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q49_ann_ivf" -> q49OracleSql,
+    "q72_ann_pq" -> q72OracleSql,
     "q35_embed_knn" ->
       s"""WITH tok0 AS (
          |  SELECT doc_id, i1, toks[i1] AS tok

@@ -86,7 +86,7 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("IVF recall@5 vs exact: nprobe sweeps recall, beats random prune") {
-    val ivf = Ann.Ivf.fit(emb, "embedding", kCentroids = 8)
+    val ivf = Ann.Ivf.fit(emb, "vec_id", "embedding", kCentroids = 8)
     val assigned: Map[Long, Int] = ivf.index(emb, "embedding")
       .select(col("vec_id"), col("centroid")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -52,7 +52,7 @@ class AnnSpec extends SparkSpec {
   }
 
   test("IVF kmeans: full near-dup recall at nprobe=2, pruned probe lists") {
-    val ivf = Ann.Ivf.fit(corpus, "embedding", kCentroids = 8)
+    val ivf = Ann.Ivf.fit(corpus, "vec_id", "embedding", kCentroids = 8)
     val indexed = ivf.index(corpus, "embedding").cache()
     val found = ids(ivf.search(indexed, "vec_id", "embedding", query, 5,
       nprobe = 2))

@@ -22,7 +22,7 @@ class PqSpec extends SparkSpec {
     .union(planted.toDF("vec_id", "embedding"))
 
   test("PQ: planted near-dups survive ADC ranking + exact re-score") {
-    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val pq = Pq.fit(corpus, "vec_id", "embedding", dim = 64, m = 8, kSub = 16)
     val indexed = pq.index(corpus, "embedding").cache()
     val found = pq.search(indexed, "vec_id", "embedding", query, k = 5,
         pool = 50)
@@ -32,7 +32,7 @@ class PqSpec extends SparkSpec {
   }
 
   test("PQ codes compress to m small ints and are deterministic") {
-    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val pq = Pq.fit(corpus, "vec_id", "embedding", dim = 64, m = 8, kSub = 16)
     val codes = pq.index(corpus, "embedding")
       .select(col("vec_id"), col("pq_code")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
@@ -45,7 +45,7 @@ class PqSpec extends SparkSpec {
   }
 
   test("ADC inner product correlates with the true dot product") {
-    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val pq = Pq.fit(corpus, "vec_id", "embedding", dim = 64, m = 8, kSub = 16)
     val rows = pq.index(corpus.filter(col("vec_id") < 20), "embedding")
       .select(col("vec_id"), col("embedding"),
         pq.adcIpCol(col("pq_code"), query).as("adc"))
@@ -53,7 +53,8 @@ class PqSpec extends SparkSpec {
       .map { r =>
         val v = r.getSeq[Float](1).toArray
         val exact = v.zip(query).map { case (a, b) => a.toDouble * b }.sum
-        (exact, r.getDouble(2))
+        // adc is an exact e12 integer since r10
+        (exact, r.getLong(2).toDouble)
       }
     // Spearman-ish check: top-5 by ADC overlaps top-5 by exact dot.
     val byExact = rows.sortBy(-_._1).take(5).toSet
@@ -63,8 +64,8 @@ class PqSpec extends SparkSpec {
   }
 
   test("IVF-PQ composition: coarse prune, ADC rank, exact re-score") {
-    val ivf = Ann.Ivf.fit(corpus, "embedding", kCentroids = 8)
-    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val ivf = Ann.Ivf.fit(corpus, "vec_id", "embedding", kCentroids = 8)
+    val pq = Pq.fit(corpus, "vec_id", "embedding", dim = 64, m = 8, kSub = 16)
     val indexed = pq.index(ivf.index(corpus, "embedding"), "embedding")
       .cache()
     val probe = ivf.probeCentroids(query, nprobe = 2)
@@ -79,7 +80,7 @@ class PqSpec extends SparkSpec {
   }
 
   test("native pq_assign expression matches the HOF formulation exactly") {
-    val pq = Pq.fit(corpus, "embedding", dim = 64, m = 8, kSub = 16)
+    val pq = Pq.fit(corpus, "vec_id", "embedding", dim = 64, m = 8, kSub = 16)
     val both = corpus
       .select(col("vec_id"), pq.codeCol(col("embedding")).as("native"),
         pq.codeColHof(col("embedding")).as("hof"))
@@ -93,7 +94,7 @@ class PqSpec extends SparkSpec {
 
   test("dim must divide into m subspaces") {
     intercept[IllegalArgumentException] {
-      Pq.fit(corpus, "embedding", dim = 64, m = 7)
+      Pq.fit(corpus, "vec_id", "embedding", dim = 64, m = 7)
     }
   }
 }
