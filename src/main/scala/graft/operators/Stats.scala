@@ -185,6 +185,135 @@ object Stats {
     * that `SkewJoin.salted` exists for). One map-side-combined
     * aggregation + a top-K take; exact and oracle-checkable.
     */
+  /** Exact continuous quantiles per group (DuckDB `quantile_cont`
+    * semantics: pos = p·(n−1) zero-based, result = v_floor·(1−frac)
+    * + v_ceil·frac) via DISTRIBUTED RANK SELECTION — the shape that
+    * survives 100 TB where the two obvious ones don't:
+    *
+    *   - `percentile(...)` buffers every group value in one imperative
+    *     aggregation buffer (cannot spill → executor OOM);
+    *   - a `Window.partitionBy(group)` sort caps parallelism at the
+    *     group count (3 groups over 100 TB = 3 tasks sorting 33 TB
+    *     each — a straggler death), even though it spills.
+    *
+    * Here the (group, value) space is range-partitioned across ALL
+    * cores (each partition a spillable local sort), and only BOUNDED
+    * state ever reaches the driver: per-(partition, group) counts and
+    * running sums (numPartitions × ngroups rows) locate each target
+    * rank's partition + local offset, and a second pass over the same
+    * checkpoint extracts exactly the ≤ 2·|ps| interpolation rows per
+    * group. Three jobs total, full parallelism, O(parts × groups)
+    * driver memory.
+    *
+    * Returns one row per group: (groupCol, <quantile names>..., mean),
+    * mean = round(sum/n, 2) — rounded because partial-sum order is
+    * engine-specific; the quantiles ship unrounded (the interpolation
+    * is bit-equal to DuckDB's, ROUND-of-double is not portable).
+    */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "quantilesByGroup needs at least one quantile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(parts, col("__g"), col("__v"))
+      .sortWithinPartitions(col("__g"), col("__v"))
+      .localCheckpoint(true)
+    // Bounded driver reduction #1: (partition, group) → (count, sum),
+    // computed shuffle-free inside each checkpoint partition (groups are
+    // contiguous after the range sort, so this is a run-length pass).
+    val partStats = sorted.as[(String, Double)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Double)]
+      for ((g, v) <- it) {
+        val (n0, s0) = acc.getOrElse(g, (0L, 0.0))
+        acc(g) = (n0 + 1, s0 + v)
+      }
+      acc.iterator.map { case (g, (n, s)) => (pid, g, n, s) }
+    }.collect()
+      .sortBy(_._1)
+    val groups = partStats.map(_._2).distinct.sorted
+    // Per group: total n, total sum, and the global ranks to fetch.
+    val nByG = partStats.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val sumByG = partStats.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    // slot = (group, quantile index, lo/hi) → flat id for reassembly.
+    // Global rank → (partition, local-index-within-that-group) via the
+    // partition-ordered cumulative counts.
+    val targetsByPid =
+      scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.Map[String, List[(Long, Int)]]]
+    val fracs = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (g <- groups) {
+      val n = nByG(g)
+      val cum = partStats.filter(_._2 == g) // pid-sorted
+      for (((_, p), qi) <- ps.zipWithIndex) {
+        val pos = (n - 1).toDouble * p
+        val frac = pos - math.floor(pos)
+        fracs((g, qi)) = frac
+        val lo = math.floor(pos).toLong
+        val hi = math.min(lo + 1, n - 1)
+        for ((rank, side) <- Seq((lo, 0), (hi, 1))) {
+          var before = 0L
+          var placed = false
+          for ((pid, _, cnt, _) <- cum if !placed) {
+            if (rank < before + cnt) {
+              val slot = (qi * 2 + side)
+              val m = targetsByPid.getOrElseUpdate(pid,
+                scala.collection.mutable.Map.empty)
+              m(g) = (rank - before, slot) :: m.getOrElse(g, Nil)
+              placed = true
+            }
+            before += cnt
+          }
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(
+      targetsByPid.map { case (k, v) => (k, v.toMap) }.toMap)
+    // Bounded driver reduction #2: the ≤ groups × |ps| × 2 picked rows.
+    val picked = sorted.as[(String, Double)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      bc.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(want) =>
+          val counters = scala.collection.mutable.Map.empty[String, Long]
+          it.flatMap { case (g, v) =>
+            val idx = counters.getOrElse(g, 0L)
+            counters(g) = idx + 1
+            want.getOrElse(g, Nil).collect {
+              case (li, slot) if li == idx => ((g, slot), v)
+            }
+          }
+      }
+    }.collect().toMap
+    val rows = groups.map { g =>
+      val qVals = ps.indices.map { qi =>
+        val frac = fracs((g, qi))
+        val vLo = picked((g, qi * 2))
+        val vHi = picked.getOrElse((g, qi * 2 + 1), vLo)
+        vLo * (1.0 - frac) + vHi * frac
+      }
+      val mean = new java.math.BigDecimal(sumByG(g) / nByG(g).toDouble)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      org.apache.spark.sql.Row.fromSeq(g +: qVals :+ mean)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(groupCol,
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        (ps.map(_._1) :+ "mean").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      schema)
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     val total = df.count()
     df.groupBy(col(keyCol).cast("string").as("key"))

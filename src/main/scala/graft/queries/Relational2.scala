@@ -39,46 +39,22 @@ object Relational2 {
       .orderBy(col("h"))
 
   // q38: exact continuous percentiles (median & p90) per group
-  // ≙ DuckDB quantile_cont. Deliberately NOT Spark's `percentile`
-  // aggregate: that one buffers every group value in a single imperative
-  // aggregation buffer (cannot spill — with 3 groups each buffer holds a
-  // third of lineitem, an executor OOM at scale). This window formulation
-  // sorts within the group shuffle partition (spillable) and reduces each
-  // row to at most two interpolation contributions: pos = p·(n−1)
-  // zero-based, result = v_floor·(1−frac) + v_ceil·frac — DuckDB
-  // quantile_cont's interpolation verbatim (bitwise-checked).
-  def q38(s: SparkSession, dir: String): DataFrame = {
-    val byFlag = Window.partitionBy(col("l_returnflag"))
-    val ranked = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .withColumn("rn",
-        row_number().over(byFlag.orderBy(col("v"))))
-      .withColumn("cnt", count(lit(1)).over(byFlag))
-    // v_floor·(1−frac) + v_ceil·frac — empirically DuckDB quantile_cont's
-    // exact double arithmetic (checked bitwise at frac 0.5 and 0.1).
-    def quantileCont(p: Double): Column = {
-      val pos = (col("cnt") - 1).cast("double") * p
-      val frac = pos - floor(pos)
-      sum(
-        when(col("rn") - 1 === floor(pos), col("v") * (lit(1.0) - frac))
-          .otherwise(lit(0.0)) +
-          when(col("rn") - 1 === floor(pos) + 1, col("v") * frac)
-            .otherwise(lit(0.0)))
-    }
-    // The quantiles ship UNROUNDED: the interpolation above is bit-equal
-    // to DuckDB's quantile_cont, while ROUND-of-double is NOT portable
-    // (DuckDB rounds v·100 with its binary error; Spark rounds the exact
-    // value — a median on a .005 boundary flips the cent, sf0.001's R
-    // group being the caught case). The mean keeps its round: avg's
-    // partial-sum order differs per engine, so there full precision
-    // would be the non-portable choice.
-    ranked.groupBy(col("l_returnflag"))
-      .agg(
-        quantileCont(0.5).as("p50"),
-        quantileCont(0.9).as("p90"),
-        round(avg(col("v")), 2).as("mean"))
+  // ≙ DuckDB quantile_cont, via [[graft.operators.Stats.quantilesByGroup]]'s
+  // distributed rank selection: range-partitioned spillable sorts across
+  // ALL cores + bounded per-(partition,group) counts on the driver —
+  // unlike a Window.partitionBy(group) sort (parallelism = group count,
+  // 3 tasks sorting 33 TB each at scale) or Spark's `percentile`
+  // aggregate (unspillable whole-group buffer). The interpolation
+  // (pos = p·(n−1), v_floor·(1−frac) + v_ceil·frac) is DuckDB's exact
+  // double arithmetic; quantiles ship UNROUNDED because ROUND-of-double
+  // is not portable, while the mean keeps its round(2) because partial-
+  // sum order is engine-specific.
+  def q38(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantilesByGroup(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("v")),
+        "l_returnflag", "v", Seq("p50" -> 0.5, "p90" -> 0.9))
       .orderBy(col("l_returnflag"))
-  }
 
   // q51: explicit GROUPING SETS (generalizes q14 rollup / q36 cube):
   // (status, priority), (status), and the grand total in one pass.

@@ -54,14 +54,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q38: exact percentiles via spillable window plan, no Percentile buffer") {
+  test("q38: exact percentiles via distributed selection — no Percentile buffer, no group-width Window") {
     // Spark's `percentile` aggregate buffers every group value in one
     // unspillable aggregation buffer — at 3 groups that's a third of
-    // lineitem per buffer, an executor OOM at 100×. The window
-    // formulation must survive in the plan.
+    // lineitem per buffer, an executor OOM at 100×. A
+    // Window.partitionBy(group) sort would spill but caps parallelism at
+    // the group count (3 tasks sorting 33 TB each at 100×). The
+    // quantilesByGroup rank-selection shape does the heavy work in
+    // range-partitioned spillable sorts upstream and returns a BOUNDED
+    // driver-assembled result: the query plan must be a LocalTableScan
+    // with neither operator.
     val p = plan("q38_percentiles")
     assert(!p.toLowerCase.contains("percentile"), p)
-    assert(p.contains("Window"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LocalTableScan"), p)
   }
 
   test("q28: simhash is one hash shuffle with no per-bit row explode") {

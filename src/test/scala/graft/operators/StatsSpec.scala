@@ -23,4 +23,46 @@ class StatsSpec extends SparkSpec {
     assert(p.getLong(1) == 2L && p.getLong(2) == 0L)
     assert(p.isNullAt(3) && p.isNullAt(4))
   }
+
+  // Reference quantile_cont: pos = p·(n−1), v_lo·(1−frac) + v_hi·frac.
+  private def bruteQuantile(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val pos = (s.length - 1).toDouble * p
+    val lo = math.floor(pos).toInt
+    val hi = math.min(lo + 1, s.length - 1)
+    val frac = pos - math.floor(pos)
+    s(lo) * (1.0 - frac) + s(hi) * frac
+  }
+
+  test("quantilesByGroup matches brute-force sort across group shapes") {
+    val rnd = new scala.util.Random(7)
+    val data = (for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (if (g == "a") 101 else if (g == "b") 40 else 1)
+    } yield (g, math.rint(rnd.nextDouble() * 1e6) / 100.0))
+    // many partitions vs few rows: rank bookkeeping must survive empty
+    // and single-row partitions
+    val df = data.toDF("g", "v").repartition(13)
+    val out = Stats.quantilesByGroup(df, "g", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (g <- Seq("a", "b", "c")) {
+      assert(out(g)._1 == bruteQuantile(byG(g), 0.25), s"$g p25")
+      assert(out(g)._2 == bruteQuantile(byG(g), 0.5), s"$g p50")
+      assert(out(g)._3 == bruteQuantile(byG(g), 0.9), s"$g p90")
+    }
+    // single-element group: every quantile IS the element
+    assert(out("c")._1 == out("c")._2 && out("c")._2 == out("c")._3)
+  }
+
+  test("quantilesByGroup: nulls ignored, mean rounded to 2dp") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+      ("a", Some(4.0))).toDF("g", "v")
+    val r = Stats.quantilesByGroup(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().head
+    assert(r.getDouble(1) == 2.0) // median of (1,2,4), null dropped
+    assert(r.getDouble(2) == 2.33) // mean 7/3 rounded HALF_UP
+  }
 }
