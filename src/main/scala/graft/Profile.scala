@@ -24,7 +24,11 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false lets an A/B measure AQE's per-stage job
+      // scheduling cost at bench scale (it's a cluster-scale feature;
+      // locally each query stage is its own job + floor).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()

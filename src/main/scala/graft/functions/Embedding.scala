@@ -23,6 +23,18 @@ trait EmbeddingProvider extends Serializable {
   def embed(text: String): Array[Float]
   def embedAll(texts: Iterator[String]): Iterator[Array[Float]] =
     texts.map(embed)
+
+  /** Cosine similarity between each consecutive pair of `texts` (size
+    * n−1 for n texts) — the semantic chunker's boundary signal. Default:
+    * cosine over the float embeddings. Providers whose representation
+    * admits an EXACT formulation should override — cut decisions made on
+    * these values must reproduce bit-for-bit in the DuckDB oracle, and
+    * float32 normalization ulps are engine-specific.
+    */
+  def neighborSims(texts: Seq[String]): Seq[Double] = {
+    val e = texts.map(embed)
+    (1 until e.length).map(i => Embedding.cosine(e(i - 1), e(i)))
+  }
 }
 
 final class HashingEmbedder(val dim: Int = 384) extends EmbeddingProvider {
@@ -67,6 +79,52 @@ final class HashingEmbedder(val dim: Int = 384) extends EmbeddingProvider {
       while (i < dim) { v(i) *= inv; i += 1 }
     }
     v
+  }
+
+  /** The same featurization as [[embed]] but as UNNORMALIZED bucket sums
+    * in ×2 integer space (unigram weight 1 → 2, bigram 0.5 → 1): every
+    * value is exact, so cosines computed from them are deterministic
+    * integer-derived doubles — no float32 normalization ulps, no
+    * summation-order sensitivity. The ×2 scale cancels in cosine.
+    */
+  def embedRaw2(text: String): Array[Int] = {
+    val v = new Array[Int](dim)
+    val toks = RegexTokenizer.tokenize(text)
+    def add(feature: String, w2: Int): Unit = {
+      val h = fnv1a(feature)
+      val bucket = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+      v(bucket) += (if ((h >>> 62 & 1L) == 0L) w2 else -w2)
+    }
+    toks.foreach(t => add(t, 2))
+    toks.sliding(2).foreach {
+      case Seq(a, b) => add(a + "\u0001" + b, 1)
+      case _ => ()
+    }
+    v
+  }
+
+  /** Boundary sims from exact integer bucket sums: cosine = dot /
+    * √(na·nb) where dot, na, nb are exact Long sums — bit-reproducible
+    * in any engine from the same integer relations (the ÷4 of the ×2
+    * scale cancels). Mathematically the same cosine as the float path
+    * (cosine is scale-invariant); it differs only by the float32
+    * normalization rounding the float path carries.
+    */
+  override def neighborSims(texts: Seq[String]): Seq[Double] = {
+    val raw = texts.map(embedRaw2)
+    (1 until raw.length).map { i =>
+      val a = raw(i - 1); val b = raw(i)
+      var dot = 0L; var na = 0L; var nb = 0L
+      var j = 0
+      while (j < dim) {
+        dot += a(j).toLong * b(j)
+        na += a(j).toLong * a(j)
+        nb += b(j).toLong * b(j)
+        j += 1
+      }
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
   }
 }
 

@@ -55,10 +55,10 @@ final class SemanticChunker(
     }
     if (segs.isEmpty) return Seq.empty
 
-    // Boundary similarity: embed each segment once, compare neighbors.
-    val embs = segs.map(s => embedder.embed(s.text))
-    val sims = (1 until segs.length)
-      .map(i => Embedding.cosine(embs(i - 1), embs(i)))
+    // Boundary similarity: the provider's neighbor cosine (for the
+    // default hashing embedder this is EXACT integer-derived arithmetic —
+    // deterministic, oracle-replayable; see HashingEmbedder.neighborSims).
+    val sims = embedder.neighborSims(segs.map(_.text).toSeq)
     // Per-document percentile threshold (deterministic): a boundary is cut
     // where similarity is in the lowest `splitPercentile` of the document's
     // own similarity distribution.

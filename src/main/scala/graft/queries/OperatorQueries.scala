@@ -97,15 +97,22 @@ object OperatorQueries {
         md5(col("norm_text")).as("norm_md5"))
       .orderBy(col("doc_id"))
 
-  // q34: semantic chunker over the documents corpus (rows-only): the
-  // reference's C1 operator at query-surface level.
+  // q34: semantic chunker over the documents corpus — FULLY oracle-
+  // replayed (r10): 12-word window segmentation, per-segment hashing-
+  // embedder features, EXACT integer-space boundary cosines
+  // (HashingEmbedder.neighborSims — no float32 normalization ulps), the
+  // 25th-percentile tau, and the sequential semantic/token-cut assembly
+  // loop replayed as a DuckDB recursive CTE. Content md5 certifies the
+  // exact reassembled chunk text. (The chunkKey UUID is not emitted:
+  // DuckDB has no sha1; key determinism is pinned by the store
+  // idempotence specs.)
   def q34(s: SparkSession, dir: String): DataFrame = {
     val chunker = new SemanticChunker(maxTokens = 64)
-    chunker.chunks(DatabaseSource.fromDocumentsTable(
+    chunker.chunks(DatabaseSource.fromDocumentsTableWindows(
         docs(s, dir).filter(col("doc_id") < 100)))
       .toDF()
       .select(col("documentid"), col("chunk_index"), length(col("content"))
-        .as("content_len"), col("key"))
+        .as("content_len"), md5(col("content")).as("content_md5"))
       .orderBy(col("documentid"), col("chunk_index"))
   }
 
@@ -409,6 +416,123 @@ object OperatorQueries {
   val oracle: Map[String, String] = Map(
     "q49_ann_ivf" -> q49OracleSql,
     "q72_ann_pq" -> q72OracleSql,
+    // Full semantic-chunker replay: 12-word windows → per-segment
+    // RegexTokenizer pieces (q35's machinery, keyed by segment) →
+    // FNV-1a ×2-integer bucket sums → EXACT boundary cosines
+    // (dot/√(na·nb) over BIGINTs — bit-equal to
+    // HashingEmbedder.neighborSims) → tau = sims[round(0.25·(n−1))] →
+    // the sequential cut/flush loop as a recursive CTE carrying
+    // (chunk, running-token-count) state per document.
+    "q34_chunker" ->
+      s"""WITH RECURSIVE segs0 AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS seq,
+         |    array_to_string(ws[(i-1)*12+1 : (i-1)*12+12], ' ') AS seg
+         |  FROM (SELECT doc_id,
+         |          list_filter(str_split(text, ' '), x -> x <> '') AS ws
+         |        FROM documents WHERE doc_id < 100),
+         |       UNNEST(range(1, CAST(ceil(len(ws)/12.0) AS INT) + 1))
+         |         AS r(i)),
+         |tok0 AS (
+         |  SELECT doc_id, seq, i1, toks[i1] AS tok
+         |  FROM (SELECT doc_id, seq, regexp_extract_all(lower(seg),
+         |          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks FROM segs0),
+         |       UNNEST(range(1, len(toks)+1)) AS r(i1)),
+         |pieces AS (
+         |  SELECT doc_id, seq, i1, i2,
+         |    CASE WHEN np = 1 THEN tok
+         |         WHEN i2 = 1 THEN substring(tok, 1, 8)
+         |         ELSE '##' || substring(tok, (i2-1)*8+1, 8) END AS piece
+         |  FROM (SELECT doc_id, seq, i1, tok,
+         |          CASE WHEN length(tok) > 8 AND
+         |               substring(tok,1,1) BETWEEN 'a' AND 'z'
+         |               THEN CAST(ceil(length(tok)/8.0) AS INT) ELSE 1
+         |          END AS np
+         |        FROM tok0),
+         |       UNNEST(range(1, np+1)) AS r2(i2)),
+         |seqd AS MATERIALIZED (
+         |  SELECT doc_id, seq, row_number() OVER (PARTITION BY doc_id, seq
+         |    ORDER BY i1, i2) AS pseq, piece
+         |  FROM pieces),
+         |ntok AS MATERIALIZED (
+         |  SELECT s.doc_id, s.seq, COALESCE(t.n, 0) AS toks
+         |  FROM segs0 s LEFT JOIN (SELECT doc_id, seq, count(*) AS n
+         |    FROM seqd GROUP BY 1, 2) t
+         |    ON s.doc_id = t.doc_id AND s.seq = t.seq),
+         |feats AS (
+         |  SELECT doc_id, seq, piece AS f, 2 AS w2 FROM seqd
+         |  UNION ALL
+         |  SELECT doc_id, seq, piece || chr(1) || nxt, 1
+         |  FROM (SELECT doc_id, seq, piece, lead(piece) OVER (PARTITION BY
+         |          doc_id, seq ORDER BY pseq) AS nxt FROM seqd)
+         |  WHERE nxt IS NOT NULL),
+         |bks AS MATERIALIZED (
+         |  SELECT doc_id, seq, CAST(h % 384 AS INT) AS bucket,
+         |    SUM(CASE WHEN ((h >> 62) & 1) = 0 THEN w2 ELSE -w2 END) AS w2s
+         |  FROM (SELECT doc_id, seq, w2, list_reduce(
+         |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |        list_transform(split(f, ''),
+         |          c -> CAST(unicode(c) AS UBIGINT))),
+         |      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) *
+         |        1099511628211) % 18446744073709551616 AS UBIGINT)) AS h
+         |    FROM feats)
+         |  GROUP BY 1, 2, 3 HAVING SUM(CASE WHEN ((h >> 62) & 1) = 0
+         |    THEN w2 ELSE -w2 END) <> 0),
+         |nrm AS MATERIALIZED (
+         |  SELECT doc_id, seq, SUM(CAST(w2s AS BIGINT) * w2s) AS n2
+         |  FROM bks GROUP BY 1, 2),
+         |sims AS MATERIALIZED (
+         |  SELECT r.doc_id, r.seq,
+         |    CASE WHEN COALESCE(nl.n2, 0) = 0 OR COALESCE(nr.n2, 0) = 0
+         |      THEN 0.0
+         |      ELSE CAST(COALESCE(d.dot, 0) AS DOUBLE) /
+         |        sqrt(CAST(nl.n2 AS DOUBLE) * CAST(nr.n2 AS DOUBLE)) END
+         |      AS sim
+         |  FROM (SELECT doc_id, seq FROM segs0 WHERE seq >= 1) r
+         |  LEFT JOIN nrm nl ON nl.doc_id = r.doc_id AND nl.seq = r.seq - 1
+         |  LEFT JOIN nrm nr ON nr.doc_id = r.doc_id AND nr.seq = r.seq
+         |  LEFT JOIN (SELECT a.doc_id, a.seq + 1 AS seq,
+         |        SUM(CAST(a.w2s AS BIGINT) * b.w2s) AS dot
+         |      FROM bks a JOIN bks b ON a.doc_id = b.doc_id
+         |        AND b.seq = a.seq + 1 AND a.bucket = b.bucket
+         |      GROUP BY 1, 2) d
+         |    ON d.doc_id = r.doc_id AND d.seq = r.seq),
+         |tauq AS MATERIALIZED (
+         |  SELECT doc_id, sim AS tau FROM (
+         |    SELECT doc_id, sim,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY sim) AS rk,
+         |      count(*) OVER (PARTITION BY doc_id) AS nb
+         |    FROM sims)
+         |  WHERE rk = LEAST(nb - 1, GREATEST(0,
+         |    CAST(floor(0.25e0 * (nb - 1) + 0.5e0) AS INT))) + 1),
+         |nseg AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS ns FROM segs0 GROUP BY 1),
+         |cutf AS MATERIALIZED (
+         |  SELECT s.doc_id, s.seq,
+         |    (g.ns > 2 AND s.sim <= t.tau) AS semcut
+         |  FROM sims s JOIN tauq t ON s.doc_id = t.doc_id
+         |    JOIN nseg g ON g.doc_id = s.doc_id),
+         |st AS (
+         |  SELECT n.doc_id, n.seq, CAST(0 AS INT) AS chunk, n.toks AS cur
+         |  FROM ntok n WHERE n.seq = 0
+         |  UNION ALL
+         |  SELECT st.doc_id, st.seq + 1,
+         |    CASE WHEN COALESCE(c.semcut, FALSE) OR st.cur + nt.toks > 64
+         |      THEN st.chunk + 1 ELSE st.chunk END,
+         |    CASE WHEN COALESCE(c.semcut, FALSE) OR st.cur + nt.toks > 64
+         |      THEN nt.toks ELSE st.cur + nt.toks END
+         |  FROM st
+         |  JOIN ntok nt ON nt.doc_id = st.doc_id AND nt.seq = st.seq + 1
+         |  LEFT JOIN cutf c ON c.doc_id = st.doc_id AND c.seq = st.seq + 1),
+         |ch AS (
+         |  SELECT st.doc_id, st.chunk,
+         |    string_agg(s.seg, chr(10) ORDER BY st.seq) AS content
+         |  FROM st JOIN segs0 s ON s.doc_id = st.doc_id AND s.seq = st.seq
+         |  GROUP BY 1, 2)
+         |SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS documentid,
+         |  chunk AS chunk_index,
+         |  CAST(LENGTH(content) AS INT) AS content_len,
+         |  md5(content) AS content_md5
+         |FROM ch ORDER BY documentid, chunk_index""".stripMargin,
     "q35_embed_knn" ->
       s"""WITH tok0 AS (
          |  SELECT doc_id, i1, toks[i1] AS tok

@@ -59,4 +59,26 @@ object DatabaseSource {
         ElementRow.para(s"doc:$id", Seq(0), 0, text, text)
       }
   }
+
+  /** The segmented variant for flat (punctuation-free) text: one element
+    * per fixed window of `wordsPerSegment` whitespace words, in document
+    * order — the analog of sentence segmentation for corpora without
+    * sentence boundaries. Deliberately expressible in plain SQL
+    * (split + slice + rejoin) so a chunking pipeline built on it can be
+    * oracle-replayed end to end (q34).
+    */
+  def fromDocumentsTableWindows(docs: DataFrame,
+      wordsPerSegment: Int = 12): Dataset[ElementRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("string"), col("text").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ").filter(_.nonEmpty).grouped(wordsPerSegment)
+          .zipWithIndex.map { case (ws, i) =>
+            val seg = ws.mkString(" ")
+            ElementRow.para(s"doc:$id", Seq(i), i, seg, seg)
+          }
+      }
+  }
 }
