@@ -232,6 +232,61 @@ object Curation {
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
 
+  /** PORTABLE Bloom decontamination — same contract and plan shape as
+    * [[decontaminateBloom]], with an engine-neutral filter layout so the
+    * verdicts are SQL-replayable (the q79 native-vs-portable HLL split,
+    * applied to the Bloom tier).
+    *
+    * Layout: `numBits` bits as `numBits/32` 32-bit words packed in longs;
+    * gram g sets bit `md5(g || "#i") mod numBits` for i < numHashes (15
+    * md5 hex chars → 60-bit positive int, bit-identical in DuckDB via
+    * `CAST('0x…' AS BIGINT)`; 32-bit words keep every shift < 32 — DuckDB
+    * raises on a 63-bit shift). Build: explode eval grams × k positions,
+    * one bounded `bit_or` aggregate (≤ numBits/32 rows), collect the words
+    * to the driver — bounded by construction, like the native tier's
+    * sketch — and hit-test the train scan against the array LITERAL:
+    * shuffle-free, whole-stage-codegen'd, no join, exactly the native
+    * tier's execution shape. One-sided error as native: no false
+    * negatives; false positives at the (m, k, n)-determined rate — but
+    * bit-for-bit deterministic, so the DuckDB oracle replays the exact
+    * verdicts, collisions included.
+    */
+  def decontaminateBloomPortable(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.3,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    require(Integer.bitCount(numBits) == 1 && numBits >= 64,
+      s"numBits must be a power of two >= 64, got $numBits")
+    def pos(i: Int): Column =
+      conv(substring(md5(concat(col("g"), lit(s"#$i"))), 1, 15), 16, 10)
+        .cast("long") % numBits
+    // functions.shiftleft only takes a literal Int shift; the per-row
+    // shift goes through the Catalyst ShiftLeft expression directly.
+    def bitOf(p: Column): Column = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftBridge.expression(lit(1L)),
+        org.apache.spark.sql.GraftBridge.expression(
+          p.cast("int").bitwiseAND(lit(31)))))
+    val built = ngrams(eval, textCol, n, Seq.empty)
+      .select(explode(array((0 until numHashes).map(pos): _*)).as("p"))
+      .select(shiftright(col("p"), 5).cast("int").as("w"),
+        bitOf(col("p")).as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val words = lit(Array.tabulate(numBits / 32)(built.getOrElse(_, 0L)))
+    val hit = (0 until numHashes).map { i =>
+      val p = pos(i)
+      element_at(words, shiftright(p, 5).cast("int") + 1)
+        .bitwiseAND(bitOf(p)) =!= 0L
+    }.reduce(_ && _)
+    ngrams(train, textCol, n, Seq(col(idCol)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hits"))
+      .select(col(idCol), col("n_ngrams"), col("n_hits"),
+        round(col("n_hits") / col("n_ngrams"), 4).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= threshold)
+  }
+
   // ------------------------------------------------- repetition rules
 
   /** Most-frequent-element count of a string array, as pure expression

@@ -118,18 +118,24 @@ object CurationQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy(col("column"))
 
-  // q78: bloom-filter decontamination — same train/eval split and
-  // output shape as q64, but hit-testing goes through the native
-  // BloomFilterAggregate/MightContain sketch instead of the eval-set
-  // join. Not SQL-replayable (rows-only at the driver); SketchesSpec
-  // certifies no-false-negatives + fpp envelope against q64's exact
-  // operator.
+  // q78: bloom-filter decontamination — same train/eval split and output
+  // shape as q64, hit-testing through the PORTABLE Bloom tier
+  // (engine-neutral md5 bit layout) so the oracle replays the exact
+  // verdicts, false-positive collisions included (full oracle since r10;
+  // was rows-only on the native BloomFilterAggregate sketch, whose
+  // Spark-internal layout SQL cannot reproduce). The native tier stays
+  // the cluster fast path and keeps its SketchesSpec envelope pin; the
+  // m/k here are sized to EXERCISE collisions at sf0.1 (~4.5k distinct
+  // eval grams on 2^15 bits ⇒ a few % fpp) instead of hiding them.
+  val Q78Bits = 1 << 15
+  val Q78Hashes = 5
   def q78(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Curation.decontaminateBloom(
+    Curation.decontaminateBloomPortable(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 3, threshold = 0.3, fpp = 0.01)
+        "doc_id", "text", n = 3, threshold = 0.3,
+        numBits = Q78Bits, numHashes = Q78Hashes)
       .orderBy(col("doc_id"))
   }
 
@@ -475,6 +481,49 @@ object CurationQueries {
         |  ROUND(CAST(n_shared AS DOUBLE) / eval_ngrams, 4) AS overlap_frac
         |FROM pairs JOIN et USING (eval_id)
         |ORDER BY eval_id, train_id""".stripMargin,
+    // q78 portable-Bloom replay: the k bit positions per gram are plain
+    // md5 algebra (15 hex chars → 60-bit int, CAST('0x…' AS BIGINT)), the
+    // filter is a words CTE (p//32, BIT_OR of 32-bit shifts — mirroring
+    // the operator's long-packed 32-bit words), and the hit test is a
+    // LEFT JOIN + BOOL_AND over the k positions — the relational
+    // equivalent of the engine's array-literal probe. Position exprs are
+    // generated from the same (i, Q78Bits) loop as the Scala side so the
+    // two cannot drift. Verdicts match bit-for-bit INCLUDING false
+    // positives — the collisions are part of the certified semantics.
+    "q78_decontam_bloom" -> {
+      val posList = (0 until Q78Hashes)
+        .map(i => s"CAST('0x' || substr(md5(g || '#$i'), 1, 15) AS BIGINT)" +
+          s" % $Q78Bits")
+        .mkString("list_value(", ", ", ")")
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+         |              FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2 + 1)) AS i
+         |        FROM toks),
+         |ng AS (SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ')
+         |         AS g FROM pos),
+         |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+         |ep AS (SELECT DISTINCT unnest($posList) AS p FROM ev),
+         |words AS (SELECT p // 32 AS w,
+         |            BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+         |              AS word
+         |          FROM ep GROUP BY 1),
+         |tg AS (SELECT doc_id, g, COUNT(*) AS occ FROM ng
+         |       WHERE doc_id % 50 <> 0 GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, g, occ, unnest($posList) AS p FROM tg),
+         |hp AS (SELECT doc_id, g, occ,
+         |         BOOL_AND(COALESCE((w.word &
+         |           (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))) <> 0,
+         |           FALSE)) AS hit
+         |       FROM tp LEFT JOIN words w ON p // 32 = w.w GROUP BY 1, 2, 3),
+         |tr AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_ngrams,
+         |         CAST(SUM(CASE WHEN hit THEN occ ELSE 0 END) AS BIGINT)
+         |           AS n_hits
+         |       FROM hp GROUP BY doc_id)
+         |SELECT doc_id, n_ngrams, n_hits,
+         |  ROUND(n_hits * 1.0 / n_ngrams, 4) AS contam_frac,
+         |  ROUND(n_hits * 1.0 / n_ngrams, 4) >= 0.3 AS contaminated
+         |FROM tr ORDER BY doc_id""".stripMargin
+    },
     "q64_decontam" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
         |              FROM documents),

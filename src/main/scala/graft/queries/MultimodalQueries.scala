@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** q48: the multimodal operator surface as a driver-executed query
-  * (north-star component; rows-only — the media bytes never exist in the
-  * testdata parquet, so there is nothing for a SQL oracle to replay; exact
-  * values are pinned by the golden manifest in MultimodalSpec instead).
+  * (north-star component; full DuckDB oracle since r10 — the media bytes
+  * never exist in the testdata parquet, but the table is an md5-hex chain
+  * DuckDB re-derives, so the whole codec surface is replayed in SQL; the
+  * golden manifest in MultimodalSpec stays as the engine-side pin).
   *
   * The media table is fully deterministic — bytes are an md5 chain over the
   * row id, lengths/metadata are id arithmetic — so every run, every JVM and
@@ -92,8 +93,8 @@ object MultimodalQueries {
   // payload bytes and typed metadata are reconstructed by DuckDB from the
   // same md5-chain/arithmetic recipe, so the hash-match certifies Spark's
   // binary round trip (expression → unhex → parquet BINARY → hex) and the
-  // metadata struct byte-for-byte. (The codec operators stay rows-only in
-  // q48 — their internals are Scala, not SQL.)
+  // metadata struct byte-for-byte — and is the foundation the q48 codec
+  // replay builds its per-byte extraction on.
   def q88(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, 60).select(col("media_id"), col("kind"),
         length(col("bytes")).as("n_bytes"),
@@ -108,6 +109,52 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q48 full replay (r10): every operator in the chain is deterministic
+    // arithmetic over the md5-hex payload q88 already certifies, so DuckDB
+    // re-derives the whole feature surface — including the float32 step:
+    // FakeCodec.decodeImage divides each 64-bin byte histogram count by n
+    // IN FLOAT (hist(j) /= n); DuckDB's FLOAT/FLOAT division is the same
+    // IEEE binary32 op (verified bit-for-bit), and the cast back to DOUBLE
+    // makes the weighted checksum sum exact. resized_len = 64*48/64 and
+    // frame totals tile the payload (sum of copyOfRange frames == length),
+    // so those columns are closed-form. The 60-row input is fixed and
+    // SF-independent: a hash-match here is permanent, not per-SF.
+    "q48_multimodal" -> {
+      val chain = (0 until 8)
+        .map(k => s"md5(id || '_$k')").mkString(" || ")
+      s"""WITH m AS (SELECT unnest(range(60)) AS id),
+         |c AS (SELECT id, $chain AS chain,
+         |        (1 + id % 8) * 32 AS hexlen FROM m),
+         |b AS (
+         |  SELECT c.id,
+         |    (strpos('0123456789abcdef',
+         |        substr(c.chain, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+         |    + strpos('0123456789abcdef',
+         |        substr(c.chain, CAST(2*j+2 AS INTEGER), 1)) - 1 AS byte
+         |  FROM c, (SELECT unnest(range(128)) AS j)
+         |  WHERE c.id % 3 = 0 AND j < hexlen // 2
+         |),
+         |bins AS (
+         |  SELECT id, byte // 4 AS bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |chk AS (
+         |  SELECT bins.id,
+         |    round(SUM(CAST(CAST(cnt AS FLOAT) / CAST(c.hexlen // 2 AS FLOAT)
+         |        AS DOUBLE) * (bin + 1)), 6) AS feat_chk
+         |  FROM bins JOIN c ON bins.id = c.id GROUP BY 1)
+         |SELECT id AS media_id,
+         |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS kind,
+         |  CAST((1 + id % 8) * 16 AS INTEGER) AS n_bytes,
+         |  CAST(CASE WHEN id % 3 = 0 THEN 64 END AS INTEGER) AS feat_dim,
+         |  (SELECT feat_chk FROM chk WHERE chk.id = m.id) AS feat_chk,
+         |  CAST(CASE WHEN id % 3 = 0 THEN 48 END AS INTEGER) AS resized_len,
+         |  CAST(CASE WHEN id % 3 = 0 THEN 64 END AS INTEGER) AS resized_w,
+         |  CAST(CASE WHEN id % 3 = 2 THEN (id % 10 + 1) * 3 ELSE 0 END
+         |    AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN id % 3 = 2 THEN (1 + id % 8) * 16 ELSE 0 END
+         |    AS BIGINT) AS frame_bytes_total
+         |FROM m ORDER BY media_id""".stripMargin
+    },
     "q88_media_roundtrip" -> {
       val chain = (0 until 8)
         .map(k => s"md5(id || '_$k')").mkString(" || ")

@@ -215,6 +215,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusGenerates("q100_ngram_novelty") == 0)
   }
 
+  test("q78: portable Bloom probe is a joinless scan; filter rides as a literal") {
+    // The words array is collected at build time (bounded: numBits/32
+    // longs) and probed as a LITERAL in the train scan — the plan must
+    // show no Join anywhere and only the per-doc aggregate + output-sort
+    // exchanges. A Join here means the filter regressed to a relational
+    // probe, which re-shuffles the corpus gram stream at 100 TB.
+    val p = plan("q78_decontam_bloom")
+    assert(!p.contains("Join"), p.take(1000))
+    // per-doc aggregate + output sort + ensureParallelism's small-input
+    // repartition (sf0.001 is a single parquet split) — nothing else.
+    assert("Exchange".r.findAllIn(p).length <= 3, p.take(1000))
+    // the probe literal is inline in the aggregate (array of packed words)
+    assert(p.contains("element_at"), p.take(1000))
+  }
+
   test("q99: the corpus crosses ONE aggregate; percentiles run on the histogram") {
     // The whole point of the histogram percentile: the only shuffle of
     // data-sized input is the partial+final (lang, score) count — the

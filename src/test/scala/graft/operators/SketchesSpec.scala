@@ -36,6 +36,36 @@ class SketchesSpec extends SparkSpec {
       s"fp inflation ${extraHits.toDouble / totalNg} over $totalNg ngrams")
   }
 
+  test("decontaminateBloomPortable: one-sided vs exact, word-packing sane") {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Curation.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    // Small m on purpose — the portable tier's q78 sizing; collisions are
+    // part of the certified semantics, the invariant is one-sidedness.
+    val port = Curation.decontaminateBloomPortable(train, eval, "doc_id",
+        "text", n = 3, numBits = 1 << 15, numHashes = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(exact.keySet == port.keySet)
+    for ((id, (exHits, exFlag)) <- exact) {
+      assert(port(id)._2 >= exHits,
+        s"doc $id lost hits: portable=${port(id)._2} exact=$exHits")
+      if (exFlag) assert(port(id)._3, s"doc $id false negative")
+    }
+    // A word-packing bug (wrong shift base, wrong word index) degenerates
+    // toward an all-ones filter, which shows up as every gram hitting.
+    val totalNg = port.values.map(_._1).sum
+    val totalHits = port.values.map(_._2).sum
+    assert(totalHits < totalNg, "filter saturated: every gram hit")
+    // determinism: a second build sees identical verdicts
+    val again = Curation.decontaminateBloomPortable(train, eval, "doc_id",
+        "text", n = 3, numBits = 1 << 15, numHashes = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(again == port)
+  }
+
   test("leakageReport: pair attribution, threshold, and ubiquity filter") {
     import spark.implicits._
     // eval 100 = "a b c d e" (3-grams: abc, bcd, cde); train 1 shares all
