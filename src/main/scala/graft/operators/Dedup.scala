@@ -229,8 +229,15 @@ object Dedup {
     // O(dup-subgraph), not O(corpus).
     val touched = und.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
+    // LAZY checkpoints throughout the loop (r10): the convergence
+    // witness right below is always the first action on a fresh label
+    // table, so letting IT trigger the checkpoint materializes and
+    // truncates lineage in ONE job per round instead of two (an eager
+    // checkpoint job + a witness scan). On a 39-job q55 the witness
+    // jobs were pure scheduling floor; at cluster scale it is one fewer
+    // stage barrier per round.
     var labels = touched.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence witness: labels only ever DECREASE under min-propagation
     // and the vertex set is fixed, so the label sum strictly decreases
     // until fixpoint — equality means converged. One cheap scan of the
@@ -265,7 +272,7 @@ object Dedup {
         .select(col("src").as("id"), col("component"))
       val next = jumped.union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val curSum = labelSum(next)
       labels = next
       converged = curSum.compareTo(prevSum) == 0
