@@ -17,10 +17,18 @@ object Bench {
     * is unavailable (a bare cluster): the bench must degrade, not fail,
     * without the oracle harness.
     */
+  private def skipDenominators(reason: String): Option[Map[String, Double]] = {
+    // Visible, not silent: a skipped denominator pass means the committed
+    // gate ratio falls back to BASELINE_QUERIES.json's box conditions.
+    System.err.println(s"[bench] duckdb denominator pass skipped: $reason")
+    None
+  }
+
   private def timeDuckdbDenominators(sfDir: String, names: Set[String])
       : Option[Map[String, Double]] = {
     val script = java.nio.file.Paths.get("tools/bench_oracle.py")
-    if (!java.nio.file.Files.exists(script)) return None
+    if (!java.nio.file.Files.exists(script))
+      return skipDenominators("tools/bench_oracle.py not found")
     try {
       val tmpSql = java.nio.file.Files.createTempFile("oracle_sql", ".json")
       val tmpOut = java.nio.file.Files.createTempFile("baseline_q", ".json")
@@ -38,22 +46,32 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
       val done = p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { p.destroyForcibly(); return None }
-      if (p.exitValue() != 0) return None
+      if (!done) {
+        p.destroyForcibly()
+        return skipDenominators("bench_oracle.py timed out after 900s")
+      }
+      if (p.exitValue() != 0)
+        return skipDenominators(s"bench_oracle.py exit ${p.exitValue()}")
       val txt = new String(java.nio.file.Files.readAllBytes(tmpOut),
         java.nio.charset.StandardCharsets.UTF_8)
-      // Minimal extraction of the flat {"queries":{"name":sec,...}} map —
-      // values written by bench_oracle.py are plain numbers.
-      val qBlock = txt.split("\"queries\"", 2)(1)
-      val body = qBlock.substring(qBlock.indexOf('{') + 1,
-        qBlock.indexOf('}'))
-      val entries = body.split(",").iterator.map(_.trim).filter(_.nonEmpty)
-        .map { kv =>
-          val Array(k, v) = kv.split(":", 2)
-          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
-        }.toMap
-      if (entries.isEmpty) None else Some(entries)
-    } catch { case _: Throwable => None }
+      // Real JSON parse (Jackson, already on Spark's classpath) — the r10
+      // string-splitting extraction silently returned None (or a wrong
+      // map) on any benign format change in bench_oracle.py's output.
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt)
+      val qNode = root.path("queries")
+      if (!qNode.isObject)
+        return skipDenominators("no \"queries\" object in bench_oracle output")
+      val entries = scala.collection.mutable.Map.empty[String, Double]
+      qNode.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber) entries(e.getKey) = e.getValue.asDouble()
+      }
+      if (entries.isEmpty) skipDenominators("empty queries map")
+      else Some(entries.toMap)
+    } catch {
+      case t: Throwable =>
+        skipDenominators(s"${t.getClass.getSimpleName}: ${t.getMessage}")
+    }
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,6 +44,15 @@ case class PqAssign(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // Quantize the whole vector ONCE per row (r11) — inside the centroid
+    // loop each component's floor(x·1e6) was recomputed kSub (16)×.
+    val dim = m * subDim
+    val xq = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      xq(i) = math.floor(v.getFloat(i).toDouble * 1e6).toLong
+      i += 1
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -55,8 +64,7 @@ case class PqAssign(child: Expression,
         var d = 0L
         var j = 0
         while (j < subDim) {
-          val xe = math.floor(v.getFloat(s * subDim + j).toDouble * 1e6).toLong
-          val diff = xe - flat(base + j)
+          val diff = xq(s * subDim + j) - flat(base + j)
           d += diff * diff
           j += 1
         }
@@ -81,8 +89,14 @@ case class PqAssign(child: Expression,
       val d = ctx.freshName("d")
       val base = ctx.freshName("base")
       val diff = ctx.freshName("diff")
-      val xe = ctx.freshName("xe")
+      val xq = ctx.freshName("xq")
+      val i = ctx.freshName("i")
       s"""
+         |long[] $xq = new long[${m * subDim}];
+         |for (int $i = 0; $i < ${m * subDim}; $i++) {
+         |  $xq[$i] = (long) java.lang.Math.floor(
+         |    (double) $v.getFloat($i) * 1.0E6);
+         |}
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $best = 0;
@@ -91,9 +105,7 @@ case class PqAssign(child: Expression,
          |    int $base = ($s * $kSub + $c) * $subDim;
          |    long $d = 0L;
          |    for (int $j = 0; $j < $subDim; $j++) {
-         |      long $xe = (long) java.lang.Math.floor(
-         |        (double) $v.getFloat($s * $subDim + $j) * 1.0E6);
-         |      long $diff = $xe - $flatRef[$base + $j];
+         |      long $diff = $xq[$s * $subDim + $j] - $flatRef[$base + $j];
          |      $d += $diff * $diff;
          |    }
          |    if ($d < $bd) { $bd = $d; $best = $c; }

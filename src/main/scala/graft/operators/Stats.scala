@@ -209,9 +209,18 @@ object Stats {
     * mean = round(sum/n, 2) — rounded because partial-sum order is
     * engine-specific; the quantiles ship unrounded (the interpolation
     * is bit-equal to DuckDB's, ROUND-of-double is not portable).
+    *
+    * `interpolate = false` switches to the EXACT LOWER-RANK pick
+    * (value at zero-based rank floor(p·(n−1)) — well-defined under
+    * ties, no float arithmetic between values): the q86 sampled-
+    * percentile convention. Only the lo row is fetched per quantile.
+    * `includeMean = false` drops the mean column (for callers whose
+    * mean is computed over a DIFFERENT relation than the rank input,
+    * e.g. full data vs a sample).
     */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)], interpolate: Boolean = true,
+      includeMean: Boolean = true): DataFrame = {
     require(ps.nonEmpty, "quantilesByGroup needs at least one quantile")
     val spark = df.sparkSession
     import spark.implicits._
@@ -253,11 +262,12 @@ object Stats {
       val cum = partStats.filter(_._2 == g) // pid-sorted
       for (((_, p), qi) <- ps.zipWithIndex) {
         val pos = (n - 1).toDouble * p
-        val frac = pos - math.floor(pos)
+        val frac = if (interpolate) pos - math.floor(pos) else 0.0
         fracs((g, qi)) = frac
         val lo = math.floor(pos).toLong
         val hi = math.min(lo + 1, n - 1)
-        for ((rank, side) <- Seq((lo, 0), (hi, 1))) {
+        val sides = if (interpolate) Seq((lo, 0), (hi, 1)) else Seq((lo, 0))
+        for ((rank, side) <- sides) {
           var before = 0L
           var placed = false
           for ((pid, _, cnt, _) <- cum if !placed) {
@@ -295,17 +305,21 @@ object Stats {
       val qVals = ps.indices.map { qi =>
         val frac = fracs((g, qi))
         val vLo = picked((g, qi * 2))
-        val vHi = picked.getOrElse((g, qi * 2 + 1), vLo)
-        vLo * (1.0 - frac) + vHi * frac
+        if (frac == 0.0) vLo
+        else {
+          val vHi = picked.getOrElse((g, qi * 2 + 1), vLo)
+          vLo * (1.0 - frac) + vHi * frac
+        }
       }
       val mean = new java.math.BigDecimal(sumByG(g) / nByG(g).toDouble)
         .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
-      org.apache.spark.sql.Row.fromSeq(g +: qVals :+ mean)
+      org.apache.spark.sql.Row.fromSeq(
+        if (includeMean) g +: qVals :+ mean else g +: qVals)
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(groupCol,
         org.apache.spark.sql.types.StringType, nullable = false) +:
-        (ps.map(_._1) :+ "mean").map(n =>
+        (if (includeMean) ps.map(_._1) :+ "mean" else ps.map(_._1)).map(n =>
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.DoubleType, nullable = false)))
     spark.createDataFrame(

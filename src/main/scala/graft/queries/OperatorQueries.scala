@@ -416,6 +416,13 @@ object OperatorQueries {
   val oracle: Map[String, String] = Map(
     "q49_ann_ivf" -> q49OracleSql,
     "q72_ann_pq" -> q72OracleSql,
+    // ASCII PRECONDITION (q34 + q35): this replay tokenizes with ASCII
+    // classes ([a-z]+|[0-9]+|[^a-z0-9\s], BETWEEN 'a' AND 'z') and
+    // hashes unicode() codepoints, while the engine uses \p{L}/\p{N},
+    // isLetter, and FNV over UTF-16 units — bit-equal ONLY on ASCII
+    // text. FixtureAsciiSpec pins the documents fixture ASCII-only so
+    // a future non-ASCII fixture fails loudly there, not as a silent
+    // hash mismatch here.
     // Full semantic-chunker replay: 12-word windows → per-segment
     // RegexTokenizer pieces (q35's machinery, keyed by segment) →
     // FNV-1a ×2-integer bucket sums → EXACT boundary cosines

@@ -161,28 +161,31 @@ object Relational2 {
   // the sample. The mean stays exact over the FULL data. Spark's native
   // approx_percentile tier remains envelope-pinned in SketchesSpec.
   def q86(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus scan, ONE aggregate (r10 — was two scans: a windowed
-    // rank over the sample plus a separate full-data mean, then a join):
-    // the exact mean aggregates over ALL rows while the md5-sampled
-    // values ride the same aggregate as a collected array (conditional
-    // collect_list skips the unsampled rows' NULLs), and the rank pick
-    // is an index into the sorted array — the same value the ROW_NUMBER
-    // formulation picked, since only the values themselves are ordered.
-    // Per-group state = the sample (rate · n_group doubles): the rate is
-    // the knob that keeps it bounded as n grows, exactly as before when
-    // the window sort touched the same sample.
+    // r11: the sampled values route through the SAME distributed rank
+    // selection as q38 (range-partitioned spillable sorts, bounded
+    // per-(partition,group) driver state) with `interpolate = false` —
+    // the exact lower-rank pick at floor(p·(n−1)) over the sorted
+    // sample, bit-identical to the sorted-array index the r10 shape
+    // computed. The r10 single-aggregate fusion buffered the whole 25%
+    // sample (rate·n_group doubles) in ONE collect_list aggregation
+    // buffer — unspillable and LINEAR in n, the exact failure class
+    // quantilesByGroup exists to remove; at the 100 TB target that
+    // buffer is an executor OOM, so the fusion was a false economy.
+    // The exact mean stays a single codegen'd scan-aggregate over ALL
+    // rows; the rank picks come back as a groups-sized local relation
+    // joined to it (3 rows — broadcast, no shuffle).
     val li = t(s, dir, "lineitem")
     val sampled = substring(md5(concat(col("l_orderkey").cast("string"),
       lit(":"), col("l_linenumber").cast("string"))), 1, 1) < "4"
-    def pick(p: Double) = when(size(col("__s")) > 0,
-      element_at(col("__s"),
-        (floor(lit(p) * (size(col("__s")) - 1)) + 1).cast("int")))
-    li.groupBy(col("l_returnflag"))
-      .agg(round(avg(col("l_extendedprice")), 2).as("mean"),
-        sort_array(collect_list(when(sampled, col("l_extendedprice"))))
-          .as("__s"))
-      .select(col("l_returnflag"), pick(0.5).as("p50"), pick(0.9).as("p90"),
-        col("mean"))
+    val means = li.groupBy(col("l_returnflag"))
+      .agg(round(avg(col("l_extendedprice")), 2).as("mean"))
+    val picks = graft.operators.Stats.quantilesByGroup(
+      li.filter(sampled)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      "l_returnflag", "v", Seq("p50" -> 0.5, "p90" -> 0.9),
+      interpolate = false, includeMean = false)
+    means.join(picks, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("mean"))
       .orderBy(col("l_returnflag"))
   }
 

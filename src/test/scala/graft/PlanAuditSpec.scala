@@ -151,11 +151,16 @@ class PlanAuditSpec extends SparkSpec {
     // only the rank keys + value + group column reach the scan
     assert(!p.contains("l_tax") && !p.contains("l_quantity") &&
       !p.contains("l_shipdate"), p)
-    // r10: exact mean + sample pick fused into ONE aggregate over ONE
-    // lineitem scan — the r9 shape scanned the table twice (windowed
-    // rank over the sample, separate full-data mean) and joined.
+    // r11: the sample's rank pick runs through Stats.quantilesByGroup's
+    // distributed rank selection BEFORE this plan is built, so the final
+    // plan is the mean's single scan-aggregate joined to a groups-sized
+    // local relation of picks. The banned shapes: the r10 collect_list
+    // fusion (unspillable O(rate·n) per-group buffer — same class
+    // PlanAuditSpec bans for q38) and the r9 window sort.
+    assert(!p.contains("collect_list"), p)
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation") ||
+      p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("Window"), p)
   }
 
