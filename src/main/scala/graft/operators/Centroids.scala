@@ -63,11 +63,10 @@ object Centroids {
     require(cents.nonEmpty, "assign: empty centroid set")
     val scored = cents.map { case (lbl, cv) =>
       struct(
-        aggregate(
-          zip_with(col(vecCol), lit(cv), (x, c) =>
-            floor((x.cast("double") - c) * (x.cast("double") - c) * lit(1e8))
-              .cast("long")),
-          lit(0L), (acc, x) => acc + x).as("d2e8"),
+        // Native codegen'd loop (r11) — the HOF formulation
+        // (aggregate∘zip_with) is interpreted and allocated a lambda
+        // frame per element, k× per row; SqDistE8 is bit-identical.
+        graft.functions.SqDistE8(col(vecCol), lit(cv)).as("d2e8"),
         lit(lbl).as("assigned"))
     }
     val best = array_min(array(scored.toIndexedSeq: _*))

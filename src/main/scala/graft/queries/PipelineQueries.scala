@@ -117,11 +117,10 @@ object PipelineQueries {
         col("embedding").as("va")))
     val b = v.select(col("assigned"), col("vec_id").as("b"),
       col("embedding").as("vb"))
-    val d2 = aggregate(
-      zip_with(col("va"), col("vb"), (x, y) =>
-        floor((x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double")) * lit(1e8)).cast("long")),
-      lit(0L), (acc, z) => acc + z)
+    // Native codegen'd distance (r11): this is the pairs × 384 hot loop
+    // — the interpreted HOF formulation dominated the stage wall.
+    // SqDistE8 is bit-identical (same IEEE ops, same association).
+    val d2 = graft.functions.SqDistE8(col("va"), col("vb"))
     val dup = a.join(broadcast(b), Seq("assigned"))
       .filter(col("a") < col("b"))
       .withColumn("__d2", d2).filter(col("__d2") <= SemTau)
@@ -226,11 +225,9 @@ object PipelineQueries {
       .sortBy(_._1)
     val scored = cents.map { case (lbl, cv) =>
       struct(lit(lbl).as("class"),
-        aggregate(
-          zip_with(col("embedding"), lit(cv), (x, c) =>
-            floor((x.cast("double") - c) * (x.cast("double") - c) * lit(1e8))
-              .cast("long")),
-          lit(0L), (acc, z) => acc + z).as("d2"))
+        // Native codegen'd loop — bit-identical to the HOF formulation
+        // (see SqDistE8; k_classes × 384 per row).
+        graft.functions.SqDistE8(col("embedding"), lit(cv)).as("d2"))
     }
     val ex = emb.select(col("vec_id"), col("label"),
         explode(array(scored.toIndexedSeq: _*)).as("s"))
