@@ -22,11 +22,14 @@ import scala.util.matching.Regex
   * runs carry their (x, y) pen position; a page first splits into COLUMNS
   * where the starting-x distribution has a gutter wider than [[GutterPt]]
   * AND the clusters genuinely coexist vertically (a centered title above
-  * a body is not a column). Within a column, runs group into lines by y
-  * and lines into blocks by vertical gap: a gap > 1.5× the dominant line
-  * pitch starts a new block; columns emit left-to-right. Single-column
-  * pages take the exact pre-split path. Unsupported structure throws —
-  * callers turn that into error rows.
+  * a body is not a column). Within a column, runs group into lines by y;
+  * reading order is DIRECTION-AWARE (standard PDF user space is y-up —
+  * the page's first line has the largest y — while generator-style
+  * top-left systems grow y downward; the stream's emission order votes).
+  * Lines group into blocks by |vertical gap|: a gap > 1.5× the dominant
+  * line pitch (median |gap|) starts a new block; columns emit
+  * left-to-right. Single-column pages take the exact pre-split path.
+  * Unsupported structure throws — callers turn that into error rows.
   */
 object PdfTextExtractor {
 
@@ -274,16 +277,27 @@ object PdfTextExtractor {
           val l = Line(yPos, new StringBuilder); lines += l; l
         }
       colRuns.foreach(r => lineFor(r.y).sb ++= r.text)
-      val ordered = lines.filter(_.sb.nonEmpty).sortBy(_.y).toIndexedSeq
+      // Reading order is direction-aware (r11): standard PDF user space
+      // is y-UP (the first line of a page has the LARGEST y), while
+      // generator-style top-left coordinate systems emit y increasing
+      // downward. The content stream's emission order votes: if line y's
+      // mostly DECREASE in stream order the page is y-up and lines sort
+      // descending; otherwise ascending (the corpus fixtures' convention
+      // — their output is bit-identical to the pre-r11 ascending sort).
+      val appear = lines.filter(_.sb.nonEmpty).toIndexedSeq
+      val downVotes = (1 until appear.length)
+        .count(i => appear(i).y < appear(i - 1).y)
+      val yUp = downVotes * 2 > appear.length - 1
+      val ordered = if (yUp) appear.sortBy(-_.y) else appear.sortBy(_.y)
       if (ordered.nonEmpty) {
-        // Dominant line pitch = median positive gap; block break at >1.5×.
+        // Dominant line pitch = median |gap|; block break at >1.5×.
         val gaps = (1 until ordered.length)
-          .map(i => ordered(i).y - ordered(i - 1).y)
+          .map(i => math.abs(ordered(i).y - ordered(i - 1).y))
           .filter(_ > 0.01).sorted
         val pitch = if (gaps.isEmpty) 0.0 else gaps(gaps.length / 2)
         var cur = new StringBuilder(ordered.head.sb.toString)
         (1 until ordered.length).foreach { i =>
-          val gap = ordered(i).y - ordered(i - 1).y
+          val gap = math.abs(ordered(i).y - ordered(i - 1).y)
           if (pitch > 0 && gap > pitch * 1.5) {
             out += Block(page, cur.toString.trim); cur = new StringBuilder
           } else if (cur.nonEmpty) cur += ' '

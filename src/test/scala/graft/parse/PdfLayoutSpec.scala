@@ -1,0 +1,52 @@
+package graft.parse
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direction-aware reading order: standard PDF user space is y-UP (the
+  * first line of a page carries the LARGEST y), while the corpus
+  * fixtures' generator emits y increasing downward. The extractor votes
+  * on the content stream's emission order — this spec builds a minimal
+  * uncompressed y-up PDF and checks blocks come out top-to-bottom with
+  * the pitch-based block break applied to |gaps|.
+  */
+class PdfLayoutSpec extends AnyFunSuite {
+
+  private def minimalPdf(content: String): Array[Byte] = {
+    val s =
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${content.length} >> stream
+         |$content
+         |endstream endobj
+         |%%EOF
+         |""".stripMargin
+    s.getBytes("ISO-8859-1")
+  }
+
+  test("y-up page reads top-to-bottom with block break at the wide gap") {
+    val content =
+      """BT 1 0 0 1 72 720 Tm (Title line) Tj ET
+        |BT 1 0 0 1 72 700 Tm (Body one) Tj ET
+        |BT 1 0 0 1 72 680 Tm (Body two) Tj ET
+        |BT 1 0 0 1 72 610 Tm (Footer after wide gap) Tj ET""".stripMargin
+    val blocks = PdfTextExtractor.extract(minimalPdf(content))
+    assert(blocks.map(_.page).distinct == Seq(1))
+    assert(blocks.length == 2, blocks.map(_.text))
+    assert(blocks(0).text == "Title line Body one Body two")
+    assert(blocks(1).text == "Footer after wide gap")
+  }
+
+  test("y-down (generator-style) page keeps the fixtures' ascending order") {
+    val content =
+      """BT 1 0 0 1 72 100 Tm (Title line) Tj ET
+        |BT 1 0 0 1 72 120 Tm (Body one) Tj ET
+        |BT 1 0 0 1 72 140 Tm (Body two) Tj ET
+        |BT 1 0 0 1 72 210 Tm (Footer after wide gap) Tj ET""".stripMargin
+    val blocks = PdfTextExtractor.extract(minimalPdf(content))
+    assert(blocks.length == 2, blocks.map(_.text))
+    assert(blocks(0).text == "Title line Body one Body two")
+    assert(blocks(1).text == "Footer after wide gap")
+  }
+}
