@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression: product-quantization code assignment of an
   * `array<float>` vector against literal per-subspace codebooks.
@@ -34,10 +34,16 @@ case class PqAssign(child: Expression,
   private lazy val flat: Array[Long] =
     codebooks.flatten.flatten
 
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_assign expects array<float>, got ${other.simpleString}")
+      s"pq_assign expects array<float|double>, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_assign"
@@ -48,9 +54,11 @@ case class PqAssign(child: Expression,
     // loop each component's floor(x·1e6) was recomputed kSub (16)×.
     val dim = m * subDim
     val xq = new Array[Long](dim)
+    val isF = elemIsFloat
     var i = 0
     while (i < dim) {
-      xq(i) = math.floor(v.getFloat(i).toDouble * 1e6).toLong
+      val xd = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      xq(i) = math.floor(xd * 1e6).toLong
       i += 1
     }
     val codes = new Array[Int](m)
@@ -91,11 +99,12 @@ case class PqAssign(child: Expression,
       val diff = ctx.freshName("diff")
       val xq = ctx.freshName("xq")
       val i = ctx.freshName("i")
+      val getter = if (elemIsFloat) "getFloat" else "getDouble"
       s"""
          |long[] $xq = new long[${m * subDim}];
          |for (int $i = 0; $i < ${m * subDim}; $i++) {
          |  $xq[$i] = (long) java.lang.Math.floor(
-         |    (double) $v.getFloat($i) * 1.0E6);
+         |    (double) $v.$getter($i) * 1.0E6);
          |}
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {

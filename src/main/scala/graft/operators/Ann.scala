@@ -185,20 +185,14 @@ object Ann {
     */
   final class Ivf(val centroidsE6: Array[Array[Long]]) extends Serializable {
 
-    private def sqDistE6Col(vecCol: Column, c: Array[Long]): Column = {
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      aggregate(zip_with(vecCol, cLit, (x, ce) => {
-        val d = floor(x.cast("double") * 1e6).cast("long") - ce
-        d * d
-      }), lit(0L), (acc, x) => acc + x)
-    }
-
-    def assignCol(vecCol: Column): Column = {
-      val dists = centroidsE6.zipWithIndex.map { case (c, i) =>
-        struct(sqDistE6Col(vecCol, c).as("d"), lit(i).as("i"))
-      }
-      array_min(array(dists.toIndexedSeq: _*)).getField("i")
-    }
+    def assignCol(vecCol: Column): Column =
+      // PqAssign with ONE subspace spanning the whole vector IS the IVF
+      // coarse assignment (r11): quantize x to e6 longs once, integer
+      // squared distance per centroid, first-minimal index on ties — the
+      // exact arithmetic and tiebreak of the previous
+      // array_min-over-HOF-structs shape, but in one codegen'd primitive
+      // loop instead of k interpreted lambda chains per row.
+      graft.functions.PqAssign(vecCol, Array(centroidsE6)).getItem(0)
 
     def index(df: DataFrame, vecCol: String): DataFrame =
       df.withColumn("centroid", assignCol(col(vecCol)))

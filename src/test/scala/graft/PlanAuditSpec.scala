@@ -164,6 +164,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q106/q49: vector distances run native, not as interpreted HOFs") {
+    // r11: the pair-stage distance and the IVF coarse assignment are
+    // native codegen'd expressions (SqDistE8 / PqAssign). A zip_with or
+    // aggregate lambda reappearing in these plans means the hot loop
+    // fell back to the interpreted path — pairs × 384 lambda frames.
+    val p106 = plan("q106_semantic_dedup")
+    assert(p106.contains("sq_dist_e8"), p106)
+    assert(!p106.contains("zip_with"), p106)
+    val p49 = plan("q49_ann_ivf")
+    assert(p49.contains("pq_assign"), p49)
+  }
+
   test("q91: the instance-sized bigram stream never crosses a join") {
     // The LM score joins must happen between COUNT tables (vocabulary-
     // sized), never against the raw exploded bigram stream — a Generate

@@ -63,6 +63,26 @@ class AnnSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("IVF assignCol (PqAssign m=1 path) matches the driver-side argmin") {
+    // r11: assignCol routes through the native PqAssign expression with a
+    // single whole-vector subspace; this pins its equivalence against the
+    // independent driver-side e6 arithmetic (quantizeE6 + sqDistE6 +
+    // first-minimal index), the same reference probeCentroids uses.
+    val ivf = Ann.Ivf.fit(corpus, "vec_id", "embedding", kCentroids = 8)
+    val rows = ivf.index(corpus, "embedding")
+      .select(col("vec_id"), col("centroid"), col("embedding"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      val qe = Ann.Ivf.quantizeE6(v)
+      val want = ivf.centroidsE6.zipWithIndex
+        .map { case (c, i) => (Ann.Ivf.sqDistE6(qe, c), i) }
+        .minBy { case (d, i) => (d, i) }._2
+      assert(r.getInt(1) == want, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("nearDupPairs: planted dups surface as bucket-join pairs at cos>=0.9") {
     val withQuery = base.union(planted.toDF("vec_id", "embedding"))
     val pairs = Ann.nearDupPairs(withQuery, "vec_id", "embedding", dim = 64,
