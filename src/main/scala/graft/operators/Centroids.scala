@@ -70,7 +70,11 @@ object Centroids {
         lit(lbl).as("assigned"))
     }
     val best = array_min(array(scored.toIndexedSeq: _*))
-    df.withColumn("dist2", best.getField("d2e8").cast("double") / 1e8)
+    // dist2_e8 is the exact integer the argmin compared — downstream
+    // rank/histogram work (outlier cutoffs, SemDeDup thresholds) stays
+    // in integer space; dist2 is its one-division real-distance view.
+    df.withColumn("dist2_e8", best.getField("d2e8"))
+      .withColumn("dist2", col("dist2_e8").cast("double") / 1e8)
       .withColumn("assigned", best.getField("assigned"))
   }
 }

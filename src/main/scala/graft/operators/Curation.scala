@@ -510,9 +510,16 @@ object Curation {
   def adaptiveThreshold(df: DataFrame, groupCol: String, score: Column,
       pctNum: Int = 1, pctDen: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Materialized (r11): the histogram feeds BOTH the cutoff derivation
+    // and the final join — Catalyst does not share subtrees, so an
+    // un-materialized hist re-runs the corpus scan + score expression
+    // once per consumer (caught by PlanAuditSpec's one-scan pin when
+    // q124 put a 384-dim argmin in the score path). The checkpoint is
+    // the corpus's LAST aggregate; everything after is histogram-sized.
     val hist = df.select(col(groupCol), score.cast("long").as("__s"))
       .groupBy(col(groupCol), col("__s"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val byScore = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
     val grp = Window.partitionBy(col(groupCol))
     // cum counts docs with score <= __s; the pct-rank doc sits at

@@ -81,12 +81,35 @@ object ModelQueries {
       .orderBy(col("label"), col("assigned"))
   }
 
+  // q124: embedding-space outlier report — SemDeDup's companion pruning
+  // op: vectors far from EVERY cluster center are OOD/noise (corrupt
+  // embeds, mislabeled modality, adversarial junk) and get pruned before
+  // training. Per assigned cluster: the exact P95 of the e8 integer
+  // distance-to-centroid (histogram rank over the integer distances the
+  // argmin already computed — no float percentile, so the cutoff is
+  // oracle-replayable) and the count/fraction above it. Scale shape:
+  // assignment is the shuffle-free codegen'd argmin (q96); the histogram
+  // is (clusters × distinct-distances)-sized — the corpus crosses one
+  // aggregate.
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Centroids.fit(emb, "label", "embedding")
+    val assigned = Centroids.assign(emb, "embedding", cents, "label")
+    Curation.adaptiveThreshold(assigned, "assigned", col("dist2_e8"),
+        pctNum = 19, pctDen = 20)
+      .select(col("assigned"), col("cutoff").as("p95_d2e8"),
+        col("n_docs").as("n_vecs"), col("n_kept").as("n_outliers"),
+        col("kept_frac").as("outlier_frac"))
+      .orderBy(col("assigned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_lm_score" -> (q91 _),
     "q92_quality_classifier" -> (q92 _),
     "q93_random_projection" -> (q93 _),
     "q94_mixture_weights" -> (q94 _),
-    "q96_centroid_assign" -> (q96 _)
+    "q96_centroid_assign" -> (q96 _),
+    "q124_embedding_outliers" -> (q124 _)
   )
 
   /** English stopword list as a DuckDB list literal (same vocabulary as
@@ -107,6 +130,34 @@ object ModelQueries {
         val lst = p.map(x => if (x > 0) "1" else "-1").mkString(",")
         s"($b, CAST([$lst] AS DOUBLE[]))"
       }.mkString(",\n  ")
+
+  /** Shared q96/q124 replay prefix: the fixed-point centroid fit, the
+    * e8 integer distances, and the argmin row-number (ties by d2 then
+    * label — the engine's struct-min tiebreak). `a` carries d2 so q124
+    * can histogram the winning distances. Lines deliberately carry no
+    * leading `|` after their own stripMargin — safe to interpolate into
+    * an outer stripMargin string (SNIPPETS double-strip gotcha).
+    */
+  private val CentroidCtes: String =
+    """e AS (SELECT vec_id, label,
+      |    generate_subscripts(embedding, 1) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |c AS (SELECT label AS clabel, pos,
+      |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |cx AS (SELECT clabel, pos,
+      |         CAST(s AS DOUBLE) / n / 1000000.0 AS cx FROM c),
+      |-- e8 fixed-point per squared component BEFORE the sum (exact
+      |-- integers in any row order — Spark folds arrays in place, this
+      |-- SUM is order-agnostic; only integers make the argmin portable).
+      |d AS (SELECT e.vec_id, e.label, cx.clabel,
+      |        CAST(SUM(CAST(FLOOR((e.x - cx.cx) * (e.x - cx.cx)
+      |          * 100000000.0) AS BIGINT)) AS BIGINT) AS d2
+      |      FROM e JOIN cx ON e.pos = cx.pos GROUP BY 1, 2, 3),
+      |a AS (SELECT vec_id, label, clabel, d2, ROW_NUMBER() OVER
+      |        (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)"""
+      .stripMargin
 
   val oracle: Map[String, String] = Map(
     "q91_lm_score" ->
@@ -214,25 +265,32 @@ object ModelQueries {
         |    ELSE TRUE END AS capped
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     "q96_centroid_assign" ->
-      """WITH e AS (SELECT vec_id, label,
-        |    generate_subscripts(embedding, 1) AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-        |c AS (SELECT label AS clabel, pos,
-        |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
-        |    COUNT(*) AS n
-        |  FROM e GROUP BY 1, 2),
-        |cx AS (SELECT clabel, pos,
-        |         CAST(s AS DOUBLE) / n / 1000000.0 AS cx FROM c),
-        |-- e8 fixed-point per squared component BEFORE the sum (exact
-        |-- integers in any row order — Spark folds arrays in place, this
-        |-- SUM is order-agnostic; only integers make the argmin portable).
-        |d AS (SELECT e.vec_id, e.label, cx.clabel,
-        |        CAST(SUM(CAST(FLOOR((e.x - cx.cx) * (e.x - cx.cx)
-        |          * 100000000.0) AS BIGINT)) AS BIGINT) AS d2
-        |      FROM e JOIN cx ON e.pos = cx.pos GROUP BY 1, 2, 3),
-        |a AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER
-        |        (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)
-        |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      s"""WITH $CentroidCtes
+         |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q124: per-cluster P95 cutoff on the SAME integer distances the
+    // argmin compared — q96's assignment replay + q99's histogram-rank
+    // machinery ((19n+19)//20, cutoff = min s with cum >= rank).
+    "q124_embedding_outliers" ->
+      s"""WITH $CentroidCtes,
+         |v AS (SELECT clabel AS assigned, d2 FROM a WHERE rn = 1),
+         |hist AS (SELECT assigned, d2 AS s, CAST(COUNT(*) AS BIGINT) AS c
+         |         FROM v GROUP BY 1, 2),
+         |r AS (SELECT assigned, s, c,
+         |        SUM(c) OVER (PARTITION BY assigned ORDER BY s) AS cum,
+         |        SUM(c) OVER (PARTITION BY assigned) AS n
+         |      FROM hist),
+         |r2 AS (SELECT assigned, s, c, cum, n, (19 * n + 19) // 20 AS rnk
+         |       FROM r),
+         |cut AS (SELECT assigned, MIN(s) AS cutoff FROM r2 WHERE cum >= rnk
+         |        GROUP BY assigned)
+         |SELECT r2.assigned, CAST(cut.cutoff AS BIGINT) AS p95_d2e8,
+         |  CAST(MAX(n) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN s >= cutoff THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  CAST(SUM(CASE WHEN s >= cutoff THEN c ELSE 0 END) AS DOUBLE)
+         |    / CAST(MAX(n) AS DOUBLE) AS outlier_frac
+         |FROM r2 JOIN cut USING (assigned)
+         |GROUP BY r2.assigned, cut.cutoff ORDER BY assigned""".stripMargin
   )
 }

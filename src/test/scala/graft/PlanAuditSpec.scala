@@ -176,6 +176,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p49.contains("pq_assign"), p49)
   }
 
+  test("q124: corpus crosses ONE aggregate; report runs on the histogram") {
+    val p = plan("q124_embedding_outliers")
+    assert(!p.contains("CartesianProduct"), p)
+    // The embeddings scan + native argmin ran INSIDE adaptiveThreshold's
+    // histogram checkpoint (its hist feeds two consumers — without the
+    // materialization the 384-dim argmin scan re-ran per consumer; this
+    // pin caught that). The final plan is histogram-sized: no parquet.
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q91: the instance-sized bigram stream never crosses a join") {
     // The LM score joins must happen between COUNT tables (vocabulary-
     // sized), never against the raw exploded bigram stream — a Generate
@@ -259,6 +270,9 @@ class PlanAuditSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
     def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => false
+      // r11: adaptiveThreshold materializes the histogram — a LogicalRDD
+      // leaf IS the aggregated (histogram-sized) table, not the corpus.
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
       case l: LeafNode => true
       case other => other.children.exists(scanAboveAggregate)
     }

@@ -161,5 +161,34 @@ class ModelOpsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"centroid assignment must be shuffle-free, got:\n$plan")
+    // (The tiny local input constant-folds to a LocalTableScan here; the
+    // sq_dist_e8-in-plan pin lives in PlanAuditSpec over real scans.)
+  }
+
+  test("q124 outlier report: P95 semantics against a direct filter") {
+    val rep = graft.queries.ModelQueries
+      .queries("q124_embedding_outliers")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rep.nonEmpty)
+    // Independent recount: re-assign and filter directly at each
+    // cluster's reported cutoff — the histogram-rank path must agree
+    // with the naive count, and the tail must be ~5% (ties may push it
+    // slightly above 1/20, never below floor(n/20)).
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cents = Centroids.fit(emb, "label", "embedding")
+    val assigned = Centroids.assign(emb, "embedding", cents, "label")
+      .select(col("assigned"), col("dist2_e8")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    rep.foreach { r =>
+      val (cl, cutoff, nVecs, nOut, frac) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      val mine = assigned.filter(_._1 == cl)
+      assert(mine.length.toLong == nVecs, s"cluster $cl size")
+      val direct = mine.count(_._2 >= cutoff).toLong
+      assert(direct == nOut, s"cluster $cl: histogram $nOut vs direct $direct")
+      assert(nOut >= nVecs / 20 - 1 && nOut <= nVecs / 5,
+        s"cluster $cl: tail $nOut of $nVecs not ~5%")
+      assert(math.abs(frac - nOut.toDouble / nVecs) < 1e-12)
+    }
   }
 }
