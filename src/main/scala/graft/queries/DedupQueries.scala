@@ -152,7 +152,41 @@ object DedupQueries {
       .orderBy(col("rank_e9").desc, col("doc_id"))
       .limit(20)
 
+  // q125: leakage-free train/val split — the split unit is the NEAR-DUP
+  // COMPONENT, not the document: hashing a doc_id instead silently puts
+  // near-duplicates of training docs into validation (the classic eval
+  // contamination). Split = md5 of the component's canonical id
+  // (12/16 hex → ~75% train), so membership is deterministic and every
+  // component lands whole. The report carries its own certificate:
+  // cross_split_components counts components spanning both splits —
+  // structurally 0 here, and the column turns a future "split by doc"
+  // regression into an oracle mismatch instead of silent leakage.
+  // Scale shape: components from the O(log d) pointer-doubling CC over
+  // LSH pairs (q54); the report is two aggregates over the materialized
+  // (id, component) table + a broadcast 1-row certificate join.
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(lshPairs(s, dir),
+        docs(s, dir).select(col("doc_id").as("id")))
+      .localCheckpoint(true) // two consumers: split report + certificate
+    val sp = comp.withColumn("split",
+      when(substring(md5(concat(lit("split:"),
+          col("component").cast("string"))), 1, 1) < "c", "train")
+        .otherwise("val"))
+    val leak = sp.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("__nsp"))
+      .agg(sum(when(col("__nsp") > 1, 1L).otherwise(0L))
+        .as("cross_split_components"))
+    sp.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_components"),
+        col("cross_split_components"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_leakage_free_split" -> (q125 _),
     "q109_snapshot_dedup" -> (q109 _),
     "q118_canonical_rank" -> (q118 _),
     "q85_stream_neardup" -> (q85 _),
@@ -276,6 +310,22 @@ object DedupQueries {
     "q54_neardup_components" ->
       s"""WITH RECURSIVE $compCte
          |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    "q125_leakage_free_split" ->
+      s"""WITH RECURSIVE $compCte,
+         |sp AS (SELECT id, component,
+         |    CASE WHEN substr(md5('split:' || CAST(component AS VARCHAR)),
+         |        1, 1) < 'c' THEN 'train' ELSE 'val' END AS split
+         |  FROM comp),
+         |pc AS (SELECT component, COUNT(DISTINCT split) AS nsp
+         |       FROM sp GROUP BY component),
+         |leak AS (SELECT CAST(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cross_split_components FROM pc)
+         |SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT sp.component) AS BIGINT) AS n_components,
+         |  leak.cross_split_components
+         |FROM sp CROSS JOIN leak
+         |GROUP BY sp.split, leak.cross_split_components
+         |ORDER BY sp.split""".stripMargin,
     "q55_dedup_keep_best" ->
       s"""WITH RECURSIVE $compCte,
          |lens AS (SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len

@@ -116,4 +116,34 @@ class DedupTextSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1)
     assert(!out(1L)._2 && out(2L)._2)
   }
+
+  test("q125: component-keyed split is leakage-free where doc-keyed leaks") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.queries.DedupQueries
+      .queries("q125_leakage_free_split")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rep.map(_.getString(0)).sorted.toSeq == Seq("train", "val"))
+    rep.foreach(r => assert(r.getLong(3) == 0L,
+      s"certificate violated: ${r.getLong(3)} cross-split components"))
+    val total = rep.map(_.getLong(1)).sum
+    val corpus = graft.Tables
+      .load(spark, "/root/testdata/sf0.01", "documents").count()
+    assert(total == corpus, s"split covers $total of $corpus docs")
+    // Negative control: the SAME hash rule keyed on doc_id (the naive
+    // split) straddles components — the exact contamination this
+    // operator exists to prevent. Deterministic on the fixed fixture
+    // (measured: 23 multi-doc components, 10 leak under doc-keying).
+    val comp = graft.queries.DedupQueries
+      .queries("q54_neardup_components")(spark, "/root/testdata/sf0.01")
+    val docKeyed = comp.withColumn("split",
+      when(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 1) < "c", "train")
+        .otherwise("val"))
+    val multi = docKeyed.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("split")).as("nsp"))
+    assert(multi.filter(col("n") > 1).count() > 0,
+      "fixture lost its multi-doc near-dup components")
+    assert(multi.filter(col("nsp") > 1).count() > 0,
+      "doc-keyed control no longer leaks — negative control broken")
+  }
 }
