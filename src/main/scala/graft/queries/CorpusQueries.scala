@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, SpanDedup}
+import graft.operators.{Curation, ParagraphDedup, SpanDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,11 +51,25 @@ object CorpusQueries {
         col("n_removed"))
       .orderBy(col("doc_id"))
 
+  private val W = 12 // paragraph-grid segment width (tokens)
+
+  // q126: CCNet/RefinedWeb-style paragraph-hash boilerplate removal —
+  // the CHEAP substring-dedup tier (non-overlapping W-token grid, n/W
+  // hash rows per doc) vs q98/q101's overlapping-shingle span tier.
+  // Certified byte-for-byte via md5 of the rebuilt text.
+  def q126(s: SparkSession, dir: String): DataFrame =
+    ParagraphDedup.strip(docs(s, dir), "doc_id", "text", w = W,
+        minDocFreq = 2)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+        col("n_segs"), col("n_dup_segs"), col("n_removed"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
-    "q101_span_strip" -> (q101 _))
+    "q101_span_strip" -> (q101 _),
+    "q126_paragraph_dedup" -> (q126 _))
 
   // Shared CTE prefix: K-shingle positions and the merged duplicated
   // spans (the SQL mirror of SpanDedup.spans at k=8, minDocFreq=2).
@@ -145,5 +159,38 @@ object CorpusQueries {
          |SELECT toks.doc_id, md5(COALESCE(reb.text2, '')) AS clean_md5,
          |  CAST(len(toks.t) - COALESCE(reb.kept, 0) AS BIGINT) AS n_removed
          |FROM toks LEFT JOIN reb USING (doc_id)
-         |ORDER BY toks.doc_id""".stripMargin)
+         |ORDER BY toks.doc_id""".stripMargin,
+    // Replays the identical W=12 segment grid: same md5 per segment,
+    // same distinct-doc frequency, same index-aware rebuild. Both
+    // engines rebuild EVERY doc from its token array, so the md5s
+    // agree even where the rewrite is a no-op.
+    "q126_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |              FROM documents),
+        |seg AS (SELECT doc_id, t, unnest(range(1, len(t) // 12 + 1)) AS p
+        |        FROM toks WHERE len(t) >= 12),
+        |sh AS (SELECT doc_id, p,
+        |         md5(list_aggregate(t[(p-1)*12+1 : p*12], 'string_agg',
+        |           ' ')) AS h
+        |       FROM seg),
+        |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh)
+        |        GROUP BY h HAVING COUNT(*) >= 2),
+        |ds AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+        |tok AS (SELECT doc_id, unnest(t) AS w,
+        |          generate_subscripts(t, 1) AS j FROM toks),
+        |keep AS (SELECT tok.doc_id, j, w FROM tok LEFT JOIN ds
+        |           ON tok.doc_id = ds.doc_id AND (j - 1) // 12 + 1 = ds.p
+        |         WHERE ds.p IS NULL),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text2,
+        |          CAST(COUNT(*) AS BIGINT) AS kept
+        |        FROM keep GROUP BY doc_id),
+        |rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd
+        |        FROM ds GROUP BY doc_id)
+        |SELECT toks.doc_id, md5(COALESCE(reb.text2, '')) AS clean_md5,
+        |  CAST(len(toks.t) // 12 AS BIGINT) AS n_segs,
+        |  CAST(COALESCE(rep.nd, 0) AS BIGINT) AS n_dup_segs,
+        |  CAST(len(toks.t) - COALESCE(reb.kept, 0) AS BIGINT) AS n_removed
+        |FROM toks LEFT JOIN reb USING (doc_id)
+        |  LEFT JOIN rep USING (doc_id)
+        |ORDER BY toks.doc_id""".stripMargin)
 }
