@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Centroids, Curation, LanguageModel, Projection,
-  TextAnalysis}
+import graft.operators.{Centroids, Curation, Dsir, LanguageModel,
+  Projection, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,13 +103,22 @@ object ModelQueries {
       .orderBy(col("assigned"))
   }
 
+  // q127: DSIR importance resampling — select raw docs that RESEMBLE
+  // the target domain (here: lang='en') under hashed-bigram bag-of-words
+  // models, Gumbel-top-k so the sample tracks the target DISTRIBUTION
+  // instead of collapsing onto its mode. Integer e4 scores end to end.
+  def q127(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceResample(docs(s, dir), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 512, k = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_lm_score" -> (q91 _),
     "q92_quality_classifier" -> (q92 _),
     "q93_random_projection" -> (q93 _),
     "q94_mixture_weights" -> (q94 _),
     "q96_centroid_assign" -> (q96 _),
-    "q124_embedding_outliers" -> (q124 _)
+    "q124_embedding_outliers" -> (q124 _),
+    "q127_dsir_resample" -> (q127 _)
   )
 
   /** English stopword list as a DuckDB list literal (same vocabulary as
@@ -291,6 +300,46 @@ object ModelQueries {
          |  CAST(SUM(CASE WHEN s >= cutoff THEN c ELSE 0 END) AS DOUBLE)
          |    / CAST(MAX(n) AS DOUBLE) AS outlier_frac
          |FROM r2 JOIN cut USING (assigned)
-         |GROUP BY r2.assigned, cut.cutoff ORDER BY assigned""".stripMargin
+         |GROUP BY r2.assigned, cut.cutoff ORDER BY assigned""".stripMargin,
+    // q127: replays the hashed-bigram models, the e4 log-ratio table,
+    // the integer doc score, and the md5-derived Gumbel perturbation.
+    // Smoothing quotients mirror the engine's expression tree textually
+    // (e0 literals — SURVEY §5.4); totals join in via a 1-row CTE where
+    // the engine folds driver scalars.
+    "q127_dsir_resample" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), ' '),
+        |                x -> LENGTH(x) > 0) AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+        |       FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 2)),
+        |db AS (SELECT doc_id, lang,
+        |         CAST(('0x'||substr(md5(g),1,8)) AS BIGINT) % 512 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM bi GROUP BY 1, 2, 3),
+        |cnt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr,
+        |          CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END)
+        |            AS BIGINT) AS ct
+        |        FROM db GROUP BY b),
+        |tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+        |          CAST(SUM(ct) AS DOUBLE) AS nt FROM cnt),
+        |lr AS (SELECT b,
+        |         CAST(ROUND((ln((ct + 1.0e0) / (nt + 512.0e0)) -
+        |           ln((cr + 1.0e0) / (nr + 512.0e0))) * 10000, 0)
+        |           AS BIGINT) AS lr_e4
+        |       FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |         CAST(SUM(c * lr_e4) AS BIGINT) AS logw_e4
+        |       FROM db JOIN lr USING (b) GROUP BY doc_id),
+        |g AS (SELECT doc_id, n_grams, logw_e4,
+        |        CAST(ROUND(-ln(-ln((CAST(CAST(('0x'||substr(
+        |          md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |          AS BIGINT) AS DOUBLE) + 0.5e0) / 281474976710656.0e0))
+        |          * 10000, 0) AS BIGINT) AS gumbel_e4
+        |      FROM sc)
+        |SELECT doc_id, n_grams, logw_e4, gumbel_e4,
+        |  logw_e4 + gumbel_e4 AS score_e4
+        |FROM g ORDER BY score_e4 DESC, doc_id LIMIT 100""".stripMargin
   )
 }

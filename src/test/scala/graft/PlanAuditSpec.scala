@@ -129,6 +129,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q127: DSIR selects via TakeOrdered and broadcasts the ratio table") {
+    val p = plan("q127_dsir_resample")
+    // Global top-k must be per-partition k + driver merge, never a
+    // single-partition global sort; the 512-row log-ratio table joins
+    // back broadcast, so the per-doc stream never shuffles for scoring.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q82: upsampling is explode-only — no join, no aggregation") {
     val p = plan("q82_upsample")
     assert(p.contains("Generate"), p)
