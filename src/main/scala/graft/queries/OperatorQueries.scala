@@ -158,8 +158,24 @@ object OperatorQueries {
       k = 5, pool = 50)
   }
 
+  // q128: SQ8 (int8 scalar quantization) ANN top-5 — the 4×-compression
+  // no-codebook tier between brute force (q21) and PQ (q72). Fit =
+  // one per-dimension min/max pass on the corpus; search ranks by
+  // exact-query × dequantized-corpus integer L2, re-scores the pool
+  // exactly in e6. All-integer, so the oracle replays every step.
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val m = graft.operators.Sq.fit(corpus, "embedding", EmbeddingDim)
+    graft.operators.Sq.search(corpus, "vec_id", "embedding", m, q,
+      k = 5, pool = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_ann_pq" -> (q72 _),
+    "q128_ann_sq8" -> (q128 _),
     "q31_lang_id" -> (q31 _),
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
@@ -413,9 +429,45 @@ object OperatorQueries {
        |ORDER BY score DESC, d.vec_id LIMIT $topk""".stripMargin
   }
 
+  /** q128's oracle: replays the SQ8 tier end to end — e6 quantization,
+    * per-dimension corpus bounds, integer code/dequantize arithmetic
+    * (`//` mirrors the engine's exact non-negative intDiv), the
+    * quantized-space pool and the exact e6 re-score. No float anywhere.
+    * Parameters mirror [[q128]]: 255 levels, pool=50, top-5.
+    */
+  private lazy val q128OracleSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |dim AS MATERIALIZED (
+      |  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d
+      |  FROM e),
+      |mm AS (SELECT d, MIN(x) AS mn, GREATEST(MAX(x) - MIN(x), 1) AS rg
+      |       FROM dim WHERE vec_id <> 0 GROUP BY d),
+      |qv AS (SELECT d, x FROM dim WHERE vec_id = 0),
+      |xh AS (SELECT vec_id, dim.d,
+      |         mn + ((((x - mn) * 255) // rg) * rg) // 255 AS xh
+      |       FROM dim JOIN mm USING (d) WHERE vec_id <> 0),
+      |d2q AS (SELECT vec_id,
+      |          CAST(SUM((xh - qv.x) * (xh - qv.x)) AS BIGINT) AS d2q_e12
+      |        FROM xh JOIN qv USING (d) GROUP BY vec_id),
+      |pool AS (SELECT vec_id, d2q_e12 FROM d2q
+      |         ORDER BY d2q_e12, vec_id LIMIT 50),
+      |d2 AS (SELECT dim.vec_id,
+      |         CAST(SUM((dim.x - qv.x) * (dim.x - qv.x)) AS BIGINT)
+      |           AS d2_e12
+      |       FROM dim JOIN qv USING (d)
+      |       WHERE dim.vec_id IN (SELECT vec_id FROM pool)
+      |       GROUP BY dim.vec_id)
+      |SELECT pool.vec_id, pool.d2q_e12, d2.d2_e12
+      |FROM pool JOIN d2 USING (vec_id)
+      |ORDER BY d2_e12, vec_id LIMIT 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q49_ann_ivf" -> q49OracleSql,
     "q72_ann_pq" -> q72OracleSql,
+    "q128_ann_sq8" -> q128OracleSql,
     // ASCII PRECONDITION (q34 + q35): this replay tokenizes with ASCII
     // classes ([a-z]+|[0-9]+|[^a-z0-9\s], BETWEEN 'a' AND 'z') and
     // hashes unicode() codepoints, while the engine uses \p{L}/\p{N},
