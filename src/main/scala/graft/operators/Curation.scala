@@ -578,4 +578,39 @@ object Curation {
         (coalesce(col("n_novel"), lit(0L)).cast("double") /
           col("n_grams").cast("double")).as("novelty_frac"))
   }
+
+  /** k-anonymity generalization over a two-column quasi-identifier —
+    * the release-safety report a corpus needs before publication:
+    * records whose (q1, q2) combination occurs in fewer than `k`
+    * documents are re-identification risks, so they generalize up the
+    * lattice (q1, q2) → (q1, '*') → ('*', '*') until their group
+    * reaches `k`, and are SUPPRESSED (level 3) if even the fully
+    * generalized remainder stays under `k`.
+    *
+    * Scale shape: the corpus crosses exactly ONE map-side-combinable
+    * aggregate (to the |q1|×|q2| cells table, materialized — three
+    * consumers, and Catalyst does not share subtrees); the lattice walk
+    * is algebra on that bounded table. Output: q1, q2 (generalized
+    * values, '*' where folded), level (0 = released as-is, 1 = source
+    * folded, 2 = fully generalized, 3 = suppressed), n_docs.
+    */
+  def kAnonymize(df: DataFrame, q1: String, q2: String,
+      k: Int): DataFrame = {
+    val cells = df.groupBy(col(q1), col(q2))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val l0 = cells.filter(col("n_docs") >= k)
+      .select(col(q1), col(q2), lit(0).as("level"), col("n_docs"))
+    val f0 = cells.filter(col("n_docs") < k)
+    val l1c = f0.groupBy(col(q1)).agg(sum(col("n_docs")).as("n_docs"))
+    val l1 = l1c.filter(col("n_docs") >= k)
+      .select(col(q1), lit("*").as(q2), lit(1).as("level"), col("n_docs"))
+    val l2 = l1c.filter(col("n_docs") < k)
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(lit("*").as(q1), lit("*").as(q2),
+        when(col("n_docs") >= k, 2).otherwise(3).as("level"),
+        col("n_docs"))
+      .filter(col("n_docs").isNotNull)
+    l0.unionByName(l1).unionByName(l2)
+  }
 }

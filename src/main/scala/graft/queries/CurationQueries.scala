@@ -215,7 +215,17 @@ object CurationQueries {
       .orderBy(col("bin"))
   }
 
+  // q129: k-anonymity release report over the (lang, source)
+  // quasi-identifier — under-k combinations generalize up the lattice
+  // (lang, source) → (lang, '*') → ('*', '*'), still-under-k remainder
+  // is suppressed. The corpus crosses ONE aggregate; the walk is
+  // bounded-cells-table algebra.
+  def q129(s: SparkSession, dir: String): DataFrame =
+    Curation.kAnonymize(docs(s, dir), "lang", "source", k = 5)
+      .orderBy(col("level"), col("lang"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_k_anonymity" -> (q129 _),
     "q83_curation_pipeline" -> (q83 _),
     "q81_seeded_shuffle" -> (q81 _),
     "q82_upsample" -> (q82 _),
@@ -308,6 +318,24 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q129_k_anonymity" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS
+        |    n_docs FROM documents GROUP BY 1, 2),
+        |l0 AS (SELECT lang, source, 0 AS level, n_docs FROM cells
+        |       WHERE n_docs >= 5),
+        |f0 AS (SELECT lang, n_docs FROM cells WHERE n_docs < 5),
+        |l1c AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        |        FROM f0 GROUP BY lang),
+        |l1 AS (SELECT lang, '*' AS source, 1 AS level, n_docs FROM l1c
+        |       WHERE n_docs >= 5),
+        |l2 AS (SELECT '*' AS lang, '*' AS source,
+        |         CASE WHEN SUM(n_docs) >= 5 THEN 2 ELSE 3 END AS level,
+        |         CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        |       FROM l1c WHERE n_docs < 5 HAVING COUNT(*) > 0)
+        |SELECT lang, source, level, n_docs FROM
+        |  (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |   UNION ALL SELECT * FROM l2)
+        |ORDER BY level, lang, source""".stripMargin,
     "q79_profile_approx" ->
       s"""WITH s AS (SELECT
          |  COUNT(*) AS total,
