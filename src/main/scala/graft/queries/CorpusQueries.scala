@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, ParagraphDedup, SpanDedup}
+import graft.operators.{Cdc, Curation, ParagraphDedup, SpanDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,12 +64,24 @@ object CorpusQueries {
         col("n_segs"), col("n_dup_segs"), col("n_removed"))
       .orderBy(col("doc_id"))
 
+  // q130: content-defined-chunking dedup — the shift-robust third
+  // member of the substring trilogy (fixed grid q126, shingle spans
+  // q98/q101): cut after token i when hash(4-token window) % 16 == 0,
+  // strip chunks hashed in >= 2 distinct docs, same certified rebuild.
+  def q130(s: SparkSession, dir: String): DataFrame =
+    Cdc.strip(docs(s, dir), "doc_id", "text", w = 4, modulus = 16,
+        minDocFreq = 2)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+        col("n_chunks"), col("n_dup_chunks"), col("n_removed"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
     "q101_span_strip" -> (q101 _),
-    "q126_paragraph_dedup" -> (q126 _))
+    "q126_paragraph_dedup" -> (q126 _),
+    "q130_cdc_dedup" -> (q130 _))
 
   // Shared CTE prefix: K-shingle positions and the merged duplicated
   // spans (the SQL mirror of SpanDedup.spans at k=8, minDocFreq=2).
@@ -192,5 +204,54 @@ object CorpusQueries {
         |  CAST(len(toks.t) - COALESCE(reb.kept, 0) AS BIGINT) AS n_removed
         |FROM toks LEFT JOIN reb USING (doc_id)
         |  LEFT JOIN rep USING (doc_id)
+        |ORDER BY toks.doc_id""".stripMargin,
+    // Replays the CDC tier: the same 4-token window hash and mod-16
+    // cut rule, boundary assembly (DISTINCT absorbs a cut at n, which
+    // the engine drops as an empty span), chunk md5s, distinct-doc
+    // frequency, and the index-aware rebuild.
+    "q130_cdc_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |              FROM documents),
+        |win AS (SELECT doc_id, t, unnest(range(4, len(t) + 1)) AS i
+        |        FROM toks WHERE len(t) >= 4),
+        |cuts AS (SELECT doc_id, i FROM win
+        |         WHERE CAST(('0x'||substr(md5(list_aggregate(t[i-3:i],
+        |           'string_agg', ' ')), 1, 8)) AS BIGINT) % 16 = 0),
+        |bd AS (SELECT DISTINCT doc_id, p FROM (
+        |         SELECT doc_id, 0 AS p FROM toks
+        |         UNION ALL SELECT doc_id, i FROM cuts
+        |         UNION ALL SELECT doc_id, len(t) FROM toks)),
+        |sp AS (SELECT doc_id, p + 1 AS s,
+        |         LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+        |       FROM bd),
+        |ch AS (SELECT sp.doc_id, s, e,
+        |         md5(list_aggregate(t[s:e], 'string_agg', ' ')) AS h
+        |       FROM sp JOIN toks ON sp.doc_id = toks.doc_id
+        |       WHERE e IS NOT NULL AND s <= e),
+        |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM ch)
+        |        GROUP BY h HAVING COUNT(*) >= 2),
+        |ds AS (SELECT doc_id, s, e FROM ch JOIN dup USING (h)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS j
+        |        FROM ds),
+        |tok AS (SELECT doc_id, unnest(t) AS w,
+        |          generate_subscripts(t, 1) AS j FROM toks),
+        |keep AS (SELECT tok.doc_id, tok.j, tok.w FROM tok
+        |         LEFT JOIN cov ON tok.doc_id = cov.doc_id
+        |           AND tok.j = cov.j
+        |         WHERE cov.j IS NULL),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text2,
+        |          CAST(COUNT(*) AS BIGINT) AS kept
+        |        FROM keep GROUP BY doc_id),
+        |rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd
+        |        FROM ds GROUP BY doc_id),
+        |cc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nch
+        |       FROM ch GROUP BY doc_id)
+        |SELECT toks.doc_id, md5(COALESCE(reb.text2, '')) AS clean_md5,
+        |  cc.nch AS n_chunks,
+        |  CAST(COALESCE(rep.nd, 0) AS BIGINT) AS n_dup_chunks,
+        |  CAST(len(toks.t) - COALESCE(reb.kept, 0) AS BIGINT) AS n_removed
+        |FROM toks JOIN cc ON toks.doc_id = cc.doc_id
+        |  LEFT JOIN reb ON toks.doc_id = reb.doc_id
+        |  LEFT JOIN rep ON toks.doc_id = rep.doc_id
         |ORDER BY toks.doc_id""".stripMargin)
 }

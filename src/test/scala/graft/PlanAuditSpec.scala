@@ -221,7 +221,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q98-q101: span tier prunes columns and stays cartesian-free") {
     for (q <- Seq("q98_span_dedup", "q100_ngram_novelty",
-        "q101_span_strip", "q126_paragraph_dedup")) {
+        "q101_span_strip", "q126_paragraph_dedup", "q130_cdc_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       // only doc_id + text feed the shingle/gram streams
@@ -248,9 +248,10 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(corpusGenerates("q98_span_dedup") == 0)
     assert(corpusGenerates("q101_span_strip") == 0)
-    // q126: the paragraph-segment stream is checkpointed once and the
+    // q126/q130: the segment/chunk streams are checkpointed once and the
     // rebuild is the same index-aware filter — zero corpus-fed explodes.
     assert(corpusGenerates("q126_paragraph_dedup") == 0)
+    assert(corpusGenerates("q130_cdc_dedup") == 0)
     // q100: the distinct (doc, gram) stream is materialized once too
     // (both consumers read the checkpointed RDD).
     assert(corpusGenerates("q100_ngram_novelty") == 0)
