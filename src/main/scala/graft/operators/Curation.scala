@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators: PII scrubbing, benchmark
@@ -612,5 +613,69 @@ object Curation {
         col("n_docs"))
       .filter(col("n_docs").isNotNull)
     l0.unionByName(l1).unionByName(l2)
+  }
+
+  /** UniMax language sampling (Chung et al. 2023, arXiv:2304.09151) —
+    * allocate a total token budget across languages so every language
+    * is used as uniformly as possible WITHOUT exceeding `epochCap`
+    * repetitions of its corpus: languages too small to absorb a fair
+    * share saturate at cap·n_tokens epochs, and the freed budget
+    * water-fills the rest. The greedy (ascending-size) allocation is
+    * the closed-form waterfill: with caps sorted ascending, saturation
+    * is prefix-closed, so one pass of window prefix sums finds the
+    * saturated prefix and the integer split of the remainder
+    * (first `rem` unsaturated languages get one extra token).
+    *
+    * Budget = n_total · budgetNum / budgetDen (integer div). All
+    * arithmetic is exact integer, so the allocation is deterministic
+    * and oracle-replayable. Scale shape: the corpus crosses ONE
+    * map-side-combinable aggregate (language → token count); the
+    * waterfill is window algebra on the languages-sized table (the
+    * single-partition windows see |languages| rows, never the corpus).
+    *
+    * Output: langCol, n_tokens, cap, alloc, saturated (0/1),
+    * epochs_e4 = alloc·10⁴ div n_tokens.
+    */
+  def unimaxAllocation(df: DataFrame, langCol: String, textCol: String,
+      epochCap: Int, budgetNum: Int, budgetDen: Int): DataFrame = {
+    val langs = df
+      .groupBy(col(langCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long"))
+        .as("n_tokens"))
+      .localCheckpoint(true)
+    val all = Window.partitionBy()
+    val byCap = Window.partitionBy()
+      .orderBy(col("cap"), col(langCol))
+    val ranked = langs
+      .withColumn("cap", col("n_tokens") * epochCap)
+      .withColumn("T", expr(s"sum(n_tokens) over () * $budgetNum" +
+        s" div $budgetDen"))
+      .withColumn("L", count(lit(1)).over(all))
+      .withColumn("r", row_number().over(byCap))
+      .withColumn("P", sum(col("cap")).over(
+        Window.partitionBy().orderBy(col("cap"), col(langCol))))
+      // saturated iff cap·(langs from here on) fits the budget left
+      // after granting every smaller language its cap
+      .withColumn("sat",
+        (col("cap") * (col("L") - col("r") + 1)) <=
+          (col("T") - (col("P") - col("cap"))))
+    val filled = ranked
+      .withColumn("m", sum(when(col("sat"), 1L).otherwise(0L)).over(all))
+      .withColumn("Pm",
+        sum(when(col("sat"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("base",
+        when(col("m") < col("L"),
+          expr("(T - Pm) div (L - m)")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("m") < col("L"),
+          expr("(T - Pm) % (L - m)")).otherwise(lit(0L)))
+      .withColumn("alloc",
+        when(col("sat"), col("cap"))
+          .otherwise(col("base") +
+            when(col("r") - col("m") <= col("rem"), 1L).otherwise(0L)))
+    filled.select(col(langCol), col("n_tokens"), col("cap"),
+      col("alloc"),
+      when(col("sat"), 1).otherwise(0).as("saturated"),
+      expr("alloc * 10000 div n_tokens").as("epochs_e4"))
   }
 }

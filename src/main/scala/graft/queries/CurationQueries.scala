@@ -224,8 +224,21 @@ object CurationQueries {
     Curation.kAnonymize(docs(s, dir), "lang", "source", k = 5)
       .orderBy(col("level"), col("lang"), col("source"))
 
+  // q131: UniMax language-budget waterfill — spend a 150%-of-corpus
+  // token budget across languages as uniformly as possible with at most
+  // 2 epochs per language: small languages saturate at their cap, the
+  // freed budget waterfills the rest (the budget deliberately exceeds
+  // one corpus epoch so the cap BINDS — the regime UniMax is for).
+  // One corpus aggregate; the fill is window algebra on the
+  // languages-sized table.
+  def q131(s: SparkSession, dir: String): DataFrame =
+    Curation.unimaxAllocation(docs(s, dir), "lang", "text",
+        epochCap = 2, budgetNum = 3, budgetDen = 2)
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_k_anonymity" -> (q129 _),
+    "q131_unimax_budget" -> (q131 _),
     "q83_curation_pipeline" -> (q83 _),
     "q81_seeded_shuffle" -> (q81 _),
     "q82_upsample" -> (q82 _),
@@ -336,6 +349,44 @@ object CurationQueries {
         |  (SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |   UNION ALL SELECT * FROM l2)
         |ORDER BY level, lang, source""".stripMargin,
+    // q131: replays the waterfill — same prefix sums, the same
+    // saturation predicate (exact integer comparison), the same
+    // integer remainder split. Params mirror the engine: epoch cap 2,
+    // budget = 150% of corpus tokens.
+    "q131_unimax_budget" ->
+      """WITH langs AS (SELECT lang,
+        |    CAST(SUM(len(regexp_split_to_array(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |rk AS (SELECT lang, n_tokens, n_tokens * 2 AS cap,
+        |         ((SUM(n_tokens) OVER ()) * 3) // 2 AS T,
+        |         COUNT(*) OVER () AS L,
+        |         ROW_NUMBER() OVER (ORDER BY n_tokens * 2, lang) AS r,
+        |         SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2, lang)
+        |           AS P
+        |       FROM langs),
+        |st AS (SELECT *, (cap * (L - r + 1)) <= (T - (P - cap)) AS sat
+        |       FROM rk),
+        |fl AS (SELECT *,
+        |         SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS m,
+        |         SUM(CASE WHEN sat THEN cap ELSE 0 END) OVER () AS Pm
+        |       FROM st),
+        |al AS (SELECT *,
+        |         CASE WHEN m < L THEN (T - Pm) // (L - m) ELSE 0 END
+        |           AS base,
+        |         CASE WHEN m < L THEN (T - Pm) % (L - m) ELSE 0 END
+        |           AS rem
+        |       FROM fl),
+        |res AS (SELECT lang, n_tokens, cap, sat,
+        |          CASE WHEN sat THEN cap ELSE base +
+        |            (CASE WHEN r - m <= rem THEN 1 ELSE 0 END) END
+        |            AS alloc
+        |        FROM al)
+        |SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CASE WHEN sat THEN 1 ELSE 0 END AS saturated,
+        |  CAST((alloc * 10000) // n_tokens AS BIGINT) AS epochs_e4
+        |FROM res ORDER BY lang""".stripMargin,
     "q79_profile_approx" ->
       s"""WITH s AS (SELECT
          |  COUNT(*) AS total,
