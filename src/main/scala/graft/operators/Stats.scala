@@ -341,4 +341,45 @@ object Stats {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
           / lit(total.toDouble), 6))
   }
+
+  /** Zipf power-law fit over the corpus token-frequency distribution —
+    * the one-row health certificate of a text corpus: natural language
+    * sits near slope −1 on log-rank/log-frequency; spam farms, OCR
+    * noise, and template floods bend it. Least squares over the top
+    * `topR` ranks with both axes pinned to e4 integers BEFORE the
+    * moment sums (Σx, Σy, Σxy, Σx² stay exact longs — overflow-audited:
+    * |x|,|y| ≤ 2·10⁵ ⇒ Σxy ≤ topR·4·10¹⁰ ≪ 2⁶³), so the only floats
+    * are the two final divisions and the oracle replays the fit
+    * bit-for-bit.
+    *
+    * Scale shape: one map-side-combinable token count (vocabulary-
+    * sized), TakeOrdered top-R, and the moment sums over R rows. The
+    * corpus crosses exactly one aggregate. Output one row: n_ranks,
+    * slope, intercept_e4 (intercept in e4 log-frequency space).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int = 1000)
+      : DataFrame = {
+    val lnE4 = (c: Column) =>
+      round(log(c.cast("double")) * 10000, 0).cast("long")
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    val top = graft.SparkUtil.ensureParallelism(df)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(topR)
+      .select(lnE4(row_number().over(byFreq)).as("x"),
+        lnE4(col("cnt")).as("y"))
+    val m = top.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("n").as("n_ranks"), slope.as("slope"),
+      (col("sy").cast("double") / col("n").cast("double") -
+        slope * (col("sx").cast("double") / col("n").cast("double")))
+        .as("intercept_e4"))
+  }
 }

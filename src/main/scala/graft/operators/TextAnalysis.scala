@@ -167,4 +167,52 @@ object TextAnalysis {
       .withColumn("score_e6", scoreE6)
       .withColumn("keep", scoreE6 >= thrE6)
   }
+
+  /** Per-document token-distribution Shannon entropy — the information
+    * signal behind the repetition verdicts: spam/templated text carries
+    * low entropy even when no single token dominates (q65's top-word
+    * fraction sees only the mode). H = ln n − (Σ c·ln c)/n over the
+    * token histogram, reported in e4 nats: each ln term is pinned to
+    * an e4 integer BEFORE the sum ([[LanguageModel]]'s discipline), the
+    * per-doc division is exact integer `div`, so the value replays
+    * bit-for-bit in SQL.
+    *
+    * Scale shape: the whole computation is per-row algebra over the
+    * sorted token array (one fold accumulates run lengths AND the
+    * Σ c·lnE4(c) term as runs close) — the corpus crosses ZERO
+    * shuffles, the q65 discipline. Output: idCol, n_tokens,
+    * n_distinct, entropy_e4, ttr (type-token ratio).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = split(col(textCol), " ")
+    val lnE4 = (c: Column) =>
+      round(log(c.cast("double")) * 10000, 0).cast("long")
+    // run=0 only before the first element: guard keeps ln(0) (-Inf,
+    // which ANSI cast-to-long rejects) out of the expression's value.
+    val term = (run: Column) =>
+      when(run > 0, run * lnE4(run)).otherwise(lit(0L))
+    val runFold = (acc: Column, x: Column) =>
+      when(x === acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(lit(1L))
+    // Fold over the sorted array: close each run into the Σ c·lnE4(c)
+    // accumulator when the token changes; finish() closes the last run.
+    val sumTerm = aggregate(array_sort(col("__t")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("acc")),
+      (acc, x) => struct(x.as("prev"), runFold(acc, x).as("run"),
+        (acc.getField("acc") + when(x === acc.getField("prev"), lit(0L))
+          .otherwise(term(acc.getField("run")))).as("acc")),
+      acc => acc.getField("acc") + term(acc.getField("run")))
+    val n = size(col("__t")).cast("long")
+    val intDiv = (a: Column, b: Column) =>
+      ((a - pmod(a, b)) / b).cast("long")
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol), n.as("n_tokens"),
+        size(array_distinct(col("__t"))).cast("long").as("n_distinct"),
+        (lnE4(n) - intDiv(sumTerm, n)).as("entropy_e4"),
+        (size(array_distinct(col("__t"))).cast("double") /
+          size(col("__t"))).as("ttr"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cdc, Curation, ParagraphDedup, SpanDedup}
+import graft.operators.{Cdc, Curation, ParagraphDedup, SpanDedup,
+  Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,13 +76,28 @@ object CorpusQueries {
         col("n_chunks"), col("n_dup_chunks"), col("n_removed"))
       .orderBy(col("doc_id"))
 
+  // q132: per-doc token-distribution Shannon entropy (e4 nats) + TTR —
+  // the information signal q65's mode-only fractions miss; zero-shuffle
+  // per-row fold over the sorted token array.
+  def q132(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q133: corpus Zipf power-law fit — one-row least-squares slope /
+  // intercept over the top-1000 token ranks, both axes e4-pinned so the
+  // moment sums are exact integers.
+  def q133(s: SparkSession, dir: String): DataFrame =
+    Stats.zipfFit(docs(s, dir), "text", topR = 1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
     "q101_span_strip" -> (q101 _),
     "q126_paragraph_dedup" -> (q126 _),
-    "q130_cdc_dedup" -> (q130 _))
+    "q130_cdc_dedup" -> (q130 _),
+    "q132_token_entropy" -> (q132 _),
+    "q133_zipf_fit" -> (q133 _))
 
   // Shared CTE prefix: K-shingle positions and the merged duplicated
   // spans (the SQL mirror of SpanDedup.spans at k=8, minDocFreq=2).
@@ -253,5 +269,54 @@ object CorpusQueries {
         |FROM toks JOIN cc ON toks.doc_id = cc.doc_id
         |  LEFT JOIN reb ON toks.doc_id = reb.doc_id
         |  LEFT JOIN rep ON toks.doc_id = rep.doc_id
-        |ORDER BY toks.doc_id""".stripMargin)
+        |ORDER BY toks.doc_id""".stripMargin,
+    // q132: replays the histogram entropy — identical e4 ln pins per
+    // run length, identical integer floor division (// mirrors the
+    // engine's exact non-negative intDiv).
+    "q132_token_entropy" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |              FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS term, len(t) AS n FROM toks),
+        |wc AS (SELECT doc_id, term, n, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM w GROUP BY 1, 2, 3),
+        |ent AS (SELECT doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+        |          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |          CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 10000,
+        |            0) AS BIGINT)) AS BIGINT) AS s
+        |        FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens, n_distinct,
+        |  CAST(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |    - s // n AS BIGINT) AS entropy_e4,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) AS ttr
+        |FROM ent ORDER BY doc_id""".stripMargin,
+    // q133: replays the Zipf fit — e4-pinned axes, exact integer moment
+    // sums, the same two final IEEE divisions (expression trees mirror
+    // the engine textually).
+    "q133_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, ' ')) AS w
+        |             FROM documents),
+        |fr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        |       GROUP BY w),
+        |top AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+        |        FROM fr QUALIFY r <= 1000),
+        |xy AS (SELECT
+        |         CAST(ROUND(ln(CAST(r AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |           AS x,
+        |         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |           AS y
+        |       FROM top),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM xy)
+        |SELECT n AS n_ranks,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_e4
+        |FROM m""".stripMargin)
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Token-entropy (q132) and Zipf-fit (q133) numerics on inputs whose
+  * answers are computed by hand in the same e4 integer space the
+  * operators use. The DuckDB oracle certifies engine agreement; these
+  * pin the arithmetic.
+  */
+class EntropyZipfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def entropy(texts: String*) =
+    TextAnalysis.tokenEntropy(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+  test("entropy pins to hand-computed e4 values") {
+    val out = entropy(
+      "a a b b",     // H = ln4 - (2·ln2 + 2·ln2)/4: e4 = 13863 - 6931
+      "a a a a",     // zero entropy
+      "a b c d e")   // max entropy ln5; all runs length 1
+    assert(out(0L) == ((4L, 2L, 6932L, 0.5)))
+    assert(out(1L) == ((4L, 1L, 0L, 0.25)))
+    assert(out(2L) == ((5L, 5L, 16094L, 1.0))) // round(ln5·1e4)
+  }
+
+  test("templated text scores below diverse text") {
+    val out = entropy(
+      Seq.fill(20)("buy now click here").mkString(" "),
+      (1 to 80).map(i => s"w$i").mkString(" "))
+    assert(out(0L)._3 < out(1L)._3)
+  }
+
+  test("zipf two-point fit equals the line through the points") {
+    // vocabulary {a: 100, b: 10}; topR=2 makes least squares exact.
+    val df = Seq((0L, Seq.fill(60)("a").mkString(" ")),
+      (1L, (Seq.fill(40)("a") ++ Seq.fill(10)("b")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Stats.zipfFit(df, "text", topR = 2).collect()(0)
+    assert(r.getLong(0) == 2L)
+    val x2 = math.round(math.log(2.0) * 10000).toDouble
+    val y1 = math.round(math.log(100.0) * 10000).toDouble
+    val y2 = math.round(math.log(10.0) * 10000).toDouble
+    val slope = (y2 - y1) / x2
+    assert(math.abs(r.getDouble(1) - slope) < 1e-9, r.getDouble(1))
+    val intercept = (y1 + y2) / 2.0 - slope * (x2 / 2.0)
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-6, r.getDouble(2))
+  }
+
+  test("real corpus fits a negative power law") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    // the synthetic corpus draws from a small vocabulary (~31 tokens at
+    // sf0.001), so the fit spans min(V, topR) ranks
+    val r = Stats.zipfFit(docs, "text", topR = 1000).collect()(0)
+    assert(r.getLong(0) > 10L && r.getLong(0) <= 1000L)
+    assert(r.getDouble(1) < -0.1 && r.getDouble(1) > -3.0, r.getDouble(1))
+  }
+}
