@@ -28,13 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Duplicated chunks as 1-based inclusive token spans (idCol, s, e) —
+    * the q134 attribution view of the dup set [[strip]] removes.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, w: Int = 4,
+      modulus: Int = 16, minDocFreq: Int = 2): DataFrame = {
+    val seg = chunkStream(df, idCol, textCol, w, modulus)
+    val dup = seg.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("h"))
+    seg.join(dup, Seq("h"), "left_semi")
+      .select(col(idCol), col("s"), col("e"))
+  }
+
   /** Corpus with every cross-doc duplicated CDC chunk removed.
     * Output: idCol, textCol (rewritten), n_chunks, n_dup_chunks,
     * n_removed. Documents shorter than `w` tokens form one whole-doc
     * chunk (so exact short-doc duplicates still dedupe).
     */
-  def strip(df: DataFrame, idCol: String, textCol: String, w: Int = 4,
-      modulus: Int = 16, minDocFreq: Int = 2): DataFrame = {
+  /** The CDC chunk stream (idCol, s, e, h): per-row cut selection,
+    * boundary assembly, chunk hashing — materialized once for its
+    * consumers.
+    */
+  private def chunkStream(df: DataFrame, idCol: String, textCol: String,
+      w: Int, modulus: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val n = size(col("__t"))
     // Cut positions: i ∈ [w, n] with hash(window ending at i) % m == 0.
@@ -55,7 +73,7 @@ object Cdc {
           (element_at(col("__P"), c) + 1).as("s"),
           element_at(col("__P"), c + 1).as("e"))),
       ch => ch.getField("s") <= ch.getField("e"))
-    val seg = graft.SparkUtil.ensureParallelism(df)
+    graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol), col(textCol), toks.as("__t"))
       .withColumn("__P", bounds)
       .select(col(idCol), col("__t"), explode(chunks).as("__c"))
@@ -65,6 +83,12 @@ object Cdc {
           slice(col("__t"), col("__c.s"),
             col("__c.e") - col("__c.s") + 1))).as("h"))
       .localCheckpoint(true)
+  }
+
+  def strip(df: DataFrame, idCol: String, textCol: String, w: Int = 4,
+      modulus: Int = 16, minDocFreq: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val seg = chunkStream(df, idCol, textCol, w, modulus)
     val dup = seg.select(col(idCol), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)

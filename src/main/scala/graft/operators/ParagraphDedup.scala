@@ -67,6 +67,16 @@ object ParagraphDedup {
     seg.join(dup, Seq("h"), "left_semi").select(col(idCol), col("p"))
   }
 
+  /** Duplicated segments as 1-based inclusive token spans
+    * (idCol, s, e) — segment p covers [(p−1)·w+1, p·w]. The q134
+    * attribution view of the same dup set [[strip]] removes.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 12, minDocFreq: Int = 2): DataFrame =
+    dupSegments(df, idCol, textCol, w, minDocFreq)
+      .select(col(idCol), ((col("p") - 1) * w + 1).as("s"),
+        (col("p") * w).as("e"))
+
   /** The rewrite: corpus with every cross-doc duplicated W-segment
     * removed; untouched documents pass through verbatim. Output:
     * idCol, textCol (rewritten), n_segs, n_dup_segs, n_removed.

@@ -89,7 +89,55 @@ object CorpusQueries {
   def q133(s: SparkSession, dir: String): DataFrame =
     Stats.zipfFit(docs(s, dir), "text", topR = 1000)
 
+  // q134: dedup-tier attribution — the three substring tiers run
+  // side-by-side on the SAME corpus, reporting per doc how many token
+  // positions each flags (grid q126, CDC q130, shingle spans q98) and
+  // the union. The triage view for choosing a tier at 100 TB: span
+  // coverage ⊇ the others on long runs; what ONLY the span tier sees
+  // is sub-grid-width duplication, what CDC adds over grid is
+  // misaligned boilerplate. Each tier's stream is the operator's own
+  // (checkpointed once); the merge is three doc-keyed span-list joins
+  // and one per-row counting filter.
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val grid = ParagraphDedup.dupSpans(d, "doc_id", "text", w = W,
+      minDocFreq = 2)
+    val cdc = Cdc.dupSpans(d, "doc_id", "text", w = 4, modulus = 16,
+      minDocFreq = 2)
+    val span = SpanDedup.spans(d, "doc_id", "text", k = K, minDocFreq = 2)
+      .select(col("doc_id"), col("span_start").as("s"),
+        col("span_end").as("e"))
+    def spanList(df: DataFrame, name: String) =
+      df.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("s"), col("e"))).as(name))
+    val noSpans = array().cast("array<struct<s:int,e:int>>")
+    def covers(lists: org.apache.spark.sql.Column)(
+        j: org.apache.spark.sql.Column) =
+      exists(lists, sp => j + 1 >= sp.getField("s") &&
+        j + 1 <= sp.getField("e"))
+    d.join(spanList(grid, "__g"), Seq("doc_id"), "left")
+      .join(spanList(cdc, "__c"), Seq("doc_id"), "left")
+      .join(spanList(span, "__s"), Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("__t"),
+        coalesce(col("__g"), noSpans).as("__g"),
+        coalesce(col("__c"), noSpans).as("__c"),
+        coalesce(col("__s"), noSpans).as("__s"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_words"),
+        size(filter(col("__t"), (_, j) => covers(col("__g"))(j)))
+          .cast("long").as("cov_grid"),
+        size(filter(col("__t"), (_, j) => covers(col("__c"))(j)))
+          .cast("long").as("cov_cdc"),
+        size(filter(col("__t"), (_, j) => covers(col("__s"))(j)))
+          .cast("long").as("cov_span"),
+        size(filter(col("__t"), (_, j) => covers(col("__g"))(j) ||
+          covers(col("__c"))(j) || covers(col("__s"))(j)))
+          .cast("long").as("cov_any"))
+      .filter(col("cov_any") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_dedup_attribution" -> (q134 _),
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
@@ -318,5 +366,71 @@ object CorpusQueries {
         |    (CAST(n * sxy - sx * sy AS DOUBLE) /
         |     CAST(n * sxx - sx * sx AS DOUBLE)) *
         |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_e4
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // q134: the three tiers replayed side by side as POSITION sets.
+    // The span tier's coverage is the union of its dup shingle windows
+    // [i, i+7] — identical to the merged-island spans, so the replay
+    // skips the merge. Union = SQL UNION (distinct) of the three.
+    "q134_dedup_attribution" ->
+      """WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |            FROM documents),
+        |g_seg AS (SELECT doc_id, t, unnest(range(1, len(t) // 12 + 1))
+        |            AS p FROM t0 WHERE len(t) >= 12),
+        |g_sh AS (SELECT doc_id, p, md5(list_aggregate(
+        |           t[(p-1)*12+1 : p*12], 'string_agg', ' ')) AS h
+        |         FROM g_seg),
+        |g_dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g_sh)
+        |          GROUP BY h HAVING COUNT(*) >= 2),
+        |g_cov AS (SELECT DISTINCT doc_id,
+        |            unnest(range((p-1)*12+1, p*12+1)) AS j
+        |          FROM g_sh JOIN g_dup USING (h)),
+        |c_win AS (SELECT doc_id, t, unnest(range(4, len(t) + 1)) AS i
+        |          FROM t0 WHERE len(t) >= 4),
+        |c_cut AS (SELECT doc_id, i FROM c_win
+        |          WHERE CAST(('0x'||substr(md5(list_aggregate(t[i-3:i],
+        |            'string_agg', ' ')), 1, 8)) AS BIGINT) % 16 = 0),
+        |c_bd AS (SELECT DISTINCT doc_id, p FROM (
+        |           SELECT doc_id, 0 AS p FROM t0
+        |           UNION ALL SELECT doc_id, i FROM c_cut
+        |           UNION ALL SELECT doc_id, len(t) FROM t0)),
+        |c_sp AS (SELECT doc_id, p + 1 AS s,
+        |           LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+        |         FROM c_bd),
+        |c_ch AS (SELECT c_sp.doc_id, s, e,
+        |           md5(list_aggregate(t[s:e], 'string_agg', ' ')) AS h
+        |         FROM c_sp JOIN t0 ON c_sp.doc_id = t0.doc_id
+        |         WHERE e IS NOT NULL AND s <= e),
+        |c_dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM c_ch)
+        |          GROUP BY h HAVING COUNT(*) >= 2),
+        |c_cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS j
+        |          FROM c_ch JOIN c_dup USING (h)),
+        |s_pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+        |          FROM t0 WHERE len(t) >= 8),
+        |s_ng AS (SELECT doc_id, i, list_aggregate(t[i:i+7], 'string_agg',
+        |           ' ') AS g FROM s_pos),
+        |s_dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM s_ng)
+        |          GROUP BY g HAVING COUNT(*) >= 2),
+        |s_cov AS (SELECT DISTINCT s_ng.doc_id, unnest(range(i, i + 8))
+        |            AS j
+        |          FROM s_ng JOIN s_dup USING (g)),
+        |ga AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM g_cov
+        |       GROUP BY doc_id),
+        |ca AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM c_cov
+        |       GROUP BY doc_id),
+        |sa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM s_cov
+        |       GROUP BY doc_id),
+        |ua AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS u FROM (
+        |         SELECT doc_id, j FROM g_cov
+        |         UNION SELECT doc_id, j FROM c_cov
+        |         UNION SELECT doc_id, j FROM s_cov) GROUP BY doc_id)
+        |SELECT t0.doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(ga.g, 0) AS BIGINT) AS cov_grid,
+        |  CAST(COALESCE(ca.c, 0) AS BIGINT) AS cov_cdc,
+        |  CAST(COALESCE(sa.s, 0) AS BIGINT) AS cov_span,
+        |  ua.u AS cov_any
+        |FROM t0 JOIN ua ON t0.doc_id = ua.doc_id
+        |  LEFT JOIN ga ON t0.doc_id = ga.doc_id
+        |  LEFT JOIN ca ON t0.doc_id = ca.doc_id
+        |  LEFT JOIN sa ON t0.doc_id = sa.doc_id
+        |ORDER BY t0.doc_id""".stripMargin)
 }
