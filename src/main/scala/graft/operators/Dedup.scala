@@ -292,6 +292,49 @@ object Dedup {
     labels.union(isolated)
   }
 
+  /** k-core of the near-dup pair graph — the DENSITY lens the component
+    * view (connected components label chains and cliques alike) cannot
+    * give: peeling vertices of degree < k until fixpoint leaves exactly
+    * the subgraph where every member has ≥ k near-duplicates, i.e. the
+    * template/boilerplate farms worth special-casing before training.
+    *
+    * Peeling runs a FIXED `rounds` iterations (each: one combinable
+    * degree count + two keyed semi joins — O(dup-subgraph) per round,
+    * never O(corpus)), and the output carries `n_unstable` — the count
+    * of remaining sub-k vertices — as a structural convergence
+    * certificate: 0 iff the peel reached the true core, and any drift
+    * turns into an oracle mismatch rather than a silent wrong answer
+    * (the q125 certificate pattern; on LSH near-dup graphs the peel
+    * settles in 2–3 rounds — cliques lose no vertex, chains dissolve).
+    *
+    * Output, one row per edge-touched vertex: id, degree (in the pair
+    * graph), in_core (0/1 under k), core_degree (within the final
+    * core, 0 outside), n_unstable.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val deg0 = und.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    var e = und
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src"))
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val coreDeg = e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+    val unstable = coreDeg.filter(col("core_degree") < k)
+      .agg(count(lit(1)).as("n_unstable"))
+    deg0.join(coreDeg, Seq("src"), "left")
+      .crossJoin(broadcast(unstable))
+      .select(col("src").as("id"), col("degree"),
+        when(col("core_degree").isNotNull, 1).otherwise(0).as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("n_unstable"))
+  }
+
   /** Incremental (snapshot-vs-arrivals) dedup — the CDC shape: new
     * documents are checked against an EXISTING corpus without
     * re-deduplicating it. Two tiers, same as the batch operators:

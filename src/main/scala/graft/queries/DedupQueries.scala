@@ -71,6 +71,17 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
+  // q135: k-core of the near-dup graph — the DENSITY view q54's
+  // components can't give (CC labels chains and cliques alike): docs
+  // with >= 2 near-duplicates that survive mutual peeling are the
+  // template-farm clusters. n_unstable is the structural convergence
+  // certificate (0 iff the fixed peel rounds reached the true core).
+  def q135(s: SparkSession, dir: String): DataFrame =
+    Dedup.kCore(lshPairs(s, dir), k = 2, rounds = 4)
+      .select(col("id").as("doc_id"), col("degree"), col("in_core"),
+        col("core_degree"), col("n_unstable"))
+      .orderBy(col("doc_id"))
+
   // q55: canonical-per-cluster dedup decision — keep the longest document
   // of each component (ties → lowest id), the classic keep-best policy.
   def q55(s: SparkSession, dir: String): DataFrame = {
@@ -196,6 +207,7 @@ object DedupQueries {
     "q30_regex_tokens" -> (q30 _),
     "q52_edit_distance" -> (q52 _),
     "q54_neardup_components" -> (q54 _),
+    "q135_neardup_kcore" -> (q135 _),
     "q55_dedup_keep_best" -> (q55 _)
   )
 
@@ -310,6 +322,35 @@ object DedupQueries {
     "q54_neardup_components" ->
       s"""WITH RECURSIVE $compCte
          |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // q135: four unrolled peel rounds over the candidate pair graph
+    // (MATERIALIZED — DuckDB re-inlines plain CTEs exponentially), then
+    // the same degree/core/witness join the engine emits.
+    "q135_neardup_kcore" -> {
+      val rounds = (1 to 4).map { i =>
+        val p = s"e${i - 1}"
+        s"""k$i AS MATERIALIZED (SELECT src FROM $p GROUP BY src
+           |  HAVING COUNT(*) >= 2),
+           |e$i AS MATERIALIZED (SELECT $p.src, $p.dst FROM $p
+           |  JOIN k$i x ON $p.src = x.src
+           |  JOIN k$i y ON $p.dst = y.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $candCte,
+         |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand
+         |  UNION ALL SELECT b AS src, a AS dst FROM cand),
+         |d0 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e0
+         |       GROUP BY src),
+         |$rounds,
+         |cd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |       FROM e4 GROUP BY src),
+         |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unstable FROM cd
+         |      WHERE core_degree < 2)
+         |SELECT d0.src AS doc_id, d0.degree,
+         |  CASE WHEN cd.src IS NULL THEN 0 ELSE 1 END AS in_core,
+         |  CAST(COALESCE(cd.core_degree, 0) AS BIGINT) AS core_degree,
+         |  u.n_unstable
+         |FROM d0 LEFT JOIN cd ON d0.src = cd.src CROSS JOIN u
+         |ORDER BY doc_id""".stripMargin
+    },
     "q125_leakage_free_split" ->
       s"""WITH RECURSIVE $compCte,
          |sp AS (SELECT id, component,
