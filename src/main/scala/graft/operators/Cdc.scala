@@ -32,8 +32,12 @@ object Cdc {
     * the q134 attribution view of the dup set [[strip]] removes.
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String, w: Int = 4,
-      modulus: Int = 16, minDocFreq: Int = 2): DataFrame = {
-    val seg = chunkStream(df, idCol, textCol, w, modulus)
+      modulus: Int = 16, minDocFreq: Int = 2): DataFrame =
+    dupSpansFrom(chunkStream(df, idCol, textCol, w, modulus), idCol,
+      minDocFreq)
+
+  private def dupSpansFrom(seg: DataFrame, idCol: String,
+      minDocFreq: Int): DataFrame = {
     val dup = seg.select(col(idCol), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
@@ -51,9 +55,8 @@ object Cdc {
     * boundary assembly, chunk hashing — materialized once for its
     * consumers.
     */
-  private def chunkStream(df: DataFrame, idCol: String, textCol: String,
-      w: Int, modulus: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+  private def chunkStreamTokens(tok: DataFrame, idCol: String,
+      tokCol: String, w: Int, modulus: Int): DataFrame = {
     val n = size(col("__t"))
     // Cut positions: i ∈ [w, n] with hash(window ending at i) % m == 0.
     val winHash = (i: org.apache.spark.sql.Column) =>
@@ -73,8 +76,7 @@ object Cdc {
           (element_at(col("__P"), c) + 1).as("s"),
           element_at(col("__P"), c + 1).as("e"))),
       ch => ch.getField("s") <= ch.getField("e"))
-    graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), col(textCol), toks.as("__t"))
+    tok.select(col(idCol), col(tokCol).as("__t"))
       .withColumn("__P", bounds)
       .select(col(idCol), col("__t"), explode(chunks).as("__c"))
       .select(col(idCol),
@@ -84,6 +86,22 @@ object Cdc {
             col("__c.e") - col("__c.s") + 1))).as("h"))
       .localCheckpoint(true)
   }
+
+  private def chunkStream(df: DataFrame, idCol: String, textCol: String,
+      w: Int, modulus: Int): DataFrame =
+    chunkStreamTokens(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol), split(col(textCol), " ").as("__tok")),
+      idCol, "__tok", w, modulus)
+
+  /** [[dupSpans]] over a pre-tokenized corpus (`tokCol` holds the token
+    * array): the q134 shape — one checkpointed tokenize feeds all three
+    * substring-dedup tiers.
+    */
+  def dupSpansTokens(tok: DataFrame, idCol: String, tokCol: String,
+      w: Int = 4, modulus: Int = 16, minDocFreq: Int = 2): DataFrame =
+    dupSpansFrom(chunkStreamTokens(tok, idCol, tokCol, w, modulus),
+      idCol, minDocFreq)
 
   def strip(df: DataFrame, idCol: String, textCol: String, w: Int = 4,
       modulus: Int = 16, minDocFreq: Int = 2): DataFrame = {

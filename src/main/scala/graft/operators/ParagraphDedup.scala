@@ -36,11 +36,9 @@ object ParagraphDedup {
     * h = md5 of the space-joined segment text. The trailing partial
     * segment (< W tokens) is never hashed and always survives.
     */
-  private def segments(df: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), toks.as("__t"))
+  private def segmentsTokens(tok: DataFrame, idCol: String,
+      tokCol: String, w: Int): DataFrame =
+    tok.select(col(idCol), col(tokCol).as("__t"))
       .filter(size(col("__t")) >= w)
       .select(col(idCol), size(col("__t")).as("n_words"),
         explode(transform(
@@ -51,21 +49,31 @@ object ParagraphDedup {
           .as("__s"))
       .select(col(idCol), col("n_words"),
         col("__s.p").as("p"), col("__s.h").as("h"))
-  }
+
+  private def segments(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    segmentsTokens(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol), split(col(textCol), " ").as("__tok")),
+      idCol, "__tok", w)
 
   /** Segment ordinals (idCol, p) whose hash occurs in >= minDocFreq
     * distinct documents. The segment stream is consumed twice —
     * materialize once.
     */
-  private def dupSegments(df: DataFrame, idCol: String, textCol: String,
-      w: Int, minDocFreq: Int): DataFrame = {
-    val seg = segments(df, idCol, textCol, w).localCheckpoint(true)
+  private def dupSegmentsFrom(seg0: DataFrame, idCol: String,
+      minDocFreq: Int): DataFrame = {
+    val seg = seg0.localCheckpoint(true)
     val dup = seg.select(col(idCol), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select(col("h"))
     seg.join(dup, Seq("h"), "left_semi").select(col(idCol), col("p"))
   }
+
+  private def dupSegments(df: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocFreq: Int): DataFrame =
+    dupSegmentsFrom(segments(df, idCol, textCol, w), idCol, minDocFreq)
 
   /** Duplicated segments as 1-based inclusive token spans
     * (idCol, s, e) — segment p covers [(p−1)·w+1, p·w]. The q134
@@ -74,6 +82,17 @@ object ParagraphDedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 12, minDocFreq: Int = 2): DataFrame =
     dupSegments(df, idCol, textCol, w, minDocFreq)
+      .select(col(idCol), ((col("p") - 1) * w + 1).as("s"),
+        (col("p") * w).as("e"))
+
+  /** [[dupSpans]] over a pre-tokenized corpus (`tokCol` holds the token
+    * array): the q134 shape — one checkpointed tokenize feeds all three
+    * substring-dedup tiers.
+    */
+  def dupSpansTokens(tok: DataFrame, idCol: String, tokCol: String,
+      w: Int = 12, minDocFreq: Int = 2): DataFrame =
+    dupSegmentsFrom(segmentsTokens(tok, idCol, tokCol, w), idCol,
+        minDocFreq)
       .select(col(idCol), ((col("p") - 1) * w + 1).as("s"),
         (col("p") * w).as("e"))
 

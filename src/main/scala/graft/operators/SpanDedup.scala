@@ -30,12 +30,13 @@ object SpanDedup {
 
   /** k-token shingles with their 1-based start position:
     * (idCol, n_words, i, g). Documents shorter than k emit nothing.
+    * `tok` carries a pre-split token array in `tokCol` — shared q134
+    * attribution tokenizes the corpus ONCE and feeds all three dedup
+    * tiers from the same checkpoint.
     */
-  private def shingles(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), toks.as("__t"))
+  private[operators] def shinglesTokens(tok: DataFrame, idCol: String,
+      tokCol: String, k: Int): DataFrame =
+    tok.select(col(idCol), col(tokCol).as("__t"))
       .filter(size(col("__t")) >= k)
       .select(col(idCol), size(col("__t")).as("n_words"),
         explode(transform(sequence(lit(1), size(col("__t")) - (k - 1)),
@@ -44,7 +45,13 @@ object SpanDedup {
           .as("__s"))
       .select(col(idCol), col("n_words"),
         col("__s.i").as("i"), col("__s.g").as("g"))
-  }
+
+  private def shingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    shinglesTokens(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol), split(col(textCol), " ").as("__tok")),
+      idCol, "__tok", k)
 
   /** Shingle start positions (idCol, n_words, i) whose shingle occurs in
     * >= minDocFreq distinct docs.
@@ -56,9 +63,9 @@ object SpanDedup {
     * [[LanguageModel.bigramNll]]); the explode is the dominant cost of
     * the whole span tier, so this halves it.
     */
-  private def dupPositions(df: DataFrame, idCol: String, textCol: String,
-      k: Int, minDocFreq: Int): DataFrame = {
-    val pos = shingles(df, idCol, textCol, k).localCheckpoint(true)
+  private def dupPositionsFrom(pos0: DataFrame, idCol: String,
+      minDocFreq: Int): DataFrame = {
+    val pos = pos0.localCheckpoint(true)
     val dup = pos.select(col(idCol), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
@@ -66,16 +73,35 @@ object SpanDedup {
     pos.join(dup, Seq("g"), "left_semi")
   }
 
+  private def dupPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocFreq: Int): DataFrame =
+    dupPositionsFrom(shingles(df, idCol, textCol, k), idCol, minDocFreq)
+
   /** Merged duplicated spans per document: one row per maximal run of
     * overlapping/adjacent duplicated k-shingles, with 1-based inclusive
     * token bounds. Columns: idCol, n_words, span_start, span_end.
     */
   def spans(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
-      minDocFreq: Int = 2): DataFrame = {
+      minDocFreq: Int = 2): DataFrame =
+    spansFromPositions(
+      dupPositions(df, idCol, textCol, k, minDocFreq), idCol, k)
+
+  /** [[spans]] over a pre-tokenized corpus (`tokCol` holds the token
+    * array): the q134 shape where one checkpointed tokenize feeds all
+    * three dedup tiers.
+    */
+  def spansTokens(tok: DataFrame, idCol: String, tokCol: String,
+      k: Int = 8, minDocFreq: Int = 2): DataFrame =
+    spansFromPositions(
+      dupPositionsFrom(shinglesTokens(tok, idCol, tokCol, k), idCol,
+        minDocFreq), idCol, k)
+
+  private def spansFromPositions(pos: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("i"))
     // A shingle at i covers [i, i+k-1]; runs merge while the next start
     // is within k of the previous (overlap or exact adjacency).
-    dupPositions(df, idCol, textCol, k, minDocFreq)
+    pos
       .withColumn("__new",
         when(col("i") > lag(col("i"), 1, -(k + 1)).over(byDoc) + k, 1)
           .otherwise(0))

@@ -97,14 +97,20 @@ object CorpusQueries {
   // is sub-grid-width duplication, what CDC adds over grid is
   // misaligned boilerplate. Each tier's stream is the operator's own
   // (checkpointed once); the merge is three doc-keyed span-list joins
-  // and one per-row counting filter.
+  // and one per-row counting filter. The corpus is TOKENIZED ONCE —
+  // one checkpointed (doc_id, tokens) table feeds all three tiers and
+  // the coverage count (r11 ran split(text) four times, making q134
+  // the slowest batch query purely from re-tokenization).
   def q134(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val grid = ParagraphDedup.dupSpans(d, "doc_id", "text", w = W,
+    val tok = graft.SparkUtil.ensureParallelism(docs(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .localCheckpoint(true)
+    val grid = ParagraphDedup.dupSpansTokens(tok, "doc_id", "__t", w = W,
       minDocFreq = 2)
-    val cdc = Cdc.dupSpans(d, "doc_id", "text", w = 4, modulus = 16,
-      minDocFreq = 2)
-    val span = SpanDedup.spans(d, "doc_id", "text", k = K, minDocFreq = 2)
+    val cdc = Cdc.dupSpansTokens(tok, "doc_id", "__t", w = 4,
+      modulus = 16, minDocFreq = 2)
+    val span = SpanDedup.spansTokens(tok, "doc_id", "__t", k = K,
+        minDocFreq = 2)
       .select(col("doc_id"), col("span_start").as("s"),
         col("span_end").as("e"))
     def spanList(df: DataFrame, name: String) =
@@ -115,10 +121,10 @@ object CorpusQueries {
         j: org.apache.spark.sql.Column) =
       exists(lists, sp => j + 1 >= sp.getField("s") &&
         j + 1 <= sp.getField("e"))
-    d.join(spanList(grid, "__g"), Seq("doc_id"), "left")
+    tok.join(spanList(grid, "__g"), Seq("doc_id"), "left")
       .join(spanList(cdc, "__c"), Seq("doc_id"), "left")
       .join(spanList(span, "__s"), Seq("doc_id"), "left")
-      .select(col("doc_id"), split(col("text"), " ").as("__t"),
+      .select(col("doc_id"), col("__t"),
         coalesce(col("__g"), noSpans).as("__g"),
         coalesce(col("__c"), noSpans).as("__c"),
         coalesce(col("__s"), noSpans).as("__s"))

@@ -257,6 +257,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusGenerates("q100_ngram_novelty") == 0)
   }
 
+  test("q134: corpus tokenized ONCE — no parquet scan or split at query time") {
+    // The three-tier attribution shares ONE checkpointed (doc_id,
+    // tokens) table: the shared tokenize is the only corpus read, so
+    // the final plan must carry ZERO parquet scans (every leaf is the
+    // checkpoint or a tier's derived checkpoint) and ZERO split()
+    // calls (the r11 shape re-split `text` four times — three tier
+    // tokenizations plus the coverage count — making q134 the slowest
+    // batch query).
+    val p = plan("q134_dedup_attribution")
+    assert(!p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("split("), p.take(2000))
+  }
+
   test("q78: portable Bloom probe is a joinless scan; filter rides as a literal") {
     // The words array is collected at build time (bounded: numBits/32
     // longs) and probed as a LITERAL in the train scan — the plan must
