@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -32,19 +32,31 @@ object Tables {
     cache.computeIfAbsent(spark, _ =>
         new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), _ => {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-      // =true so it arrives as a long of epoch-nanos. Truncate to micros
-      // (integer div — double division would lose precision above 2^53 ns)
-      // and restore a real timestamp column. DuckDB keeps ns; oracle
-      // queries only compare at >= second granularity per FIXTURES.md.
-      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None => df
-      }
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     })
+
+  /** Normalize an events-style `ts` column to TIMESTAMP (UTC-adjusted),
+    * whatever convention the generator wrote:
+    *  - TIMESTAMP(NANOS) parquet + spark.sql.legacy.parquet.nanosAsLong
+    *    =true arrives as a long of epoch-nanos → truncate to micros
+    *    (integer div — double division would lose precision above 2^53
+    *    ns) and rebuild the timestamp;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP, exact because sessions run
+    *    with spark.sql.session.timeZone=UTC (and NTZ is rejected by
+    *    watermarks, so the streaming tier needs the cast even where
+    *    batch SQL would tolerate NTZ).
+    * DuckDB reads the same parquet naively; with a UTC session both
+    * paths agree with the oracle bit-for-bit.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Register every table as a temp view (used by the CLI / SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -149,13 +149,8 @@ object StreamBatchQueries {
     // The file stream source wants a directory basePath; the testdata
     // table is a single FILE, so glob it — a glob in the path makes the
     // source take the parent directory as base.
-    val stream0 = s.readStream.schema(raw.schema)
-      .parquet(s"$dir/events.parque*")
-    val stream =
-      if (raw.schema.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = graft.Tables.normalizeTs(
+      s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*"))
     val sink = "graft_q84_" + java.util.UUID.randomUUID().toString
       .replace("-", "")
     val query = Streams.windowedCounts(stream, "1 hour", "10 minutes")
@@ -179,13 +174,8 @@ object StreamBatchQueries {
   // horizon), not stream history.
   def q107(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    def stream(): DataFrame = {
-      val st0 = s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*")
-      if (raw.schema.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        st0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else st0
-    }
+    def stream(): DataFrame = graft.Tables.normalizeTs(
+      s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*"))
     val joined = Streams.attributionJoin(
       stream().filter(col("event_type") === "purchase"),
       stream().filter(col("event_type") === "click"),
@@ -234,9 +224,16 @@ object StreamBatchQueries {
     val tmp = Files.createTempDirectory("graft-q117").toString
     Files.createSymbolicLink(Paths.get(tmp, "data.parquet"),
       Paths.get(dir, "events.parquet"))
+    // Sentinel files must carry the SAME ts convention as the original
+    // file they sit beside (the file source reads both under one
+    // declared schema), so the NTZ case writes NTZ sentinels; the
+    // normalize-to-UTC cast happens once on the stream below.
+    val isNtz = raw.schema.exists(f => f.name == "ts" &&
+      f.dataType == org.apache.spark.sql.types.TimestampNTZType)
     val maxNs: Long =
       if (isNanos) raw.agg(max(col("ts"))).head().getLong(0)
-      else raw.agg(max(col("ts"))).head().getTimestamp(0).getTime * 1000000L
+      else graft.Tables.normalizeTs(raw)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val scratch = Files.createTempDirectory("graft-q117-s").toString
     def writeSentinel(name: String, offsetNs: Long): Unit = {
       val ns = maxNs + offsetNs
@@ -246,7 +243,10 @@ object StreamBatchQueries {
         .withColumn("event_type", lit("sentinel"))
         .withColumn("value", lit(0.0))
         .withColumn("ts",
-          if (isNanos) lit(ns) else timestamp_micros(lit(ns / 1000L)))
+          if (isNanos) lit(ns)
+          else if (isNtz) timestamp_micros(lit(ns / 1000L))
+            .cast(org.apache.spark.sql.types.TimestampNTZType)
+          else timestamp_micros(lit(ns / 1000L)))
       val d = s"$scratch/$name"
       row.coalesce(1).write.mode("overwrite").parquet(d)
       val part = new java.io.File(d).listFiles()
@@ -257,11 +257,8 @@ object StreamBatchQueries {
     // second one triggers the timeout sweep that closes every session.
     writeSentinel("sentinel1.parquet", 2L * 24 * 3600 * 1000000000L)
     writeSentinel("sentinel2.parquet", 3L * 24 * 3600 * 1000000000L)
-    val st0 = s.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1").parquet(tmp)
-    val st = if (isNanos)
-      st0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else st0
+    val st = graft.Tables.normalizeTs(s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp))
     import s.implicits._
     val ev = st.select(col("event_id"), col("user_id"), col("event_type"),
       col("ts"), col("value")).as[Streams.Ev]
