@@ -173,9 +173,80 @@ object OperatorQueries {
       k = 5, pool = 50)
   }
 
+  // q136: the SAME LSH ANN search as q33, but never calling the index's
+  // search() — the query is written as the DECLARATIVE exact top-k
+  // (score-sort + limit over the indexed relation) and the
+  // [[graft.plans.AnnTopKRewrite]] optimizer rule injects the
+  // bucket-probe prune, the sqlite-vec analogue of querying through the
+  // index transparently. The rewrite is certified structurally (the
+  // optimized plan must carry the In/InSet bucket prune — a silent
+  // fall-through to the full scan would change the candidate pool and
+  // fail the oracle, but fail loudly here instead) and the bounded
+  // (k-row) result is returned as a local relation so the rewrite flag
+  // never leaks outside this query's construction.
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    require(q.length == EmbeddingDim,
+      s"q136 oracle is generated for dim=$EmbeddingDim, testdata has ${q.length}")
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = q.length)
+    val indexed = lsh.index(emb.filter(col("vec_id") =!= 0), "embedding")
+    // `bucket` must survive projection (as in a pre-indexed stored
+    // table): column pruning would otherwise remove the index column
+    // before the rule sees it, leaving nothing to prune on. It is
+    // dropped from the final (local) result below.
+    val topk = indexed
+      .select(col("vec_id"), col("bucket"),
+        round(graft.functions.CosineSimilarity(col("embedding"),
+          typedlit(q)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+    // Verify/Bench sessions are plain (no GraftExtensions); install the
+    // rule via the experimental hook when absent. cosine_sim in the
+    // function registry is the extensions-installed marker.
+    val viaExtensions = s.sessionState.functionRegistry.functionExists(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))
+    if (!viaExtensions &&
+        !s.experimental.extraOptimizations.contains(graft.plans.AnnTopKRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite
+    val flag = "spark.graft.ann.autoRewrite"
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    try {
+      // After projection collapse the prune wraps the bucket
+      // EXPRESSION (not a column named bucket), so detect any In/InSet
+      // filter — the only membership predicate in this plan is the
+      // rule's probe prune.
+      val pruned = topk.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.exists {
+          case _: In | _: InSet => true
+          case _ => false
+        }
+      }.exists(identity)
+      require(pruned,
+        "AnnTopKRewrite did not fire: no bucket prune in the optimized plan")
+      // Executes the rewritten (bucket-pruned) plan: collect is bounded
+      // at k rows by construction. The bucket index column is dropped
+      // from the emitted result (the oracle replays vec_id + score).
+      val rows = topk.collect().map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(2)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(
+          Seq(topk.schema("vec_id"), topk.schema("score"))))
+    } finally prev match {
+      case Some(v) => s.conf.set(flag, v)
+      case None => s.conf.unset(flag)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_ann_pq" -> (q72 _),
     "q128_ann_sq8" -> (q128 _),
+    "q136_ann_autorewrite" -> (q136 _),
     "q31_lang_id" -> (q31 _),
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
@@ -464,6 +535,40 @@ object OperatorQueries {
       |FROM pool JOIN d2 USING (vec_id)
       |ORDER BY d2_e12, vec_id LIMIT 5""".stripMargin
 
+  /** Shared oracle for the LSH ANN tier: q33 (manual index search) and
+    * q136 (optimizer-rewritten declarative top-k) execute the SAME
+    * deterministic probe pool + exact re-score, so one SQL replay
+    * certifies both paths.
+    */
+  private lazy val annLshOracleSql: String =
+      s"""WITH planes(b, p) AS (VALUES
+         |  $q33PlaneRows),
+         |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+         |       FROM planes),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+         |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |probes AS (SELECT bucket AS pb FROM qb
+         |  UNION
+         |  SELECT xor(qb.bucket, 1 << CAST(r.range AS INTEGER))
+         |  FROM qb CROSS JOIN range(8) r),
+         |cand AS (SELECT bk.vec_id FROM buckets bk JOIN probes ON bk.bucket = probes.pb
+         |         WHERE bk.vec_id <> 0),
+         |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+         |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
+         |d2 AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
+         |       FROM e JOIN q ON e.pos = q.pos
+         |       JOIN cand c ON e.vec_id = c.vec_id GROUP BY e.vec_id)
+         |SELECT d2.vec_id,
+         |  ROUND(d2.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
+         |FROM d2 JOIN n ON d2.vec_id = n.vec_id
+         |ORDER BY score DESC, d2.vec_id LIMIT 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q49_ann_ivf" -> q49OracleSql,
     "q72_ann_pq" -> q72OracleSql,
@@ -692,34 +797,8 @@ object OperatorQueries {
          |       WHEN bs >= 0.05 THEN bl ELSE 'und' END AS lang_pred,
          |  ROUND(GREATEST(zh, ru, bs), 4) AS lang_score
          |FROM b ORDER BY doc_id""".stripMargin,
-    "q33_ann_lsh" ->
-      s"""WITH planes(b, p) AS (VALUES
-         |  $q33PlaneRows),
-         |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
-         |       FROM planes),
-         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
-         |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
-         |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
-         |buckets AS (SELECT vec_id,
-         |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM dots GROUP BY vec_id),
-         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
-         |probes AS (SELECT bucket AS pb FROM qb
-         |  UNION
-         |  SELECT xor(qb.bucket, 1 << CAST(r.range AS INTEGER))
-         |  FROM qb CROSS JOIN range(8) r),
-         |cand AS (SELECT bk.vec_id FROM buckets bk JOIN probes ON bk.bucket = probes.pb
-         |         WHERE bk.vec_id <> 0),
-         |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
-         |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
-         |d2 AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
-         |       FROM e JOIN q ON e.pos = q.pos
-         |       JOIN cand c ON e.vec_id = c.vec_id GROUP BY e.vec_id)
-         |SELECT d2.vec_id,
-         |  ROUND(d2.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
-         |FROM d2 JOIN n ON d2.vec_id = n.vec_id
-         |ORDER BY score DESC, d2.vec_id LIMIT 5""".stripMargin,
+    "q33_ann_lsh" -> annLshOracleSql,
+    "q136_ann_autorewrite" -> annLshOracleSql,
     "q50_embed_neardup_lsh" ->
       s"""WITH planes(b, p) AS (VALUES
          |  $q33PlaneRows),

@@ -60,6 +60,23 @@ class AnnTopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q136: the declared query runs the rewrite end-to-end and restores the flag") {
+    // The registered query certifies the rewrite fired (it requires the
+    // In/InSet prune in its own optimized plan), returns the bounded
+    // top-k, and must leave no session state behind: the autoRewrite
+    // flag is unset afterwards so no later query in a shared session
+    // silently runs approximate.
+    assert(spark.conf.getOption("spark.graft.ann.autoRewrite").isEmpty)
+    val out = graft.queries.OperatorQueries
+      .q136(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5)
+    assert(spark.conf.getOption("spark.graft.ann.autoRewrite").isEmpty)
+    // ...and it equals the manual index search (q33's path) exactly.
+    val manual = lsh.search(indexed, "vec_id", "embedding", q, 5, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == manual)
+  }
+
   test("nBits >= 12: guard matches the InSet form, exactly one prune") {
     // 13 probe literals (nBits=12, radius 1) exceed
     // spark.sql.optimizer.inSetConversionThreshold (10), so OptimizeIn
