@@ -220,7 +220,8 @@ object Stats {
     */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)], interpolate: Boolean = true,
-      includeMean: Boolean = true): DataFrame = {
+      includeMean: Boolean = true,
+      maxDriverStateRows: Long = 1L << 20): DataFrame = {
     require(ps.nonEmpty, "quantilesByGroup needs at least one quantile")
     val spark = df.sparkSession
     import spark.implicits._
@@ -234,8 +235,10 @@ object Stats {
       .localCheckpoint(true)
     // Bounded driver reduction #1: (partition, group) → (count, sum),
     // computed shuffle-free inside each checkpoint partition (groups are
-    // contiguous after the range sort, so this is a run-length pass).
-    val partStats = sorted.as[(String, Double)].mapPartitions { it =>
+    // contiguous after the range sort, so this is a run-length pass; the
+    // range partitioning also means the stream is O(groups + parts)
+    // rows, not parts × groups).
+    val partStatsDs = sorted.as[(String, Double)].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Long, Double)]
@@ -244,7 +247,22 @@ object Stats {
         acc(g) = (n0 + 1, s0 + v)
       }
       acc.iterator.map { case (g, (n, s)) => (pid, g, n, s) }
-    }.collect()
+    }
+    // DRIVER-MEMORY GUARD: the collect below materializes the whole
+    // stats stream on the driver. That is the right shape when groups
+    // are FEW (the q38 case: 3 groups over the entire corpus — a
+    // Window.partitionBy(group) would cap parallelism at 3 tasks), but
+    // it dies when the group column is high-cardinality (per-user, per-
+    // url). Count the stream distributed first (one cheap run-length
+    // job over the checkpoint, no data movement) and switch to the
+    // fully distributed rank-join fallback past the bound — there, one
+    // sort per group IS the scalable shape because parallelism equals
+    // the group count.
+    val stateRows = partStatsDs.count()
+    if (stateRows > maxDriverStateRows)
+      return quantilesDistributed(sorted, groupCol, ps, interpolate,
+        includeMean)
+    val partStats = partStatsDs.collect()
       .sortBy(_._1)
     val groups = partStats.map(_._2).distinct.sorted
     // Per group: total n, total sum, and the global ranks to fetch.
@@ -326,6 +344,71 @@ object Stats {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
       schema)
+  }
+
+  /** High-cardinality fallback for [[quantilesByGroup]]: exact per-group
+    * quantiles with NOTHING on the driver — per-group (n, sum) by
+    * aggregate, target ranks derived distributed, and the ≤ 2·|ps|
+    * interpolation rows per group fetched by an equi join on
+    * (group, row_number). The per-group sort (row_number window) is the
+    * scalable shape HERE because parallelism equals the group count —
+    * the exact inverse of the few-groups case the driver path serves.
+    * Quantile arithmetic mirrors the driver path bit-for-bit
+    * (pos = (n−1)·p, v_lo·(1−frac) + v_hi·frac in doubles); the mean is
+    * Spark's round(sum/n, 2) (HALF_UP on the decimal repr), which can
+    * differ from the driver path's exact-binary HALF_UP only on a
+    * mid-cent tie of the double quotient.
+    */
+  private def quantilesDistributed(sorted: DataFrame, groupCol: String,
+      ps: Seq[(String, Double)], interpolate: Boolean,
+      includeMean: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val ranked = sorted
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+    val stats = sorted.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sum"))
+    val qlits = array(ps.zipWithIndex.map { case ((_, p), qi) =>
+      struct(lit(qi).as("qi"), lit(p).as("p")) }: _*)
+    val pos = (col("__n") - 1).cast("double") * col("__q.p")
+    val targets = stats
+      .select(col("__g"), col("__n"), col("__sum"), explode(qlits).as("__q"))
+      .select(col("__g"), col("__n"), col("__sum"),
+        col("__q.qi").as("__qi"),
+        floor(pos).cast("long").as("__lo"),
+        least(floor(pos).cast("long") + 1L, col("__n") - 1L).as("__hi"),
+        (if (interpolate) pos - floor(pos) else lit(0.0)).as("__frac"))
+    val sideRows = Seq(
+      struct(col("__lo").as("r"), lit(0).as("side")),
+      struct(col("__hi").as("r"), lit(1).as("side")))
+    val sides = targets
+      .select(col("__g"), col("__qi"), col("__frac"), col("__n"),
+        col("__sum"),
+        explode(array(sideRows.take(if (interpolate) 2 else 1): _*))
+          .as("__s"))
+      .select(col("__g"), col("__qi"), col("__frac"), col("__n"),
+        col("__sum"), col("__s.r").as("__rn"), col("__s.side").as("__side"))
+    val hit = ranked.join(sides, Seq("__g", "__rn"))
+    val perQ = hit
+      .groupBy(col("__g"), col("__qi"), col("__frac"), col("__n"),
+        col("__sum"))
+      .agg(max(when(col("__side") === 0, col("__v"))).as("__vlo"),
+        max(when(col("__side") === 1, col("__v"))).as("__vhi"))
+      .withColumn("__qv",
+        when(col("__frac") === 0.0, col("__vlo"))
+          .otherwise(col("__vlo") * (lit(1.0) - col("__frac")) +
+            coalesce(col("__vhi"), col("__vlo")) * col("__frac")))
+    val qCols = ps.zipWithIndex.map { case ((name, _), qi) =>
+      max(when(col("__qi") === qi, col("__qv"))).as(name)
+    }
+    val grouped = perQ.groupBy(col("__g"), col("__n"), col("__sum"))
+      .agg(qCols.head, qCols.tail: _*)
+    val outCols =
+      col("__g").as(groupCol) +: (ps.map(p => col(p._1)) ++
+        (if (includeMean)
+          Seq(round(col("__sum") / col("__n").cast("double"), 2).as("mean"))
+        else Nil))
+    grouped.select(outCols: _*)
   }
 
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {

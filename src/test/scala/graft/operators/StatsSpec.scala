@@ -57,6 +57,32 @@ class StatsSpec extends SparkSpec {
     assert(out("c")._1 == out("c")._2 && out("c")._2 == out("c")._3)
   }
 
+  test("quantilesByGroup: high-cardinality fallback matches the driver path") {
+    // A many-group input (every row its own near-group) through the
+    // distributed rank-join fallback (forced via maxDriverStateRows=0:
+    // NOTHING may reach the driver) must agree value-for-value with the
+    // bounded driver path on the same data. Integer-valued doubles keep
+    // the mean away from mid-cent rounding ties, the one documented
+    // divergence between the two paths.
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 500).map(i =>
+      (s"g${i % 97}", (rnd.nextInt(1000) + 1).toDouble))
+    val df = data.toDF("g", "v").repartition(7)
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    val driver = Stats.quantilesByGroup(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val dist = Stats.quantilesByGroup(df, "g", "v", ps,
+        maxDriverStateRows = 0L)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(dist.keySet == driver.keySet)
+    for ((g, vals) <- driver) assert(dist(g) == vals, s"group $g")
+    // ...and the fallback's plan is genuinely distributed: no
+    // LocalTableScan leaf (the driver path's signature).
+    val p = Stats.quantilesByGroup(df, "g", "v", ps,
+      maxDriverStateRows = 0L).queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan"), p.take(1000))
+  }
+
   test("quantilesByGroup: nulls ignored, mean rounded to 2dp") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
       ("a", Some(4.0))).toDF("g", "v")
