@@ -62,6 +62,17 @@ object Dsir {
   /** The k documents Gumbel-top-k-selected by target/raw importance.
     * Output: idCol, n_grams, logw_e4, gumbel_e4, score_e4 — ordered by
     * (score_e4 DESC, idCol).
+    *
+    * Model-contrast convention (deliberate deviation from Xie et al.
+    * 2023, which contrasts DISJOINT raw vs target distributions): the
+    * "raw" bigram model here sums over the FULL corpus, target-tagged
+    * docs included. This keeps the pipeline one-pass (a single
+    * parity-tagged count table carries both models) at the cost of
+    * compressing log-ratios toward zero as the target fraction grows —
+    * immaterial when the target slice is small (the intended use), and
+    * rank-preserving either way for a fixed target set. Callers who
+    * need the paper's exact contrast can pre-filter the input to
+    * exclude target docs from the raw side.
     */
   def importanceResample(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 512, k: Int = 100): DataFrame = {

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * the centroid/codebook fits); quantize/dequantize/distance are per-row
   * array algebra over broadcast-as-literal bound arrays (no join, no
   * shuffle); search is quantized-space TakeOrdered into a `pool`, then
-  * an exact e6 re-score of the pool only — floats are read once, codes
-  * carry the scan.
+  * an exact e6 re-score of the pool only. Store the [[index]]ed table
+  * (codes materialized once at write time) and [[searchIndexed]] ranks
+  * on the 4×-smaller code column, reading floats only for the pool
+  * re-score; the convenience [[search]] over a raw float table
+  * quantizes on read (one pass, but the scan still reads floats).
   */
 object Sq {
 
@@ -92,14 +95,32 @@ object Sq {
     * by (d2_e12, idCol).
     */
   def search(df: DataFrame, idCol: String, vecCol: String, m: Model,
-      q: Array[Float], k: Int, pool: Int = 50): DataFrame = {
+      q: Array[Float], k: Int, pool: Int = 50): DataFrame =
+    searchIndexed(index(df, vecCol, m), idCol, vecCol, "sq_code", m, q,
+      k, pool)
+
+  /** Materialize the int8 code column — write THIS table to storage:
+    * the code column is the 4×-smaller scan [[searchIndexed]] ranks on
+    * (floats stay for the exact pool re-score only).
+    */
+  def index(df: DataFrame, vecCol: String, m: Model,
+      codeCol: String = "sq_code"): DataFrame =
+    df.withColumn(codeCol, quantizeCol(col(vecCol), m))
+
+  /** Search over an [[index]]ed table: quantized-space ranking reads
+    * only `codeCol`; `vecCol` floats are read for the ≤ `pool`
+    * broadcast-joined re-score rows.
+    */
+  def searchIndexed(indexed: DataFrame, idCol: String, vecCol: String,
+      codeCol: String, m: Model, q: Array[Float], k: Int,
+      pool: Int = 50): DataFrame = {
     val qE6 = Ann.Ivf.quantizeE6(q)
-    val xhat = dequantCol(quantizeCol(col(vecCol), m), m)
-    val poolIds = df
+    val xhat = dequantCol(col(codeCol), m)
+    val poolIds = indexed
       .select(col(idCol), sqDistToLit(xhat, qE6).as("d2q_e12"))
       .orderBy(col("d2q_e12"), col(idCol))
       .limit(pool)
-    df.select(col(idCol), col(vecCol))
+    indexed.select(col(idCol), col(vecCol))
       .join(broadcast(poolIds), Seq(idCol))
       .select(col(idCol), col("d2q_e12"),
         sqDistToLit(e6(col(vecCol)), qE6).as("d2_e12"))

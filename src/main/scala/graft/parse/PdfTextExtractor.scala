@@ -284,6 +284,12 @@ object PdfTextExtractor {
       // mostly DECREASE in stream order the page is y-up and lines sort
       // descending; otherwise ascending (the corpus fixtures' convention
       // — their output is bit-identical to the pre-r11 ascending sort).
+      // The vote requires a STRICT majority of decreasing pairs
+      // (downVotes*2 > n), so a jumbled emission order with no majority
+      // — including an exact half-half split — deterministically falls
+      // back to the pre-r11 ascending sort rather than flipping on a
+      // single pair. PdfLayoutSpec pins both fixture conventions and
+      // the jumbled-order fallback.
       val appear = lines.filter(_.sb.nonEmpty).toIndexedSeq
       val downVotes = (1 until appear.length)
         .count(i => appear(i).y < appear(i - 1).y)

@@ -56,6 +56,27 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("searchIndexed over a stored (parquet) code column = search over floats") {
+    // The 100 TB shape: codes materialized once at write time, ranking
+    // reads the stored 4x-smaller code column, floats only for the pool
+    // re-score. Round-tripping the indexed table through parquet and
+    // searching it must give byte-identical results to the
+    // quantize-on-read convenience path.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val m = Sq.fit(corpus, "embedding", 64)
+    val dir = java.nio.file.Files.createTempDirectory("sq-idx").toString
+    Sq.index(corpus, "embedding", m).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaCodes = Sq.searchIndexed(stored, "vec_id", "embedding",
+        "sq_code", m, q, k = 5).collect().map(_.toSeq).toSeq
+    val viaFloats = Sq.search(corpus, "vec_id", "embedding", m, q, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCodes == viaFloats)
+  }
+
   test("SQ8 top-5 recalls the exact e6 top-5 on real embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") === 0)

@@ -38,6 +38,24 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(blocks(1).text == "Footer after wide gap")
   }
 
+  test("jumbled emission order (no strict majority) falls back to ascending") {
+    // Five lines emitted out of order: the four stream pairs split
+    // 2 down / 2 up, so the y-up vote has no STRICT majority and the
+    // extractor must deterministically keep the pre-r11 ascending sort
+    // — not flip on a single pair. y gaps are uniform (20pt pitch), so
+    // all five lines form one block.
+    val content =
+      """BT 1 0 0 1 72 120 Tm (Line two) Tj ET
+        |BT 1 0 0 1 72 100 Tm (Line one) Tj ET
+        |BT 1 0 0 1 72 160 Tm (Line four) Tj ET
+        |BT 1 0 0 1 72 140 Tm (Line three) Tj ET
+        |BT 1 0 0 1 72 180 Tm (Line five) Tj ET""".stripMargin
+    val blocks = PdfTextExtractor.extract(minimalPdf(content))
+    assert(blocks.length == 1, blocks.map(_.text))
+    assert(blocks(0).text ==
+      "Line one Line two Line three Line four Line five")
+  }
+
   test("y-down (generator-style) page keeps the fixtures' ascending order") {
     val content =
       """BT 1 0 0 1 72 100 Tm (Title line) Tj ET
