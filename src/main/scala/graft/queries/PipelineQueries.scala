@@ -516,7 +516,22 @@ object PipelineQueries {
       .orderBy(col("bin"))
   }
 
+  // q137: PII detection + certified redaction — emails, IPv4s, phone
+  // numbers, card-like digit runs planted deterministically in every
+  // third document ([[graft.operators.Pii.withPii]], the q104/q105
+  // synthesis discipline: the corpus itself carries no digits), then
+  // detected, counted, and redacted with md5-pinned output. Patterns
+  // live in the RE2 ∩ Java common subset so the oracle replays
+  // detection byte-for-byte — certifying both hits on planted spans
+  // and zero false positives everywhere else.
+  def q137(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.redact(
+        graft.operators.Pii.withPii(docs(s, dir), "doc_id", "text"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_pii_redact" -> (q137 _),
     "q112_bpe_tokens" -> (q112 _),
     "q114_kmv_overlap" -> (q114 _),
     "q115_data_checks" -> (q115 _),
@@ -659,7 +674,44 @@ object PipelineQueries {
       s"ELSE ${KmvK - 1}.0e0 * 4503599627370496.0e0 / " +
       s"CAST(CAST(('0x' || substring($hk, 1, 13)) AS BIGINT) AS DOUBLE) END"
 
+  /** The [[graft.operators.Pii.withPii]] injection as SQL (must stay
+    * byte-identical to the engine builder). Single-line on purpose —
+    * see HtmlSql.
+    */
+  private val PiiInjectSql: String = Seq(
+    "CASE WHEN doc_id % 3 = 0 THEN text",
+    "|| ' contact user' || CAST(doc_id % 97 AS VARCHAR)",
+    "|| '@ex' || CAST(doc_id % 7 AS VARCHAR)",
+    "|| '.com call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')",
+    "|| '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')",
+    "|| ' from 10.' || CAST(doc_id % 256 AS VARCHAR)",
+    "|| '.' || CAST((doc_id * 7) % 256 AS VARCHAR)",
+    "|| '.' || CAST((doc_id * 13) % 256 AS VARCHAR)",
+    "|| ' card 4' || lpad(CAST(doc_id % 1000000007 AS VARCHAR), 15, '0')",
+    "ELSE text END").mkString(" ")
+
+  private val q137OracleSql: String = {
+    val (em, ip, ph, cd) = (graft.operators.Pii.EmailPat,
+      graft.operators.Pii.Ipv4Pat, graft.operators.Pii.PhonePat,
+      graft.operators.Pii.CardPat)
+    s"""WITH p AS (SELECT doc_id, $PiiInjectSql AS t FROM documents),
+       |r AS (SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      t, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+       |      '$ph', '<PHONE>', 'g'), '$cd', '<CARD>', 'g') AS red
+       |  FROM p)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$cd')) AS BIGINT) AS n_cards,
+       |  md5(red) AS redacted_md5,
+       |  red <> t AS changed
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q137_pii_redact" -> q137OracleSql,
     "q112_bpe_tokens" -> bpeOracle,
     "q123_web_pipeline" ->
       s"""WITH h AS (SELECT doc_id, $HtmlSql AS html FROM documents),
