@@ -40,7 +40,7 @@ object Sq {
     def dim: Int = mnE6.length
   }
 
-  private def e6(vecCol: Column): Column =
+  private[operators] def e6(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * 1e6).cast("long"))
 
   /** Exact non-negative integer division as a Column: (a − a mod b) / b.
@@ -48,7 +48,7 @@ object Sq {
     * when the quotient is large; subtracting the remainder first makes
     * the division exact (the result is a representable integer).
     */
-  private def intDiv(a: Column, b: Column): Column =
+  private[operators] def intDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
   /** One per-dimension min/max pass over the e6-quantized corpus. */
@@ -68,11 +68,17 @@ object Sq {
     new Model(mn, mx)
   }
 
-  private def litArr(a: Array[Long]): Column = array(a.map(lit): _*)
+  private[operators] def litArr(a: Array[Long]): Column = array(a.map(lit): _*)
 
   /** int8 codes (as ints 0..255): ((x − mn) · 255) div range, per dim. */
-  def quantizeCol(vecCol: Column, m: Model): Column = {
-    val diff = zip_with(e6(vecCol), litArr(m.mnE6), (x, mn) => x - mn)
+  def quantizeCol(vecCol: Column, m: Model): Column =
+    quantizeE6Col(e6(vecCol), m)
+
+  /** [[quantizeCol]] over an already-e6 long array (IvfSq quantizes
+    * RESIDUALS, which are born in e6 space).
+    */
+  private[operators] def quantizeE6Col(vecE6: Column, m: Model): Column = {
+    val diff = zip_with(vecE6, litArr(m.mnE6), (x, mn) => x - mn)
     zip_with(diff, litArr(m.rangeE6),
       (df, rg) => intDiv(df * 255L, rg).cast("int"))
   }
@@ -84,7 +90,7 @@ object Sq {
     zip_with(scaled, litArr(m.mnE6), (s, mn) => s + mn)
   }
 
-  private def sqDistToLit(vecE6: Column, q: Array[Long]): Column =
+  private[operators] def sqDistToLit(vecE6: Column, q: Array[Long]): Column =
     aggregate(zip_with(vecE6, litArr(q), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 

@@ -243,10 +243,31 @@ object OperatorQueries {
     }
   }
 
+  // q138: IVF-SQ composed ANN — coarse k-means probe pruning (q49's
+  // replayable deterministic fit) + SQ8-quantized RESIDUALS (v −
+  // centroid), the FAISS IVF…,SQ8 billion-vector default: the centroid
+  // absorbs cluster location so the residual spans a tighter range than
+  // raw SQ8 (q128) at the same byte budget. All-integer e6 arithmetic;
+  // the oracle replays BOTH fits (kmeans chain + residual bounds) and
+  // the probe-pruned quantized ranking + exact re-score end to end.
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    require(q.length == EmbeddingDim,
+      s"q138 oracle is generated for dim=$EmbeddingDim, testdata has ${q.length}")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val m = graft.operators.IvfSq.fit(corpus, "vec_id", "embedding",
+      kCentroids = 8, dim = EmbeddingDim)
+    graft.operators.IvfSq.search(corpus, "vec_id", "embedding", m, q,
+      k = 5, nprobe = 2, pool = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_ann_pq" -> (q72 _),
     "q128_ann_sq8" -> (q128 _),
     "q136_ann_autorewrite" -> (q136 _),
+    "q138_ann_ivfsq" -> (q138 _),
     "q31_lang_id" -> (q31 _),
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
@@ -317,19 +338,21 @@ object OperatorQueries {
     * exponential re-execution otherwise). Parameters must mirror
     * [[q49]]: k=8, rounds=3, sampleCap=4096, nprobe=2, top-5.
     */
-  private lazy val q49OracleSql: String = {
-    val (dim, k, rounds, cap, nprobe, topk) = (EmbeddingDim, 8, 3, 4096, 2, 5)
-    def dist(p: String, c: String) =
-      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+  /** Exact e6 squared distance between two SQL list expressions. */
+  private def sqlDist(dim: Int)(p: String, c: String): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+
+  /** The deterministic-kmeans replay chain shared by q49 and q138:
+    * assumes CTEs `corpus` (vec_id, pt) and `samp` (ord, pt) are
+    * already in scope; returns (ctes, finalCentsName). Mirrors
+    * [[Ann.Ivf.deterministicKmeans]] step for step (farthest-point
+    * seeding with ord tiebreak, fixed Lloyd rounds, truncating-division
+    * means, empty clusters keep their centroid).
+    */
+  private def kmeansChainCtes(dim: Int, k: Int,
+      rounds: Int): (Seq[String], String) = {
+    val dist = sqlDist(dim) _
     val ctes = scala.collection.mutable.ArrayBuffer(
-      s"""corpus AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
-         |  FROM embeddings WHERE vec_id <> 0)""".stripMargin,
-      s"""samp AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
-         |    AS ord, pt
-         |  FROM corpus QUALIFY ord <= $cap)""".stripMargin,
       "c0 AS MATERIALIZED (SELECT 0 AS cid, pt AS c FROM samp WHERE ord = 1)",
       s"""md0 AS MATERIALIZED (SELECT s.ord, s.pt, ${dist("s.pt", "c.c")}
          |  AS d FROM samp s, c0 c)""".stripMargin)
@@ -368,6 +391,30 @@ object OperatorQueries {
                  |  FROM $prev o LEFT JOIN mean$r m ON o.cid = m.cid)""".stripMargin
       prev = s"cents$r"
     }
+    (ctes.toSeq, prev)
+  }
+
+  /** CTEs `corpus` (e6 corpus without the query vector), `samp`
+    * (md5-ordered bounded training sample) — the shared fit input
+    * preamble of q49/q138.
+    */
+  private def corpusSampCtes(cap: Int): Seq[String] = Seq(
+    s"""corpus AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+       |  FROM embeddings WHERE vec_id <> 0)""".stripMargin,
+    s"""samp AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+       |    AS ord, pt
+       |  FROM corpus QUALIFY ord <= $cap)""".stripMargin)
+
+  private lazy val q49OracleSql: String = {
+    val (dim, k, rounds, cap, nprobe, topk) = (EmbeddingDim, 8, 3, 4096, 2, 5)
+    val dist = sqlDist(dim) _
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes ++= corpusSampCtes(cap)
+    val (chain, prev) = kmeansChainCtes(dim, k, rounds)
+    ctes ++= chain
     ctes += s"""qpt AS MATERIALIZED (SELECT list_transform(embedding,
                |  x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
                |  FROM embeddings WHERE vec_id = 0)""".stripMargin
@@ -535,6 +582,66 @@ object OperatorQueries {
       |FROM pool JOIN d2 USING (vec_id)
       |ORDER BY d2_e12, vec_id LIMIT 5""".stripMargin
 
+  /** q138's oracle: the q49 kmeans replay chain, then residuals
+    * (pt − centroid) per corpus vector, per-dimension residual bounds
+    * (range clamped ≥ 1 exactly like [[Sq.Model]]), SQ8 code/dequant in
+    * truncating integer division (all operands non-negative, so
+    * DuckDB's `//` equals the engine's intDiv), probe-pruned quantized
+    * ranking, and the exact e6 re-score of the pool.
+    */
+  private lazy val q138OracleSql: String = {
+    val (dim, k, rounds, cap, nprobe, topk, pool) =
+      (EmbeddingDim, 8, 3, 4096, 2, 5, 50)
+    val dist = sqlDist(dim) _
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes ++= corpusSampCtes(cap)
+    val (chain, cents) = kmeansChainCtes(dim, k, rounds)
+    ctes ++= chain
+    ctes += s"""qpt AS MATERIALIZED (SELECT list_transform(embedding,
+               |  x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+               |  FROM embeddings WHERE vec_id = 0)""".stripMargin
+    ctes += s"""probe AS MATERIALIZED (
+               |  SELECT c.cid FROM $cents c, qpt q
+               |  ORDER BY ${dist("q.pt", "c.c")}, c.cid LIMIT $nprobe)""".stripMargin
+    ctes += s"""asgc AS MATERIALIZED (
+               |  SELECT vec_id, cid FROM (
+               |    SELECT co.vec_id, c.cid,
+               |      row_number() OVER (PARTITION BY co.vec_id
+               |        ORDER BY ${dist("co.pt", "c.c")}, c.cid) AS rn
+               |    FROM corpus co CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    ctes += s"""resid AS MATERIALIZED (
+               |  SELECT a.vec_id, a.cid,
+               |    list_transform(range(1, ${dim + 1}),
+               |      i -> co.pt[i] - c.c[i]) AS r
+               |  FROM asgc a JOIN corpus co ON a.vec_id = co.vec_id
+               |  JOIN $cents c ON a.cid = c.cid)""".stripMargin
+    ctes += s"""bounds AS MATERIALIZED (
+               |  SELECT j, MIN(r[j]) AS mn,
+               |    GREATEST(MAX(r[j]) - MIN(r[j]), 1) AS rg
+               |  FROM resid, UNNEST(range(1, ${dim + 1})) AS u(j)
+               |  GROUP BY j)""".stripMargin
+    ctes += s"""appx AS MATERIALIZED (
+               |  SELECT v.vec_id,
+               |    list(c.c[b.j] + b.mn +
+               |      ((((v.r[b.j] - b.mn) * 255) // b.rg) * b.rg) // 255
+               |      ORDER BY b.j) AS ax
+               |  FROM resid v JOIN $cents c ON v.cid = c.cid
+               |  CROSS JOIN bounds b
+               |  WHERE v.cid IN (SELECT cid FROM probe)
+               |  GROUP BY v.vec_id)""".stripMargin
+    ctes += s"""dq AS MATERIALIZED (
+               |  SELECT a.vec_id, ${dist("a.ax", "q.pt")} AS d2q
+               |  FROM appx a, qpt q)""".stripMargin
+    ctes += s"""pl AS MATERIALIZED (
+               |  SELECT vec_id, d2q FROM dq
+               |  ORDER BY d2q, vec_id LIMIT $pool)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT p.vec_id, CAST(p.d2q AS BIGINT) AS d2q_e12,
+       |  CAST(${dist("co.pt", "q.pt")} AS BIGINT) AS d2_e12
+       |FROM pl p JOIN corpus co ON p.vec_id = co.vec_id, qpt q
+       |ORDER BY d2_e12, p.vec_id LIMIT $topk""".stripMargin
+  }
+
   /** Shared oracle for the LSH ANN tier: q33 (manual index search) and
     * q136 (optimizer-rewritten declarative top-k) execute the SAME
     * deterministic probe pool + exact re-score, so one SQL replay
@@ -571,6 +678,7 @@ object OperatorQueries {
 
   val oracle: Map[String, String] = Map(
     "q49_ann_ivf" -> q49OracleSql,
+    "q138_ann_ivfsq" -> q138OracleSql,
     "q72_ann_pq" -> q72OracleSql,
     "q128_ann_sq8" -> q128OracleSql,
     // ASCII PRECONDITION (q34 + q35): this replay tokenizes with ASCII
