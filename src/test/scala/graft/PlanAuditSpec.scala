@@ -257,6 +257,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusGenerates("q100_ngram_novelty") == 0)
   }
 
+  test("q137: PII pass is one narrow codegen'd scan — single sort exchange, no join/agg") {
+    // Detection + redaction are expression-level regexp work: the only
+    // exchange in the whole plan is the final oracle-determinism
+    // orderBy; a join or aggregate here means the operator stopped
+    // composing into the scan.
+    val p = plan("q137_pii_redact")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected only the final sort exchange(s):\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    val c = SparkEntry.queries("q137_pii_redact")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+    assert(c.contains("WholeStageCodegen"), c.take(500))
+  }
+
+  test("q138: IVF-SQ search broadcasts the pool and prunes on the probe filter") {
+    // The pool re-score join must be broadcast (≤ pool rows), never a
+    // corpus shuffle, and the probe prune must appear as a cid IN
+    // filter below the ranking.
+    val p = plan("q138_ann_ivfsq")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q134: corpus tokenized ONCE — no parquet scan or split at query time") {
     // The three-tier attribution shares ONE checkpointed (doc_id,
     // tokens) table: the shared tokenize is the only corpus read, so
