@@ -236,7 +236,46 @@ object CurationQueries {
         epochCap = 2, budgetNum = 3, budgetDen = 2)
       .orderBy(col("lang"))
 
+  // q139: incremental corpus-statistics maintenance — the daily-batch
+  // pattern at 100 TB: yesterday's per-language stats state (computed
+  // over the snapshot, checkpointed — standing in for state read back
+  // from storage) is MERGED algebraically with the arrivals' stats
+  // (full-outer join on language: counts/sums add, min/max fold,
+  // means derive post-merge) instead of recomputing the snapshot. The
+  // oracle computes the SAME stats in one full-corpus pass, so the
+  // hash match IS the merge-equals-recompute certificate — the
+  // property that makes the aggregate state incrementally
+  // maintainable at all. Corpus cost: each half crosses one
+  // map-side-combinable aggregate; the merge is languages-sized.
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("__nt"))
+    def stats(x: DataFrame) = x.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        min(col("__nt")).as("min_toks"), max(col("__nt")).as("max_toks"))
+    val snap = stats(d.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(true)
+    val delta = stats(d.filter(col("doc_id") % 10 === 0))
+      .select(col("lang"), col("n_docs").as("d_docs"),
+        col("n_tokens").as("d_tokens"), col("min_toks").as("d_min"),
+        col("max_toks").as("d_max"))
+    snap.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) +
+          coalesce(col("d_tokens"), lit(0L))).as("n_tokens"),
+        least(coalesce(col("min_toks"), col("d_min")),
+          coalesce(col("d_min"), col("min_toks"))).as("min_toks"),
+        greatest(coalesce(col("max_toks"), col("d_max")),
+          coalesce(col("d_max"), col("max_toks"))).as("max_toks"))
+      .withColumn("mean_toks_e4",
+        expr("n_tokens * 10000 div n_docs"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_incremental_stats" -> (q139 _),
     "q129_k_anonymity" -> (q129 _),
     "q131_unimax_budget" -> (q131 _),
     "q83_curation_pipeline" -> (q83 _),
@@ -331,6 +370,19 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // Deliberately a SINGLE full-corpus pass (no snapshot/delta split):
+    // engine merges incremental state, oracle recomputes from scratch —
+    // the hash match certifies merge == recompute.
+    "q139_incremental_stats" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  MIN(nt) AS min_toks, MAX(nt) AS max_toks,
+        |  CAST(SUM(nt) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT)
+        |    AS mean_toks_e4
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q129_k_anonymity" ->
       """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS
         |    n_docs FROM documents GROUP BY 1, 2),

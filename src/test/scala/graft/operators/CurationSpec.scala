@@ -115,6 +115,32 @@ class CurationSpec extends SparkSpec {
     assert(!a.sameElements(c))                        // seed changes order
   }
 
+  test("q139 merge semantics: snapshot-only, arrivals-only, and mixed languages") {
+    // The q139 incremental merge must equal a single-pass recompute on
+    // every full-outer branch: a language present only in the snapshot
+    // (doc_id % 10 != 0), only in the arrivals (doc_id % 10 == 0), and
+    // in both. The oracle certifies this on the real corpus; here the
+    // null-side coalesces are pinned on a corpus crafted to hit each.
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e"),          // snapshot en
+      (10L, "en", "f g h i"),                          // arrival en
+      (3L, "fr", "x y"),                               // snapshot-only fr
+      (20L, "zh", "p q r"))                            // arrival-only zh
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationQueries
+      .queries("q139_incremental_stats")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("en") == ((3L, 9L, 2L, 4L, 30000L)))
+    assert(out("fr") == ((1L, 2L, 2L, 2L, 20000L)))
+    assert(out("zh") == ((1L, 3L, 3L, 3L, 30000L)))
+  }
+
   test("upsample: expected copy counts, zero-weight drop, no [1,0] trap") {
     val df = ((0L until 2000L).map(i => (i, "a")) ++
       (2000L until 2100L).map(i => (i, "b")) ++
