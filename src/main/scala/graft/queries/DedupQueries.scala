@@ -31,6 +31,47 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  // q140: MinHash estimator calibration — the precision audit a
+  // production near-dup tier runs before trusting its threshold: for
+  // every LSH candidate pair (q27's exact pair set), the SIGNATURE
+  // estimate of Jaccard (equal components / k, e4) next to the EXACT
+  // shingle-set Jaccard (|∩|/|∪|, e4) and the absolute error. Scale
+  // shape: the estimate is a pair-scoped signature join (k longs per
+  // doc); the exact side joins shingles only for CANDIDATE pairs —
+  // pair-scoped, never corpus all-pairs — and both the shingle stream
+  // and the signature table are materialized once for their multiple
+  // consumers. All-integer e4 arithmetic; the oracle replays
+  // signatures, pairs, and both Jaccards bit-for-bit.
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+    val sigs = Dedup.minhashSignatures(sh, k = 16).localCheckpoint(true)
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+    val est = cand
+      .join(sigs.select(col("id").as("a"), col("sig").as("__sa")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("__sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(filter(zip_with(col("__sa"), col("__sb"),
+          (x, y) => x === y), e => e)).cast("long").as("__eq"))
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__i"))
+    est
+      .join(cnt.select(col("id").as("a"), col("n").as("__na")), Seq("a"))
+      .join(cnt.select(col("id").as("b"), col("n").as("__nb")), Seq("b"))
+      .join(inter, Seq("a", "b"), "left")
+      .withColumn("__iv", coalesce(col("__i"), lit(0L)))
+      .select(col("a"), col("b"),
+        expr("__eq * 10000 div 16").as("est_e4"),
+        expr("__iv * 10000 div (__na + __nb - __iv)").as("exact_e4"))
+      .withColumn("abs_err_e4", abs(col("est_e4") - col("exact_e4")))
+      .orderBy(col("a"), col("b"))
+  }
+
   // q28: 60-bit SimHash per document.
   def q28(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -202,6 +243,7 @@ object DedupQueries {
     "q118_canonical_rank" -> (q118 _),
     "q85_stream_neardup" -> (q85 _),
     "q27_minhash_lsh" -> (q27 _),
+    "q140_minhash_calibration" -> (q140 _),
     "q28_simhash" -> (q28 _),
     "q29_winnow_fp" -> (q29 _),
     "q30_regex_tokens" -> (q30 _),
@@ -254,6 +296,27 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q140_minhash_calibration" ->
+      s"""WITH $candCte,
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n
+         |        FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) i
+         |  FROM cand c JOIN sh x ON x.doc_id = c.a
+         |  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+         |  GROUP BY c.a, c.b),
+         |eq AS (SELECT c.a, c.b, CAST(CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END + CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END + CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END + CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END + CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END + CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END + CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END + CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END + CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END + CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END + CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END + CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END + CASE WHEN sa.s12 = sb.s12 THEN 1 ELSE 0 END + CASE WHEN sa.s13 = sb.s13 THEN 1 ELSE 0 END + CASE WHEN sa.s14 = sb.s14 THEN 1 ELSE 0 END + CASE WHEN sa.s15 = sb.s15 THEN 1 ELSE 0 END AS BIGINT) e
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+         |  JOIN sig sb ON sb.doc_id = c.b),
+         |j AS (SELECT e1.a, e1.b,
+         |    CAST(e1.e * 10000 // 16 AS BIGINT) AS est_e4,
+         |    CAST(COALESCE(i.i, 0) * 10000
+         |      // (ca.n + cb.n - COALESCE(i.i, 0)) AS BIGINT) AS exact_e4
+         |  FROM eq e1 JOIN cnt ca ON ca.doc_id = e1.a
+         |  JOIN cnt cb ON cb.doc_id = e1.b
+         |  LEFT JOIN inter i ON i.a = e1.a AND i.b = e1.b)
+         |SELECT a, b, est_e4, exact_e4,
+         |  CAST(abs(est_e4 - exact_e4) AS BIGINT) AS abs_err_e4
+         |FROM j ORDER BY a, b""".stripMargin,
     "q27_minhash_lsh" ->
       s"""WITH $candCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,

@@ -146,4 +146,30 @@ class DedupTextSpec extends SparkSpec {
     assert(multi.filter(col("nsp") > 1).count() > 0,
       "doc-keyed control no longer leaks — negative control broken")
   }
+
+  test("q140 calibration: identical docs score exact=est=10000 with zero error") {
+    // Exact duplicates (docs 0 and 4) share every shingle, so both the
+    // signature estimate and the exact Jaccard must be exactly 1.0 (e4
+    // 10000) and the error 0; near-dups (0,1 differ in the final word)
+    // must show exact < 10000 with the estimate within the k=16
+    // granularity (multiples of 625).
+    val dir = java.nio.file.Files.createTempDirectory("cal").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries
+      .queries("q140_minhash_calibration")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((0L, 4L)) == ((10000L, 10000L, 0L)))
+    out.values.foreach { case (est, exact, err) =>
+      assert(est % 625L == 0L)           // k=16 granularity
+      assert(err == math.abs(est - exact))
+      assert(est >= 0L && est <= 10000L && exact >= 0L && exact <= 10000L)
+    }
+    val (e01, x01, _) = out((0L, 1L))
+    assert(x01 < 10000L && e01 < 10000L)
+  }
 }
