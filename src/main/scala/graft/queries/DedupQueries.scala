@@ -72,6 +72,52 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  // q141: LSH bucketing recall/precision audit — q140 audits the
+  // ESTIMATOR; this audits the CANDIDATE GENERATION: on a bounded
+  // key-range slice (the q25/q26/q52 diagnostic discipline — ground
+  // truth needs exact pair Jaccards, so it is slice-scoped BY DESIGN),
+  // the exact-Jaccard-≥-τ pair set is the truth, the LSH candidate set
+  // the prediction, and the one-row report carries TP/FP/FN and
+  // precision/recall in e4. Slicing before vs after banding is
+  // equivalent (signatures are per-doc; a pair shares a bucket
+  // independently of other docs), so the engine bands the SLICE while
+  // the oracle filters the corpus-wide candidate CTE — the hash match
+  // certifies that equivalence too. Zero-intersection pairs can't reach
+  // τ, so ground truth needs only the shingle-intersection join, never
+  // the full cross product.
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val tau = 2000L // exact Jaccard >= 0.2 counts as a true near-dup
+    val d = docs(s, dir).filter(col("doc_id") < 300)
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+    val pred = Dedup.lshCandidatePairs(
+        Dedup.lshBuckets(Dedup.minhashSignatures(sh, k = 16),
+          bands = 4, rowsPerBand = 4))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("id").as("a"), col("shingle"))
+      .join(sh.select(col("id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__i"))
+      .join(cnt.select(col("id").as("a"), col("n").as("__na")), Seq("a"))
+      .join(cnt.select(col("id").as("b"), col("n").as("__nb")), Seq("b"))
+      .filter(expr(s"__i * 10000 div (__na + __nb - __i) >= $tau"))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val tp = truth.join(pred, Seq("a", "b"), "left_semi").count()
+    val nT = truth.count()
+    val nP = pred.count()
+    val (fp, fn) = (nP - tp, nT - tp)
+    val prec = if (nP == 0) -1L else tp * 10000L / nP
+    val rec = if (nT == 0) -1L else tp * 10000L / nT
+    s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nT, nP, tp, fp, fn, prec, rec)),
+      org.apache.spark.sql.types.StructType(
+        Seq("n_truth", "n_pred", "tp", "fp", "fn", "precision_e4",
+          "recall_e4").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   // q28: 60-bit SimHash per document.
   def q28(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -243,6 +289,7 @@ object DedupQueries {
     "q118_canonical_rank" -> (q118 _),
     "q85_stream_neardup" -> (q85 _),
     "q27_minhash_lsh" -> (q27 _),
+    "q141_lsh_recall_audit" -> (q141 _),
     "q140_minhash_calibration" -> (q140 _),
     "q28_simhash" -> (q28 _),
     "q29_winnow_fp" -> (q29 _),
@@ -296,6 +343,31 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q141_lsh_recall_audit" ->
+      s"""WITH $candCte,
+         |shs AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 300),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n
+         |        FROM shs GROUP BY doc_id),
+         |it AS (SELECT x.doc_id a, y.doc_id b, CAST(COUNT(*) AS BIGINT) i
+         |  FROM shs x JOIN shs y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |truth AS (SELECT it.a, it.b FROM it
+         |  JOIN cnt ca ON ca.doc_id = it.a
+         |  JOIN cnt cb ON cb.doc_id = it.b
+         |  WHERE it.i * 10000 // (ca.n + cb.n - it.i) >= 2000),
+         |pred AS (SELECT a, b FROM cand WHERE a < 300 AND b < 300),
+         |m AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) nt,
+         |  CAST((SELECT COUNT(*) FROM pred) AS BIGINT) np,
+         |  CAST((SELECT COUNT(*) FROM truth t JOIN pred p
+         |        ON t.a = p.a AND t.b = p.b) AS BIGINT) tp)
+         |SELECT nt AS n_truth, np AS n_pred, tp, np - tp AS fp,
+         |  nt - tp AS fn,
+         |  CAST(CASE WHEN np = 0 THEN -1 ELSE tp * 10000 // np END
+         |    AS BIGINT) AS precision_e4,
+         |  CAST(CASE WHEN nt = 0 THEN -1 ELSE tp * 10000 // nt END
+         |    AS BIGINT) AS recall_e4
+         |FROM m""".stripMargin,
     "q140_minhash_calibration" ->
       s"""WITH $candCte,
          |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n
