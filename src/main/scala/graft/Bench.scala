@@ -218,20 +218,22 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver's stdout capture has clipped the full line (queries +
     // spread maps ≈ 10 KB) two rounds running, leaving BENCH_r{N}.json
-    // unparseable. Print a COMPACT line FIRST — every headline scalar,
-    // the ratio fields, failures, and the per-query medians, but no
-    // spread map — so at least one complete parseable JSON line exists
-    // however the capture window cuts. The full line (with spreads)
-    // follows, and BENCH_FULL.json on disk stays authoritative.
+    // unparseable — and the capture is a bounded TAIL, so the newest
+    // output survives. Print the big full line FIRST, then a COMPACT
+    // line LAST — every headline scalar, the ratio fields, failures,
+    // and the per-query medians, but no spread map. Being small and
+    // newest, the compact line survives any tail-bounded capture even
+    // when the window is too small to hold the full line; BENCH_FULL
+    // .json on disk stays authoritative for the spreads.
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
-    println(compact)
+    println(line)
     // The artifact only counts if it lands in the repo; a cwd outside
     // the project would quietly leave the committed copy stale.
     if (!java.nio.file.Files.exists(out.getParent.resolve("build.sbt")))
       System.err.println(s"[bench] WARNING: wrote $out outside a repo " +
         "root (no build.sbt beside it) — the committed BENCH_FULL.json " +
         "was NOT updated")
-    println(line)
+    println(compact)
     spark.stop()
   }
 }

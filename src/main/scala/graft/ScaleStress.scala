@@ -82,12 +82,17 @@ object ScaleStress {
       out
     }
 
+    // Replication stride derived from the corpus itself: a fixed stride
+    // smaller than max(doc_id) would silently alias replicated ids and
+    // corrupt every pair/CC/k-core count this harness reports.
+    val stride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+
     for (k <- scales) {
       // id-offset replication: every cluster of near-dups grows ×k and
       // every replicated doc is an EXACT dup of its copies — the
       // adversarial direction for LSH bucket sizes and CC depth.
       val docs = (0 until k).map(i => docs0.select(
-          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          (col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
           col("text")))
         .reduce(_ union _).localCheckpoint(true)
       val nDocs = docs.count()

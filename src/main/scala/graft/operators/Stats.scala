@@ -253,16 +253,19 @@ object Stats {
     // are FEW (the q38 case: 3 groups over the entire corpus — a
     // Window.partitionBy(group) would cap parallelism at 3 tasks), but
     // it dies when the group column is high-cardinality (per-user, per-
-    // url). Count the stream distributed first (one cheap run-length
-    // job over the checkpoint, no data movement) and switch to the
-    // fully distributed rank-join fallback past the bound — there, one
-    // sort per group IS the scalable shape because parallelism equals
-    // the group count.
-    val stateRows = partStatsDs.count()
-    if (stateRows > maxDriverStateRows)
+    // url). Guard and collect in ONE pass: fetch at most bound+1 rows
+    // (CollectLimit scans partitions incrementally and stops once the
+    // limit is satisfied, so a high-cardinality stream never lands on
+    // the driver); an overflow row switches to the fully distributed
+    // rank-join fallback — there, one sort per group IS the scalable
+    // shape because parallelism equals the group count. The common
+    // few-groups call pays no extra job (the r12 separate count() did).
+    val bound = math.min(maxDriverStateRows, (Int.MaxValue - 1).toLong).toInt
+    val partStats0 = partStatsDs.limit(bound + 1).collect()
+    if (partStats0.length > bound)
       return quantilesDistributed(sorted, groupCol, ps, interpolate,
         includeMean)
-    val partStats = partStatsDs.collect()
+    val partStats = partStats0
       .sortBy(_._1)
     val groups = partStats.map(_._2).distinct.sorted
     // Per group: total n, total sum, and the global ranks to fetch.
@@ -408,7 +411,14 @@ object Stats {
         (if (includeMean)
           Seq(round(col("__sum") / col("__n").cast("double"), 2).as("mean"))
         else Nil))
-    grouped.select(outCols: _*)
+    // Group ordering aligned with the driver path (which emits groups
+    // sorted ascending); the sort is over ngroups rows — noise next to
+    // the rank join above. Schema note: the quantile columns here are
+    // declared nullable (they come through conditional aggregates)
+    // where the driver path declares them non-null — callers comparing
+    // values are unaffected; callers comparing StructTypes should
+    // compare names+types only.
+    grouped.orderBy(col("__g")).select(outCols: _*)
   }
 
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {

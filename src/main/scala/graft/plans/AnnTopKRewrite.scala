@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * pushed above the child: only the query's own LSH bucket (plus 1-bit
   * multiprobe neighbors) is scanned, re-scored exactly, and top-k'd.
   *
+  * FILTERED KNN (the q90 `searchFiltered` pattern) composes for free:
+  * when the child under the Project is itself a `Filter(pred, …)` —
+  * where Catalyst's pushdown leaves any user metadata predicate — the
+  * prune stacks ON TOP of it (`Filter(bucket IN …, Filter(pred, …))`),
+  * so the executed scan is probe-set ∩ predicate; q142 certifies the
+  * composed plan (both predicates present) against a DuckDB replay.
+  *
   * This is an APPROXIMATE rewrite — it trades recall for a sub-linear
   * scan, exactly like querying through the ANN index by hand (the
   * reference's sqlite-vec analogue, `VectorStoreCommands.cs:113`) — so it

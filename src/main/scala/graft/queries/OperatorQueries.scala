@@ -163,14 +163,24 @@ object OperatorQueries {
   // one per-dimension min/max pass on the corpus; search ranks by
   // exact-query × dequantized-corpus integer L2, re-scores the pool
   // exactly in e6. All-integer, so the oracle replays every step.
+  // PRODUCTION SHAPE (r13): the query certifies the STORED-CODE index
+  // path — Sq.index materializes the int8 codes to parquet (the table
+  // a real store writes once), and searchIndexed ranks on the
+  // 4×-smaller code column read BACK from storage; the float column is
+  // read only for the ≤ pool re-scored rows. The index build is inside
+  // the timed query (floats read once, at index time).
   def q128(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     val corpus = emb.filter(col("vec_id") =!= 0)
     val m = graft.operators.Sq.fit(corpus, "embedding", EmbeddingDim)
-    graft.operators.Sq.search(corpus, "vec_id", "embedding", m, q,
-      k = 5, pool = 50)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-sq8-idx").resolve("t").toString
+    graft.operators.Sq.index(corpus, "embedding", m)
+      .write.mode("overwrite").parquet(idxPath)
+    graft.operators.Sq.searchIndexed(s.read.parquet(idxPath), "vec_id",
+      "embedding", "sq_code", m, q, k = 5, pool = 50)
   }
 
   // q136: the SAME LSH ANN search as q33, but never calling the index's
@@ -184,16 +194,34 @@ object OperatorQueries {
   // fail the oracle, but fail loudly here instead) and the bounded
   // (k-row) result is returned as a local relation so the rewrite flag
   // never leaks outside this query's construction.
-  def q136(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+  def q136(s: SparkSession, dir: String): DataFrame =
+    annRewriteQuery(s, dir, filtered = false)
+
+  // q142: the FILTERED-KNN shape through the same optimizer rule — a
+  // metadata predicate (`vec_id % 3 = 1`, the q90 `searchFiltered`
+  // pattern; reference `VectorStoreCommands.cs:113` has no filter
+  // surface, production stores need one) sits between the declarative
+  // top-k and the indexed relation. The rewrite must COMPOSE with the
+  // predicate, not replace it: the certified optimized plan carries
+  // BOTH the In/InSet bucket prune and the user predicate, and the
+  // oracle replays bucket-probe ∩ predicate before the exact re-score.
+  def q142(s: SparkSession, dir: String): DataFrame =
+    annRewriteQuery(s, dir, filtered = true)
+
+  private def annRewriteQuery(s: SparkSession, dir: String,
+      filtered: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Pmod}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     require(q.length == EmbeddingDim,
-      s"q136 oracle is generated for dim=$EmbeddingDim, testdata has ${q.length}")
+      s"q136/q142 oracle is generated for dim=$EmbeddingDim, testdata has ${q.length}")
     val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = q.length)
-    val indexed = lsh.index(emb.filter(col("vec_id") =!= 0), "embedding")
+    val indexed0 = lsh.index(emb.filter(col("vec_id") =!= 0), "embedding")
+    val indexed =
+      if (filtered) indexed0.filter(pmod(col("vec_id"), lit(3L)) === 1L)
+      else indexed0
     // `bucket` must survive projection (as in a pre-indexed stored
     // table): column pruning would otherwise remove the index column
     // before the rule sees it, leaving nothing to prune on. It is
@@ -209,10 +237,15 @@ object OperatorQueries {
     // function registry is the extensions-installed marker.
     val viaExtensions = s.sessionState.functionRegistry.functionExists(
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))
+    // Capture BOTH pieces of session state this query touches — the
+    // flag and the experimental rule list — and restore both in the
+    // finally: leaving the (flag-gated, inert) rule installed in the
+    // shared session would still be a state leak into later queries.
+    val prevRules = s.experimental.extraOptimizations
     if (!viaExtensions &&
-        !s.experimental.extraOptimizations.contains(graft.plans.AnnTopKRewrite))
+        !prevRules.contains(graft.plans.AnnTopKRewrite))
       s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite
+        prevRules :+ graft.plans.AnnTopKRewrite
     val flag = "spark.graft.ann.autoRewrite"
     val prev = s.conf.getOption(flag)
     s.conf.set(flag, "true")
@@ -221,7 +254,8 @@ object OperatorQueries {
       // EXPRESSION (not a column named bucket), so detect any In/InSet
       // filter — the only membership predicate in this plan is the
       // rule's probe prune.
-      val pruned = topk.queryExecution.optimizedPlan.collect {
+      val opt = topk.queryExecution.optimizedPlan
+      val pruned = opt.collect {
         case f: Filter => f.condition.exists {
           case _: In | _: InSet => true
           case _ => false
@@ -229,6 +263,20 @@ object OperatorQueries {
       }.exists(identity)
       require(pruned,
         "AnnTopKRewrite did not fire: no bucket prune in the optimized plan")
+      if (filtered) {
+        // The rewrite must not have REPLACED the user predicate with
+        // the probe prune: the modulo filter must survive in the same
+        // optimized plan (composed — possibly as a separate Filter or
+        // merged into one conjunction).
+        val predKept = opt.collect {
+          case f: Filter => f.condition.exists {
+            case _: Pmod => true
+            case _ => false
+          }
+        }.exists(identity)
+        require(predKept,
+          "filtered-KNN rewrite dropped the user predicate from the plan")
+      }
       // Executes the rewritten (bucket-pruned) plan: collect is bounded
       // at k rows by construction. The bucket index column is dropped
       // from the emitted result (the oracle replays vec_id + score).
@@ -237,9 +285,12 @@ object OperatorQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(
           Seq(topk.schema("vec_id"), topk.schema("score"))))
-    } finally prev match {
-      case Some(v) => s.conf.set(flag, v)
-      case None => s.conf.unset(flag)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+      s.experimental.extraOptimizations = prevRules
     }
   }
 
@@ -259,14 +310,26 @@ object OperatorQueries {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val m = graft.operators.IvfSq.fit(corpus, "vec_id", "embedding",
       kCentroids = 8, dim = EmbeddingDim)
-    graft.operators.IvfSq.search(corpus, "vec_id", "embedding", m, q,
-      k = 5, nprobe = 2, pool = 50)
+    // PRODUCTION SHAPE (r13): materialize (cid, residual codes) to
+    // parquet PARTITIONED BY the coarse cell — the inverted-list layout
+    // — and search the stored table: the nprobe filter becomes parquet
+    // partition PRUNING (only the probed cells' files are opened), the
+    // ranking scan reads int8 codes, and floats are read only for the
+    // ≤ pool re-scored rows. Index build inside the timed query.
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-ivfsq-idx").resolve("t").toString
+    graft.operators.IvfSq.index(corpus, "embedding", m)
+      .write.partitionBy("ivf_cid").mode("overwrite").parquet(idxPath)
+    graft.operators.IvfSq.searchIndexed(s.read.parquet(idxPath), "vec_id",
+      "embedding", "ivf_cid", "sq_code", m, q, k = 5, nprobe = 2,
+      pool = 50)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_ann_pq" -> (q72 _),
     "q128_ann_sq8" -> (q128 _),
     "q136_ann_autorewrite" -> (q136 _),
+    "q142_ann_filtered_rewrite" -> (q142 _),
     "q138_ann_ivfsq" -> (q138 _),
     "q31_lang_id" -> (q31 _),
     "q32_quality" -> (q32 _),
@@ -647,7 +710,16 @@ object OperatorQueries {
     * deterministic probe pool + exact re-score, so one SQL replay
     * certifies both paths.
     */
-  private lazy val annLshOracleSql: String =
+  private lazy val annLshOracleSql: String = annLshSql(extraPred = "")
+
+  /** q142's oracle: identical LSH replay, with the metadata predicate
+    * intersected into the candidate set (prune ∩ predicate, exactly
+    * what the composed optimized plan executes).
+    */
+  private lazy val annLshFilteredOracleSql: String =
+    annLshSql(extraPred = " AND (bk.vec_id % 3) = 1")
+
+  private def annLshSql(extraPred: String): String =
       s"""WITH planes(b, p) AS (VALUES
          |  $q33PlaneRows),
          |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
@@ -665,7 +737,7 @@ object OperatorQueries {
          |  SELECT xor(qb.bucket, 1 << CAST(r.range AS INTEGER))
          |  FROM qb CROSS JOIN range(8) r),
          |cand AS (SELECT bk.vec_id FROM buckets bk JOIN probes ON bk.bucket = probes.pb
-         |         WHERE bk.vec_id <> 0),
+         |         WHERE bk.vec_id <> 0$extraPred),
          |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
          |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
          |d2 AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
@@ -907,6 +979,7 @@ object OperatorQueries {
          |FROM b ORDER BY doc_id""".stripMargin,
     "q33_ann_lsh" -> annLshOracleSql,
     "q136_ann_autorewrite" -> annLshOracleSql,
+    "q142_ann_filtered_rewrite" -> annLshFilteredOracleSql,
     "q50_embed_neardup_lsh" ->
       s"""WITH planes(b, p) AS (VALUES
          |  $q33PlaneRows),

@@ -77,6 +77,49 @@ class AnnTopKRewriteSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == manual)
   }
 
+  test("q142: filtered KNN — prune composes with the predicate, equals manual filtered search") {
+    // The q90 searchFiltered pattern through the optimizer: a metadata
+    // predicate between the declarative top-k and the indexed relation.
+    // The registered query itself requires BOTH the In/InSet prune and
+    // the surviving predicate in its optimized plan; here we pin the
+    // results against the manual filter-then-probe search.
+    assert(spark.conf.getOption("spark.graft.ann.autoRewrite").isEmpty)
+    val out = graft.queries.OperatorQueries
+      .q142(spark, "/root/testdata/sf0.001").collect()
+    assert(spark.conf.getOption("spark.graft.ann.autoRewrite").isEmpty)
+    val manual = lsh.search(
+        indexed.filter(pmod(col("vec_id"), lit(3L)) === 1L),
+        "vec_id", "embedding", q, 5, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == manual)
+  }
+
+  test("filtered KNN recall: bucket-pruned filtered top-5 vs exact filtered top-5") {
+    // Deterministic fixture (fixed corpus, fixed hyperplane seed), so
+    // recall is a measurement, not a flaky bound. Measured r13 @
+    // sf0.001: 1/5 — the predicate keeps ~1/3 of each probed bucket,
+    // so radius-1 multiprobe recovers less of the filtered-exact top-5
+    // than the unfiltered search does of its own (AnnRecallSpec). The
+    // production knob is the probe radius (wider multiprobe restores
+    // candidates the filter removed); the invariant pinned here is
+    // that prune ∩ predicate does NOT zero the overlap. Floor kept at
+    // ≥ 1 (not the measured point) because the driver regenerates
+    // testdata between rounds.
+    val slice = emb.filter(col("vec_id") =!= 0)
+      .filter(pmod(col("vec_id"), lit(3L)) === 1L)
+    val exact = slice
+      .select(col("vec_id"),
+        round(CosineSimilarity(col("embedding"), typedlit(q)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5).collect().map(_.getLong(0)).toSet
+    val approx = lsh.search(
+        indexed.filter(pmod(col("vec_id"), lit(3L)) === 1L),
+        "vec_id", "embedding", q, 5, probes = 1)
+      .collect().map(_.getLong(0)).toSet
+    val recall = approx.intersect(exact).size
+    assert(recall >= 1, s"filtered recall $recall/5 below floor; approx=$approx exact=$exact")
+  }
+
   test("nBits >= 12: guard matches the InSet form, exactly one prune") {
     // 13 probe literals (nBits=12, radius 1) exceed
     // spark.sql.optimizer.inSetConversionThreshold (10), so OptimizeIn
