@@ -61,10 +61,20 @@ object Main {
         }
       case "search" =>
         // REPL: blank line exits (VectorStoreCommands.cs:110,128-138).
+        // --mode exact|lsh|ivfsq selects the scan strategy (default
+        // exact = reference semantics; ANN modes are approximate).
+        val mode = opt(args, "mode", "exact")
+        if (!Set("exact", "lsh", "ivfsq")(mode)) {
+          System.err.println(
+            s"unknown --mode '$mode' (exact|lsh|ivfsq required)")
+          sys.exit(2)
+        }
+        val k = opt(args, "k", "1").toInt
         var line = ""
         while ({ print("query> "); line = Option(StdIn.readLine()).getOrElse("");
             line.trim.nonEmpty }) {
-          val hits = store.search(collection, line.trim, k = 1).collect()
+          val hits = store.search(collection, line.trim, k = k,
+            mode = mode).collect()
           hits.foreach { row =>
             println(s"score=${row.getAs[Any]("score")}")
             row.schema.fieldNames.filterNot(_ == "score")
@@ -97,7 +107,8 @@ object Main {
     """usage: graft.Main <command> [options]
       |  ingest --reader markdown|pdf|database --source <path>
       |         [--collection c] [--store dir]
-      |  search [--collection c] [--store dir]
+      |  search [--collection c] [--store dir] [--k n]
+      |         [--mode exact|lsh|ivfsq]   (default exact; ANN approximate)
       |  list   [--store dir]
       |  sql    [--data sfDir] [--store dir]""".stripMargin)
 }

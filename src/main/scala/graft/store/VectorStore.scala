@@ -55,14 +55,75 @@ final class VectorStore(spark: SparkSession, root: String) {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
-  /** Q1: exact cosine KNN. Embeds the query with the same provider used at
+  /** Q1: cosine KNN. Embeds the query with the same provider used at
     * ingest time (one generator for both, as in `Program.cs:76-79`), scores
     * with codegen-friendly higher-order functions (no UDF), and reduces with
     * TakeOrderedAndProject — the only cross-node traffic is k rows.
+    *
+    * `mode` selects the scan strategy; the DEFAULT is `exact` (the
+    * reference's semantics — sqlite-vec brute force scan,
+    * `VectorStoreCommands.cs:113`). The ANN modes are opt-in and
+    * APPROXIMATE (sub-linear scan, recall < 1):
+    *
+    *   - `lsh`: random-hyperplane bucket probe (radius-1 multiprobe) —
+    *     only the query's probe buckets are scanned, candidates
+    *     re-scored with exact cosine.
+    *   - `ivfsq`: the composed IVF-SQ tier (q138's operator) — coarse
+    *     k-means probe pruning + SQ8 residual codes rank the
+    *     candidates in integer space; the returned rows carry exact
+    *     cosine scores. The chunk embeddings are L2-normalized at
+    *     ingest, so L2 ranking and cosine ranking agree.
+    *
+    * Every mode returns the SAME shape: chunk columns + `score`
+    * (cosine, 6dp), ordered (score desc, key). Here the ANN index is
+    * built at search time from the collection (the convenience path —
+    * right for REPL-sized collections); a production store materializes
+    * the code tables once at write time — exactly the stored-code
+    * shape q128/q138 certify under the oracle.
     */
   def search(collection: String, queryText: String, k: Int = 1,
-      provider: EmbeddingProvider = Embedding.default): DataFrame =
-    searchFiltered(collection, queryText, k, lit(true), provider)
+      provider: EmbeddingProvider = Embedding.default,
+      mode: String = "exact"): DataFrame = mode match {
+    case "exact" =>
+      searchFiltered(collection, queryText, k, lit(true), provider)
+    case "lsh" =>
+      val qv = provider.embed(queryText)
+      val chunks = read(collection)
+      // Bucket count sized to the collection (~8 vectors/bucket): a
+      // fixed high nBits over a small collection scatters neighbors
+      // into unprobed buckets (recall collapses), a fixed low one over
+      // a large collection stops pruning. At store scale nBits grows
+      // as log2(n) — the scan stays ~constant per bucket.
+      val n = chunks.count()
+      val nBits = math.max(2, math.min(16,
+        (math.log(math.max(n, 8L).toDouble / 8.0) / math.log(2.0))
+          .round.toInt))
+      val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
+        nBits = nBits, dim = qv.length)
+      val probes = lsh.probeBuckets(qv, probes = 1)
+      lsh.index(chunks, "embedding")
+        .filter(col("bucket").isin(probes: _*))
+        .drop("bucket")
+        .withColumn("score",
+          round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
+        .orderBy(col("score").desc, col("key"))
+        .limit(k)
+    case "ivfsq" =>
+      val qv = provider.embed(queryText)
+      val chunks = read(collection)
+      val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
+        kCentroids = 8, dim = qv.length)
+      val ids = graft.operators.IvfSq.search(chunks, "key", "embedding",
+          m, qv, k = k, nprobe = 2, pool = math.max(50, 4 * k))
+        .select(col("key"))
+      chunks.join(broadcast(ids), Seq("key"))
+        .withColumn("score",
+          round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
+        .orderBy(col("score").desc, col("key"))
+        .limit(k)
+    case other => throw new IllegalArgumentException(
+      s"unknown search mode '$other' (exact|lsh|ivfsq)")
+  }
 
   /** Q1 + metadata pre-filter: restrict the scan BEFORE scoring. Because
     * collections are parquet partitioned by `documentid`, a filter on

@@ -88,6 +88,54 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.listCollections().contains("part"))
   }
 
+  test("search mode default is exact, and exact-mode rows equal the brute-force path") {
+    // The reference's semantics (sqlite-vec brute scan) must stay the
+    // default: search() with no mode argument == mode="exact" ==
+    // searchFiltered(lit(true)) row for row.
+    val q = "gravity so strong that light cannot escape the event horizon"
+    val dflt = store.search("documents", q, k = 3).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("score"))).toSeq
+    val exact = store.search("documents", q, k = 3, mode = "exact").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("score"))).toSeq
+    assert(dflt == exact)
+    intercept[IllegalArgumentException] {
+      store.search("documents", q, k = 1, mode = "bogus")
+    }
+  }
+
+  test("ANN modes (lsh, ivfsq): same output shape, recall floor vs exact top-k") {
+    // Both ANN modes are approximate; on the deterministic fixture
+    // (fixed corpus, fixed hyperplane seed / kmeans chain) the floor
+    // pinned is: at least 2 of the exact top-3 keys recovered, and the
+    // on-topic document still wins top-1 — the invariant a user of
+    // `--mode lsh|ivfsq` actually relies on.
+    val q = "coral reefs marine fish species"
+    val exactKeys = store.search("documents", q, k = 3).collect()
+      .map(_.getAs[String]("key")).toSet
+    // Floors differ per mode because the mechanisms do: ivfsq prunes by
+    // actual geometry (kmeans cells) and re-ranks in near-lossless SQ8
+    // space — it must keep the on-topic top-1 and ≥2/3 of the exact
+    // top-3; lsh at collection size prunes by random hyperplanes with
+    // radius-1 multiprobe — the pinned invariant is a non-zero overlap
+    // with the exact top-3 (the knob a user turns for more is the probe
+    // radius, as with q142's filtered search).
+    for ((mode, floor) <- Seq("lsh" -> 1, "ivfsq" -> 2)) {
+      val hits = store.search("documents", q, k = 3, mode = mode).collect()
+      assert(hits.nonEmpty, s"mode=$mode returned no rows")
+      assert(hits.head.schema.fieldNames.toSet ==
+        Set("key", "embedding", "content", "context", "documentid", "score"),
+        s"mode=$mode schema mismatch")
+      val scores = hits.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"mode=$mode not score-desc")
+      if (mode == "ivfsq")
+        assert(hits.head.getAs[String]("documentid") == "coral_reefs.md",
+          s"mode=$mode top-1 off-topic: ${hits.head.getAs[String]("documentid")}")
+      val recall = hits.map(_.getAs[String]("key")).toSet
+        .intersect(exactKeys).size
+      assert(recall >= floor, s"mode=$mode recall $recall/3 below floor $floor")
+    }
+  }
+
   test("failed documents carry error results and contribute no chunks") {
     import spark.implicits._
     val bad = Seq(
