@@ -7,6 +7,35 @@ object Bench {
       .asScala.map(_.getCollectionTime.max(0L)).sum
   }
 
+  /** Per-job wall clock, for stall attribution (same machinery as
+    * graft.Profile / ScaleStress): lets a stalled rep carry its own
+    * evidence — one long JOB means a task-level stall, jobsum ≪ wall
+    * means the gap was driver/scheduler-side between jobs.
+    */
+  private final class JobLog
+      extends org.apache.spark.scheduler.SparkListener {
+    private val starts =
+      new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    private val ends =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      starts.put(j.jobId, j.time)
+    override def onJobEnd(
+        j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val t0 = Option(starts.get(j.jobId)).getOrElse(j.time)
+      ends.put(j.jobId, (t0, j.time))
+    }
+    // A copy, not the live keySet view — the map keeps mutating.
+    def snapshot(): java.util.Set[Int] =
+      new java.util.HashSet[Int](ends.keySet())
+    def since(prev: java.util.Set[Int]): Seq[Double] = {
+      import scala.jdk.CollectionConverters._
+      ends.asScala.toSeq.filterNot(kv => prev.contains(kv._1))
+        .sortBy(_._1).map { case (_, (a, b)) => (b - a) / 1000.0 }
+    }
+  }
+
   /** Re-time the DuckDB denominators in THIS session (best effort).
     *
     * Dumps [[SparkEntry.oracleSql]] to a temp json and shells out to
@@ -112,6 +141,15 @@ object Bench {
       spark.range(1).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.sorted
+    val jobLog = new JobLog
+    spark.sparkContext.addSparkListener(jobLog)
+    // rep > 3× the query's own rep-min AND > 1 s absolute → the rep is a
+    // stall outlier; its per-job walls go into the artifact so the next
+    // q85/q86-class outlier carries its own attribution row instead of a
+    // manual BASELINE.md postmortem (r12 verdict item 2).
+    val stallAttrib =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val r3j = (v: Double) => math.rint(v * 1000) / 1000
     val allWalls = selected.map { case (name, fn) =>
       // Three reps, report the MEDIAN of the last three measured walls:
       // the DuckDB denominator (BASELINE_QUERIES.json) is a median of 3
@@ -121,9 +159,11 @@ object Bench {
       // sandbox's random multi-second scheduler stalls, which measured
       // GC=0 and move between queries on every run.
       val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val repJobs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
       var ok = true
       for (rep <- 1 to 3 if ok) {
         val gc0 = gcMillis()
+        val jobs0 = jobLog.snapshot()
         val t0 = System.nanoTime()
         // noop sink (not .count) so the measured plan includes the final
         // sort/project work the driver's correctness dump actually
@@ -140,8 +180,26 @@ object Bench {
         }
         val t = (System.nanoTime() - t0) / 1e9
         walls += t
+        repJobs += jobLog.since(jobs0)
         if (sys.env.contains("SPARK_GRAFT_GCDBG"))
           System.err.println(f"[gcdbg] $name rep$rep wall=$t%.2f gc=${(gcMillis() - gc0) / 1000.0}%.2f")
+      }
+      if (ok && walls.nonEmpty) {
+        val mn = walls.min
+        val worstIdx = walls.indices.maxBy(walls(_))
+        val worst = walls(worstIdx)
+        if (worst > 3.0 * mn && worst > 1.0) {
+          val jw = repJobs(worstIdx)
+          val jobsum = jw.sum
+          // Top job walls only — enough to see WHERE the rep went; the
+          // full per-job array for a 60-job query would bloat the line.
+          val top = jw.sorted.reverse.take(8).map(r3j)
+          stallAttrib += name -> (s"""{"rep":${worstIdx + 1},""" +
+            s""""wall":${r3j(worst)},"rep_min":${r3j(mn)},""" +
+            s""""njobs":${jw.size},"jobsum":${r3j(jobsum)},""" +
+            s""""driver_gap":${r3j(worst - jobsum)},""" +
+            s""""top_job_walls":[${top.mkString(",")}]}""")
+        }
       }
       name -> walls.toSeq.sorted
     }
@@ -202,7 +260,9 @@ object Bench {
         s""""duckdb_batch_total":null,"duckdb_total":null,"ratio_batch":null"""
     }
     val partial = only.nonEmpty
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"spread":$spreadJson}"""
+    val stallJson = stallAttrib.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"spread":$spreadJson,"stall_attrib":$stallJson}"""
     // The driver archives only a bounded TAIL of stdout, which has
     // truncated the per-query map (alphabetically-early q100-q123 keys)
     // two rounds running. The complete artifact therefore also goes to a
