@@ -1,23 +1,38 @@
 package graft
 
-import graft.operators.{Dedup, Ranking}
+import graft.operators.{Cdc, Dedup, IngestionPipeline, ParagraphDedup, Ranking, SpanDedup}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress harness for the iterative graph tier (SCALE.md):
-  * replicates the sf documents corpus ×1/×3/×10 (id-offset copies, so
-  * every near-dup cluster grows by the replication factor — the
-  * worst-case growth for clustering), rebuilds the q54 LSH candidate
-  * graph at each scale, and times CC (q54), k-core (q135) and PageRank
-  * (q118) phase by phase, with per-JOB walls for the iterative loops
-  * (one job per CC round by construction: the convergence witness is
-  * the round's single action). Driver heap is sampled (post-GC) after
-  * every phase — the tier's driver state must stay O(1) in corpus
-  * size. Output: one JSON line per (scale, phase) plus per-job arrays;
-  * committed as SCALE.md.
+/** Scale-stress harness (SCALE.md), three tiers:
   *
-  * Usage: graft.ScaleStress [sfDir] [scales CSV, default 1,3,10]
+  *   - `graph` (default): replicates the sf documents corpus ×1/×3/×10
+  *     (id-offset copies, so every near-dup cluster grows by the
+  *     replication factor — the worst-case growth for clustering),
+  *     rebuilds the q54 LSH candidate graph at each scale, and times
+  *     CC (q54), k-core (q135) and PageRank (q118) phase by phase,
+  *     with per-JOB walls for the iterative loops (one job per CC
+  *     round by construction: the convergence witness is the round's
+  *     single action).
+  *   - `substring`: the q98/q101/q126/q130/q134 dedup tier — tokenize
+  *     ONCE (checkpoint), then span detection (q98), span strip
+  *     (q101), paragraph grid (q126) and CDC (q130) over the same
+  *     replicated corpora, recording shingle-stream row counts and
+  *     checkpoint storage alongside walls. Exact-copy replication is
+  *     adversarial here too: every shingle's doc-frequency crosses the
+  *     ≥2 threshold, so the span tier marks (and strips) EVERYTHING —
+  *     the maximal-work direction.
+  *   - `ingest`: the A1 pipeline (q44's shape) over a ×N-replicated
+  *     markdown corpus (default 1,10,100 → up to 1,000 files),
+  *     recording docs/s and the job structure — the per-doc flatMap
+  *     parallelism claim of `IngestionPipeline.run`, measured.
+  *
+  * Driver heap is sampled (post-GC) after every phase — each tier's
+  * driver state must stay O(1) in corpus size. Output: one JSON line
+  * per (scale, phase) plus per-job arrays; committed as SCALE.md.
+  *
+  * Usage: graft.ScaleStress [sfDir] [scales CSV] [graph|substring|ingest]
   */
 object ScaleStress {
 
@@ -50,8 +65,12 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val scales = args.drop(1).headOption.getOrElse("1,3,10")
+    val tier = args.drop(2).headOption.getOrElse("graph")
+    val scales = args.drop(1).headOption
+      .getOrElse(if (tier == "ingest") "1,10,100" else "1,3,10")
       .split(',').map(_.trim.toInt).toSeq
+    require(Set("graph", "substring", "ingest")(tier),
+      s"unknown tier '$tier' (graph|substring|ingest)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,9 +95,15 @@ object ScaleStress {
       val wall = (System.nanoTime() - t0) / 1e9
       val jobWalls = log.since(prev)
       val heap = usedHeapMb()
+      // Block-manager storage (checkpointed streams) — in local mode
+      // these blocks share the measured JVM heap, so reporting them
+      // beside it separates EXECUTOR-side state (distributed on a real
+      // cluster) from true driver bookkeeping.
+      val storageMb = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum / (1024L * 1024L)
       println(s"""{"scale":$scale,"phase":"$name","wall_sec":${r3(wall)},""" +
         s""""n_jobs":${jobWalls.size},"job_walls":[${jobWalls.map(r3).mkString(",")}],""" +
-        s""""driver_heap_mb":$heap}""")
+        s""""driver_heap_mb":$heap,"rdd_storage_mb":$storageMb}""")
       out
     }
 
@@ -87,14 +112,18 @@ object ScaleStress {
     // corrupt every pair/CC/k-core count this harness reports.
     val stride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
 
-    for (k <- scales) {
+    def replicate(k: Int): DataFrame =
       // id-offset replication: every cluster of near-dups grows ×k and
       // every replicated doc is an EXACT dup of its copies — the
-      // adversarial direction for LSH bucket sizes and CC depth.
-      val docs = (0 until k).map(i => docs0.select(
+      // adversarial direction for LSH bucket sizes, CC depth, and
+      // (substring tier) doc-frequency thresholds.
+      (0 until k).map(i => docs0.select(
           (col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
           col("text")))
         .reduce(_ union _).localCheckpoint(true)
+
+    if (tier == "graph") for (k <- scales) {
+      val docs = replicate(k)
       val nDocs = docs.count()
       val pairs = phase("lsh_pairs", k) {
         val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
@@ -116,6 +145,86 @@ object ScaleStress {
       phase("pagerank", k) {
         Ranking.pageRank(pairs, iterations = 3)
           .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    if (tier == "substring") for (k <- scales) {
+      val docs = replicate(k)
+      val nDocs = docs.count()
+      // Tokenize ONCE — the q134 discipline: one checkpointed
+      // (doc_id, tokens) table feeds every tier below.
+      val tok = phase("tokenize", k) {
+        SparkUtil.ensureParallelism(docs)
+          .select(col("doc_id"), split(col("text"), " ").as("__t"))
+          .localCheckpoint(true)
+      }
+      // The shingle-stream row count the span tier will explode into
+      // (Σ max(n_words − k + 1, 0), k = 8: the q98/q101 width), plus
+      // the checkpoint footprint actually held by the block manager —
+      // the two quantities that must grow LINEARLY with replication
+      // for the tier to survive 100 TB.
+      val shingleRows = tok.select(
+        sum(greatest(size(col("__t")) - lit(7), lit(0)).cast("long")))
+        .head().getLong(0)
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val storageMb =
+        storage.map(i => i.memSize + i.diskSize).sum / (1024L * 1024L)
+      println(s"""{"scale":$k,"n_docs":$nDocs,"shingle_rows":$shingleRows,""" +
+        s""""rdd_storage_mb":$storageMb}""")
+      phase("spans", k) { // q98: maximal duplicated spans
+        SpanDedup.spansTokens(tok, "doc_id", "__t", k = 8, minDocFreq = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      phase("strip", k) { // q101: corpus rewrite with spans removed
+        SpanDedup.stripSpans(docs, "doc_id", "text", k = 8, minDocFreq = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      phase("grid", k) { // q126: fixed paragraph grid
+        ParagraphDedup.dupSpansTokens(tok, "doc_id", "__t", w = 12,
+            minDocFreq = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      phase("cdc", k) { // q130: content-defined chunking
+        Cdc.dupSpansTokens(tok, "doc_id", "__t", w = 4, modulus = 16,
+            minDocFreq = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    if (tier == "ingest") {
+      // ×N synthetic markdown corpus from the committed 10-file fixture
+      // (the BASELINE.md <60 s / 30 files target's corpus, replicated).
+      val srcUrl = getClass.getResource("/content/markdown")
+      require(srcUrl != null && srcUrl.getProtocol == "file",
+        s"markdown fixture not on a file classpath: $srcUrl")
+      val srcDir = java.nio.file.Paths.get(srcUrl.toURI)
+      val srcFiles = java.nio.file.Files.list(srcDir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".md")).sortBy(_.toString)
+      val storeRoot =
+        java.nio.file.Files.createTempDirectory("scale-ingest-store")
+      val store = new graft.store.VectorStore(spark, storeRoot.toString)
+      for (k <- scales) {
+        val corpusDir =
+          java.nio.file.Files.createTempDirectory(s"scale-ingest-x$k")
+        for (i <- 0 until k; f <- srcFiles)
+          java.nio.file.Files.copy(f,
+            corpusDir.resolve(s"copy${i}_${f.getFileName}"))
+        val nFiles = k * srcFiles.length
+        val t0 = System.nanoTime()
+        val nOk = phase("ingest", k) {
+          val res = IngestionPipeline.run(
+            graft.sources.MarkdownSource.elements(spark,
+              corpusDir.toString),
+            store, s"scale_x$k").collect()
+          require(res.forall(_.succeeded),
+            s"ingest failures at ×$k: " +
+              res.filterNot(_.succeeded).map(_.documentid).mkString(","))
+          res.length
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(s"""{"scale":$k,"n_files":$nFiles,"n_ingested":$nOk,""" +
+          s""""docs_per_sec":${r3(nOk / wall)}}""")
       }
     }
     spark.stop()

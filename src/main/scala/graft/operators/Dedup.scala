@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * which banding keeps small; skewed buckets (e.g. boilerplate) are handled
   * by the exact block-salted self-join in [[lshCandidatePairs]]
   * (`saltBlocks`), which splits a hot bucket into g² balanced tasks.
+  *
+  * PARAMETER TUNING: the defaults (3-word shingles, k=16, 4 bands × 4
+  * rows) are calibrated by two gated audit queries — q140 measures the
+  * signature-Jaccard estimator error against exact shingle-set Jaccard
+  * (mean |err| ≈ 0.8·√(s(1−s)/k)), q141 measures bucketing
+  * recall/precision against slice-scoped exact ground truth. See
+  * BASELINE.md "MinHash/LSH tuning from the measured curves" for the
+  * measured numbers and the bands×rows → s-curve-midpoint table; rerun
+  * both audits after changing shingle width or k.
   */
 object Dedup {
 
