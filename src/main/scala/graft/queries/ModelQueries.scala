@@ -111,7 +111,48 @@ object ModelQueries {
     Dsir.importanceResample(docs(s, dir), "doc_id", "text",
       isTarget = col("lang") === "en", buckets = 512, k = 100)
 
+  // q144: filter-AGREEMENT calibration audit — before spending a 100 TB
+  // pass on a quality filter, check that the two independent cheap
+  // signals (the frozen linear classifier, q92, and the corpus bigram-LM
+  // NLL, q91) order the corpus the SAME way: per classifier-score decile
+  // (score_e6 div 100000, clamped 0..9 — q108's bucketing convention),
+  // the doc count, how many the classifier keeps, the exact mean
+  // classifier score, and the bigram-weighted mean LM NLL. A calibrated
+  // pair shows NLL falling monotonically as the classifier decile rises;
+  // a flat or inverted column means one of the filters is noise on this
+  // corpus. The audit discipline of q140/q141 (measure the estimator
+  // before trusting it) applied to the quality tier. All-integer
+  // arithmetic: exact long sums, `div` means (DuckDB `//` and Spark
+  // `div` both truncate toward zero — safe on the negative bucket-0
+  // score sums). Docs under 2 tokens carry no LM evidence and are
+  // inner-joined away (bigramNll's contract).
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clf = TextAnalysis.linearQuality(d, "text")
+      .select(col("doc_id"), col("score_e6"))
+    // Single global LM == q91's model: bigramNllBy with a constant group
+    // reuses the one-pass gram machinery AND its exact integer score_e4
+    // (q91's avg_nll is a float quotient — not bucket-aggregatable).
+    val lm = LanguageModel.bigramNllBy(d.withColumn("__g", lit("all")),
+        "__g", "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), col("score_e4"))
+    clf.join(lm, Seq("doc_id"))
+      .withColumn("bucket",
+        least(greatest(expr("score_e6 div 100000"), lit(0L)), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_e6") >= 500000L, 1L).otherwise(0L))
+          .as("n_keep"),
+        expr("CAST(sum(score_e6) div count(1) AS BIGINT)")
+          .as("mean_score_e6"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        expr("CAST(sum(n_bigrams * score_e4) div sum(n_bigrams) AS BIGINT)")
+          .as("mean_nll_e4"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_filter_agreement" -> (q144 _),
     "q91_lm_score" -> (q91 _),
     "q92_quality_classifier" -> (q92 _),
     "q93_random_projection" -> (q93 _),
@@ -169,6 +210,61 @@ object ModelQueries {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q144: ONE shared tokenization CTE feeds both the classifier
+    // features (q92's replay) and the LM count tables (q91's replay);
+    // the bucket/mean arithmetic is all-integer (`//` and Spark `div`
+    // both truncate toward zero, so the negative bucket-0 mean is safe).
+    "q144_filter_agreement" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), ' '),
+         |                x -> LENGTH(x) > 0) AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_filter(t, x -> list_contains($enStops, x)))
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS k_stop,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS k_uniq,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS k_mw,
+         |  CAST(ROUND((CAST(LEAST(len(t), 1000) AS DOUBLE) / 1000.0)
+         |    * 10000, 0) AS BIGINT) AS k_len
+         |  FROM toks),
+         |cs AS (SELECT doc_id,
+         |  -600000 + 180 * k_stop + 90 * k_uniq + 8 * k_mw + 35 * k_len
+         |    AS score_e6
+         |  FROM f),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+         |v AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+         |bpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |         FROM toks WHERE len(t) >= 2),
+         |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bpos),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+         |nl AS (SELECT bi.doc_id,
+         |    CAST(ROUND(-ln((c2.c2 + 1.0) / (c1.c1 + CAST(v.v AS DOUBLE)))
+         |      * 10000, 0) AS BIGINT) AS nll
+         |  FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+         |  JOIN c1 ON bi.w1 = c1.w CROSS JOIN v),
+         |lm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(nll) // COUNT(*) AS BIGINT) AS score_e4
+         |  FROM nl GROUP BY doc_id),
+         |j AS (SELECT LEAST(GREATEST(cs.score_e6 // 100000, 0), 9)
+         |      AS bucket,
+         |    cs.score_e6, lm.n_bigrams, lm.score_e4
+         |  FROM cs JOIN lm ON cs.doc_id = lm.doc_id)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN score_e6 >= 500000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_keep,
+         |  CAST(SUM(score_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(n_bigrams * score_e4) // SUM(n_bigrams) AS BIGINT)
+         |    AS mean_nll_e4
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q91_lm_score" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), ' '),

@@ -325,9 +325,155 @@ object OperatorQueries {
       pool = 50)
   }
 
+  /** ROUND-4 cosine of two float-array columns in q21's textual form
+    * (`dot / (nrm·nrm)`, doubles) — the 4-dp rounding absorbs the
+    * summation-order noise between Spark's index-order fold and the
+    * oracle's unordered SUM.
+    */
+  private def simR4(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val asD = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val nrm = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(asD(c), x => x * x), lit(0.0),
+        (acc, x) => acc + x))
+    val dot = aggregate(zip_with(asD(a), asD(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    round(dot / (nrm(a) * nrm(b)), 4)
+  }
+
+  /** q143 decontamination threshold on the ROUND-4 cosine. The synthetic
+    * embeddings are near-random (real eval-contamination runs use ≥0.9);
+    * 0.2 keeps the report non-degenerate at every SF — the plumbing is
+    * threshold-independent (q50's convention).
+    */
+  private val DecontamTau = 0.2
+
+  // q143: SEMANTIC decontamination — the embedding-space member of the
+  // decontamination trio (exact n-gram q64, Bloom-probe q78): flag every
+  // TRAIN document whose embedding is close to ANY eval-benchmark
+  // document, via the LSH bucket index — never the train × eval cross
+  // product. The EVAL side is the small one by construction (a benchmark
+  // suite vs a 100 TB corpus), so its radius-1 multiprobe expansion
+  // (bucket + the 8 Hamming-1 neighbors — each (train, eval) pair can
+  // meet in at most ONE probe bucket, so the candidate set needs no
+  // dedup) broadcasts, and the corpus-sized train side streams through
+  // one codegen'd bucket-equality join: per train partition the work is
+  // |partition| × (eval docs sharing a bucket), the same bounded-bucket
+  // argument as q50. Report: per flagged train doc, how many eval docs
+  // it collides with, the max ROUND-4 cosine, and the best-matching eval
+  // id (ties → min id) — one window pass, no second join over the
+  // scored stream.
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    require(emb.select("embedding").head().getSeq[Float](0).length ==
+      EmbeddingDim,
+      s"q143 oracle is generated for dim=$EmbeddingDim")
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = EmbeddingDim)
+    val indexed = lsh.index(emb, "embedding")
+    val evalSide = indexed.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ve"),
+        col("bucket"))
+    val probes = evalSide.select(col("eval_id"), col("ve"),
+      explode(array((col("bucket") +: (0 until 8).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
+    val train = indexed.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("train_id"), col("embedding").as("vt"),
+        col("bucket"))
+    val scored = train.join(broadcast(probes), Seq("bucket"))
+      .select(col("train_id"), col("eval_id"),
+        simR4(col("vt"), col("ve")).as("sim"))
+      .filter(col("sim") >= DecontamTau)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("train_id")
+    scored
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("sim").desc, col("eval_id"))))
+      .withColumn("n_hits", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("n_hits"), col("sim").as("max_sim"),
+        col("eval_id").as("best_eval"))
+      .orderBy(col("train_id"))
+  }
+
+  /** nDCG@10 position weights w_i = round(1e6 / log2(i+1)) — computed
+    * ONCE here and inlined as INTEGER literals into both the Spark plan
+    * and the DuckDB oracle, so no cross-engine float log ever meets the
+    * comparison. IDCG@10 is their sum (all ten positions relevant).
+    */
+  private val NdcgW: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val IdcgE6: Long = NdcgW.sum
+
+  // q145: ANN RANKING-quality audit — q141 measures the LSH candidate
+  // set (recall/precision of a boolean "is a candidate" prediction);
+  // this measures what a search user actually receives: for each audit
+  // query vector (vec_id % 25 = 0 — the bounded-slice ground-truth
+  // discipline, exact top-10 needs an O(|Q|·n) scan so |Q| is the knob),
+  // the radius-1 LSH top-10 is scored against the exact cosine top-10
+  // with recall@10 and position-discounted nDCG@10. All ranking on the
+  // shared ROUND-4 cosine with (sim desc, vec_id) tie-breaks; the DCG
+  // discount weights are pre-rounded integer literals, so the report is
+  // exact-integer end to end. Per query: candidate-pool size, hits,
+  // recall@10 (e4), nDCG@10 (e6) — the measured curve an operator reads
+  // before choosing nBits/probe radius for a 100 TB index (BASELINE.md
+  // MinHash/LSH tuning note's vector-search sibling). Queries whose
+  // probe buckets hold no other vector drop out (no row) in both
+  // engines. Corpus cost: ONE bucket-equality join (the search shape
+  // itself); the exact pass is audit-only.
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    require(emb.select("embedding").head().getSeq[Float](0).length ==
+      EmbeddingDim,
+      s"q145 oracle is generated for dim=$EmbeddingDim")
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = EmbeddingDim)
+    val indexed = lsh.index(emb, "embedding")
+    val qs = indexed.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq"),
+        col("bucket"))
+    val corpus = indexed
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    // Ground truth: exact top-10 per audit query (broadcast the tiny
+    // query side, stream the corpus — q21's plan shape, fanned out).
+    val ex10 = corpus.crossJoin(broadcast(qs.select(col("qid"), col("vq"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simR4(col("embedding"), col("vq")).as("sim"))
+      .withColumn("erank", row_number().over(
+        wq.orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("erank") <= 10)
+      .select(col("qid"), col("vec_id"), col("erank"))
+    // The search under audit: radius-1 multiprobe bucket join (q143's
+    // probe expansion), ranked by the same rounded cosine.
+    val probes = qs.select(col("qid"), col("vq"),
+      explode(array((col("bucket") +: (0 until 8).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
+    val ranked = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simR4(col("embedding"), col("vq")).as("sim"))
+      .withColumn("pos", row_number().over(
+        wq.orderBy(col("sim").desc, col("vec_id"))))
+      .withColumn("n_cand", count(lit(1)).over(wq))
+      .filter(col("pos") <= 10)
+    val wArr = array(NdcgW.map(lit): _*)
+    ranked.join(ex10, Seq("qid", "vec_id"), "left")
+      .withColumn("hit", when(col("erank").isNotNull, 1L).otherwise(0L))
+      .withColumn("g", when(col("erank").isNotNull,
+        element_at(wArr, col("pos"))).otherwise(0L))
+      .groupBy(col("qid"))
+      .agg(max(col("n_cand")).as("n_cand"),
+        sum(col("hit")).as("hits"),
+        (sum(col("hit")) * 1000).as("recall10_e4"),
+        expr(s"CAST(sum(g) * 1000000 div $IdcgE6 AS BIGINT)").as("ndcg_e6"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_ann_pq" -> (q72 _),
     "q128_ann_sq8" -> (q128 _),
+    "q143_semantic_decontam" -> (q143 _),
+    "q145_ann_rank_quality" -> (q145 _),
     "q136_ann_autorewrite" -> (q136 _),
     "q142_ann_filtered_rewrite" -> (q142 _),
     "q138_ann_ivfsq" -> (q138 _),
@@ -748,7 +894,122 @@ object OperatorQueries {
          |FROM d2 JOIN n ON d2.vec_id = n.vec_id
          |ORDER BY score DESC, d2.vec_id LIMIT 5""".stripMargin
 
+  /** q143's oracle: full replay — hyperplane buckets for the whole
+    * table, the eval side's radius-1 probe expansion, bucket-equality
+    * candidates, ROUND-4 cosine (q21's `dot/(nrm·nrm)` textual form —
+    * 4-dp rounding absorbs summation-order noise), then the same
+    * window pick of (count, max, argmax-with-min-id-tiebreak).
+    */
+  private lazy val q143OracleSql: String =
+    s"""WITH planes(b, p) AS (VALUES
+       |  $q33PlaneRows),
+       |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+       |       FROM planes),
+       |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+       |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+       |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |ev AS (SELECT vec_id AS eval_id, bucket FROM buckets
+       |       WHERE vec_id % 10 = 0),
+       |probes AS (SELECT eval_id, bucket AS pb FROM ev
+       |  UNION ALL
+       |  SELECT eval_id, xor(bucket, 1 << CAST(r.range AS INTEGER))
+       |  FROM ev CROSS JOIN range(8) r),
+       |tr AS (SELECT vec_id AS train_id, bucket FROM buckets
+       |       WHERE vec_id % 10 <> 0),
+       |cand AS (SELECT tr.train_id, probes.eval_id
+       |         FROM tr JOIN probes ON tr.bucket = probes.pb),
+       |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e
+       |      GROUP BY vec_id),
+       |d2 AS (SELECT c.train_id, c.eval_id, SUM(et.val * ee.val) AS dot
+       |       FROM cand c JOIN e et ON et.vec_id = c.train_id
+       |       JOIN e ee ON ee.vec_id = c.eval_id AND ee.pos = et.pos
+       |       GROUP BY 1, 2),
+       |sims AS (SELECT d2.train_id, d2.eval_id,
+       |    ROUND(d2.dot / (nt.nrm * ne.nrm), 4) AS sim
+       |  FROM d2 JOIN n nt ON nt.vec_id = d2.train_id
+       |  JOIN n ne ON ne.vec_id = d2.eval_id
+       |  WHERE ROUND(d2.dot / (nt.nrm * ne.nrm), 4) >= 0.2e0),
+       |r AS (SELECT train_id, eval_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY train_id
+       |                       ORDER BY sim DESC, eval_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_hits
+       |  FROM sims)
+       |SELECT train_id, n_hits, sim AS max_sim, eval_id AS best_eval
+       |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin
+
+  /** q145's oracle: the q143 bucket/probe replay, plus the exact
+    * all-pairs ground truth for the audit-query slice and the
+    * integer-weighted DCG. `dall`/`sims` are consumed by both the
+    * exact and the approximate rankings — MATERIALIZED, or DuckDB
+    * re-executes the 64-way pos-join per reference (r8's q112 lesson).
+    */
+  private lazy val q145OracleSql: String = {
+    val wRows = NdcgW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH planes(b, p) AS (VALUES
+       |  $q33PlaneRows),
+       |w(i, wt) AS (VALUES $wRows),
+       |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+       |       FROM planes),
+       |e AS MATERIALIZED (SELECT vec_id,
+       |        generate_subscripts(embedding, 1) AS pos,
+       |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+       |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+       |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+       |buckets AS MATERIALIZED (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS qid, bucket FROM buckets
+       |       WHERE vec_id % 25 = 0),
+       |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e
+       |      GROUP BY vec_id),
+       |dall AS MATERIALIZED (SELECT q.qid, ev.vec_id,
+       |    SUM(eq.val * ev.val) AS dot
+       |  FROM qs q JOIN e eq ON eq.vec_id = q.qid
+       |  JOIN e ev ON ev.pos = eq.pos AND ev.vec_id <> q.qid
+       |  GROUP BY 1, 2),
+       |sims AS MATERIALIZED (SELECT d.qid, d.vec_id,
+       |    ROUND(d.dot / (nq.nrm * nv.nrm), 4) AS sim
+       |  FROM dall d JOIN n nq ON nq.vec_id = d.qid
+       |  JOIN n nv ON nv.vec_id = d.vec_id),
+       |ex10 AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, vec_id) AS erank FROM sims)
+       |  WHERE erank <= 10),
+       |probes AS (SELECT qid, bucket AS pb FROM qs
+       |  UNION ALL
+       |  SELECT qid, xor(bucket, 1 << CAST(r.range AS INTEGER))
+       |  FROM qs CROSS JOIN range(8) r),
+       |cand AS (SELECT p.qid, bk.vec_id FROM buckets bk
+       |         JOIN probes p ON bk.bucket = p.pb
+       |         WHERE bk.vec_id <> p.qid),
+       |ranked AS (SELECT s.qid, s.vec_id, s.sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.qid
+       |                       ORDER BY s.sim DESC, s.vec_id) AS pos,
+       |    COUNT(*) OVER (PARTITION BY s.qid) AS n_cand
+       |  FROM sims s JOIN cand c ON c.qid = s.qid AND c.vec_id = s.vec_id),
+       |top AS (SELECT * FROM ranked WHERE pos <= 10),
+       |sc AS (SELECT t.qid, t.n_cand,
+       |    CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS hit,
+       |    CASE WHEN x.vec_id IS NULL THEN 0 ELSE w.wt END AS g
+       |  FROM top t JOIN w ON w.i = t.pos
+       |  LEFT JOIN ex10 x ON x.qid = t.qid AND x.vec_id = t.vec_id)
+       |SELECT qid, CAST(MAX(n_cand) AS BIGINT) AS n_cand,
+       |  CAST(SUM(hit) AS BIGINT) AS hits,
+       |  CAST(SUM(hit) * 1000 AS BIGINT) AS recall10_e4,
+       |  CAST(SUM(g) * 1000000 // $IdcgE6 AS BIGINT) AS ndcg_e6
+       |FROM sc GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q143_semantic_decontam" -> q143OracleSql,
+    "q145_ann_rank_quality" -> q145OracleSql,
     "q49_ann_ivf" -> q49OracleSql,
     "q138_ann_ivfsq" -> q138OracleSql,
     "q72_ann_pq" -> q72OracleSql,
