@@ -27,12 +27,23 @@ import org.apache.spark.sql.functions._
   *     markdown corpus (default 1,10,100 → up to 1,000 files),
   *     recording docs/s and the job structure — the per-doc flatMap
   *     parallelism claim of `IngestionPipeline.run`, measured.
+  *   - `ann`: the vector-index tier — LSH and IVF-SQ STORED indexes
+  *     (q136/q138's production shape: codes written partitionBy the
+  *     bucket / coarse cell) built over a ×1/×3/×10-replicated
+  *     embeddings table, then a 10-query search batch against each
+  *     stored index. Exact-copy replication is the adversarial
+  *     direction for bucket occupancy (every bucket grows ×k
+  *     uniformly); recorded: build walls, bucket-occupancy skew
+  *     (max/mean), the probed candidate fraction (must stay constant
+  *     — it is the prune ratio, the quantity that makes the search
+  *     sub-linear in corpus size), and per-batch search walls.
   *
   * Driver heap is sampled (post-GC) after every phase — each tier's
   * driver state must stay O(1) in corpus size. Output: one JSON line
   * per (scale, phase) plus per-job arrays; committed as SCALE.md.
   *
-  * Usage: graft.ScaleStress [sfDir] [scales CSV] [graph|substring|ingest]
+  * Usage: graft.ScaleStress [sfDir] [scales CSV]
+  *   [graph|substring|ingest|ann]
   */
 object ScaleStress {
 
@@ -69,8 +80,8 @@ object ScaleStress {
     val scales = args.drop(1).headOption
       .getOrElse(if (tier == "ingest") "1,10,100" else "1,3,10")
       .split(',').map(_.trim.toInt).toSeq
-    require(Set("graph", "substring", "ingest")(tier),
-      s"unknown tier '$tier' (graph|substring|ingest)")
+    require(Set("graph", "substring", "ingest", "ann")(tier),
+      s"unknown tier '$tier' (graph|substring|ingest|ann)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -188,6 +199,73 @@ object ScaleStress {
         Cdc.dupSpansTokens(tok, "doc_id", "__t", w = 4, modulus = 16,
             minDocFreq = 2)
           .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    if (tier == "ann") {
+      import graft.operators.{Ann, IvfSq}
+      val emb0 = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val dim = emb0.select("embedding").head().getSeq[Float](0).length
+      val estride = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def replicateEmb(k: Int): DataFrame =
+        (0 until k).map(i => emb0.select(
+            (col("vec_id") + lit(i.toLong * estride)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ union _).localCheckpoint(true)
+      // Fixed 10-query batch (the first ten base vectors) reused at
+      // every scale, so search walls compare like for like.
+      val queryBatch = emb0.filter(col("vec_id") < 10)
+        .collect().map(_.getSeq[Float](1).toArray)
+      for (k <- scales) {
+        val emb = SparkUtil.ensureParallelism(replicateEmb(k))
+        val nVecs = emb.count()
+        val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = dim)
+        val lshPath = java.nio.file.Files
+          .createTempDirectory(s"scale-ann-lsh-x$k").resolve("t").toString
+        phase("lsh_index_build", k) {
+          // Cluster by bucket BEFORE the partitioned write: without it
+          // every task writes a file into every bucket directory
+          // (tasks × buckets tiny files — measured 18.9 s at ×10 vs
+          // 2.4 s clustered); with it each bucket is one task's one
+          // file, and the 100 TB layout gets its locality for free.
+          lsh.index(emb, "embedding")
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite").parquet(lshPath)
+        }
+        val lshIdx = spark.read.parquet(lshPath)
+        val occ = lshIdx.groupBy(col("bucket")).count()
+          .agg(max(col("count")), avg(col("count")), count(lit(1))).head()
+        // Probed fraction for query 0 at radius 1 — the prune ratio:
+        // candidates / corpus must stay ~constant under replication.
+        val cand0 = lshIdx.filter(col("bucket")
+            .isin(lsh.probeBuckets(queryBatch.head, probes = 1): _*))
+          .count()
+        println(s"""{"scale":$k,"n_vecs":$nVecs,""" +
+          s""""lsh_max_bucket":${occ.getLong(0)},""" +
+          s""""lsh_mean_bucket":${r3(occ.getDouble(1))},""" +
+          s""""n_buckets":${occ.getLong(2)},""" +
+          s""""probed_frac":${r3(cand0.toDouble / nVecs)}}""")
+        phase("lsh_search_10q", k) {
+          for (q <- queryBatch)
+            lsh.search(lshIdx, "vec_id", "embedding", q,
+              k = 10, probes = 1).collect()
+        }
+        val m = phase("ivfsq_fit", k) {
+          IvfSq.fit(emb, "vec_id", "embedding", kCentroids = 8, dim = dim)
+        }
+        val ivfPath = java.nio.file.Files
+          .createTempDirectory(s"scale-ann-ivfsq-x$k").resolve("t").toString
+        phase("ivfsq_index_build", k) {
+          IvfSq.index(emb, "embedding", m)
+            .write.partitionBy("ivf_cid").mode("overwrite").parquet(ivfPath)
+        }
+        val ivfIdx = spark.read.parquet(ivfPath)
+        phase("ivfsq_search_10q", k) {
+          for (q <- queryBatch)
+            IvfSq.searchIndexed(ivfIdx, "vec_id", "embedding", "ivf_cid",
+              "sq_code", m, q, k = 10, nprobe = 2, pool = 50).collect()
+        }
       }
     }
 
