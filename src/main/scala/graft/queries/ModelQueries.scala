@@ -151,8 +151,60 @@ object ModelQueries {
       .orderBy(col("bucket"))
   }
 
+  // q146: vector-index STALENESS audit — the maintenance decision every
+  // serving ANN index faces at 100 TB: the coarse quantizer was trained
+  // on yesterday's corpus, today's delta batch streams in, and the
+  // operator must decide from MEASURED drift (not folklore) when to pay
+  // a re-train. Centroids fit on the BASE snapshot only (vec_id % 10
+  // <> 0, ~90%); BOTH cohorts then assign through those frozen
+  // centroids — the exact shape of an un-rebuilt index serving fresh
+  // writes. Per centroid: base/delta assignment counts, the delta share
+  // (e4 — list-growth skew: a centroid absorbing far more than its
+  // proportional share of new vectors is where probe latency degrades
+  // first), each cohort's mean e8 quantization error, and the
+  // delta/base error-inflation ratio (e4 — rising inflation means the
+  // frozen cells no longer fit the new distribution: the re-index
+  // trigger). All-integer outputs: counts, `div` means of the exact e8
+  // integers the argmin compared (SURVEY §5.4), so the oracle replays
+  // bit-for-bit in any row order. Scale shape: fit aggregates k×dim
+  // fixed-point sums (driver-sized), assignment is the q96 codegen'd
+  // zero-shuffle argmin over ONE corpus scan, and the audit itself is a
+  // k-row aggregate — nothing here grows with corpus size except the
+  // single pass a real index build pays anyway.
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cents = Centroids.fit(base, "label", "embedding")
+    Centroids.assign(emb, "embedding", cents, "label")
+      .withColumn("is_delta", col("vec_id") % 10 === 0)
+      .groupBy(col("assigned"))
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(!col("is_delta"), col("dist2_e8")).otherwise(0L))
+          .as("__sb"),
+        sum(when(col("is_delta"), col("dist2_e8")).otherwise(0L))
+          .as("__sd"))
+      .withColumn("delta_share_e4",
+        expr("n_delta * 10000 div (n_base + n_delta)"))
+      .withColumn("mean_d2_base_e8",
+        expr("case when n_base > 0 then __sb div n_base " +
+          "else cast(0 as bigint) end"))
+      .withColumn("mean_d2_delta_e8",
+        expr("case when n_delta > 0 then __sd div n_delta " +
+          "else cast(0 as bigint) end"))
+      .withColumn("err_inflation_e4",
+        expr("mean_d2_delta_e8 * 10000 div " +
+          "greatest(mean_d2_base_e8, cast(1 as bigint))"))
+      .select(col("assigned"), col("n_base"), col("n_delta"),
+        col("delta_share_e4"), col("mean_d2_base_e8"),
+        col("mean_d2_delta_e8"), col("err_inflation_e4"))
+      .orderBy(col("assigned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_filter_agreement" -> (q144 _),
+    "q146_index_staleness" -> (q146 _),
     "q91_lm_score" -> (q91 _),
     "q92_quality_classifier" -> (q92 _),
     "q93_random_projection" -> (q93 _),
@@ -373,6 +425,50 @@ object ModelQueries {
       s"""WITH $CentroidCtes
          |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
          |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q146: the q96 replay with the fit restricted to the BASE cohort
+    // (vec_id % 10 <> 0) — frozen centroids serving the delta batch —
+    // then per-centroid cohort counts and `//` means of the exact e8
+    // integers (all operands non-negative, so DuckDB floor-// and Spark
+    // trunc-div agree).
+    "q146_index_staleness" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |c AS (SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM e WHERE vec_id % 10 <> 0 GROUP BY 1, 2),
+        |cx AS (SELECT clabel, pos,
+        |         CAST(s AS DOUBLE) / n / 1000000.0 AS cx FROM c),
+        |d AS (SELECT e.vec_id, e.vec_id % 10 = 0 AS is_delta, cx.clabel,
+        |        CAST(SUM(CAST(FLOOR((e.x - cx.cx) * (e.x - cx.cx)
+        |          * 100000000.0) AS BIGINT)) AS BIGINT) AS d2
+        |      FROM e JOIN cx ON e.pos = cx.pos GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, is_delta, clabel, d2, ROW_NUMBER() OVER
+        |        (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d),
+        |g AS (SELECT clabel AS assigned,
+        |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_delta,
+        |    CAST(SUM(CASE WHEN NOT is_delta THEN d2 ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(SUM(CASE WHEN is_delta THEN d2 ELSE 0 END) AS BIGINT)
+        |      AS sd
+        |  FROM a WHERE rn = 1 GROUP BY 1),
+        |m AS (SELECT assigned, n_base, n_delta,
+        |    CAST(n_delta * 10000 // (n_base + n_delta) AS BIGINT)
+        |      AS delta_share_e4,
+        |    CAST(CASE WHEN n_base > 0 THEN sb // n_base ELSE 0 END
+        |      AS BIGINT) AS mean_d2_base_e8,
+        |    CAST(CASE WHEN n_delta > 0 THEN sd // n_delta ELSE 0 END
+        |      AS BIGINT) AS mean_d2_delta_e8
+        |  FROM g)
+        |SELECT assigned, n_base, n_delta, delta_share_e4,
+        |  mean_d2_base_e8, mean_d2_delta_e8,
+        |  CAST(mean_d2_delta_e8 * 10000 // GREATEST(mean_d2_base_e8, 1)
+        |    AS BIGINT) AS err_inflation_e4
+        |FROM m ORDER BY assigned""".stripMargin,
     // q124: per-cluster P95 cutoff on the SAME integer distances the
     // argmin compared — q96's assignment replay + q99's histogram-rank
     // machinery ((19n+19)//20, cutoff = min s with cum >= rank).

@@ -323,6 +323,61 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("token")).limit(30)
   }
 
+  // q147: tokenizer FERTILITY audit per language — the pre-training
+  // tokenizer-selection measurement (a tokenizer that spends 2× the
+  // tokens per word on one language halves that language's effective
+  // context and doubles its training cost; the fertility curve is how
+  // you catch that BEFORE committing a 100 TB tokenization run). Same
+  // BPE geometry as q112 (trained on the corpus-global vocabulary, so
+  // every language is encoded by ONE shared tokenizer — the scenario
+  // the audit exists to measure); per language: doc/word/token/codepoint
+  // totals plus tokens-per-word and chars-per-token e4 ratios, all
+  // integer. Scale shape: the ONLY corpus-sized pass is the per-(lang,
+  // word) count aggregate (map-side-combinable); training runs on the
+  // bounded weighted vocabulary, encoding on DISTINCT words only, and
+  // the fertility join is lang-word-counts ⋈ broadcast dictionary —
+  // the corpus is never re-tokenized row by row.
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lw = docs(s, dir)
+      .select(col("lang"), explode(filter(
+        split(lower(col("text")), " "), t => length(t) > 0)).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the global vocab AND the lang join
+    val wc = lw.groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+    val nVocab = wc.count()
+    require(nVocab <= BpeMaxVocab,
+      s"q147 vocabulary $nVocab exceeds BpeMaxVocab=$BpeMaxVocab: " +
+        "the training cap would bind and diverge from the oracle")
+    val vocab = wc.orderBy(col("cnt").desc, col("w")).limit(BpeMaxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.operators.Bpe.trainMerges(vocab, BpeMerges)
+    // Codepoint counts, not UTF-16 units: the merge machinery and the
+    // oracle's LENGTH() are both codepoint-granular (Bpe.spaced).
+    val dict = wc.select(col("w")).as[String].mapPartitions { it =>
+      it.map { w =>
+        (w, graft.operators.Bpe.encodeWord(w, merges).size.toLong,
+          w.codePointCount(0, w.length).toLong)
+      }
+    }.toDF("w", "ntok", "nchar")
+    val nd = docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    lw.join(broadcast(dict), "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"),
+        sum(col("cnt") * col("nchar")).as("n_chars"))
+      .join(broadcast(nd), "lang")
+      .withColumn("toks_per_word_e4",
+        expr("n_tokens * 10000 div n_words"))
+      .withColumn("chars_per_token_e4",
+        expr("n_chars * 10000 div n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"), col("toks_per_word_e4"),
+        col("chars_per_token_e4"))
+      .orderBy(col("lang"))
+  }
+
   /** q114 KMV geometry: 64-minimum-values sketches; 2^52 hash space
     * (13 md5 hex digits). A sketch smaller than k IS the set — the
     * estimator takes the exact branch.
@@ -533,6 +588,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pii_redact" -> (q137 _),
     "q112_bpe_tokens" -> (q112 _),
+    "q147_tokenizer_fertility" -> (q147 _),
     "q114_kmv_overlap" -> (q114 _),
     "q115_data_checks" -> (q115 _),
     "q122_fuzzy_match" -> (q122 _),
@@ -627,14 +683,15 @@ object PipelineQueries {
     * exhausted vocabulary (no pairs left) degrades to a no-op replace
     * via the chr(1) sentinel.
     */
-  private def bpeOracle: String = {
+  /** The BPE training replay as a CTE chain — seg0 (per-codepoint
+    * split) through seg`BpeMerges` (pair-count → weighted argmax with
+    * the (count desc, a, b) tie-break → literal replace, per merge).
+    * Assumes a `wc(w, cnt)` CTE is already in scope; shared verbatim by
+    * the q112 and q147 oracles so both certify the SAME learned merges.
+    */
+  private def bpeSegCtes: String = {
     val sb = new StringBuilder
-    sb ++= """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-             |  FROM (SELECT unnest(list_filter(
-             |      regexp_split_to_array(lower(text), ' '),
-             |      x -> LENGTH(x) > 0)) AS w FROM documents)
-             |  GROUP BY 1),
-             |seg0 AS MATERIALIZED (SELECT w, cnt,
+    sb ++= """seg0 AS MATERIALIZED (SELECT w, cnt,
              |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sp
              |  FROM wc)""".stripMargin
     for (i <- 1 to BpeMerges) {
@@ -656,12 +713,65 @@ object PipelineQueries {
                 |      chr(1))) AS sp
                 |  FROM seg$p)""".stripMargin
     }
+    sb.toString
+  }
+
+  private def bpeOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(list_filter(
+             |      regexp_split_to_array(lower(text), ' '),
+             |      x -> LENGTH(x) > 0)) AS w FROM documents)
+             |  GROUP BY 1),
+             |""".stripMargin
+    sb ++= bpeSegCtes
     sb ++= s"""
               |SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
               |FROM (SELECT cnt, unnest(list_filter(
               |    regexp_split_to_array(trim(sp), ' '),
               |    x -> LENGTH(x) > 0)) AS token FROM seg$BpeMerges)
               |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin
+    sb.toString
+  }
+
+  /** The q147 oracle: wc is re-derived as the lang-marginal of the
+    * per-(lang, word) counts — textually different from q112's wc but
+    * the same multiset, so `bpeSegCtes` learns identical merges — then
+    * per-language fertility from the final segmentation's token counts.
+    * `//` on non-negative integers matches Spark's `div` exactly;
+    * LENGTH(w) counts codepoints in DuckDB, mirrored by
+    * `codePointCount` on the engine side (the spaced/merge machinery is
+    * codepoint-granular — Bpe.spaced).
+    */
+  private def fertilityOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT lang, unnest(list_filter(
+             |      regexp_split_to_array(lower(text), ' '),
+             |      x -> LENGTH(x) > 0)) AS w FROM documents)
+             |  GROUP BY 1, 2),
+             |wc AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt
+             |       FROM lw GROUP BY 1),
+             |""".stripMargin
+    sb ++= bpeSegCtes
+    sb ++= s""",
+              |tok AS (SELECT w,
+              |    CAST(len(list_filter(regexp_split_to_array(trim(sp), ' '),
+              |      x -> LENGTH(x) > 0)) AS BIGINT) AS ntok,
+              |    CAST(LENGTH(w) AS BIGINT) AS nchar
+              |  FROM seg$BpeMerges),
+              |nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |       FROM documents GROUP BY 1),
+              |g AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+              |    CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens,
+              |    CAST(SUM(cnt * nchar) AS BIGINT) AS n_chars
+              |  FROM lw JOIN tok USING (w) GROUP BY 1)
+              |SELECT g.lang, nd.n_docs, n_words, n_tokens, n_chars,
+              |  CAST(n_tokens * 10000 // n_words AS BIGINT)
+              |    AS toks_per_word_e4,
+              |  CAST(n_chars * 10000 // n_tokens AS BIGINT)
+              |    AS chars_per_token_e4
+              |FROM g JOIN nd ON g.lang = nd.lang ORDER BY g.lang""".stripMargin
     sb.toString
   }
 
@@ -713,6 +823,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q137_pii_redact" -> q137OracleSql,
     "q112_bpe_tokens" -> bpeOracle,
+    "q147_tokenizer_fertility" -> fertilityOracle,
     "q123_web_pipeline" ->
       s"""WITH h AS (SELECT doc_id, $HtmlSql AS html FROM documents),
          |x AS (SELECT doc_id,

