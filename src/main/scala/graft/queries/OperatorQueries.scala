@@ -377,9 +377,13 @@ object OperatorQueries {
     val probes = evalSide.select(col("eval_id"), col("ve"),
       explode(array((col("bucket") +: (0 until 8).map(b =>
         col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
-    val train = indexed.filter(col("vec_id") % 10 =!= 0)
-      .select(col("vec_id").as("train_id"), col("embedding").as("vt"),
-        col("bucket"))
+    // Stream side of the broadcast bucket join — raise the single local
+    // parquet split to session parallelism so the per-candidate simR4
+    // work spreads across cores (same rationale as q145's corpus).
+    val train = graft.SparkUtil.ensureParallelism(
+      indexed.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"), col("embedding").as("vt"),
+          col("bucket")))
     val scored = train.join(broadcast(probes), Seq("bucket"))
       .select(col("train_id"), col("eval_id"),
         simR4(col("vt"), col("ve")).as("sim"))
@@ -430,8 +434,13 @@ object OperatorQueries {
     val qs = indexed.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("vq"),
         col("bucket"))
-    val corpus = indexed
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    // The corpus is the STREAM side of both broadcast joins below, and
+    // the interpreted per-pair simR4 work rides on its partitioning — a
+    // row-group-sparse local parquet yields ONE split, serializing the
+    // whole audit onto one core (measured: a single 2.4–3 s task at
+    // sf0.1). Structural no-op at production scale where splits ≫ cores.
+    val corpus = graft.SparkUtil.ensureParallelism(indexed
+      .select(col("vec_id"), col("embedding"), col("bucket")))
     val wq = org.apache.spark.sql.expressions.Window.partitionBy("qid")
     // Ground truth: exact top-10 per audit query (broadcast the tiny
     // query side, stream the corpus — q21's plan shape, fanned out).
