@@ -245,7 +245,8 @@ object Bench {
     // in exactly the way the tier comment above describes.
     val streamExec = Set("q69_bucketed_merge", "q84_stream_e2e",
       "q85_stream_neardup", "q89_stream_ingest", "q107_stream_join",
-      "q117_stream_sessions", "q44_ingest_pipeline")
+      "q117_stream_sessions", "q44_ingest_pipeline",
+      "q148_store_compaction")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -257,9 +257,68 @@ object IngestQueries {
       .orderBy(col("documentid").cast("long"))
   }
 
+  // q148: store COMPACTION — the maintenance pass a long-lived
+  // per-document-partitioned store needs: every dynamic-overwrite
+  // upsert adds files to its touched partitions, and one document's
+  // chunks arriving in different tasks fan a single partition over
+  // many files, so at corpus scale the accumulated SMALL FILES (open +
+  // footer cost per file, manifest pressure) — not the bytes — become
+  // the scan bottleneck. The query builds a deliberately fragmented
+  // store from the documents table (chunks scattered round-robin so
+  // every partition holds multiple files), runs
+  // [[graft.store.VectorStore.compact]] (re-cluster on documentid →
+  // one file per partition → directory swap), REQUIRES the physical
+  // file census to shrink inside the gated run, and returns per-bucket
+  // chunk counts + an order-independent md5 checksum of every
+  // (key, content) pair read back through the compacted layout. The
+  // oracle re-derives the same aggregate from the documents table
+  // directly — the hash match IS the compaction-changes-nothing
+  // certificate (the q139 merge==recompute discipline applied to
+  // physical layout). Bench tier: exec (physical store writes; the
+  // denominator replays content derivation, not the rewrite).
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val storeRoot = Files.createTempDirectory("graft-q148-store").toString
+    val vs = new VectorStore(s, storeRoot)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val chunks = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(array((0 until 3).map(i =>
+          substring(col("text"), i * 150 + 1, 150)): _*))
+          .as(Seq("ci", "content")))
+      .filter(length(col("content")) > 0)
+      .select(
+        concat(lit("d"), col("doc_id"), lit(":"), col("ci")).as("key"),
+        typedLit(Array.empty[Float]).as("embedding"),
+        col("content"),
+        col("lang").as("context"),
+        concat(lit("d"), col("doc_id")).as("documentid"))
+      // Scatter each document's chunks across tasks: the write fans
+      // every documentid partition over multiple files — the
+      // fragmented layout under test.
+      .repartition(32)
+      .as[graft.model.EmbeddedChunk]
+    vs.upsert(chunks, "docs")
+    val (before, after) = vs.compact("docs")
+    require(after < before,
+      s"q148: compaction did not shrink the file census ($before -> $after)")
+    vs.read("docs")
+      .select(col("key"), col("content"),
+        substring(col("documentid"), 2, 18).cast("long").as("did"))
+      .groupBy((col("did") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("did")).as("n_docs"),
+        sum(conv(substring(md5(concat_ws(":", col("key"), col("content"))),
+          1, 13), 16, 10).cast("long")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_stream_ingest" -> (q89 _),
     "q44_ingest_pipeline" -> (q44 _),
+    "q148_store_compaction" -> (q148 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -306,6 +365,28 @@ object IngestQueries {
 
   val oracle: Map[String, String] = Map(
     "q44_ingest_pipeline" -> q44GoldenSql,
+    // q148: the aggregate re-derived from documents — chunking replayed
+    // as fixed-offset substrings, checksums as 13-hex-digit md5 longs
+    // (52 bits, exact in both engines, order-independent sum).
+    "q148_store_compaction" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
+        |          AS content
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 3)) AS ci) i),
+        |k AS (SELECT doc_id,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(ci AS VARCHAR) AS key,
+        |        content
+        |      FROM c WHERE LENGTH(content) > 0)
+        |SELECT doc_id % 7 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q73_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -125,6 +125,53 @@ final class VectorStore(spark: SparkSession, root: String) {
       s"unknown search mode '$other' (exact|lsh|ivfsq)")
   }
 
+  /** Store MAINTENANCE: compact a collection's small files. Every
+    * dynamic-overwrite upsert writes ≥1 new file into each touched
+    * `documentid` partition, and chunks of one document arriving in
+    * different tasks fan a single partition out over many files — on a
+    * long-lived corpus-scale store the accumulated small files, not the
+    * bytes, become the scan bottleneck (open/footer cost per file,
+    * manifest pressure). Compaction re-clusters each document's rows
+    * into one task (`repartition(documentid)`), rewrites the collection
+    * so every partition holds a single file, and swaps the directories
+    * — the layout rewrite is invisible to readers' results and
+    * preserves the replace-unit (`documentid`) the upsert contract
+    * depends on. At 100 TB the same rewrite runs per partition-RANGE
+    * (compact only directories whose file count exceeds a threshold)
+    * and also folds `maxRecordsPerFile` for file-size targets; the
+    * whole-collection form here is that operation at collection scope.
+    * Returns (files_before, files_after) so callers can certify the
+    * physical claim, not just assume it.
+    */
+  def compact(collection: String): (Long, Long) = {
+    val p = path(collection)
+    val before = countDataFiles(p)
+    val tmp = p + "__compact_tmp"
+    read(collection)
+      .repartition(col("documentid"))
+      .write.partitionBy("documentid").mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(p)),
+      s"compact: rename $tmp -> $p failed")
+    (before, countDataFiles(p))
+  }
+
+  /** Recursive .parquet data-file count under a collection path. */
+  private def countDataFiles(p: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Q1 + metadata pre-filter: restrict the scan BEFORE scoring. Because
     * collections are parquet partitioned by `documentid`, a filter on
     * `documentid` becomes partition PRUNING — the KNN only reads the
