@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — the Population Stability Index pass a
+  * long-lived ingestion pipeline runs between the reference corpus
+  * snapshot and each arrival cohort BEFORE committing the new data to a
+  * 100 TB training mix (the q115 validation tier checks rows against a
+  * static contract; this checks the corpus against its own past).
+  *
+  * PSI per feature = Σ_bins (p_ref − p_cur) · ln(p_ref / p_cur), with
+  * add-one (Laplace) smoothing over the feature's OBSERVED bin set so
+  * one-sided empty bins stay finite (the standard industry form; the
+  * usual read: < 0.10 stable, 0.10–0.25 drifting, > 0.25 shifted).
+  *
+  * Scale shape: the features are stacked map-side — one `explode` of F
+  * (feature, bin) structs per row, no per-feature corpus scans — so the
+  * whole report is ONE map-side-combinable aggregate on (feature, bin)
+  * (a few hundred groups out of any corpus size) plus bin-count-sized
+  * window arithmetic on the aggregated rows. Everything downstream of
+  * the integer counts is deterministic double algebra rounded at e4
+  * (the q91 `-ln` discipline), so a SQL oracle replays the report
+  * bit-for-bit from the same parquet.
+  */
+object Drift {
+
+  /** Per-(feature, bin) drift report over one DataFrame holding both
+    * cohorts. `refCohort` is a boolean column: true rows form the
+    * reference distribution, false rows the current one. Each feature
+    * is (name, bin expression); bins are compared as strings so
+    * numeric-range and categorical features share one report schema
+    * (zero-pad numeric bins at the call site if lexical order should
+    * match numeric order).
+    *
+    * Output: feature, bin, ref_n, cur_n, smoothed shares (e6 fixed
+    * point, truncating div), the bin's PSI term (e4) and the feature's
+    * total PSI (e4) — per-bin rows so the report shows WHERE the drift
+    * lives, not just that it exists.
+    */
+  def psiReport(df: DataFrame, refCohort: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "psiReport needs at least one feature")
+    val stacked = df
+      .select(refCohort.as("__ref"),
+        explode(array(features.map { case (n, b) =>
+          struct(lit(n).as("feature"), b.cast("string").as("bin"))
+        }: _*)).as("__fb"))
+      .select(col("__ref"), col("__fb.feature").as("feature"),
+        col("__fb.bin").as("bin"))
+    val counts = stacked.groupBy(col("feature"), col("bin"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("cur_n"))
+    val w = Window.partitionBy("feature")
+    // Laplace smoothing denominator: cohort total + observed bin count
+    // (each bin contributes a +1 pseudo-count), derived from the data in
+    // both engines — no out-of-band bin registry to drift.
+    counts
+      .withColumn("__rt", sum(col("ref_n")).over(w))
+      .withColumn("__ct", sum(col("cur_n")).over(w))
+      .withColumn("__b", count(lit(1)).over(w))
+      .withColumn("ref_share_e6",
+        expr("(ref_n + 1) * 1000000 div (__rt + __b)"))
+      .withColumn("cur_share_e6",
+        expr("(cur_n + 1) * 1000000 div (__ct + __b)"))
+      .withColumn("__pr",
+        (col("ref_n") + 1).cast("double") /
+          (col("__rt") + col("__b")).cast("double"))
+      .withColumn("__pc",
+        (col("cur_n") + 1).cast("double") /
+          (col("__ct") + col("__b")).cast("double"))
+      // (pr−pc) and ln(pr/pc) always share a sign, so each term — and
+      // every partial sum — is non-negative; HALF_UP at e4 agrees with
+      // DuckDB's ROUND on the whole range.
+      .withColumn("psi_e4",
+        round((col("__pr") - col("__pc")) *
+          log(col("__pr") / col("__pc")) * 10000).cast("long"))
+      .withColumn("psi_total_e4", sum(col("psi_e4")).over(w))
+      .select(col("feature"), col("bin"), col("ref_n"), col("cur_n"),
+        col("ref_share_e6"), col("cur_share_e6"), col("psi_e4"),
+        col("psi_total_e4"))
+  }
+}

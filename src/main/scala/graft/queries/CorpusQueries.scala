@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cdc, Curation, ParagraphDedup, SpanDedup,
+import graft.operators.{Cdc, Curation, Drift, ParagraphDedup, SpanDedup,
   Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -142,8 +142,30 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q150: PSI distribution-drift monitor — the go/no-go gate between a
+  // reference corpus snapshot (even doc_ids, standing in for yesterday's
+  // accepted corpus) and an arrival cohort (odd doc_ids) BEFORE the new
+  // data joins a 100 TB training mix. Three features spanning the two
+  // feature shapes — binned numerics (chars div 100, words div 20,
+  // zero-padded so lexical bin order is numeric order) and a raw
+  // categorical (lang) — stack through ONE map-side explode into one
+  // (feature, bin) aggregate; per-bin PSI terms localize the drift,
+  // window totals give the per-feature index an operator alerts on.
+  // Smoothed shares in e6 truncating-div integers; the ln-based PSI
+  // terms rounded at e4 (the q91 cross-engine ln discipline).
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Drift.psiReport(d, col("doc_id") % 2 === 0, Seq(
+        "chars" -> expr("lpad(CAST(n_chars div 100 AS STRING), 2, '0')"),
+        "words" ->
+          expr("lpad(CAST(size(split(text, ' ')) div 20 AS STRING), 2, '0')"),
+        "lang" -> col("lang")))
+      .orderBy(col("feature"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_dedup_attribution" -> (q134 _),
+    "q150_psi_drift" -> (q150 _),
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
@@ -177,6 +199,46 @@ object CorpusQueries {
       |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q150: full PSI replay — same stacked (feature, bin) counts, the
+    // same Laplace denominators (cohort total + observed bin count,
+    // derived from the data), e6 truncating-div shares, and the same
+    // double algebra under ROUND-4: both engines divide the identical
+    // integers and take ln of the identical quotient, so the e4 terms
+    // and their integer window sums agree bit-for-bit.
+    "q150_psi_drift" ->
+      """WITH base AS (SELECT doc_id % 2 = 0 AS ref,
+        |    lpad(CAST(n_chars // 100 AS VARCHAR), 2, '0') AS chars_bin,
+        |    lpad(CAST(len(string_split(text, ' ')) // 20 AS VARCHAR),
+        |      2, '0') AS words_bin,
+        |    lang FROM documents),
+        |st AS (SELECT ref, 'chars' AS feature, chars_bin AS bin FROM base
+        |  UNION ALL SELECT ref, 'words', words_bin FROM base
+        |  UNION ALL SELECT ref, 'lang', lang FROM base),
+        |c AS (SELECT feature, bin,
+        |    CAST(COUNT(*) FILTER (ref) AS BIGINT) AS ref_n,
+        |    CAST(COUNT(*) FILTER (NOT ref) AS BIGINT) AS cur_n
+        |  FROM st GROUP BY 1, 2),
+        |wnd AS (SELECT *,
+        |    CAST(SUM(ref_n) OVER (PARTITION BY feature) AS BIGINT) AS rt,
+        |    CAST(SUM(cur_n) OVER (PARTITION BY feature) AS BIGINT) AS ct,
+        |    CAST(COUNT(*) OVER (PARTITION BY feature) AS BIGINT) AS b
+        |  FROM c),
+        |t AS (SELECT feature, bin, ref_n, cur_n,
+        |    CAST((ref_n + 1) * 1000000 // (rt + b) AS BIGINT)
+        |      AS ref_share_e6,
+        |    CAST((cur_n + 1) * 1000000 // (ct + b) AS BIGINT)
+        |      AS cur_share_e6,
+        |    CAST(ROUND((((ref_n + 1.0) / (rt + b)) -
+        |        ((cur_n + 1.0) / (ct + b))) *
+        |      ln(((ref_n + 1.0) / (rt + b)) /
+        |        ((cur_n + 1.0) / (ct + b))) * 10000, 0) AS BIGINT)
+        |      AS psi_e4
+        |  FROM wnd)
+        |SELECT feature, bin, ref_n, cur_n, ref_share_e6, cur_share_e6,
+        |  psi_e4,
+        |  CAST(SUM(psi_e4) OVER (PARTITION BY feature) AS BIGINT)
+        |    AS psi_total_e4
+        |FROM t ORDER BY feature, bin""".stripMargin,
     "q98_span_dedup" ->
       s"""WITH $SpanCtes
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture specs for the PSI drift monitor (q150). The DuckDB
+  * oracle certifies engine-equality on the testdata; these pin the
+  * SEMANTICS on cohorts where the index is computable by hand.
+  */
+class DriftSpec extends SparkSpec {
+
+  test("identical cohorts report zero PSI in every bin") {
+    import spark.implicits._
+    // Even/odd ids carry the SAME value distribution, so every bin's
+    // smoothed shares coincide and each term is ln(1)-exact zero.
+    val df = (0L until 40L).map(i => (i, ((i / 2) % 4).toString))
+      .toDF("id", "v")
+    val out = Drift.psiReport(df, col("id") % 2 === 0,
+        Seq("v" -> col("v")))
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("psi_e4") == 0L, r.toString)
+      assert(r.getAs[Long]("psi_total_e4") == 0L)
+      assert(r.getAs[Long]("ref_share_e6") == r.getAs[Long]("cur_share_e6"))
+    }
+  }
+
+  test("a total categorical flip matches the hand-computed index") {
+    import spark.implicits._
+    // ref: 4×'a'; cur: 4×'b'. Observed bins B=2, totals 4 → smoothed
+    // shares 5/6 vs 1/6 in both directions. Each term:
+    // (5/6 − 1/6)·ln(5) = 2/3·1.6094379… = 1.07295861 → 10730 at e4.
+    val df = Seq((0L, "a"), (2L, "a"), (4L, "a"), (6L, "a"),
+      (1L, "b"), (3L, "b"), (5L, "b"), (7L, "b")).toDF("id", "v")
+    val out = Drift.psiReport(df, col("id") % 2 === 0,
+        Seq("v" -> col("v")))
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[String]("bin")).toSeq == Seq("a", "b"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("psi_e4") == 10730L, r.toString)
+      assert(r.getAs[Long]("psi_total_e4") == 21460L)
+    }
+    // e6 truncating-div shares: 5·1e6/6 = 833333, 1e6/6 = 166666.
+    assert(out(0).getAs[Long]("ref_share_e6") == 833333L)
+    assert(out(0).getAs[Long]("cur_share_e6") == 166666L)
+  }
+
+  test("a one-sided bin stays finite and terms are non-negative") {
+    import spark.implicits._
+    // 'c' never appears in the reference cohort: without smoothing its
+    // term would be ±∞·0; with add-one both shares are positive.
+    val df = Seq((0L, "a"), (2L, "a"), (4L, "a"),
+      (1L, "a"), (3L, "c"), (5L, "c")).toDF("id", "v")
+    val out = Drift.psiReport(df, col("id") % 2 === 0,
+      Seq("v" -> col("v"))).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val t = r.getAs[Long]("psi_e4")
+      assert(t >= 0L, s"PSI terms are non-negative by construction: $r")
+    }
+  }
+
+  test("stacked multi-feature report is partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 200L)
+      .map(i => (i, i % 7, ((i * 31) % 5).toString)).toDF("id", "n", "s")
+    val feats = Seq("n" -> (col("n") % 3), "s" -> col("s"))
+    val one = Drift.psiReport(df.coalesce(1), col("id") % 2 === 0, feats)
+      .orderBy("feature", "bin").collect().toSeq
+    val many = Drift.psiReport(df.repartition(13), col("id") % 2 === 0,
+        feats)
+      .orderBy("feature", "bin").collect().toSeq
+    assert(one == many)
+    assert(one.map(_.getAs[String]("feature")).distinct.sorted ==
+      Seq("n", "s"))
+  }
+}
