@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Embedding
-import graft.operators.{Ann, SemanticChunker, TextAnalysis}
+import graft.operators.{Ann, LateInteraction, SemanticChunker, TextAnalysis}
 import graft.sources.DatabaseSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -478,7 +478,36 @@ object OperatorQueries {
       .orderBy(col("qid"))
   }
 
+  // q149: late-interaction (ColBERT-style) MaxSim retrieval — the
+  // multi-vector member of the search ladder. Documents are token BAGS
+  // (5 consecutive embeddings per ddoc = vec_id div 5); every 20th doc
+  // is a query. Score(q, d) = Σ over q-tokens of max cosine against any
+  // d-token — term-level matching the single-vector tier (q21/q33)
+  // collapses away. Two-stage serving shape: LSH radius-1 candidate
+  // generation on the token index (ONE bucket-equality corpus join,
+  // probes broadcast), then exact MaxSim restricted to candidates with
+  // map-side-combinable max→sum aggregates. e4 integer scores; the
+  // oracle replays planes, probes, candidates and the rescore
+  // bit-for-bit. Per query: top-5 docs with rank and candidate-pool
+  // size (the recall/cost curve's x-axis).
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    require(emb.select("embedding").head().getSeq[Float](0).length ==
+      EmbeddingDim,
+      s"q149 oracle is generated for dim=$EmbeddingDim")
+    val toks = emb.select(expr("vec_id div 5").as("ddoc"),
+      col("vec_id"), col("embedding"))
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = EmbeddingDim)
+    LateInteraction.search(
+        toks, "ddoc", "embedding",
+        toks.filter(col("ddoc") % 20 === 0)
+          .select(col("ddoc").as("qd"), col("vec_id"), col("embedding")),
+        "qd", "vec_id", "embedding", lsh, k = 5, excludeSelf = true)
+      .orderBy(col("qdoc"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_late_interaction" -> (q149 _),
     "q72_ann_pq" -> (q72 _),
     "q128_ann_sq8" -> (q128 _),
     "q143_semantic_decontam" -> (q143 _),
@@ -1016,7 +1045,71 @@ object OperatorQueries {
        |FROM sc GROUP BY qid ORDER BY qid""".stripMargin
   }
 
+  /** q149's oracle: the q33 plane replay grouped into 5-token docs,
+    * the operator's (qdoc, bucket)-deduped radius-1 probe expansion,
+    * DISTINCT candidate pairs, then the exact MaxSim rescore — per
+    * (qdoc, ddoc, qtoken) MAX of the ROUND-4 cosine, summed in e4
+    * integers — and the same (score desc, ddoc) top-5 window.
+    * `e`/`buckets`/`tok`/`pr`/`d2` are multiply-referenced or sit under
+    * a multiply-referenced chain — MATERIALIZED (the q112 lesson).
+    */
+  private lazy val q149OracleSql: String =
+    s"""WITH planes(b, p) AS (VALUES
+       |  $q33PlaneRows),
+       |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+       |       FROM planes),
+       |e AS MATERIALIZED (SELECT vec_id,
+       |        generate_subscripts(embedding, 1) AS pos,
+       |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+       |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+       |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+       |buckets AS MATERIALIZED (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |tok AS MATERIALIZED (SELECT vec_id, vec_id // 5 AS ddoc, bucket
+       |  FROM buckets),
+       |qt AS (SELECT vec_id AS qtid, ddoc AS qdoc, bucket FROM tok
+       |       WHERE ddoc % 20 = 0),
+       |probes AS (SELECT DISTINCT qdoc, pb FROM (
+       |    SELECT qdoc, bucket AS pb FROM qt
+       |    UNION ALL
+       |    SELECT qdoc, xor(bucket, 1 << CAST(r.range AS INTEGER))
+       |    FROM qt CROSS JOIN range(8) r)),
+       |cand AS (SELECT DISTINCT p.qdoc, t.ddoc
+       |         FROM tok t JOIN probes p ON t.bucket = p.pb
+       |         WHERE t.ddoc <> p.qdoc),
+       |pr AS MATERIALIZED (SELECT c.qdoc, c.ddoc, q.qtid,
+       |    t.vec_id AS dtid
+       |  FROM cand c JOIN qt q ON q.qdoc = c.qdoc
+       |  JOIN tok t ON t.ddoc = c.ddoc),
+       |d2 AS MATERIALIZED (SELECT p.qdoc, p.ddoc, p.qtid, p.dtid,
+       |    SUM(eq.val * ed.val) AS dot
+       |  FROM pr p JOIN e eq ON eq.vec_id = p.qtid
+       |  JOIN e ed ON ed.vec_id = p.dtid AND ed.pos = eq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e
+       |      GROUP BY vec_id),
+       |sims AS (SELECT d.qdoc, d.ddoc, d.qtid,
+       |    ROUND(d.dot / (nq.nrm * nd.nrm), 4) AS sim
+       |  FROM d2 d JOIN n nq ON nq.vec_id = d.qtid
+       |  JOIN n nd ON nd.vec_id = d.dtid),
+       |ms AS (SELECT qdoc, ddoc, qtid, MAX(sim) AS ms FROM sims
+       |       GROUP BY 1, 2, 3),
+       |sc AS (SELECT qdoc, ddoc,
+       |    CAST(SUM(CAST(ROUND(ms * 10000, 0) AS BIGINT)) AS BIGINT)
+       |      AS score_e4
+       |  FROM ms GROUP BY 1, 2),
+       |r AS (SELECT qdoc, ddoc, score_e4,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qdoc
+       |      ORDER BY score_e4 DESC, ddoc) AS BIGINT) AS pos,
+       |    CAST(COUNT(*) OVER (PARTITION BY qdoc) AS BIGINT) AS n_cand
+       |  FROM sc)
+       |SELECT qdoc, ddoc, pos, score_e4, n_cand
+       |FROM r WHERE pos <= 5 ORDER BY qdoc, pos""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q149_late_interaction" -> q149OracleSql,
     "q143_semantic_decontam" -> q143OracleSql,
     "q145_ann_rank_quality" -> q145OracleSql,
     "q49_ann_ivf" -> q49OracleSql,
