@@ -506,7 +506,85 @@ object OperatorQueries {
       .orderBy(col("qdoc"), col("pos"))
   }
 
+  // q151: IVF centroid REFRESH — the maintenance op q146's staleness
+  // audit decides to run: instead of a full re-train, the coarse
+  // quantizer's centroids are refreshed from MERGEABLE sufficient
+  // statistics (per-list count + per-dimension e6 component sums —
+  // exactly the state an incremental index maintains per arrival
+  // batch). The engine computes the base snapshot's stats and the
+  // delta batch's stats SEPARATELY under the frozen q49 fit and merges
+  // them algebraically (full-outer join, sums add); the oracle computes
+  // the same stats in ONE full-corpus pass — the hash match is the
+  // merge==recompute certificate (q139's discipline applied to index
+  // state). The refreshed centroid is the truncating-division integer
+  // mean (empty lists keep their centroid), so everything downstream —
+  // displacement, centroid checksum, assignment churn under the
+  // refreshed cells (one scan, two codegen'd argmins) — is exact
+  // integer algebra. Scale shape: stats are k×dim-sized
+  // map-side-combinable aggregates; only k×dim longs ever reach the
+  // driver (the legitimate index-metadata state), and the churn pass
+  // is the zero-shuffle q96 argmin shape.
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val emb = Tables.load(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val ivf = Ann.Ivf.fit(base, "vec_id", "embedding", kCentroids = k,
+      sampleCap = 4096, rounds = 3)
+    def stats(df: DataFrame) = df
+      .select(ivf.assignCol(col("embedding")).as("cid"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")))
+          .as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val merged = stats(base)
+      .select(col("cid"), col("pos"), col("s").as("sb"), col("n").as("nb"))
+      .join(stats(delta)
+        .select(col("cid"), col("pos"), col("s").as("sd"),
+          col("n").as("nd")),
+        Seq("cid", "pos"), "full_outer")
+      .select(col("cid"), col("pos"),
+        (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+          .as("s"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nd"), lit(0L)).as("nd"))
+      .collect()
+    val old = ivf.centroidsE6
+    val dim = old(0).length
+    val sums = Array.fill(k)(Array.ofDim[Long](dim))
+    val nBase = Array.ofDim[Long](k)
+    val nDelta = Array.ofDim[Long](k)
+    merged.foreach { r =>
+      val (cid, pos) = (r.getInt(0), r.getInt(1))
+      sums(cid)(pos) = r.getLong(2)
+      if (pos == 0) { nBase(cid) = r.getLong(3); nDelta(cid) = r.getLong(4) }
+    }
+    val newCents = Array.tabulate(k) { c =>
+      val n = nBase(c) + nDelta(c)
+      if (n > 0) sums(c).map(_ / n) else old(c)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s0 = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+      s0
+    }
+    val churn = emb
+      .select(ivf.assignCol(col("embedding")).as("oldc"),
+        new Ann.Ivf(newCents).assignCol(col("embedding")).as("newc"))
+      .filter(col("oldc") =!= col("newc"))
+      .groupBy(col("newc")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until k).map { c =>
+      (c, nBase(c), nDelta(c), d2(old(c), newCents(c)), newCents(c).sum,
+        churn.getOrElse(c, 0L))
+    }.toDF("cid", "n_base", "n_delta", "disp_e12", "csum_e6", "churn_in")
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_index_refresh" -> (q151 _),
     "q149_late_interaction" -> (q149 _),
     "q72_ann_pq" -> (q72 _),
     "q128_ann_sq8" -> (q128 _),
@@ -1108,7 +1186,77 @@ object OperatorQueries {
        |SELECT qdoc, ddoc, pos, score_e4, n_cand
        |FROM r WHERE pos <= 5 ORDER BY qdoc, pos""".stripMargin
 
+  /** q151's oracle: the q49 fit replay restricted to the base cohort,
+    * then — deliberately in ONE full-corpus pass, against the engine's
+    * base+delta algebraic merge — the per-list sufficient statistics,
+    * the truncating-division refreshed centroids (empty lists keep
+    * their centroid), and the two argmin assignments whose disagreement
+    * count is the churn column. The hash match is the merge==recompute
+    * certificate for incremental index state.
+    */
+  private lazy val q151OracleSql: String = {
+    val (dim, k, rounds, cap) = (EmbeddingDim, 8, 3, 4096)
+    val dist = sqlDist(dim) _
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""corpus AS MATERIALIZED (
+               |  SELECT vec_id, list_transform(embedding,
+               |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS pt
+               |  FROM embeddings)""".stripMargin
+    ctes += s"""samp AS MATERIALIZED (
+               |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+               |    AS ord, pt
+               |  FROM corpus WHERE vec_id % 10 <> 0 QUALIFY ord <= $cap)""".stripMargin
+    val (chain, oldc) = kmeansChainCtes(dim, k, rounds)
+    ctes ++= chain
+    ctes += s"""asgo AS MATERIALIZED (
+               |  SELECT vec_id, pt, cid FROM (
+               |    SELECT co.vec_id, co.pt, c.cid,
+               |      row_number() OVER (PARTITION BY co.vec_id
+               |        ORDER BY ${dist("co.pt", "c.c")}, c.cid) AS rn
+               |    FROM corpus co CROSS JOIN $oldc c) WHERE rn = 1)""".stripMargin
+    ctes += s"""st AS MATERIALIZED (
+               |  SELECT cid, r.j, CAST(SUM(pt[j]) AS BIGINT) AS s,
+               |    CAST(COUNT(*) AS BIGINT) AS n
+               |  FROM asgo, UNNEST(range(1, ${dim + 1})) AS r(j)
+               |  GROUP BY 1, 2)""".stripMargin
+    ctes += s"""newc AS MATERIALIZED (
+               |  SELECT cid, list(comp ORDER BY j) AS c FROM (
+               |    SELECT o.cid, r.j,
+               |      CASE WHEN m.n IS NULL THEN o.c[r.j]
+               |           WHEN m.s < 0 THEN -((-m.s) // m.n)
+               |           ELSE m.s // m.n END AS comp
+               |    FROM $oldc o CROSS JOIN UNNEST(range(1, ${dim + 1})) AS r(j)
+               |    LEFT JOIN st m ON m.cid = o.cid AND m.j = r.j)
+               |  GROUP BY cid)""".stripMargin
+    ctes += s"""cnt AS (SELECT cid,
+               |    CAST(COUNT(*) FILTER (WHERE vec_id % 10 <> 0) AS BIGINT)
+               |      AS n_base,
+               |    CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT)
+               |      AS n_delta
+               |  FROM asgo GROUP BY 1)""".stripMargin
+    ctes += s"""asgn AS MATERIALIZED (
+               |  SELECT vec_id, cid FROM (
+               |    SELECT a.vec_id, n.cid,
+               |      row_number() OVER (PARTITION BY a.vec_id
+               |        ORDER BY ${dist("a.pt", "n.c")}, n.cid) AS rn
+               |    FROM asgo a CROSS JOIN newc n) WHERE rn = 1)""".stripMargin
+    ctes += s"""chn AS (SELECT an.cid, CAST(COUNT(*) AS BIGINT) AS churn_in
+               |  FROM asgn an JOIN asgo ao ON an.vec_id = ao.vec_id
+               |  WHERE an.cid <> ao.cid GROUP BY 1)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT o.cid, CAST(COALESCE(c.n_base, 0) AS BIGINT) AS n_base,
+       |  CAST(COALESCE(c.n_delta, 0) AS BIGINT) AS n_delta,
+       |  CAST(${dist("o.c", "nw.c")} AS BIGINT) AS disp_e12,
+       |  CAST(list_sum(nw.c) AS BIGINT) AS csum_e6,
+       |  CAST(COALESCE(ch.churn_in, 0) AS BIGINT) AS churn_in
+       |FROM $oldc o JOIN newc nw ON nw.cid = o.cid
+       |LEFT JOIN cnt c ON c.cid = o.cid
+       |LEFT JOIN chn ch ON ch.cid = o.cid
+       |ORDER BY o.cid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q151_index_refresh" -> q151OracleSql,
     "q149_late_interaction" -> q149OracleSql,
     "q143_semantic_decontam" -> q143OracleSql,
     "q145_ann_rank_quality" -> q145OracleSql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.queries.{ModelQueries, PipelineQueries}
+import graft.queries.{ModelQueries, OperatorQueries, PipelineQueries}
 import org.apache.spark.sql.functions._
 
 /** Planted-fixture specs for the r13 maintenance audits: q146 vector-
@@ -57,6 +57,55 @@ class MaintenanceAuditSpec extends SparkSpec {
       "every vector is assigned to exactly one centroid")
     assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 10000))
     assert(out.forall(r => r.getLong(4) >= 0 && r.getLong(5) >= 0))
+  }
+
+  test("q151: an exact-copy delta leaves its centroid in place; a " +
+      "drifted delta moves it to the hand-computed integer mean") {
+    val dir = writeDir()
+    import spark.implicits._
+    // Eight well-separated base points (vec_id % 10 != 0) — with k=8
+    // each becomes its own centroid, exactly (single-point integer
+    // means are the point). Delta: id 10 copies base point A=(10,0,0,0)
+    // (mean unchanged → zero displacement); id 20 = (0,9,0,0) joins
+    // B=(0,10,0,0)'s list → refreshed component (10e6+9e6)/2 =
+    // 9_500_000, displacement (1e7−9.5e6)² = 2.5e11 e12-units, and no
+    // vector changes lists (the move is small) → churn all zero.
+    val pts = Seq(
+      Array(10f, 0f, 0f, 0f), Array(-10f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f), Array(0f, -10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, -10f, 0f),
+      Array(0f, 0f, 0f, 10f), Array(0f, 0f, 0f, -10f))
+    val rows = pts.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p, 0) } ++
+      Seq((10L, Array(10f, 0f, 0f, 0f), 0), (20L, Array(0f, 9f, 0f, 0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = OperatorQueries.queries("q151_index_refresh")(spark, dir)
+      .collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == 8L, "base cohort conserved")
+    assert(out.map(_.getLong(2)).sum == 2L, "delta cohort conserved")
+    assert(out.forall(_.getLong(5) == 0L), "no vector changes lists")
+    val moved = out.filter(_.getLong(3) != 0L)
+    assert(moved.length == 1, "exactly one centroid moves")
+    assert(moved.head.getLong(3) == 250000000000L,
+      "(1e7 - 9.5e6)^2 displacement in e12")
+    assert(moved.head.getLong(4) == 9500000L, "refreshed checksum")
+    assert(moved.head.getLong(2) == 1L)
+    val copied = out.filter(r => r.getLong(2) == 1L && r.getLong(3) == 0L)
+    assert(copied.length == 1 && copied.head.getLong(1) == 1L,
+      "the exact-copy delta joins a one-member base list, no move")
+  }
+
+  test("q151: refresh on real data conserves cohorts and keeps " +
+      "churn within the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = OperatorQueries.queries("q151_index_refresh")(spark, dir)
+      .collect()
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == emb.count())
+    assert(out.map(_.getLong(5)).sum <= emb.count(),
+      "a vector churns at most once")
+    assert(out.forall(_.getLong(3) >= 0L))
   }
 
   test("q147: hand-trained merges give per-language fertility on a " +
