@@ -583,7 +583,65 @@ object OperatorQueries {
       .orderBy(col("cid"))
   }
 
+  /** q152's truncation ladder: prefix lengths whose recall curve the
+    * audit measures (64 = full dim, the self-certifying anchor row).
+    */
+  private val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  // q152: dimension-TRUNCATION audit (matryoshka retrieval) — the
+  // storage/recall curve an operator measures before committing a
+  // 100 TB index to truncated vectors (a 64→16 cut is 4× less memory
+  // bandwidth per scan, IF recall holds; q93's JL projection is the
+  // rotate-then-cut sibling, this measures the plain prefix cut those
+  // embedding families are trained for). Per (prefix length d, audit
+  // query qid — vec_id % 25 = 0, q145's bounded-slice ground-truth
+  // discipline): the top-10 by ROUND-4 cosine in the d-prefix space vs
+  // the full-dim exact top-10, as hits and recall@10 (e4), plus the
+  // per-d mean recall (e4, integer div) — the curve's y-axis. The d=64
+  // rows are the harness's own certificate (recall exactly 1.0). One
+  // corpus×queries broadcast join computes all four prefix cosines per
+  // pair map-side (explode of 4 structs); the window ranks are
+  // (d, qid)-partitioned.
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    require(emb.select("embedding").head().getSeq[Float](0).length ==
+      EmbeddingDim,
+      s"q152 oracle is generated for dim=$EmbeddingDim")
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq"))
+    val corpus = graft.SparkUtil.ensureParallelism(
+      emb.select(col("vec_id"), col("embedding")))
+    val sims = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        explode(array(TruncDims.map(d =>
+          struct(lit(d).as("d"),
+            simR4(slice(col("embedding"), 1, d),
+              slice(col("vq"), 1, d)).as("sim"))): _*)).as("x"))
+      .select(col("qid"), col("vec_id"), col("x.d").as("d"),
+        col("x.sim").as("sim"))
+    val wdq = org.apache.spark.sql.expressions.Window
+      .partitionBy("d", "qid")
+    val top = sims
+      .withColumn("pos", row_number().over(
+        wdq.orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("pos") <= 10)
+      .select(col("d"), col("qid"), col("vec_id"))
+    val ex = top.filter(col("d") === EmbeddingDim)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("d")
+    top.join(ex, Seq("qid", "vec_id"), "left")
+      .groupBy(col("d"), col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall10_e4", col("hits") * 1000)
+      .withColumn("mean_recall_d_e4",
+        expr("sum(hits) over (partition by d) * 1000 " +
+          "div count(*) over (partition by d)"))
+      .orderBy(col("d"), col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_dim_truncation" -> (q152 _),
     "q151_index_refresh" -> (q151 _),
     "q149_late_interaction" -> (q149 _),
     "q72_ann_pq" -> (q72 _),
@@ -1255,7 +1313,51 @@ object OperatorQueries {
        |ORDER BY o.cid""".stripMargin
   }
 
+  /** q152's oracle: per-prefix norms and dot products from the
+    * pos-exploded table (`pos <= d` joins against the dims relation),
+    * ROUND-4 cosines, (d, qid) window ranks, hits against the d=64
+    * rows' own top-10, and the same integer-div per-d mean.
+    */
+  private lazy val q152OracleSql: String = {
+    val dimRows = TruncDims.map(d => s"($d)").mkString(", ")
+    s"""WITH dims(d) AS (VALUES $dimRows),
+       |e AS MATERIALIZED (SELECT vec_id,
+       |        generate_subscripts(embedding, 1) AS pos,
+       |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+       |nrm AS MATERIALIZED (SELECT e.vec_id, d.d,
+       |    SQRT(SUM(val * val)) AS nrm
+       |  FROM e JOIN dims d ON e.pos <= d.d GROUP BY 1, 2),
+       |dall AS MATERIALIZED (SELECT eq.vec_id AS qid, ev.vec_id, d.d,
+       |    SUM(eq.val * ev.val) AS dot
+       |  FROM e eq JOIN e ev ON ev.pos = eq.pos
+       |  JOIN dims d ON eq.pos <= d.d
+       |  WHERE eq.vec_id % 25 = 0 AND ev.vec_id <> eq.vec_id
+       |  GROUP BY 1, 2, 3),
+       |sims AS (SELECT da.qid, da.vec_id, da.d,
+       |    ROUND(da.dot / (nq.nrm * nv.nrm), 4) AS sim
+       |  FROM dall da
+       |  JOIN nrm nq ON nq.vec_id = da.qid AND nq.d = da.d
+       |  JOIN nrm nv ON nv.vec_id = da.vec_id AND nv.d = da.d),
+       |top AS MATERIALIZED (SELECT d, qid, vec_id FROM (
+       |    SELECT d, qid, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY d, qid ORDER BY sim DESC, vec_id) AS pos
+       |    FROM sims) WHERE pos <= 10),
+       |ex AS (SELECT qid, vec_id FROM top WHERE d = $EmbeddingDim),
+       |h AS (SELECT t.d, t.qid,
+       |    CAST(SUM(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS hits
+       |  FROM top t LEFT JOIN ex x
+       |    ON x.qid = t.qid AND x.vec_id = t.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT d, qid, hits, CAST(hits * 1000 AS BIGINT) AS recall10_e4,
+       |  CAST(SUM(hits) OVER (PARTITION BY d) * 1000
+       |    // COUNT(*) OVER (PARTITION BY d) AS BIGINT)
+       |    AS mean_recall_d_e4
+       |FROM h ORDER BY d, qid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q152_dim_truncation" -> q152OracleSql,
     "q151_index_refresh" -> q151OracleSql,
     "q149_late_interaction" -> q149OracleSql,
     "q143_semantic_decontam" -> q143OracleSql,

@@ -108,6 +108,43 @@ class MaintenanceAuditSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) >= 0L))
   }
 
+  test("q152: decoys indistinguishable in the prefix space displace " +
+      "the true neighbors exactly until the cut passes their mass") {
+    val dir = writeDir()
+    import spark.implicits._
+    // Query (vec_id 0) = e1. Decoys (ids 1..10): identical first-8
+    // prefix, heavy mass in dims 9..16 — at d=8 they tie the true
+    // neighbors at sim 1.0 and win on the vec_id tiebreak (lower ids),
+    // so recall@10 is exactly 0; from d=16 on their prefix cosine
+    // collapses to 1/√26 ≈ 0.196 and the true neighbors (ids 11..20,
+    // e1 + a distinct tiny dim-33+ component each) fill the top-10 —
+    // recall exactly 1. The d=64 row is the anchor by construction.
+    def vec(f: Int => Float) = Array.tabulate(64)(i => f(i + 1))
+    val q0 = vec(p => if (p == 1) 1f else 0f)
+    val rows =
+      Seq((0L, q0)) ++
+        (1 to 10).map(i => (i.toLong, vec(p =>
+          if (p == 1) 1f
+          else if (p == 9 + ((i - 1) % 8)) 5f else 0f))) ++
+        (11 to 20).map(i => (i.toLong, vec(p =>
+          if (p == 1) 1f else if (p == 21 + i) 0.01f * (i - 10) else 0f)))
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = OperatorQueries.queries("q152_dim_truncation")(spark, dir)
+      .collect()
+    val byD = out.map(r => r.getInt(0) -> r.getAs[Long]("recall10_e4"))
+      .toMap
+    assert(out.length == 4, "one audit query, four prefix lengths")
+    assert(byD(8) == 0L, "prefix-8 top-10 is all decoys")
+    assert(byD(16) == 10000L && byD(32) == 10000L,
+      "past the decoy mass the true neighbors return")
+    assert(byD(64) == 10000L, "full-dim anchor row")
+    assert(out.forall(r =>
+      r.getAs[Long]("mean_recall_d_e4") == r.getAs[Long]("recall10_e4")),
+      "single-query corpus: mean equals the query's recall")
+  }
+
   test("q147: hand-trained merges give per-language fertility on a " +
       "three-word corpus") {
     val dir = writeDir()
