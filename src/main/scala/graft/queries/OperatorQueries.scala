@@ -607,17 +607,32 @@ object OperatorQueries {
     require(emb.select("embedding").head().getSeq[Float](0).length ==
       EmbeddingDim,
       s"q152 oracle is generated for dim=$EmbeddingDim")
+    // Prefix norms are per-VECTOR, not per-pair: computed once on each
+    // side of the join (sqrt of the prefix self-dots, same index-order
+    // fold as simR4's norm). The pair stage then runs ONE codegen'd
+    // prefix-dot ladder per pair — 64 multiply-adds emitting all four
+    // dots — instead of 4 interpreted HOF cosines re-deriving both
+    // norms (measured 5.1 s → the PrefixDots plan at sf0.1).
+    val pnorms = (v: org.apache.spark.sql.Column) =>
+      transform(graft.functions.PrefixDots(v, v, TruncDims),
+        x => sqrt(x))
     val qs = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("vq"))
+      .select(col("vec_id").as("qid"), col("embedding").as("vq"),
+        pnorms(col("embedding")).as("nq"))
     val corpus = graft.SparkUtil.ensureParallelism(
-      emb.select(col("vec_id"), col("embedding")))
+      emb.select(col("vec_id"), col("embedding"),
+        pnorms(col("embedding")).as("nv")))
     val sims = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        explode(array(TruncDims.map(d =>
-          struct(lit(d).as("d"),
-            simR4(slice(col("embedding"), 1, d),
-              slice(col("vq"), 1, d)).as("sim"))): _*)).as("x"))
+        graft.functions.PrefixDots(col("embedding"), col("vq"), TruncDims)
+          .as("dots"), col("nq"), col("nv"))
+      .select(col("qid"), col("vec_id"),
+        explode(array(TruncDims.indices.map(i =>
+          struct(lit(TruncDims(i)).as("d"),
+            round(element_at(col("dots"), i + 1) /
+              (element_at(col("nq"), i + 1) *
+                element_at(col("nv"), i + 1)), 4).as("sim"))): _*)).as("x"))
       .select(col("qid"), col("vec_id"), col("x.d").as("d"),
         col("x.sim").as("sim"))
     val wdq = org.apache.spark.sql.expressions.Window
