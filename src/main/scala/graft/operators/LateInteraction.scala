@@ -30,19 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object LateInteraction {
 
-  /** ROUND-4 cosine in the oracle's textual form (`dot / (nrm·nrm)`,
-    * doubles) — 4-dp rounding absorbs summation-order noise between
-    * Spark's index-order fold and SQL's unordered SUM.
+  /** Vector norm as the sqrt of the full-length [[graft.functions
+    * .PrefixDots]] self-dot: the index-order fold the oracle's textual
+    * norm form (`SQRT(SUM(val·val))` under ROUND-4) absorbs, in one
+    * codegen'd loop instead of an interpreted HOF per row.
     */
-  private def simR4(a: Column, b: Column): Column = {
-    val asD = (c: Column) => transform(c, x => x.cast("double"))
-    val nrm = (c: Column) =>
-      sqrt(aggregate(transform(asD(c), x => x * x), lit(0.0),
-        (acc, x) => acc + x))
-    val dot = aggregate(zip_with(asD(a), asD(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    round(dot / (nrm(a) * nrm(b)), 4)
-  }
+  private def normCol(v: Column, dim: Int): Column =
+    sqrt(element_at(graft.functions.PrefixDots(v, v, Seq(dim)), 1))
 
   /** Batch MaxSim top-k. `tokens`: corpus token vectors (docCol,
     * vecCol); `qTokens`: query token vectors (qDocCol, qTokCol,
@@ -61,11 +55,18 @@ object LateInteraction {
     // local parquet reads as ONE split and the per-pair HOF cosines
     // would serialize onto one core (the q145 lesson) — structural
     // no-op at scale where splits >= cores.
+    val dim = lsh.planes.head.length
+    // Norms ride the per-TOKEN rows (computed once per side), so the
+    // per-pair rescore below is one codegen'd dot ladder + a division —
+    // no interpreted HOF cosine re-deriving both norms per pair (the
+    // q152 PrefixDots lesson).
     val corpus = graft.SparkUtil.ensureParallelism(
       lsh.index(tokens.select(col(docCol).as("ddoc"),
-        col(vecCol).as("__vd")), "__vd"))
+          col(vecCol).as("__vd")), "__vd")
+        .withColumn("__nd", normCol(col("__vd"), dim)))
     val qIdx = lsh.index(qTokens.select(col(qDocCol).as("qdoc"),
-      col(qTokCol).as("qtid"), col(qVecCol).as("__vq")), "__vq")
+        col(qTokCol).as("qtid"), col(qVecCol).as("__vq")), "__vq")
+      .withColumn("__nq", normCol(col("__vq"), dim))
     // Radius-1 multiprobe per query token, deduped to (qdoc, bucket):
     // probes of one query are distinct buckets, so a corpus token meets
     // each query at most once per probe set.
@@ -80,12 +81,14 @@ object LateInteraction {
     // Exact rescore over the candidates' FULL token bags (candidate
     // generation bounds WHICH docs are scored, never HOW — MaxSim on a
     // candidate is exact).
-    val pairs = corpus.select(col("ddoc"), col("__vd"))
+    val pairs = corpus.select(col("ddoc"), col("__vd"), col("__nd"))
       .join(broadcast(cand), Seq("ddoc"))
-      .join(broadcast(qIdx.select(col("qdoc"), col("qtid"), col("__vq"))),
-        Seq("qdoc"))
+      .join(broadcast(qIdx.select(col("qdoc"), col("qtid"), col("__vq"),
+        col("__nq"))), Seq("qdoc"))
       .select(col("qdoc"), col("ddoc"), col("qtid"),
-        simR4(col("__vd"), col("__vq")).as("__sim"))
+        round(element_at(graft.functions.PrefixDots(col("__vd"),
+            col("__vq"), Seq(dim)), 1) /
+          (col("__nd") * col("__nq")), 4).as("__sim"))
     val sc = pairs
       .groupBy(col("qdoc"), col("ddoc"), col("qtid"))
       .agg(max(col("__sim")).as("__ms"))
