@@ -450,6 +450,77 @@ object Stats {
     * corpus crosses exactly one aggregate. Output one row: n_ranks,
     * slope, intercept_e4 (intercept in e4 log-frequency space).
     */
+  /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s dataset-SCALING
+    * sibling: V(T) ≈ K·T^β, how many NEW distinct tokens the next
+    * slice of corpus buys. The measurement behind "does more of this
+    * source still add vocabulary?" when composing a 100 TB mix: β near
+    * 1 means the source keeps surprising, β near 0 means it's
+    * exhausted (natural corpora sit around 0.4–0.6).
+    *
+    * Prefixes are ingestion-order cuts at `checkpoints` evenly-spaced
+    * doc-id thresholds (min + (max−min)·i/k, integer arithmetic — no
+    * global row-number sort, just a min/max aggregate, so the
+    * checkpoint derivation is O(1) state at any corpus size). The
+    * corpus crosses exactly TWO map-side-combinable aggregates: each
+    * word's FIRST-occurrence doc id (vocabulary-sized), and per-doc
+    * token counts; each joins the broadcast k-row checkpoint relation,
+    * so V_i / T_i never rescans the corpus per checkpoint. Axes are
+    * e4-pinned ln integers before the moment sums ([[zipfFit]]'s
+    * discipline — the only floats are the two final divisions), so a
+    * SQL oracle replays the whole curve and fit bit-for-bit.
+    *
+    * Output: one row per checkpoint (cut doc id, prefix token/vocab
+    * totals, the e4 axes) with the shared slope (β) and e4 intercept
+    * (ln K) as window columns — the curve AND its fit in one report.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lnE4H = (c: Column) =>
+      round(log(c.cast("double")) * 10000, 0).cast("long")
+    val d = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).cast("long").as("__id"),
+        split(col(textCol), " ").as("__t"))
+    val b = d.agg(min(col("__id")), max(col("__id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val ck = (1 to checkpoints)
+      .map(i => (i.toLong, lo + (hi - lo) * i / checkpoints))
+      .toDF("ckpt", "cut_doc")
+    val firstocc = d.select(col("__id"), explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__id")).as("__fd"))
+    val v = firstocc.crossJoin(broadcast(ck))
+      .filter(col("__fd") <= col("cut_doc"))
+      .groupBy(col("ckpt"), col("cut_doc"))
+      .agg(count(lit(1)).as("n_vocab"))
+    val t = d.select(col("__id"), size(col("__t")).cast("long").as("__nw"))
+      .crossJoin(broadcast(ck))
+      .filter(col("__id") <= col("cut_doc"))
+      .groupBy(col("ckpt"), col("cut_doc"))
+      .agg(sum(col("__nw")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val pts = t.join(v, Seq("ckpt", "cut_doc"), "left")
+      .select(col("ckpt"), col("cut_doc"), col("n_tokens"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
+      .withColumn("x", lnE4H(col("n_tokens")))
+      .withColumn("y", lnE4H(col("n_vocab")))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("x")).over(w))
+      .withColumn("__sy", sum(col("y")).over(w))
+      .withColumn("__sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("__sxx", sum(col("x") * col("x")).over(w))
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double") /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double")
+    pts.select(col("ckpt"), col("cut_doc"), col("n_tokens"),
+        col("n_vocab"), col("x"), col("y"), slope.as("slope"),
+        (col("__sy").cast("double") / col("__n").cast("double") -
+          slope * (col("__sx").cast("double") / col("__n").cast("double")))
+          .as("intercept_e4"))
+      .orderBy(col("ckpt"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topR: Int = 1000)
       : DataFrame = {
     val lnE4 = (c: Column) =>

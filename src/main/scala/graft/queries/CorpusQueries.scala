@@ -163,9 +163,21 @@ object CorpusQueries {
       .orderBy(col("feature"), col("bin"))
   }
 
+  // q153: Heaps'-law vocabulary-growth fit — q133's dataset-SCALING
+  // sibling: V(T) ≈ K·T^β over ten ingestion-order prefixes (evenly
+  // spaced doc-id cuts from a min/max aggregate — no global sort).
+  // β answers "does more of this source still add vocabulary?" before
+  // a 100 TB mixture commits to it. Two combinable corpus aggregates
+  // (word first-occurrence ids, per-doc token counts) each joined to
+  // the broadcast 10-row checkpoint relation; e4-pinned ln axes,
+  // integer moments, two final IEEE divisions (the q133 discipline).
+  def q153(s: SparkSession, dir: String): DataFrame =
+    Stats.heapsFit(docs(s, dir), "doc_id", "text", checkpoints = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_dedup_attribution" -> (q134 _),
     "q150_psi_drift" -> (q150 _),
+    "q153_heaps_fit" -> (q153 _),
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
@@ -205,6 +217,51 @@ object CorpusQueries {
     // double algebra under ROUND-4: both engines divide the identical
     // integers and take ln of the identical quotient, so the e4 terms
     // and their integer window sums agree bit-for-bit.
+    // q153: replays the Heaps fit — the same integer checkpoint
+    // thresholds (min + (max−min)·i // 10: `//` and the engine's Long
+    // division both truncate toward zero, operands non-negative), the
+    // first-occurrence and token-count aggregates, e4 ln axes, exact
+    // integer window moments, and q133's two final-division textual
+    // forms.
+    "q153_heaps_fit" ->
+      """WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+        |           FROM documents),
+        |ck AS (SELECT CAST(i.range AS BIGINT) AS ckpt,
+        |         b.lo + (b.hi - b.lo) * CAST(i.range AS BIGINT) // 10
+        |           AS cut_doc
+        |       FROM b CROSS JOIN range(1, 11) i),
+        |d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+        |      FROM documents),
+        |fo AS (SELECT w, MIN(doc_id) AS fd FROM
+        |         (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY w),
+        |v AS (SELECT ck.ckpt, ck.cut_doc,
+        |        CAST(COUNT(*) AS BIGINT) AS n_vocab
+        |      FROM fo JOIN ck ON fo.fd <= ck.cut_doc GROUP BY 1, 2),
+        |tt AS (SELECT ck.ckpt, ck.cut_doc,
+        |         CAST(SUM(len(d.t)) AS BIGINT) AS n_tokens
+        |       FROM d JOIN ck ON d.doc_id <= ck.cut_doc GROUP BY 1, 2),
+        |xy AS (SELECT tt.ckpt, tt.cut_doc, tt.n_tokens,
+        |         CAST(COALESCE(v.n_vocab, 0) AS BIGINT) AS n_vocab,
+        |         CAST(ROUND(ln(CAST(tt.n_tokens AS DOUBLE)) * 10000, 0)
+        |           AS BIGINT) AS x,
+        |         CAST(ROUND(ln(CAST(COALESCE(v.n_vocab, 0) AS DOUBLE))
+        |           * 10000, 0) AS BIGINT) AS y
+        |       FROM tt LEFT JOIN v
+        |         ON v.ckpt = tt.ckpt AND v.cut_doc = tt.cut_doc),
+        |m AS (SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |        CAST(SUM(x) OVER () AS BIGINT) AS sx,
+        |        CAST(SUM(y) OVER () AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) OVER () AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) OVER () AS BIGINT) AS sxx
+        |      FROM xy)
+        |SELECT ckpt, cut_doc, n_tokens, n_vocab, x, y,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_e4
+        |FROM m ORDER BY ckpt""".stripMargin,
     "q150_psi_drift" ->
       """WITH base AS (SELECT doc_id % 2 = 0 AS ref,
         |    lpad(CAST(n_chars // 100 AS VARCHAR), 2, '0') AS chars_bin,

@@ -62,4 +62,36 @@ class EntropyZipfSpec extends SparkSpec {
     assert(r.getLong(0) > 10L && r.getLong(0) <= 1000L)
     assert(r.getDouble(1) < -0.1 && r.getDouble(1) > -3.0, r.getDouble(1))
   }
+
+  test("heaps: a one-new-word-per-doc corpus gives the hand-computed " +
+      "prefix curve and a sublinear positive exponent") {
+    // Doc i = "w<i> common": prefix at cut c holds 2c tokens and c+1
+    // distinct words. With ids 1..10 the integer thresholds are
+    // 1 + 9i/10 → cuts (1, 2, 3, …, 10).
+    val df = (1 to 10).map(i => (i.toLong, s"w$i common"))
+      .toDF("doc_id", "text")
+    val out = Stats.heapsFit(df, "doc_id", "text", checkpoints = 10)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val cut = r.getLong(1)
+      assert(r.getLong(2) == 2 * cut, s"tokens at cut $cut")
+      assert(r.getLong(3) == cut + 1, s"vocab at cut $cut")
+    }
+    val beta = out.head.getDouble(6)
+    assert(beta > 0.0 && beta < 1.0, s"sublinear growth, got $beta")
+    assert(out.forall(_.getDouble(6) == beta), "shared fit columns")
+  }
+
+  test("heaps: an exhausted vocabulary reports slope zero exactly") {
+    // Every doc draws the same two words: V is flat at 2, y is
+    // constant, and the least-squares slope is exactly 0.
+    val df = (1 to 20).map(i => (i.toLong, "a b a")).toDF("doc_id", "text")
+    val out = Stats.heapsFit(df, "doc_id", "text").collect()
+    assert(out.forall(_.getLong(3) == 2L))
+    assert(out.forall(_.getDouble(6) == 0.0))
+    // Tokens still accumulate monotonically along the prefixes.
+    val toks = out.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+  }
 }
