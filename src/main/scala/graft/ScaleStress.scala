@@ -38,12 +38,18 @@ import org.apache.spark.sql.functions._
   *     — it is the prune ratio, the quantity that makes the search
   *     sub-linear in corpus size), and per-batch search walls.
   *
+  *   - `multivec`: q149's late-interaction shape — a constant base-slice
+  *     query batch against a ×1/×3/×10-replicated token corpus;
+  *     records candidate-pair counts (must grow ×k, never ×k² — the
+  *     probe set is per-query, the corpus streams once) and the MaxSim
+  *     rescore wall.
+  *
   * Driver heap is sampled (post-GC) after every phase — each tier's
   * driver state must stay O(1) in corpus size. Output: one JSON line
   * per (scale, phase) plus per-job arrays; committed as SCALE.md.
   *
   * Usage: graft.ScaleStress [sfDir] [scales CSV]
-  *   [graph|substring|ingest|ann]
+  *   [graph|substring|ingest|ann|multivec]
   */
 object ScaleStress {
 
@@ -80,8 +86,8 @@ object ScaleStress {
     val scales = args.drop(1).headOption
       .getOrElse(if (tier == "ingest") "1,10,100" else "1,3,10")
       .split(',').map(_.trim.toInt).toSeq
-    require(Set("graph", "substring", "ingest", "ann")(tier),
-      s"unknown tier '$tier' (graph|substring|ingest|ann)")
+    require(Set("graph", "substring", "ingest", "ann", "multivec")(tier),
+      s"unknown tier '$tier' (graph|substring|ingest|ann|multivec)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -202,8 +208,8 @@ object ScaleStress {
       }
     }
 
-    if (tier == "ann") {
-      import graft.operators.{Ann, IvfSq}
+    if (tier == "ann" || tier == "multivec") {
+      import graft.operators.{Ann, IvfSq, LateInteraction}
       val emb0 = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val dim = emb0.select("embedding").head().getSeq[Float](0).length
@@ -217,7 +223,55 @@ object ScaleStress {
       // every scale, so search walls compare like for like.
       val queryBatch = emb0.filter(col("vec_id") < 10)
         .collect().map(_.getSeq[Float](1).toArray)
-      for (k <- scales) {
+
+      if (tier == "multivec") for (k <- scales) {
+        // q149's late-interaction shape under replication: the QUERY
+        // side is pinned to the BASE copy's ddoc % 20 slice (constant
+        // across scales — a query batch does not grow with the corpus),
+        // while the token corpus grows ×k with every bucket's occupancy
+        // (exact copies collide by construction — the adversarial
+        // direction for candidate counts, which must grow linearly, and
+        // for the rescore row count, which must stay pairs × q-tokens,
+        // never pairs × token-pairs).
+        val toks = SparkUtil.ensureParallelism(replicateEmb(k))
+          .select(expr("vec_id div 5").as("ddoc"), col("vec_id"),
+            col("embedding"))
+          .localCheckpoint(true)
+        val nToks = toks.count()
+        val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = dim)
+        val qt = toks.filter(col("vec_id") < estride &&
+            col("ddoc") % 20 === 0)
+          .select(col("ddoc").as("qd"), col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val nQdocs = qt.select("qd").distinct().count()
+        // Candidate-pair census through the operator's own index shape
+        // (bucket join of the deduped radius-1 probe set) — the
+        // quantity that must grow ×k, not ×k².
+        val candPairs = phase("multivec_candidates", k) {
+          val idx = lsh.index(toks.select(col("ddoc"), col("embedding")),
+            "embedding")
+          val qidx = lsh.index(qt.select(col("qd"), col("embedding")),
+            "embedding")
+          val probes = qidx.select(col("qd"),
+              explode(array((col("bucket") +: (0 until 8).map(b =>
+                col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
+            .distinct()
+          idx.join(broadcast(probes), Seq("bucket"))
+            .filter(col("ddoc") =!= col("qd"))
+            .select(col("qd"), col("ddoc")).distinct().count()
+        }
+        val nTop = phase("maxsim_search", k) {
+          LateInteraction.search(toks, "ddoc", "embedding", qt,
+            "qd", "vec_id", "embedding", lsh, k = 5, excludeSelf = true)
+            .count()
+        }
+        println(s"""{"scale":$k,"n_toks":$nToks,"n_qdocs":$nQdocs,""" +
+          s""""cand_pairs":$candPairs,""" +
+          s""""cand_per_qdoc":${r3(candPairs.toDouble / nQdocs)},""" +
+          s""""top_rows":$nTop}""")
+      }
+
+      if (tier == "ann") for (k <- scales) {
         val emb = SparkUtil.ensureParallelism(replicateEmb(k))
         val nVecs = emb.count()
         val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = dim)
