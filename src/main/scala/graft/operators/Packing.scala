@@ -23,18 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Window-rule packing via a DISTRIBUTED two-pass prefix sum: pass one
-    * computes each id-range shard's token total (a bounded O(shards)
-    * collect), pass two streams each shard adding its broadcast offset —
-    * a global `sum() over (order by id)` without ever moving the corpus
-    * to one partition (the naive global-window plan is the single-
-    * partition bottleneck Spark warns about).
+  /** DISTRIBUTED exclusive prefix sum of `nTokensCol` in `idCol` order —
+    * the two-pass primitive behind [[packByStart]] and the capacity-
+    * ladder audit (q154): pass one computes each id-range shard's token
+    * total (a bounded O(shards) collect), pass two streams each shard
+    * adding its broadcast offset — a global `sum() over (order by id)`
+    * without ever moving the corpus to one partition (the naive global-
+    * window plan is the single-partition bottleneck Spark warns about).
     *
-    * Output: one row per document with its bin.
+    * Output: one row per document — (idCol, n_tokens, cum_before).
     */
-  def packByStart(df: DataFrame, idCol: String, nTokensCol: String,
-      capacity: Int, shards: Int = 32): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
+  def prefixSums(df: DataFrame, idCol: String, nTokensCol: String,
+      shards: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Eager local checkpoint: BOTH passes must see the identical range
@@ -60,11 +60,23 @@ object Packing {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var running = offsets.getOrElse(pid, 0L)
       it.map { case (id, n) =>
-        val bin = running / capacity
+        val before = running
         running += n
-        (id, n, bin)
+        (id, n, before)
       }
-    }.toDF(idCol, "n_tokens", "bin")
+    }.toDF(idCol, "n_tokens", "cum_before")
+  }
+
+  /** Window-rule packing over [[prefixSums]]: a document's bin is where
+    * its cumulative token count STARTS. Output: one row per document
+    * with its bin.
+    */
+  def packByStart(df: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Int, shards: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    prefixSums(df, idCol, nTokensCol, shards)
+      .select(col(idCol), col("n_tokens"),
+        expr(s"cum_before div $capacity").as("bin"))
   }
 
   /** Exact greedy packing inside id-range shards. Output: (id, n_tokens,

@@ -103,6 +103,44 @@ object CurationQueries {
       .orderBy(col("bin"))
   }
 
+  /** q154's capacity ladder — the candidate max-seq-len values whose
+    * waste curve the audit measures.
+    */
+  private val PackCaps: Seq[Int] = Seq(128, 256, 512, 1024)
+
+  // q154: packing-capacity CURVE — the measurement behind choosing
+  // max_seq_len for a 100 TB tokenization+packing commit (q70 packs at
+  // ONE capacity; the decision needs the ladder). The corpus-sized work
+  // is ONE distributed exclusive prefix sum (Packing.prefixSums, the
+  // q70 two-pass shape — never a single-partition window); every
+  // capacity's metrics then derive from the SAME cumulative starts via
+  // a map-side explode: bins opened (distinct start bins), straddling
+  // docs ((cum mod L) + n > L), overflow tokens past each straddler's
+  // boundary, and utilization = corpus tokens vs opened capacity (e4,
+  // can exceed 10000 exactly because the start-rule lets a straddler
+  // overflow its bin — the quantity the pack-then-truncate practice
+  // trades against bin count). All-integer; the oracle replays the
+  // cumsum as a SQL window and the same modular algebra.
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val withTokens = docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    val ps = graft.operators.Packing.prefixSums(withTokens, "doc_id",
+      "n_toks")
+    ps.select(col("n_tokens"), col("cum_before"),
+        explode(array(PackCaps.map(lit): _*)).as("capacity"))
+      .groupBy(col("capacity"))
+      .agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(expr("cum_before div capacity")).as("n_bins"),
+        sum(when(expr("cum_before % capacity + n_tokens > capacity"), 1L)
+          .otherwise(0L)).as("n_straddlers"),
+        sum(greatest(expr("cum_before % capacity + n_tokens - capacity"),
+          lit(0L))).as("over_tokens"))
+      .withColumn("util_e4",
+        expr("total_tokens * 10000 div (n_bins * capacity)"))
+      .orderBy(col("capacity"))
+  }
+
   // q74: table profiling (ANALYZE-style column stats) over orders — one
   // narrow base-stats aggregate + one stacked exact-distinct pipeline
   // (no Expand row replication); exact distincts so the oracle can
@@ -287,6 +325,7 @@ object CurationQueries {
     "q97_leakage_report" -> (q97 _),
     "q74_profile" -> (q74 _),
     "q70_sequence_pack" -> (q70 _),
+    "q154_packing_curve" -> (q154 _),
     "q68_temperature_sample" -> (q68 _),
     "q67_zorder_key" -> (q67 _),
     "q63_pii_redact" -> (q63 _),
@@ -539,6 +578,35 @@ object CurationQueries {
         |UNION ALL
         |SELECT 'o_orderstatus', total - c3, d3, mn3, mx3 FROM s
         |ORDER BY "column"""".stripMargin,
+    // q154: the q70 cumsum window replayed once, then every capacity's
+    // metrics from the same cumulative starts (UNNEST of the ladder) —
+    // identical modular algebra, `//`/div both truncating on the
+    // non-negative operands.
+    "q154_packing_curve" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(text, ' ')) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |    CAST(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS cum_before
+        |  FROM t),
+        |x AS (SELECT n_toks, cum_before,
+        |        CAST(unnest([128, 256, 512, 1024]) AS INTEGER)
+        |          AS capacity
+        |      FROM c),
+        |g AS (SELECT capacity,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(DISTINCT cum_before // capacity) AS BIGINT)
+        |      AS n_bins,
+        |    CAST(SUM(CASE WHEN cum_before % capacity + n_toks > capacity
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+        |    CAST(SUM(GREATEST(cum_before % capacity + n_toks - capacity,
+        |      0)) AS BIGINT) AS over_tokens
+        |  FROM x GROUP BY capacity)
+        |SELECT capacity, total_tokens, n_bins, n_straddlers, over_tokens,
+        |  CAST(total_tokens * 10000 // (n_bins * capacity) AS BIGINT)
+        |    AS util_e4
+        |FROM g ORDER BY capacity""".stripMargin,
     "q70_sequence_pack" ->
       """WITH t AS (SELECT doc_id,
         |    len(regexp_split_to_array(text, ' ')) AS n_toks FROM documents),

@@ -46,6 +46,30 @@ class PackingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("q154 packing curve: three 100-word docs give the hand-computed " +
+      "ladder") {
+    // T = 300; cum starts 0/100/200.
+    //  L=128: start bins {0,0,1} → 2 bins; docs 2,3 straddle
+    //         (100+100−128=72, 72+100−128=44) → over 116;
+    //         util = 3_000_000 div 256 = 11718.
+    //  L=256: 1 bin; doc 3 straddles (200+100−256=44); util 11718.
+    //  L=512 / 1024: 1 bin, no straddlers, util 5859 / 2929.
+    val dir = java.nio.file.Files.createTempDirectory("pack-curve").toString
+    (1 to 3).map(i => (i.toLong, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationQueries
+      .queries("q154_packing_curve")(spark, dir)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(128) == ((300L, 2L, 2L, 116L, 11718L)))
+    assert(out(256) == ((300L, 1L, 1L, 44L, 11718L)))
+    assert(out(512) == ((300L, 1L, 0L, 0L, 5859L)))
+    assert(out(1024) == ((300L, 1L, 0L, 0L, 2929L)))
+  }
+
   test("packGreedy: fill order is ascending id within each shard") {
     val out = Packing.packGreedy(docs(Seq(3, 3, 3, 3)), "id", "n", 6,
         shards = 1)
