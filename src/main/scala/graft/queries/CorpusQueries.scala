@@ -174,10 +174,48 @@ object CorpusQueries {
   def q153(s: SparkSession, dir: String): DataFrame =
     Stats.heapsFit(docs(s, dir), "doc_id", "text", checkpoints = 10)
 
+  /** q155's frozen vocabulary size — deliberately smaller than the
+    * corpus vocabulary so the tail mass is measurable (a production
+    * tokenizer vocab never covers the open corpus).
+    */
+  private val VocabK = 16
+
+  // q155: OOV-rate audit per source — the unk-rate measurement run
+  // BEFORE committing a frozen vocabulary to a 100 TB tokenization
+  // (q147 measures fertility of a LEARNED tokenizer; this measures
+  // what a FROZEN top-K vocabulary misses, per source): vocab = the
+  // top-K corpus words (count desc, word tie-break — q133's top-rank
+  // discipline), then per source the token occurrences and distinct
+  // words falling OUTSIDE it, as counts and an e4 rate. Corpus passes:
+  // ONE (source, word) map-side-combinable count; the vocab is a
+  // TakeOrdered over the word margin and broadcasts into an anti-join
+  // — the corpus never shuffles on anything wider than its vocabulary.
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    val sw = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = sw.groupBy(col("w")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("w")).limit(VocabK)
+      .select(col("w"))
+    val oov = sw.join(broadcast(vocab), Seq("w"), "left_anti")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_oov"),
+        count(lit(1)).as("distinct_oov"))
+    sw.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
+      .join(oov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("distinct_oov"), lit(0L)).as("distinct_oov"))
+      .withColumn("oov_e4", expr("n_oov * 10000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_dedup_attribution" -> (q134 _),
     "q150_psi_drift" -> (q150 _),
     "q153_heaps_fit" -> (q153 _),
+    "q155_oov_rate" -> (q155 _),
     "q98_span_dedup" -> (q98 _),
     "q99_adaptive_threshold" -> (q99 _),
     "q100_ngram_novelty" -> (q100 _),
@@ -217,6 +255,29 @@ object CorpusQueries {
     // double algebra under ROUND-4: both engines divide the identical
     // integers and take ln of the identical quotient, so the e4 terms
     // and their integer window sums agree bit-for-bit.
+    // q155: replays the frozen-vocab cut (count desc, word — QUALIFY
+    // over the same margin) and the per-source anti-join tail mass.
+    "q155_oov_rate" ->
+      s"""WITH sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source,
+         |          unnest(regexp_split_to_array(text, ' ')) AS w
+         |        FROM documents) GROUP BY 1, 2),
+         |vocab AS (SELECT w FROM (
+         |    SELECT w, SUM(c) AS tc, ROW_NUMBER() OVER
+         |      (ORDER BY SUM(c) DESC, w) AS r
+         |    FROM sw GROUP BY w) WHERE r <= $VocabK),
+         |oov AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_oov,
+         |          CAST(COUNT(*) AS BIGINT) AS distinct_oov
+         |        FROM sw ANTI JOIN vocab USING (w) GROUP BY source),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+         |        FROM sw GROUP BY source)
+         |SELECT t.source, t.n_tokens,
+         |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(COALESCE(o.distinct_oov, 0) AS BIGINT) AS distinct_oov,
+         |  CAST(COALESCE(o.n_oov, 0) * 10000 // t.n_tokens AS BIGINT)
+         |    AS oov_e4
+         |FROM tot t LEFT JOIN oov o ON o.source = t.source
+         |ORDER BY t.source""".stripMargin,
     // q153: replays the Heaps fit — the same integer checkpoint
     // thresholds (min + (max−min)·i // 10: `//` and the engine's Long
     // division both truncate toward zero, operands non-negative), the

@@ -83,6 +83,24 @@ class EntropyZipfSpec extends SparkSpec {
     assert(out.forall(_.getDouble(6) == beta), "shared fit columns")
   }
 
+  test("q155 oov: a rare word outside the top-16 vocabulary is the " +
+      "only tail mass") {
+    // Source "a": 16 words x 10 occurrences — they ARE the frozen
+    // vocabulary (count 10 beats 3). Source "b": two vocab words plus
+    // "rare" x 3 → 5 tokens, 3 OOV, rate 30000 div 5 = 6000 e4.
+    val dir = java.nio.file.Files.createTempDirectory("oov-spec").toString
+    val aText = (1 to 16).flatMap(i => Seq.fill(10)(s"w$i")).mkString(" ")
+    Seq((1L, "a", aText), (2L, "b", "w1 w2 rare rare rare"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CorpusQueries
+      .queries("q155_oov_rate")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((160L, 0L, 0L, 0L)))
+    assert(out("b") == ((5L, 3L, 1L, 6000L)))
+  }
+
   test("heaps: an exhausted vocabulary reports slope zero exactly") {
     // Every doc draws the same two words: V is flat at 2, y is
     // constant, and the least-squares slope is exactly 0.
