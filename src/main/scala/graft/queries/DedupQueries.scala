@@ -31,6 +31,59 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q156's band-config ladder — the BASELINE.md tuning table's rows,
+    * measured on the corpus itself. All three slice ONE shared k=48
+    * signature set: `lshBuckets` reads components `band·rows + r`, so
+    * 8×2 and 4×4 consume the first 16 (the 4×4 pair set is exactly
+    * q27's — [[graft.operators.Dedup.minhashParams]] is prefix-stable
+    * in k) and 6×8 all 48.
+    */
+  private val SweepCfgs: Seq[(Int, Int)] = Seq((4, 4), (6, 8), (8, 2))
+  private val SweepK = 48
+  private val SweepTauE4 = 8000L
+
+  // q156: LSH band-config SWEEP — the corpus-impact measurement behind
+  // choosing (bands × rows): q140/q141 calibrate the ESTIMATOR; this
+  // measures what each config would actually do to THIS corpus, from
+  // one shared signature computation (the corpus crosses the shingle →
+  // md5 → k-min pipeline ONCE; each config is a vocabulary-sized band
+  // grouping + self-join over the checkpointed signature table). Per
+  // config: candidate pairs, docs flagged into >= 1 pair, and pairs
+  // whose signature Jaccard over the config's OWN k components clears
+  // τ = 0.8 — the s-curve midpoint ladder (0.35 / 0.71 / 0.80 for
+  // 8×2 / 4×4 / 6×8) read against measured counts instead of folklore.
+  // Report rows are driver-assembled counts (the report IS k-config
+  // sized); the oracle replays signatures, per-config bands, pairs and
+  // the integer Jaccard threshold.
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
+    val sigs = Dedup.minhashSignatures(sh, k = SweepK)
+      .localCheckpoint(true)
+    SweepCfgs.map { case (b, r) =>
+      val k = b * r
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, b, r))
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val nFlagged = pairs
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .distinct().count()
+      val nEst = pairs
+        .join(sigs.select(col("id").as("a"), col("sig").as("__sa")),
+          Seq("a"))
+        .join(sigs.select(col("id").as("b"), col("sig").as("__sb")),
+          Seq("b"))
+        .select(size(filter(zip_with(slice(col("__sa"), 1, k),
+          slice(col("__sb"), 1, k), (x, y) => x === y), e => e))
+          .cast("long").as("__eq"))
+        .filter(expr(s"__eq * 10000 div $k >= $SweepTauE4"))
+        .count()
+      (b, r, k, nPairs, nFlagged, nEst)
+    }.toDF("bands", "rows_per_band", "k_sig", "n_cand_pairs",
+        "n_flagged_docs", "n_est_dup_pairs")
+      .orderBy(col("bands"), col("rows_per_band"))
+  }
+
   // q140: MinHash estimator calibration — the precision audit a
   // production near-dup tier runs before trusting its threshold: for
   // every LSH candidate pair (q27's exact pair set), the SIGNATURE
@@ -289,6 +342,7 @@ object DedupQueries {
     "q118_canonical_rank" -> (q118 _),
     "q85_stream_neardup" -> (q85 _),
     "q27_minhash_lsh" -> (q27 _),
+    "q156_lsh_config_sweep" -> (q156 _),
     "q141_lsh_recall_audit" -> (q141 _),
     "q140_minhash_calibration" -> (q140 _),
     "q28_simhash" -> (q28 _),
@@ -310,6 +364,61 @@ object DedupQueries {
       val parts = (0 until 4).map(r => s"s${4 * b + r}").mkString("||'|'||")
       s"SELECT doc_id, $b AS band, $parts h FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+
+  /** q156's oracle: the q27 signature chain widened to k=48 flat
+    * columns (minhashParams is prefix-stable, so the 4×4 config's pair
+    * set equals q27's), then per config its OWN band grouping,
+    * DISTINCT candidate pairs and the integer-Jaccard τ count,
+    * assembled as one-row scalar-subquery CTEs. Each config CTE is
+    * stripMargin'd at construction and the final SQL is plain
+    * concatenation — no fragment ever meets an outer stripMargin (the
+    * SNIPPETS double-strip gotcha).
+    */
+  private lazy val q156OracleSql: String = {
+    val sig48 = graft.operators.Dedup.minhashParams(SweepK).zipWithIndex
+      .map { case ((a, b), j) => s"min((h*$a+$b)%$P) s$j" }
+      .mkString(",\n  ")
+    val header =
+      s"""toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle FROM idx),
+         |shh AS (SELECT doc_id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |  $sig48
+         |  FROM shh GROUP BY doc_id)""".stripMargin
+    val cfgCtes = SweepCfgs.map { case (b, r) =>
+      val k = b * r
+      val tag = s"${b}x$r"
+      val bandSel = (0 until b).map { bi =>
+        val parts = (0 until r).map(j => s"s${bi * r + j}")
+          .mkString("||'|'||")
+        s"SELECT doc_id, $bi AS band, $parts h FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val eqSum = (0 until k).map(j =>
+        s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""bands_$tag AS MATERIALIZED (
+         |  $bandSel),
+         |cand_$tag AS MATERIALIZED (SELECT DISTINCT x.doc_id a, y.doc_id b
+         |  FROM bands_$tag x JOIN bands_$tag y
+         |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+         |row_$tag AS (SELECT $b AS bands, $r AS rows_per_band,
+         |    $k AS k_sig,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$tag)
+         |    AS n_cand_pairs,
+         |  (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM
+         |     (SELECT a AS id FROM cand_$tag
+         |      UNION ALL SELECT b FROM cand_$tag)) AS n_flagged_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$tag c
+         |     JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+         |     WHERE CAST(($eqSum) AS BIGINT) * 10000 // $k
+         |       >= $SweepTauE4) AS n_est_dup_pairs)""".stripMargin
+    }
+    val rowsSel = SweepCfgs
+      .map { case (b, r) => s"SELECT * FROM row_${b}x$r" }
+      .mkString(" UNION ALL ")
+    "WITH " + (header +: cfgCtes).mkString(",\n") +
+      "\nSELECT * FROM (" + rowsSel + ") ORDER BY bands, rows_per_band"
+  }
 
   /** Shared CTE chain computing the LSH candidate pairs (`cand(a, b)`) —
     * the q27 oracle body, reused by the recursive clustering oracles and
@@ -392,6 +501,7 @@ object DedupQueries {
     "q27_minhash_lsh" ->
       s"""WITH $candCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+    "q156_lsh_config_sweep" -> q156OracleSql,
     "q118_canonical_rank" -> {
       val iters = (1 to 3).map { i =>
         val p = if (i == 1) "r0" else s"r${i - 1}"

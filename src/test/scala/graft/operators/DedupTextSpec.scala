@@ -172,4 +172,35 @@ class DedupTextSpec extends SparkSpec {
     val (e01, x01, _) = out((0L, 1L))
     assert(x01 < 10000L && e01 < 10000L)
   }
+
+  test("q156 sweep: exact duplicates survive every band config and the " +
+      "4x4 candidate set nests inside 8x2's") {
+    val dir = java.nio.file.Files.createTempDirectory("sweep-spec")
+      .toString
+    // Docs 1/2: identical (J = 1 — every config's bands collide, the
+    // estimated Jaccard is exactly 10000). Doc 3: unrelated.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, t), (2L, t),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries
+      .queries("q156_lsh_config_sweep")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set((4, 4), (6, 8), (8, 2)))
+    out.foreach { case (cfg, (pairs, flagged, est)) =>
+      assert(pairs >= 1L && flagged >= 2L && est >= 1L,
+        s"config $cfg must catch the exact-dup pair: $pairs/$flagged/$est")
+    }
+    // A 4-row band match (4 equal components) implies both of its
+    // 2-row sub-bands match, so 4x4 candidates nest inside 8x2's —
+    // also checked on the real corpus below.
+    assert(out((4, 4))._1 <= out((8, 2))._1)
+    val real = graft.queries.DedupQueries
+      .queries("q156_lsh_config_sweep")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(real((4, 4)) <= real((8, 2)))
+  }
 }
