@@ -642,10 +642,12 @@ object OperatorQueries {
         wdq.orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("pos") <= 10)
       .select(col("d"), col("qid"), col("vec_id"))
+    // The ground-truth side is |Q|×10 rows — broadcast it (left to
+    // stats, the planner sort-merges two same-lineage frames).
     val ex = top.filter(col("d") === EmbeddingDim)
       .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
     val wd = org.apache.spark.sql.expressions.Window.partitionBy("d")
-    top.join(ex, Seq("qid", "vec_id"), "left")
+    top.join(broadcast(ex), Seq("qid", "vec_id"), "left")
       .groupBy(col("d"), col("qid"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .withColumn("recall10_e4", col("hits") * 1000)

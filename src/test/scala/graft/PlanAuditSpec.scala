@@ -448,6 +448,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
+  test("q149: both late-interaction stages broadcast the query side — " +
+      "the corpus never self-joins or sort-merges") {
+    val p = plan("q149_late_interaction")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // max→sum rescore aggregates are two-phase (map-side partials).
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("q152: the prefix ladder is the codegen'd expression — no " +
+      "interpreted HOF fold in the pair stage") {
+    // String plans elide wide projections ("... N more fields"), so
+    // audit the expression TREES: PrefixDots present, no
+    // ArrayAggregate (the interpreted fold q152 started on).
+    val lp = SparkEntry.queries("q152_dim_truncation")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def exprs(e: Expression): Seq[Expression] = e +: e.children.flatMap(exprs)
+    val all = lp.collect { case n => n }.flatMap(_.expressions).flatMap(exprs)
+    assert(all.exists(_.isInstanceOf[graft.functions.PrefixDots]), "no PrefixDots in the optimized plan")
+    assert(!all.exists(_.getClass.getSimpleName == "ArrayAggregate"),
+      "interpreted HOF fold crept back into the pair stage")
+    val p = SparkEntry.queries("q152_dim_truncation")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q154: one prefix-sum pass feeds every capacity — a single " +
+      "scan of the checkpointed cumsum, no re-scan per capacity") {
+    val lp = SparkEntry.queries("q154_packing_curve")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def countScans(n: LogicalPlan): Int =
+      (if (n.getClass.getSimpleName.contains("LogicalRDD")) 1 else 0) +
+        n.children.map(countScans).sum
+    assert(countScans(lp) == 1, s"capacity ladder re-scans the cumsum:\n$lp")
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
