@@ -657,7 +657,114 @@ object OperatorQueries {
       .orderBy(col("d"), col("qid"))
   }
 
+  /** q157's pool/selection sizes: a 12-candidate LSH pool per query,
+    * 4 MMR picks. λ = 1/2, so the argmax of λ·rel − (1−λ)·red equals
+    * the argmax of (rel − red) and the whole selection stays in exact
+    * e4 integers.
+    */
+  private val MmrPool = 12
+  private val MmrK = 4
+
+  // q157: MMR-diversified CONTEXT assembly — the serving-side step
+  // between ANN retrieval and the prompt: a raw top-k is often k
+  // near-copies of one chunk; maximal-marginal-relevance re-picks the
+  // context set, trading query relevance against redundancy to what is
+  // already selected (argmax of sim(q,c) − max over selected of
+  // sim(c,s), each step). Pipeline: radius-1 LSH candidates (q145's
+  // probe shape, ONE bucket-equality corpus join), ROUND-4-cosine
+  // top-12 pool per query, pool-internal pair cosines (12×12 per
+  // query, bounded — never corpus-wide), then the greedy selection as
+  // a per-query cogroup over the pooled rows — sequential in k=4 ONLY,
+  // distributed across queries, exact e4 integers end to end. The
+  // oracle replays the pool, the pair matrix and FOUR unrolled argmax
+  // steps (joins + anti-joins, no correlated state), so the hash match
+  // certifies the entire greedy trajectory, not just the final set.
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    require(emb.select("embedding").head().getSeq[Float](0).length ==
+      EmbeddingDim,
+      s"q157 oracle is generated for dim=$EmbeddingDim")
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = EmbeddingDim)
+    val nrm = (v: org.apache.spark.sql.Column) =>
+      sqrt(element_at(graft.functions.PrefixDots(v, v, Seq(EmbeddingDim)),
+        1))
+    val indexed = lsh.index(emb, "embedding")
+      .withColumn("__n", nrm(col("embedding")))
+    val qs = indexed.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq"),
+        col("__n").as("nq"), col("bucket"))
+    val probes = qs.select(col("qid"),
+        explode(array((col("bucket") +: (0 until 8).map(b =>
+          col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
+      .distinct()
+    val corpus = graft.SparkUtil.ensureParallelism(
+      indexed.select(col("vec_id"), col("embedding"), col("__n"),
+        col("bucket")))
+    val simE4 = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+        nb: org.apache.spark.sql.Column) =>
+      round(round(element_at(graft.functions.PrefixDots(a, b,
+        Seq(EmbeddingDim)), 1) / (na * nb), 4) * 10000).cast("long")
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    val pool = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qs.select(col("qid"), col("vq"), col("nq"))),
+        Seq("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        col("embedding").as("vc"), col("__n").as("nc"),
+        simE4(col("embedding"), col("vq"), col("__n"), col("nq"))
+          .as("simq_e4"))
+      .withColumn("__r", row_number().over(
+        wq.orderBy(col("simq_e4").desc, col("cid"))))
+      .filter(col("__r") <= MmrPool)
+      .localCheckpoint(true)
+    val p1 = pool.select(col("qid"), col("cid").as("a"),
+      col("vc").as("va"), col("nc").as("na"))
+    val p2 = pool.select(col("qid"), col("cid").as("b"),
+      col("vc").as("vb"), col("nc").as("nb"))
+    val pairs = p1.join(p2, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        simE4(col("va"), col("vb"), col("na"), col("nb")).as("s"))
+    val poolDs = pool.select(col("qid"), col("cid"), col("simq_e4"))
+      .as[(Long, Long, Long)]
+    val pairDs = pairs.as[(Long, Long, Long, Long)]
+    poolDs.groupByKey(_._1).cogroup(pairDs.groupByKey(_._1)) {
+      (q, ps, rs) =>
+        val cands = ps.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val pairSim = rs.map(t => (t._2, t._3) -> t._4).toMap
+        val selected = scala.collection.mutable.ArrayBuffer[Long]()
+        val out = scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Long, Long, Long)]()
+        var remaining = cands
+        var step = 1
+        while (remaining.nonEmpty && step <= MmrK) {
+          var bestIdx = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < remaining.length) {
+            val (cid, simq) = remaining(i)
+            val red = if (selected.isEmpty) 0L
+              else selected.map(sl => pairSim((cid, sl))).max
+            val sc = simq - red
+            // ties: higher score, then LOWER cid — cands is cid-sorted,
+            // so strict > keeps the first (lowest) cid on ties.
+            if (sc > bestScore) { bestScore = sc; bestIdx = i }
+            i += 1
+          }
+          val (cid, simq) = remaining(bestIdx)
+          out += ((q, step, cid, simq, bestScore))
+          selected += cid
+          remaining = remaining.filterNot(_._1 == cid)
+          step += 1
+        }
+        out.iterator
+    }.toDF("qid", "step", "cid", "simq_e4", "mmr_e4")
+      .orderBy(col("qid"), col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_mmr_context" -> (q157 _),
     "q152_dim_truncation" -> (q152 _),
     "q151_index_refresh" -> (q151 _),
     "q149_late_interaction" -> (q149 _),
@@ -1373,7 +1480,105 @@ object OperatorQueries {
        |FROM h ORDER BY d, qid""".stripMargin
   }
 
+  /** q157's oracle: the q145 plane/probe machinery at the % 50 query
+    * slice, the e4 top-12 pool, the pool-internal pair-cosine matrix,
+    * then FOUR unrolled greedy steps — each an (anti-join remaining) ×
+    * (max-redundancy join to the selected set) × (argmax window) —
+    * certifying the whole MMR trajectory.
+    */
+  private lazy val q157OracleSql: String = {
+    val sim = (dot: String, na: String, nb: String) =>
+      s"CAST(ROUND(ROUND($dot / ($na * $nb), 4) * 10000, 0) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""planes(b, p) AS (VALUES
+               |  $q33PlaneRows)""".stripMargin
+    ctes += """pe AS (SELECT b, generate_subscripts(p, 1) AS pos,
+              |  unnest(p) AS pv FROM planes)""".stripMargin
+    ctes += """e AS MATERIALIZED (SELECT vec_id,
+              |    generate_subscripts(embedding, 1) AS pos,
+              |    CAST(unnest(embedding) AS DOUBLE) AS val
+              |  FROM embeddings)""".stripMargin
+    ctes += """dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+              |  FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2)""".stripMargin
+    ctes += """buckets AS MATERIALIZED (SELECT vec_id,
+              |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END)
+              |      AS INTEGER) AS bucket
+              |  FROM dots GROUP BY vec_id)""".stripMargin
+    ctes += """qs AS (SELECT vec_id AS qid, bucket FROM buckets
+              |  WHERE vec_id % 50 = 0)""".stripMargin
+    ctes += """probes AS (SELECT DISTINCT qid, pb FROM (
+              |    SELECT qid, bucket AS pb FROM qs
+              |    UNION ALL
+              |    SELECT qid, xor(bucket, 1 << CAST(r.range AS INTEGER))
+              |    FROM qs CROSS JOIN range(8) r))""".stripMargin
+    ctes += """cand AS (SELECT p.qid, bk.vec_id AS cid
+              |  FROM buckets bk JOIN probes p ON bk.bucket = p.pb
+              |  WHERE bk.vec_id <> p.qid)""".stripMargin
+    ctes += """n AS MATERIALIZED (SELECT vec_id, SQRT(SUM(val * val))
+              |  AS nrm FROM e GROUP BY vec_id)""".stripMargin
+    ctes += """dq AS MATERIALIZED (SELECT c.qid, c.cid,
+              |    SUM(eq.val * ec.val) AS dot
+              |  FROM cand c JOIN e eq ON eq.vec_id = c.qid
+              |  JOIN e ec ON ec.vec_id = c.cid AND ec.pos = eq.pos
+              |  GROUP BY 1, 2)""".stripMargin
+    ctes += s"""pool AS MATERIALIZED (SELECT qid, cid, simq FROM (
+               |    SELECT d.qid, d.cid,
+               |      ${sim("d.dot", "nq.nrm", "nc.nrm")} AS simq,
+               |      ROW_NUMBER() OVER (PARTITION BY d.qid
+               |        ORDER BY ${sim("d.dot", "nq.nrm", "nc.nrm")} DESC,
+               |          d.cid) AS r
+               |    FROM dq d JOIN n nq ON nq.vec_id = d.qid
+               |    JOIN n nc ON nc.vec_id = d.cid)
+               |  WHERE r <= $MmrPool)""".stripMargin
+    ctes += """ppd AS MATERIALIZED (SELECT pa.qid, pa.cid AS a,
+              |    pb.cid AS b, SUM(ea.val * eb.val) AS dot
+              |  FROM pool pa JOIN pool pb
+              |    ON pa.qid = pb.qid AND pa.cid <> pb.cid
+              |  JOIN e ea ON ea.vec_id = pa.cid
+              |  JOIN e eb ON eb.vec_id = pb.cid AND eb.pos = ea.pos
+              |  GROUP BY 1, 2, 3)""".stripMargin
+    ctes += s"""pp AS MATERIALIZED (SELECT ppd.qid, a, b,
+               |    ${sim("ppd.dot", "na.nrm", "nb.nrm")} AS s
+               |  FROM ppd JOIN n na ON na.vec_id = a
+               |  JOIN n nb ON nb.vec_id = b)""".stripMargin
+    ctes += """sel1 AS MATERIALIZED (SELECT qid, cid, simq, simq AS sc,
+              |    1 AS step FROM (
+              |    SELECT qid, cid, simq, ROW_NUMBER() OVER (
+              |      PARTITION BY qid ORDER BY simq DESC, cid) AS r
+              |    FROM pool) WHERE r = 1)""".stripMargin
+    ctes += "selU1 AS (SELECT qid, cid FROM sel1)"
+    for (t <- 2 to MmrK) {
+      ctes += s"""ms$t AS (SELECT pp.qid, pp.a AS cid, MAX(pp.s) AS red
+                 |  FROM pp JOIN selU${t - 1} u
+                 |    ON u.qid = pp.qid AND u.cid = pp.b
+                 |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""sc$t AS (SELECT p.qid, p.cid, p.simq,
+                 |    p.simq - COALESCE(m.red, 0) AS sc
+                 |  FROM pool p
+                 |  LEFT JOIN selU${t - 1} u
+                 |    ON u.qid = p.qid AND u.cid = p.cid
+                 |  LEFT JOIN ms$t m ON m.qid = p.qid AND m.cid = p.cid
+                 |  WHERE u.cid IS NULL)""".stripMargin
+      ctes += s"""sel$t AS MATERIALIZED (SELECT qid, cid, simq, sc,
+                 |    $t AS step FROM (
+                 |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 |      ORDER BY sc DESC, cid) AS r FROM sc$t)
+                 |  WHERE r = 1)""".stripMargin
+      if (t < MmrK)
+        ctes += s"""selU$t AS (SELECT qid, cid FROM selU${t - 1}
+                   |  UNION ALL SELECT qid, cid FROM sel$t)""".stripMargin
+    }
+    val union = (1 to MmrK)
+      .map(t => s"SELECT qid, step, cid, simq, sc FROM sel$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid, CAST(step AS INTEGER) AS step, cid,
+       |  simq AS simq_e4, sc AS mmr_e4
+       |FROM ($union) ORDER BY qid, step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q157_mmr_context" -> q157OracleSql,
     "q152_dim_truncation" -> q152OracleSql,
     "q151_index_refresh" -> q151OracleSql,
     "q149_late_interaction" -> q149OracleSql,

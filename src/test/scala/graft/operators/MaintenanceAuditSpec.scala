@@ -145,6 +145,38 @@ class MaintenanceAuditSpec extends SparkSpec {
       "single-query corpus: mean equals the query's recall")
   }
 
+  test("q157: MMR demotes the redundant near-copy below a diverse " +
+      "lower-relevance candidate") {
+    val dir = writeDir()
+    import spark.implicits._
+    // Query q = e1. A (5° off q) and B (7° off) are near-copies of
+    // each other (cos 2° ≈ 0.9994); C sits 40° away in an e1/e3 plane.
+    // Every vector's dim-1 component dominates its other component, so
+    // all four share the pure-e1 LSH bucket pattern (sign decided by
+    // the plane's h1 entry) — the pool is complete by construction.
+    // Plain top-3 is (A, B, C); MMR picks A, then C (B's redundancy
+    // to A eats its 0.993 relevance: 9925 − 9994 < 7660 − 7631), then
+    // B last.
+    def v(entries: (Int, Float)*) =
+      Array.tabulate(64)(i => entries.toMap.getOrElse(i, 0f))
+    Seq(
+      (0L, v(0 -> 1f), 0),
+      (1L, v(0 -> 0.9962f, 1 -> 0.0872f), 0),
+      (2L, v(0 -> 0.9925f, 1 -> 0.1219f), 0),
+      (3L, v(0 -> 0.766f, 2 -> 0.643f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = OperatorQueries.queries("q157_mmr_context")(spark, dir)
+      .collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L),
+      "selection order A, C, B — not relevance order A, B, C")
+    assert(out(0).getLong(3) == out(0).getLong(4),
+      "step 1 has no redundancy: mmr == relevance")
+    assert(out(1).getLong(4) > out(2).getLong(4),
+      "the diverse pick scores above the demoted near-copy")
+  }
+
   test("q147: hand-trained merges give per-language fertility on a " +
       "three-word corpus") {
     val dir = writeDir()
