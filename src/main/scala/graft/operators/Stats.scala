@@ -498,6 +498,10 @@ object Stats {
       .filter(col("__id") <= col("cut_doc"))
       .groupBy(col("ckpt"), col("cut_doc"))
       .agg(sum(col("__nw")).as("n_tokens"))
+    // Unpartitioned window — deliberately: its input is the CHECKPOINT
+    // table (k rows by construction, corpus-size-independent), so the
+    // single-partition WindowExec warning does not indicate a scale
+    // hazard here.
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val pts = t.join(v, Seq("ckpt", "cut_doc"), "left")
       .select(col("ckpt"), col("cut_doc"), col("n_tokens"),
