@@ -167,4 +167,77 @@ object LanguageModel {
         expr("CAST(sum(cnt * nll_e4) div sum(cnt) AS BIGINT)")
           .as("score_e4"))
   }
+
+  /** Fixed absolute discount for [[kneserNeyNll]] — 0.75 is the
+    * classic KN default and is exactly representable in binary (3/4),
+    * so `c2 - Discount` is the same IEEE double in every engine.
+    */
+  val KnDiscount = 0.75
+
+  /** Per-document average bigram negative log-likelihood under an
+    * INTERPOLATED KNESER–NEY bigram LM estimated on `df` itself — the
+    * smoothing KenLM actually ships (vs [[bigramNll]]'s add-one
+    * pedagogy). With absolute discount d = [[KnDiscount]]:
+    *
+    *   P_KN(w2 | w1) = (C(w1 w2) − d) / C(w1 ·)
+    *                 + d · N1+(w1 ·) / C(w1 ·) · N1+(· w2) / N1+(· ·)
+    *
+    * where C(w1 ·) = Σ_w2 C(w1 w2) (bigram-token count of the context),
+    * N1+(w1 ·) = distinct continuations of w1, N1+(· w2) = distinct
+    * contexts preceding w2 (the continuation probability — "how many
+    * NOVEL contexts does w2 appear in", not raw frequency: the reason KN
+    * ranks "Francisco" low despite "San Francisco" being frequent), and
+    * N1+(· ·) = total distinct bigram types. Scoring the training corpus
+    * means every scored bigram has C ≥ 1, so the max(·, 0) clip in the
+    * textbook formula is vacuous and omitted — the oracle replays the
+    * identical unclipped expression.
+    *
+    * Scale shape: everything derives from the collapsed bigram TYPE
+    * table `c2` — context totals, continuation counts and the type count
+    * are vocabulary-sized re-aggregations of it, never of the instance
+    * stream (same discipline as [[bigramNll]]; the raw stream aggregates
+    * exactly once, in [[gramCounts]]). N1+(· ·) is one scalar to the
+    * driver, folded into the score expression as a literal. Determinism:
+    * per-bigram NLL quantized to e4 longs before the multiplicity-
+    * weighted integer sum (SURVEY §5.4).
+    *
+    * Output: idCol, n_bigrams, avg_nll — [[bigramNll]]'s schema, so the
+    * two smoothers are drop-in comparable.
+    */
+  def kneserNeyNll(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val grams = gramCounts(df, Seq(col(idCol)), idCol, textCol)
+    val docBg = grams.filter(col("w2").isNotNull)
+    // Bigram TYPE table — the single corpus-derived relation every KN
+    // statistic reads. Materialized: three consumers below.
+    val c2 = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c2"))
+      .localCheckpoint(true)
+    // Context stats in ONE pass over the type table: C(w1·) and N1+(w1·)
+    // share a groupBy.
+    val ctx = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val nbt = c2.count()
+
+    // Skewed w1/w2 joins live between vocabulary-sized count tables —
+    // never against the doc stream. The arithmetic shape below is
+    // replicated token-for-token in the oracle SQL (left-associative
+    // * and /), so both engines evaluate the identical IEEE expression.
+    val perBigram = c2
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .select(col("w1"), col("w2"),
+        round(-log(
+          (col("c2") - lit(KnDiscount)) / col("c1") +
+            lit(KnDiscount) * col("n1p") / col("c1") *
+              (col("nc") / lit(nbt.toDouble))) * 10000, 0)
+          .cast("long").as("nll_e4"))
+
+    docBg.join(perBigram, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt") * col("nll_e4")) / 10000.0 / sum(col("cnt")))
+          .as("avg_nll"))
+  }
 }

@@ -202,7 +202,15 @@ object ModelQueries {
       .orderBy(col("assigned"))
   }
 
+  // q158: interpolated Kneser–Ney bigram NLL per document — the KenLM
+  // smoothing proper, next to q91's add-one baseline. Same output schema
+  // so the two perplexity filters are drop-in comparable downstream.
+  def q158(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.kneserNeyNll(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_kneser_ney" -> (q158 _),
     "q144_filter_agreement" -> (q144 _),
     "q146_index_staleness" -> (q146 _),
     "q91_lm_score" -> (q91 _),
@@ -317,6 +325,32 @@ object ModelQueries {
          |  CAST(SUM(n_bigrams * score_e4) // SUM(n_bigrams) AS BIGINT)
          |    AS mean_nll_e4
          |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q158_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), ' '),
+        |                x -> LENGTH(x) > 0) AS t
+        |  FROM documents),
+        |bpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |         FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bpos),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p
+        |        FROM c2 GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS nc FROM c2 GROUP BY w2),
+        |nbt AS (SELECT COUNT(*) AS nbt FROM c2),
+        |-- arithmetic shape mirrors LanguageModel.kneserNeyNll exactly
+        |-- (left-associative * and /): same IEEE doubles in both engines.
+        |sc AS (SELECT bi.doc_id,
+        |    CAST(ROUND(-ln((c2.c2 - 0.75) / ctx.c1
+        |      + 0.75 * ctx.n1p / ctx.c1
+        |        * (cont.nc / CAST(nbt.nbt AS DOUBLE))) * 10000, 0)
+        |      AS BIGINT) AS nll
+        |  FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+        |  JOIN ctx ON bi.w1 = ctx.w1
+        |  JOIN cont ON bi.w2 = cont.w2 CROSS JOIN nbt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(nll) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q91_lm_score" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), ' '),

@@ -13,6 +13,42 @@ import org.apache.spark.sql.functions._
 class ModelOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kneserNeyNll: hand-checked interpolated-KN scores") {
+    // Corpus: "a b a b" and "a c". Bigram types: (a,b)=2, (b,a)=1,
+    // (a,c)=1 → N1+(··)=3. Contexts: a: C=3, N1+=2; b: C=1, N1+=1.
+    // Continuations: N1+(·b)=1, N1+(·a)=1, N1+(·c)=1. d=0.75:
+    //   P(b|a) = (2−.75)/3 + .75·2/3·(1/3) = 7/12
+    //   P(a|b) = (1−.75)/1 + .75·1/1·(1/3) = 1/2
+    //   P(c|a) = (1−.75)/3 + .75·2/3·(1/3) = 1/4
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyNll(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val nll = (p: Double) => math.rint(-math.log(p) * 10000) / 10000.0
+    assert(out(0).getLong(1) == 3)
+    assert(math.abs(out(0).getDouble(2) -
+      (2 * nll(7.0 / 12) + nll(0.5)) / 3) < 1e-9)
+    assert(out(1).getLong(1) == 1)
+    assert(math.abs(out(1).getDouble(2) - nll(0.25)) < 1e-9)
+  }
+
+  test("kneserNeyNll: continuation counts beat raw frequency (Francisco)") {
+    // "francisco" is CORPUS-frequent (11 tokens) but follows almost only
+    // "san"; "common" is rarer (5) but continues five distinct contexts.
+    // KN's backoff must make a novel context predict "common" better —
+    // the exact inversion add-one smoothing cannot express.
+    val docs =
+      (1 to 10).map(i => (i.toLong, "san francisco")) ++
+        (1 to 5).map(i => (10L + i, s"x$i common")) :+
+        (16L, "x6 francisco")
+    val out = LanguageModel.kneserNeyNll(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // P(common|x1) = .25 + .75·(5/7) > P(francisco|x6) = .25 + .75·(2/7)
+    assert(out(11L) < out(16L),
+      s"novel-context 'common' ${out(11L)} should score better (lower " +
+        s"NLL) than burst word 'francisco' ${out(16L)}")
+  }
+
   test("bigramNll: hand-checked add-one-smoothed scores") {
     // Corpus: "a b a b" and "a c". Unigrams: a=3, b=2, c=1 → V=3.
     // Doc 1 bigrams: (a,b)×2, (b,a)×1. C2(a,b)=2, C2(b,a)=1, C2(a,c)=1.
