@@ -209,7 +209,32 @@ object ModelQueries {
     LanguageModel.kneserNeyNll(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // q159: Pareto-frontier document selection — the undominated tradeoff
+  // surface over (length, lexical diversity, stopword fluency), where
+  // q92 collapses the same three axes into one weighted score. Features
+  // are e4 fixed-point longs so the dominance test (and the oracle's
+  // NOT EXISTS replay) is exact integer comparison.
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    def e4(raw: Column): Column = round(raw * 10000, 0).cast("long")
+    val n = size(col("__t"))
+    val feats = docs(s, dir)
+      .withColumn("__t", toks)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        e4(when(n > 0, size(array_distinct(col("__t"))).cast("double") / n)
+          .otherwise(0.0)).as("uniq_e4"),
+        e4(when(n > 0, size(filter(col("__t"), t =>
+            array_contains(lit(TextAnalysis.stopwords("en").toArray), t)))
+          .cast("double") / n).otherwise(0.0)).as("stop_e4"))
+    graft.operators.Skyline.frontier(feats, "doc_id",
+        Seq("n_tokens", "uniq_e4", "stop_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_pareto_frontier" -> (q159 _),
     "q158_kneser_ney" -> (q158 _),
     "q144_filter_agreement" -> (q144 _),
     "q146_index_staleness" -> (q146 _),
@@ -325,6 +350,27 @@ object ModelQueries {
          |  CAST(SUM(n_bigrams * score_e4) // SUM(n_bigrams) AS BIGINT)
          |    AS mean_nll_e4
          |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q159_pareto_frontier" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), ' '),
+         |                x -> LENGTH(x) > 0) AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS uniq_e4,
+         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_filter(t, x -> list_contains($enStops, x)))
+         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+         |    AS stop_e4
+         |  FROM t)
+         |SELECT a.doc_id, a.n_tokens, a.uniq_e4, a.stop_e4 FROM f a
+         |WHERE NOT EXISTS (SELECT 1 FROM f b
+         |  WHERE b.n_tokens >= a.n_tokens AND b.uniq_e4 >= a.uniq_e4
+         |    AND b.stop_e4 >= a.stop_e4
+         |    AND (b.n_tokens > a.n_tokens OR b.uniq_e4 > a.uniq_e4
+         |         OR b.stop_e4 > a.stop_e4))
+         |ORDER BY a.doc_id""".stripMargin,
     "q158_kneser_ney" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), ' '),
