@@ -211,7 +211,15 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  // q160: top-20 PMI collocations — the multi-word-expression miner
+  // (Church & Hanks): ordered skip-gram pairs at distance <= 3, pair
+  // counts >= 5, PMI quantized e4 before the total-ordered top-K.
+  def q160(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.pmiTopK(docs(s, dir), "text",
+      maxDist = 3, minCount = 5, topK = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_pmi_collocations" -> (q160 _),
     "q134_dedup_attribution" -> (q134 _),
     "q150_psi_drift" -> (q150 _),
     "q153_heaps_fit" -> (q153 _),
@@ -249,6 +257,33 @@ object CorpusQueries {
       |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q160: pair marginals computed over the FULL pair-type table (the
+    // min-count floor applies only at scoring), products cast to DOUBLE
+    // as exact integers (<= 2^53), same ln/e4/tie-break as the engine.
+    "q160_pmi_collocations" ->
+      """WITH toks AS (SELECT
+        |    list_filter(regexp_split_to_array(lower(text), ' '),
+        |                x -> LENGTH(x) > 0) AS t
+        |  FROM documents),
+        |pos AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |pr AS (SELECT t[i] AS w1, t[i + d] AS w2
+        |       FROM pos CROSS JOIN (VALUES (1), (2), (3)) v(d)
+        |       WHERE i + d <= len(t)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM pr GROUP BY w1, w2),
+        |m1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS m1
+        |       FROM c2 GROUP BY w1),
+        |m2 AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS m2
+        |       FROM c2 GROUP BY w2),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2),
+        |sc AS (SELECT c2.w1, c2.w2, c2.c AS n_pairs,
+        |    CAST(ROUND(ln(CAST(c2.c * n.n AS DOUBLE)
+        |      / CAST(m1.m1 * m2.m2 AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |      AS pmi_e4
+        |  FROM c2 JOIN m1 ON c2.w1 = m1.w1 JOIN m2 ON c2.w2 = m2.w2
+        |  CROSS JOIN n WHERE c2.c >= 5)
+        |SELECT w1, w2, n_pairs, pmi_e4 FROM sc
+        |ORDER BY pmi_e4 DESC, w1, w2 LIMIT 20""".stripMargin,
     // q150: full PSI replay — same stacked (feature, bin) counts, the
     // same Laplace denominators (cohort total + observed bin count,
     // derived from the data), e6 truncating-div shares, and the same
