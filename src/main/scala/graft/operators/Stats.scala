@@ -550,4 +550,61 @@ object Stats {
         slope * (col("sx").cast("double") / col("n").cast("double")))
         .as("intercept_e4"))
   }
+
+  /** Delete-one-group JACKKNIFE of a corpus mean — the error bar every
+    * corpus-level metric this engine reports should carry before a
+    * 100 TB mixture decision leans on it: leave each `groupCol` shard
+    * out, recompute the mean, and summarize the spread as the grouped-
+    * jackknife standard error (Tukey). The per-group influence
+    * (loo_mean − overall mean) doubles as an attribution signal: a
+    * source whose REMOVAL moves the metric most is the source to audit
+    * first (q134's question, answered for any scalar metric).
+    *
+    * Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    * to a groups-sized table; every leave-one-out statistic is pure
+    * complement algebra on that table against its own 1-row total
+    * (cross-joined in-plan — groups-sized × 1, no driver collect). The
+    * corpus is scanned once; nothing post-aggregation exceeds G rows.
+    *
+    * Determinism (SURVEY §5.4): each loo mean is ONE division of exact
+    * longs (portable double); the SE's sum-of-squares runs in e4
+    * integer space via the algebraic identity
+    *   Σ(l − T/G)² = (G·Σl² − T²)/G
+    * so no float ever enters a multi-row aggregate. SE fits longs for
+    * G·(mean·1e4)² ≲ 2^63 — e4 quantization leaves headroom up to
+    * ~10⁵-token means at G ≲ 10⁴ groups.
+    *
+    * `valueCol` must be integral and non-null. Output: one row per
+    * group — groupCol, n_docs, n_value (group sum), loo_mean,
+    * influence_e4, and the shared jack_se repeated per row.
+    */
+  def jackknifeMean(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(valueCol).cast("long")).as("s"))
+      .localCheckpoint(true)
+    val tot = g.agg(sum(col("n_docs")).as("nn"), sum(col("s")).as("ss"),
+      count(lit(1)).as("gg"))
+    val looMean = (col("ss") - col("s")).cast("double") /
+      (col("nn") - col("n_docs"))
+    val l = g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("s").as("n_value"),
+        looMean.as("loo_mean"),
+        round(looMean * 10000, 0).cast("long").as("__l_e4"),
+        round(col("ss").cast("double") / col("nn") * 10000, 0)
+          .cast("long").as("__m_e4"),
+        col("gg").as("__gg"))
+      .localCheckpoint(true)
+    val j = l.agg(sum(col("__l_e4")).as("t4"),
+      sum(col("__l_e4") * col("__l_e4")).as("ssq"), max(col("__gg")).as("gg"))
+    l.crossJoin(broadcast(j))
+      .select(col(groupCol), col("n_docs"), col("n_value"),
+        col("loo_mean"),
+        (col("__l_e4") - col("__m_e4")).as("influence_e4"),
+        (sqrt(((col("gg") - 1) * (col("gg") * col("ssq") -
+          col("t4") * col("t4"))).cast("double")) / col("gg") /
+          lit(10000.0)).as("jack_se"))
+  }
 }

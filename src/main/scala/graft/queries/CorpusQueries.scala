@@ -218,7 +218,22 @@ object CorpusQueries {
     graft.operators.Collocations.pmiTopK(docs(s, dir), "text",
       maxDist = 3, minCount = 5, topK = 20)
 
+  // q161: grouped-jackknife error bar + leave-one-source-out influence
+  // for the corpus mean tokens/doc — the uncertainty a mixture decision
+  // should see next to the point estimate (and q134's "which source
+  // moves the metric" question answered by complement algebra).
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "),
+      t => length(t) > 0)
+    Stats.jackknifeMean(
+        docs(s, dir).select(col("source"),
+          size(toks).cast("long").as("n_toks")),
+        "source", "n_toks")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_jackknife_influence" -> (q161 _),
     "q160_pmi_collocations" -> (q160 _),
     "q134_dedup_attribution" -> (q134 _),
     "q150_psi_drift" -> (q150 _),
@@ -257,6 +272,39 @@ object CorpusQueries {
       |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q161: every loo mean is one exact-integer division; the SE's
+    // sum-of-squares runs in e4 integer space ((G·Σl² − T²)/G identity)
+    // — HUGEINT sums CAST to BIGINT before products, sqrt/divisions
+    // replayed in the engine's exact shape (10000e0, not the DECIMAL
+    // literal 10000.0).
+    "q161_jackknife_influence" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), ' '),
+        |      x -> LENGTH(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n) AS BIGINT) AS s
+        |      FROM t GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |          CAST(SUM(s) AS BIGINT) AS ss,
+        |          CAST(COUNT(*) AS BIGINT) AS gg FROM g),
+        |l AS (SELECT g.source, g.n_docs, g.s AS n_value,
+        |    CAST(tot.ss - g.s AS DOUBLE) / (tot.nn - g.n_docs)
+        |      AS loo_mean,
+        |    CAST(ROUND(CAST(tot.ss - g.s AS DOUBLE)
+        |      / (tot.nn - g.n_docs) * 10000, 0) AS BIGINT) AS l_e4,
+        |    CAST(ROUND(CAST(tot.ss AS DOUBLE) / tot.nn * 10000, 0)
+        |      AS BIGINT) AS m_e4,
+        |    tot.gg AS gg
+        |  FROM g CROSS JOIN tot),
+        |j AS (SELECT CAST(SUM(l_e4) AS BIGINT) AS t4,
+        |        CAST(SUM(l_e4 * l_e4) AS BIGINT) AS ssq,
+        |        MAX(gg) AS gg FROM l)
+        |SELECT l.source, l.n_docs, l.n_value, l.loo_mean,
+        |  l.l_e4 - l.m_e4 AS influence_e4,
+        |  sqrt(CAST((j.gg - 1) * (j.gg * j.ssq - j.t4 * j.t4)
+        |    AS DOUBLE)) / j.gg / 10000e0 AS jack_se
+        |FROM l CROSS JOIN j ORDER BY l.source""".stripMargin,
     // q160: pair marginals computed over the FULL pair-type table (the
     // min-count floor applies only at scoring), products cast to DOUBLE
     // as exact integers (<= 2^53), same ln/e4/tie-break as the engine.

@@ -91,4 +91,22 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(1) == 2.0) // median of (1,2,4), null dropped
     assert(r.getDouble(2) == 2.33) // mean 7/3 rounded HALF_UP
   }
+
+  test("jackknifeMean: hand-checked loo means, influence, and SE") {
+    // A: (3 docs, Σ6)  B: (1, 4)  C: (2, 10) → N=6, S=20, mean=10/3.
+    // loo: A 14/3, B 16/5, C 10/4 → e4: 46667, 32000, 25000; m_e4=33333.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("c", 5L),
+      ("c", 5L)).toDF("g", "v")
+    val out = Stats.jackknifeMean(df, "g", "v").orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(4))).toSeq ==
+      Seq(("a", 3L, 6L, 46667L - 33333L), ("b", 1L, 4L, 32000L - 33333L),
+        ("c", 2L, 10L, 25000L - 33333L)))
+    assert(math.abs(out(0).getDouble(3) - 14.0 / 3) < 1e-12)
+    // SE via the integer identity: (G−1)(G·Σl² − T²) under sqrt.
+    val ls = Seq(46667L, 32000L, 25000L)
+    val (g, t4, ssq) = (3L, ls.sum, ls.map(l => l * l).sum)
+    val se = math.sqrt(((g - 1) * (g * ssq - t4 * t4)).toDouble) / g / 10000.0
+    assert(out.forall(r => r.getDouble(5) == se))
+  }
 }
