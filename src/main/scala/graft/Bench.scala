@@ -243,10 +243,13 @@ object Bench {
     // "denominator" replays a committed golden VALUES literal (2 ms) —
     // a number that certifies the store contents, not any engine work,
     // in exactly the way the tier comment above describes.
+    // q162 likewise (r13): it rewrites the corpus hive-partitioned and
+    // certifies FileIndex pruning; the write dominates, the oracle is a
+    // trivial filtered aggregate.
     val streamExec = Set("q69_bucketed_merge", "q84_stream_e2e",
       "q85_stream_neardup", "q89_stream_ingest", "q107_stream_join",
       "q117_stream_sessions", "q44_ingest_pipeline",
-      "q148_store_compaction")
+      "q148_store_compaction", "q162_partition_pruning")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -315,7 +315,49 @@ object IngestQueries {
       .orderBy(col("bucket"))
   }
 
+  /** q162: hive-partitioned layout + PARTITION-PRUNING certificate —
+    * writes the corpus partitioned by `lang`, reads it back with a
+    * two-language predicate, and REQUIRES (a) the predicate reaches
+    * the scan as a partition filter and (b) the FileIndex lists
+    * strictly fewer partition directories under that filter — the
+    * physical end-to-end proof of the first 100 TB layout lever
+    * (a pruned scan never even LISTS the other languages' files),
+    * not just a plan-string grep. Result: per-lang doc count + char
+    * sum, oracle-checked against the unpartitioned source table.
+    * Physical-write cost dominates the trivial oracle → exec tier in
+    * Bench (see BASELINE.md).
+    */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-q162-layout").toString
+    graft.Tables.load(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(root)
+    val q = s.read.parquet(root)
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec leaf that hides the scan from collect.
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.nonEmpty, "q162: no parquet scan in the physical plan")
+    val scan = scans.head
+    require(scan.partitionFilters
+        .exists(_.references.exists(_.name == "lang")),
+      "q162: lang predicate did not reach the scan as a partition filter")
+    val pruned = scan.relation.location.listFiles(scan.partitionFilters,
+      Nil).length
+    val all = scan.relation.location.listFiles(Nil, Nil).length
+    require(pruned < all,
+      s"q162: pruning ineffective — FileIndex lists $pruned of $all " +
+        "partitions under the partition filter")
+    q
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_partition_pruning" -> (q162 _),
     "q89_stream_ingest" -> (q89 _),
     "q44_ingest_pipeline" -> (q44 _),
     "q148_store_compaction" -> (q148 _),
@@ -365,6 +407,13 @@ object IngestQueries {
 
   val oracle: Map[String, String] = Map(
     "q44_ingest_pipeline" -> q44GoldenSql,
+    // q162: the aggregate the pruned partitioned scan must reproduce
+    // from the unpartitioned source (layout must not change results).
+    "q162_partition_pruning" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // q148: the aggregate re-derived from documents — chunking replayed
     // as fixed-offset substrings, checksums as 13-hex-digit md5 longs
     // (52 bits, exact in both engines, order-independent sum).
