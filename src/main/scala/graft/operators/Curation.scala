@@ -417,6 +417,38 @@ object Curation {
         md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key"))
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES:
+    * each row draws a deterministic uniform u from its md5 (the
+    * [[seededShuffle]] hash family) and ranks by `ln(u)/w` (the
+    * monotone twin of the textbook u^(1/w) — no pow, better
+    * conditioning near w≫1); the top-k ARE a weighted sample without
+    * replacement. One expression + one TakeOrdered: reproducible
+    * across re-runs, partition layouts and cluster sizes, no RNG
+    * state, no rejection loop — at 100 TB this is a map + a k-row
+    * per-partition heap merge, the cheapest possible "pick 10k docs
+    * proportional to quality" primitive.
+    *
+    * u = (h+1)/2^52 over the md5's first 13 hex digits: (0,1] exactly
+    * representable, ln(1)=0 harmless. The key is quantized to an e9
+    * LONG before ranking (tie-break: keyCol): Spark's `log` is
+    * StrictMath (fdlibm) while DuckDB's `ln` is libm — they can differ
+    * in the last ulp, so a raw-double boundary would be engine-
+    * dependent; at e9 a flip needs the exact value within ~1e-20 of a
+    * rounding edge (SURVEY §5.4 taken one step further: quantize the
+    * SELECTION key, not just the output). Weights must be positive.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(keyCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0)
+    df.withColumn("es_key_e9",
+        round(log(u) / col(weightCol).cast("double") * 1000000000, 0)
+          .cast("long"))
+      .orderBy(col("es_key_e9").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic weighted upsampling WITH replacement — epoch mixing
     * ("see wikipedia 3.3 times per epoch"). A row with weight `w` yields
     * `floor(w)` copies plus one more iff its md5 fraction falls below

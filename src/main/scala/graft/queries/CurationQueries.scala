@@ -312,7 +312,17 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  // q163: Efraimidis–Spirakis weighted sample without replacement —
+  // 50 docs proportional to length (n_chars), deterministic md5
+  // uniforms, ln(u)/w keys, one TakeOrdered.
+  def q163(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(docs(s, dir), "doc_id", "n_chars",
+        k = 50, seed = "s17")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("es_key_e9"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_weighted_sample" -> (q163 _),
     "q139_incremental_stats" -> (q139 _),
     "q129_k_anonymity" -> (q129 _),
     "q131_unimax_budget" -> (q131 _),
@@ -409,6 +419,20 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q163: same md5→(0,1] uniform (13 hex digits, +1, /2^52), same
+    // ln(u)/w key — quantized to an e9 long BEFORE ranking because
+    // Spark's StrictMath log and DuckDB's libm ln can differ in the
+    // last ulp (a raw-double boundary would be engine-dependent).
+    "q163_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |    CAST(('0x' || substr(md5('s17:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(ROUND(ln(CAST(h + 1 AS DOUBLE) / 4503599627370496e0)
+        |    / CAST(n_chars AS DOUBLE) * 1000000000, 0) AS BIGINT)
+        |    AS es_key_e9
+        |FROM h ORDER BY es_key_e9 DESC, doc_id LIMIT 50""".stripMargin,
     // Deliberately a SINGLE full-corpus pass (no snapshot/delta split):
     // engine merges incremental state, oracle recomputes from scratch —
     // the hash match certifies merge == recompute.

@@ -159,4 +159,30 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == Curation.upsample(df.repartition(13), "stratum",
       "id", Map("a" -> 0.5, "b" -> 3.0)).count())
   }
+
+  test("weightedSample: exact A-ES replay, WOR, and weight bias") {
+    val df = (1L to 200L).map(i =>
+        (i, if (i <= 20) 1000L else 1L))
+      .toDF("id", "w").repartition(7)
+    val out = Curation.weightedSample(df, "id", "w", k = 10, seed = "tt")
+      .collect()
+    // exact replay of the md5 -> (0,1] -> e9(ln(u)/w) pipeline in
+    // Scala — StrictMath.log, because that is what Spark's `log` runs.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long, w: Long): Long = {
+      val hex = md.digest(s"tt:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.rint(StrictMath.log((h + 1).toDouble / 4503599627370496.0) /
+        w.toDouble * 1000000000).toLong
+    }
+    val expect = (1L to 200L).map(i => (i, if (i <= 20) 1000L else 1L))
+      .map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, k2) => (-k2, i) }.take(10)
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == expect)
+    // without replacement, and the 50x weights dominate the sample
+    assert(out.map(_.getLong(0)).distinct.length == 10)
+    assert(out.count(_.getLong(0) <= 20) >= 9,
+      "weight-1000 rows should crowd out weight-1 rows")
+  }
 }
