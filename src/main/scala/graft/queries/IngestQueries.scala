@@ -356,7 +356,43 @@ object IngestQueries {
     q
   }
 
+  /** q164: SCHEMA-EVOLUTION certificate — two parquet snapshots with
+    * drifting schemas (v2 adds `n_toks`) union under a mergeSchema
+    * read: the old snapshot's missing column must surface as NULLs,
+    * not errors, and aggregates over the merged view must match the
+    * source-of-truth recompute. The shape every long-lived 100 TB
+    * table hits (columns are added mid-corpus; rewriting history is
+    * not an option). REQUIREs pin the merged schema and the null-fill
+    * before any aggregate runs.
+    */
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-q164-evo").toString
+    val d = graft.Tables.load(s, dir, "documents")
+    val nToks = size(org.apache.spark.sql.functions.filter(
+      split(col("text"), " "), t => length(t) > 0)).cast("long")
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/snap=1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        nToks.as("n_toks"))
+      .write.mode("overwrite").parquet(s"$root/snap=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(root)
+    require(merged.schema.fieldNames.contains("n_toks"),
+      "q164: mergeSchema read dropped the evolved column")
+    require(merged.filter(col("snap") === 1 &&
+        col("n_toks").isNotNull).isEmpty,
+      "q164: pre-evolution rows must carry NULL for the added column")
+    merged.groupBy(col("snap").cast("long").as("snap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(col("n_toks")).as("toks_present"),
+        sum(coalesce(col("n_toks"), lit(0L))).as("sum_toks"))
+      .orderBy(col("snap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_schema_evolution" -> (q164 _),
     "q162_partition_pruning" -> (q162 _),
     "q89_stream_ingest" -> (q89 _),
     "q44_ingest_pipeline" -> (q44 _),
@@ -407,6 +443,23 @@ object IngestQueries {
 
   val oracle: Map[String, String] = Map(
     "q44_ingest_pipeline" -> q44GoldenSql,
+    // q164: the merged-view aggregates re-derived from the source of
+    // truth — the evolved column exists only for odd doc_ids (snapshot
+    // 2), COUNT skips the null-filled history, SUM coalesces it.
+    "q164_schema_evolution" ->
+      """WITH v AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS snap,
+        |    n_chars,
+        |    CASE WHEN doc_id % 2 = 1 THEN
+        |      CAST(len(list_filter(regexp_split_to_array(text, ' '),
+        |        x -> LENGTH(x) > 0)) AS BIGINT) END AS n_toks
+        |  FROM documents)
+        |SELECT CAST(snap AS BIGINT) AS snap,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(n_toks) AS BIGINT) AS toks_present,
+        |  CAST(SUM(COALESCE(n_toks, 0)) AS BIGINT) AS sum_toks
+        |FROM v GROUP BY snap ORDER BY snap""".stripMargin,
     // q162: the aggregate the pruned partitioned scan must reproduce
     // from the unpartitioned source (layout must not change results).
     "q162_partition_pruning" ->
