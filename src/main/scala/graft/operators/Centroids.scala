@@ -77,4 +77,46 @@ object Centroids {
       .withColumn("dist2", col("dist2_e8").cast("double") / 1e8)
       .withColumn("assigned", best.getField("assigned"))
   }
+
+  /** Per-row simplified SILHOUETTE under a frozen centroid set — the
+    * cluster-quality audit an IVF index (q49/q151) or a SemDeDup pass
+    * should see before trusting its partitioning: with a² the e8
+    * squared distance to the ASSIGNED (nearest) centroid and b² the
+    * distance to the runner-up,
+    *
+    *   sil = (b² − a²) / b²   ∈ [0, 1]
+    *
+    * (the centroid-based silhouette with max(a,b)=b structurally — b is
+    * the second minimum — in squared-distance space; 0 = the vector
+    * sits on the decision boundary between two cells, 1 = unambiguous).
+    * Low per-cluster means flag cells that IVF probing will serve badly
+    * (mass near cell walls → nprobe must grow) and SemDeDup will
+    * under-merge.
+    *
+    * Same plan discipline as [[assign]]: centroids fold in as literals,
+    * both distances come from ONE codegen'd sort over the k-struct
+    * array — no join, no shuffle, one scan. sil quantizes to e4 from
+    * the exact integer pair (one division + one ROUND, portable), ties
+    * at the argmin give sil = 0 in both engines by the (d2, label)
+    * struct order. Output: df columns + assigned, a2_e8, b2_e8, sil_e4.
+    */
+  def silhouette(df: DataFrame, vecCol: String, centroids: DataFrame,
+      labelCol: String): DataFrame = {
+    val cents = centroids
+      .select(col(labelCol), col("centroid")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1.toString)
+    require(cents.length >= 2, "silhouette needs >= 2 centroids")
+    val scored = cents.map { case (lbl, cv) =>
+      struct(graft.functions.SqDistE8(col(vecCol), lit(cv)).as("d2e8"),
+        lit(lbl).as("assigned"))
+    }
+    val sorted = array_sort(array(scored.toIndexedSeq: _*))
+    df.withColumn("assigned", element_at(sorted, 1).getField("assigned"))
+      .withColumn("a2_e8", element_at(sorted, 1).getField("d2e8"))
+      .withColumn("b2_e8", element_at(sorted, 2).getField("d2e8"))
+      .withColumn("sil_e4", when(col("b2_e8") === 0, lit(0L))
+        .otherwise(round((col("b2_e8") - col("a2_e8")).cast("double") /
+          col("b2_e8") * 10000, 0).cast("long")))
+  }
 }

@@ -233,7 +233,24 @@ object ModelQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q165: per-cluster silhouette audit under the q96 fit — mean
+  // simplified silhouette + the count of boundary vectors (sil < 0.5,
+  // i.e. runner-up cell closer than 2x) per assigned cell.
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Centroids.fit(emb, "label", "embedding")
+    Centroids.silhouette(emb, "embedding", cents, "label")
+      .groupBy(col("assigned"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(sil_e4) div count(1) AS BIGINT)")
+          .as("mean_sil_e4"),
+        sum(when(col("sil_e4") < 5000, 1L).otherwise(0L))
+          .as("n_boundary"))
+      .orderBy(col("assigned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_silhouette" -> (q165 _),
     "q159_pareto_frontier" -> (q159 _),
     "q158_kneser_ney" -> (q158 _),
     "q144_filter_agreement" -> (q144 _),
@@ -505,6 +522,26 @@ object ModelQueries {
       s"""WITH $CentroidCtes
          |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
          |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q165: silhouette from the SAME ranked-distance CTE — a² is the
+    // rn=1 distance, b² the rn=2 runner-up; one exact-integer division
+    // + ROUND per row, `//` mean (all sil_e4 ≥ 0, trunc == floor).
+    "q165_silhouette" ->
+      s"""WITH $CentroidCtes,
+         |sil AS (SELECT a1.vec_id, a1.clabel AS assigned,
+         |    a1.d2 AS a2, a2r.d2 AS b2
+         |  FROM a a1 JOIN a a2r
+         |    ON a1.vec_id = a2r.vec_id AND a2r.rn = 2
+         |  WHERE a1.rn = 1),
+         |sv AS (SELECT vec_id, assigned,
+         |    CASE WHEN b2 = 0 THEN 0
+         |      ELSE CAST(ROUND(CAST(b2 - a2 AS DOUBLE) / b2 * 10000, 0)
+         |        AS BIGINT) END AS sil_e4
+         |  FROM sil)
+         |SELECT assigned, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(sil_e4) // COUNT(*) AS BIGINT) AS mean_sil_e4,
+         |  CAST(SUM(CASE WHEN sil_e4 < 5000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boundary
+         |FROM sv GROUP BY assigned ORDER BY assigned""".stripMargin,
     // q146: the q96 replay with the fit restricted to the BASE cohort
     // (vec_id % 10 <> 0) — frozen centroids serving the delta batch —
     // then per-centroid cohort counts and `//` means of the exact e8

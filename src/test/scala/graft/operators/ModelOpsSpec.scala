@@ -49,6 +49,24 @@ class ModelOpsSpec extends SparkSpec {
         s"NLL) than burst word 'francisco' ${out(16L)}")
   }
 
+  test("silhouette: unambiguous members 1.0, boundary point 0") {
+    // Clusters at (0,0) and (10,0); fit recovers those centroids
+    // exactly. A member at its own centroid: a²=0, b²=100 → sil 1.
+    // The midpoint (5,0): a²=b²=25 → sil 0, assigned to label 0 by tie.
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 0f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(10f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Centroids.fit(emb, "label", "embedding")
+    val probe = Seq((9L, Array(5f, 0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Centroids.silhouette(emb.union(probe), "embedding", cents,
+      "label").select("vec_id", "assigned", "sil_e4").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L) == (0, 10000L) && out(3L) == (1, 10000L))
+    assert(out(9L) == (0, 0L))
+  }
+
   test("bigramNll: hand-checked add-one-smoothed scores") {
     // Corpus: "a b a b" and "a c". Unigrams: a=3, b=2, c=1 → V=3.
     // Doc 1 bigrams: (a,b)×2, (b,a)×1. C2(a,b)=2, C2(b,a)=1, C2(a,c)=1.
