@@ -38,9 +38,15 @@ object Collocations {
     * distance ≤ `maxDist`, with pair count ≥ `minCount`. Output:
     * w1, w2, n_pairs, pmi_e4.
     */
-  def pmiTopK(df: DataFrame, textCol: String, maxDist: Int = 3,
-      minCount: Long = 5, topK: Int = 20): DataFrame = {
-    require(maxDist >= 1 && topK >= 1)
+  /** The ordered skip-gram pair TYPE table — (w1, w2, c) for pairs at
+    * distance ≤ `maxDist`. ONE explode for all distances, ONE
+    * combinable aggregate collapses the instance stream; eagerly
+    * materialized (every consumer — PMI marginals, TextRank edges —
+    * re-reads it, and Catalyst does not share subtrees).
+    */
+  def pairCounts(df: DataFrame, textCol: String, maxDist: Int)
+      : DataFrame = {
+    require(maxDist >= 1)
     val toksExpr = filter(split(lower(col(textCol)), " "),
       t => length(t) > 0)
     val withT = graft.SparkUtil.ensureParallelism(df)
@@ -52,13 +58,17 @@ object Collocations {
         slice(col("__t"), lit(1 + d), len),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
-    // ONE explode for all distances; ONE combinable aggregate collapses
-    // the instance stream to the pair type table (three consumers).
-    val c2 = withT.select(explode(concat(parts: _*)).as("g"))
+    withT.select(explode(concat(parts: _*)).as("g"))
       .select(col("g.w1"), col("g.w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+  }
+
+  def pmiTopK(df: DataFrame, textCol: String, maxDist: Int = 3,
+      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    require(topK >= 1)
+    val c2 = pairCounts(df, textCol, maxDist)
     val m1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("m1"))
     val m2 = c2.groupBy(col("w2")).agg(sum(col("c")).as("m2"))
     val n = c2.agg(sum(col("c"))).head().getLong(0)
@@ -70,6 +80,30 @@ object Collocations {
           (col("m1") * col("m2")).cast("double")) * 10000, 0)
           .cast("long").as("pmi_e4"))
       .orderBy(col("pmi_e4").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau) — PageRank over the
+    * word co-occurrence graph: vertices are words, edges are unordered
+    * pair types with count ≥ `minCount` at distance ≤ `maxDist`, and a
+    * word's rank is its stationary centrality — corpus keywords without
+    * any supervised signal. Pure composition: [[pairCounts]] builds the
+    * graph, [[Ranking.pageRank]] iterates it in exact e9 integer
+    * fixed-point (per iteration ONE edge⋈rank join + a combinable
+    * integer sum; checkpointed lineage) — the whole computation is
+    * count-table-sized after the single corpus pass.
+    */
+  def textRank(df: DataFrame, textCol: String, maxDist: Int = 3,
+      minCount: Long = 5, iterations: Int = 3, topK: Int = 25)
+      : DataFrame = {
+    val c2 = pairCounts(df, textCol, maxDist)
+    val edges = c2.filter(col("c") >= minCount && col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    Ranking.pageRank(edges, iterations)
+      .select(col("id").as("word"), col("rank_e9"))
+      .orderBy(col("rank_e9").desc, col("word"))
       .limit(topK)
   }
 }

@@ -232,7 +232,15 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  // q166: TextRank corpus keywords — PageRank centrality over the
+  // co-occurrence graph q160 mines; pure operator composition
+  // (Collocations.pairCounts × Ranking.pageRank), all-integer.
+  def q166(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.textRank(docs(s, dir), "text",
+      maxDist = 3, minCount = 5, iterations = 3, topK = 25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_textrank_keywords" -> (q166 _),
     "q161_jackknife_influence" -> (q161 _),
     "q160_pmi_collocations" -> (q160 _),
     "q134_dedup_attribution" -> (q134 _),
@@ -272,6 +280,44 @@ object CorpusQueries {
       |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q166: q160's pair CTEs feed the edge set; PageRank unrolls as
+    // materialized per-iteration CTEs (q118's replay — plain CTEs
+    // would re-execute the chain exponentially), contributions in the
+    // engine's exact div-first integer association.
+    "q166_textrank_keywords" -> {
+      val iters = (1 to 3).map { i =>
+        val p = s"r${i - 1}"
+        s"""k$i AS MATERIALIZED (SELECT und.dst,
+           |  CAST(SUM(r // 100 // deg * 85) AS BIGINT) AS cin
+           |  FROM und JOIN $p ON $p.id = und.src
+           |  JOIN deg ON deg.src = und.src GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT $p.id,
+           |  CAST(150000000 + COALESCE(k$i.cin, 0) AS BIGINT) AS r
+           |  FROM $p LEFT JOIN k$i ON k$i.dst = $p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT
+         |    list_filter(regexp_split_to_array(lower(text), ' '),
+         |                x -> LENGTH(x) > 0) AS t
+         |  FROM documents),
+         |pos AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         |pw AS (SELECT t[i] AS w1, t[i + d] AS w2
+         |       FROM pos CROSS JOIN (VALUES (1), (2), (3)) v(d)
+         |       WHERE i + d <= len(t)),
+         |pc AS MATERIALIZED (SELECT w1, w2,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM pw GROUP BY w1, w2),
+         |ed AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a,
+         |    greatest(w1, w2) AS b
+         |  FROM pc WHERE c >= 5 AND w1 <> w2),
+         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |  UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |deg AS MATERIALIZED (SELECT src,
+         |  CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT src AS id,
+         |  CAST(1000000000 AS BIGINT) AS r FROM deg),
+         |$iters
+         |SELECT id AS word, r AS rank_e9 FROM r3
+         |ORDER BY rank_e9 DESC, word LIMIT 25""".stripMargin
+    },
     // q161: every loo mean is one exact-integer division; the SE's
     // sum-of-squares runs in e4 integer space ((G·Σl² − T²)/G identity)
     // — HUGEINT sums CAST to BIGINT before products, sqrt/divisions

@@ -336,7 +336,30 @@ object DedupQueries {
       .orderBy(col("split"))
   }
 
+  // q167: cross-source DUPLICATION matrix — "which sources copy from
+  // which": the q27 LSH candidate pairs lifted to (source, source)
+  // cells with pair counts and e4 shares. Within-source mass (the
+  // diagonal) is boilerplate; off-diagonal mass is syndication — the
+  // numbers that decide which source to dedup FIRST in a 100 TB mix.
+  // The matrix is sources²-sized; the one window-total runs on that
+  // aggregate, never on the pair stream.
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    lshPairs(s, dir)
+      .join(d.select(col("doc_id").as("a"), col("source").as("src_a")),
+        Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("source").as("src_b")),
+        Seq("b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share_e4",
+        expr("CAST(n_pairs * 10000 div sum(n_pairs) over () AS BIGINT)"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_source_overlap" -> (q167 _),
     "q125_leakage_free_split" -> (q125 _),
     "q109_snapshot_dedup" -> (q109 _),
     "q118_canonical_rank" -> (q118 _),
@@ -452,6 +475,20 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q167: the candidate-pair CTE lifted to a source×source matrix;
+    // window total over the aggregate, `//` on non-negatives.
+    "q167_source_overlap" ->
+      s"""WITH $candCte,
+         |j AS (SELECT least(da.source, db.source) AS source_lo,
+         |        greatest(da.source, db.source) AS source_hi
+         |      FROM cand JOIN documents da ON da.doc_id = cand.a
+         |      JOIN documents db ON db.doc_id = cand.b)
+         |SELECT source_lo, source_hi,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER () AS BIGINT)
+         |    AS share_e4
+         |FROM j GROUP BY source_lo, source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
     "q141_lsh_recall_audit" ->
       s"""WITH $candCte,
          |shs AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 300),

@@ -38,6 +38,20 @@ class CollocationsSpec extends SparkSpec {
     assert(adj == Set(("a", "b"), ("b", "c"), ("c", "d")))
   }
 
+  test("textRank: hand-computed 3-iteration integer ranks on a star") {
+    // Star graph: hub z — x, y, w. Exact e9 integer replay:
+    //   r1(z) = 15e7 + 3·(1e9//100//1·85)        = 2_700_000_000
+    //   r3(z) = 2_483_250_000, r3(leaf) = 505_583_305 (see q118 math)
+    val df = Seq((1L, "z x"), (2L, "z y"), (3L, "z w"))
+      .toDF("doc_id", "text")
+    val out = Collocations.textRank(df, "text", maxDist = 3,
+      minCount = 1, iterations = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == ("z", 2483250000L))
+    assert(out.tail.toSeq == Seq(("w", 505583305L), ("x", 505583305L),
+      ("y", 505583305L)))
+  }
+
   test("pmiTopK: min-count floor kills hapax pairs but keeps marginals") {
     val df = ((1 to 5).map(i => (i.toLong, "p q")) :+ (6L, "p r"))
       .toDF("doc_id", "text")
