@@ -249,7 +249,15 @@ object ModelQueries {
       .orderBy(col("assigned"))
   }
 
+  // q168: Gonzalez farthest-first k-center coreset (k=8) — global
+  // exemplar selection + the coverage-radius curve; full trajectory
+  // replayed by an unrolled oracle.
+  def q168(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.farthestFirst(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_kcenter_coreset" -> (q168 _),
     "q165_silhouette" -> (q165 _),
     "q159_pareto_frontier" -> (q159 _),
     "q158_kneser_ney" -> (q158 _),
@@ -311,7 +319,52 @@ object ModelQueries {
       |        (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)"""
       .stripMargin
 
+  /** q168's oracle: the farthest-first trajectory unrolled — per step a
+    * MATERIALIZED argmax CTE (d DESC, vec_id — the engine's tie-break)
+    * and a min-distance fold against the new center's components; the
+    * FLOOR-e8 per-component quantization matches SqDistE8 exactly, so
+    * every pick and radius replays bit-for-bit. Plain CTEs would
+    * re-execute the chain exponentially (the q112 lesson).
+    */
+  private val q168Sql: String = {
+    val k = 8
+    def dist(center: String): String =
+      "SELECT e.vec_id, CAST(SUM(CAST(FLOOR((e.x - c.x) * (e.x - c.x)" +
+        " * 100000000.0) AS BIGINT)) AS BIGINT) AS d FROM e JOIN " +
+        s"(SELECT pos, x FROM e WHERE vec_id = $center) c " +
+        "ON e.pos = c.pos GROUP BY e.vec_id"
+    val steps = (2 to k).map { i =>
+      val prev = s"d${i - 1}"
+      s"""m$i AS MATERIALIZED (SELECT vec_id, d FROM $prev
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |d$i AS MATERIALIZED (SELECT $prev.vec_id,
+         |    LEAST($prev.d, nd.d) AS d
+         |  FROM $prev JOIN (${dist(s"(SELECT vec_id FROM m$i)")}) nd
+         |    ON nd.vec_id = $prev.vec_id
+         |  WHERE $prev.vec_id <> (SELECT vec_id FROM m$i))""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, vec_id, d AS radius_e8 " +
+          s"FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    generate_subscripts(embedding, 1) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |s1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM e),
+       |d1 AS MATERIALIZED (SELECT * FROM (${dist("(SELECT id FROM s1)")})
+       |  t WHERE vec_id <> (SELECT id FROM s1)),
+       |$steps
+       |SELECT * FROM (
+       |SELECT CAST(1 AS BIGINT) AS step, (SELECT id FROM s1) AS vec_id,
+       |  CAST(0 AS BIGINT) AS radius_e8
+       |UNION ALL $sel
+       |UNION ALL SELECT CAST(${k + 1} AS BIGINT), CAST(NULL AS BIGINT),
+       |  (SELECT MAX(d) FROM d$k)
+       |) ORDER BY step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q168_kcenter_coreset" -> q168Sql,
     // q144: ONE shared tokenization CTE feeds both the classifier
     // features (q92's replay) and the LM count tables (q91's replay);
     // the bucket/mean arithmetic is all-integer (`//` and Spark `div`
