@@ -33,6 +33,18 @@ object OperatorQueries {
       .select(col("doc_id"), col("lang_pred"), col("lang_score"))
       .orderBy(col("doc_id"))
 
+  // q169: language-id CONFUSION matrix — q31's predictions against the
+  // labeled lang column, with per-label row shares (recall on the
+  // diagonal); the window total runs on the matrix-sized aggregate.
+  def q169(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(s, dir), "text")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share_e4",
+        expr("CAST(n * 10000 div sum(n) over (partition by lang) " +
+          "AS BIGINT)"))
+      .orderBy(col("lang"), col("lang_pred"))
+
   // q32: quality scoring over documents (oracle-checked).
   def q32(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir), "text")
@@ -776,6 +788,7 @@ object OperatorQueries {
     "q142_ann_filtered_rewrite" -> (q142 _),
     "q138_ann_ivfsq" -> (q138 _),
     "q31_lang_id" -> (q31 _),
+    "q169_langid_confusion" -> (q169 _),
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
     "q34_chunker" -> (q34 _),
@@ -799,6 +812,37 @@ object OperatorQueries {
     TextAnalysis.stopwords(lang)
       .map(w => "'" + w.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
+
+  /** The q31 language-id replay through the best-Latin-score CTE `b` —
+    * shared by the per-doc prediction dump (q31) and the confusion
+    * matrix (q169).
+    */
+  private lazy val langPredCtes: String =
+    s"""t AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') toks FROM documents),
+       |s AS (SELECT doc_id, text,
+       |  CAST(len(list_filter(toks, x -> list_contains(${swList("de")}, x))) AS DOUBLE) / len(toks) AS s_de,
+       |  CAST(len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS DOUBLE) / len(toks) AS s_en,
+       |  CAST(len(list_filter(toks, x -> list_contains(${swList("es")}, x))) AS DOUBLE) / len(toks) AS s_es,
+       |  CAST(len(list_filter(toks, x -> list_contains(${swList("fr")}, x))) AS DOUBLE) / len(toks) AS s_fr,
+       |  CASE WHEN LENGTH(text) > 0 THEN
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / LENGTH(text)
+       |    ELSE 0.0 END AS zh,
+       |  CASE WHEN LENGTH(text) > 0 THEN
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS DOUBLE) / LENGTH(text)
+       |    ELSE 0.0 END AS ru
+       |  FROM t),
+       |b AS (SELECT doc_id, zh, ru,
+       |  GREATEST(s_de, s_en, s_es, s_fr) AS bs,
+       |  CASE WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+       |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+       |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+       |       ELSE 'de' END AS bl
+       |  FROM s)""".stripMargin
+
+  private val langPredExpr: String =
+    "CASE WHEN zh > 0.25 THEN 'zh' WHEN ru > 0.25 THEN 'ru' " +
+      "WHEN bs >= 0.05 THEN bl ELSE 'und' END"
 
   /** The q33 LSH hyperplanes as DuckDB VALUES rows — the same deterministic
     * ±1 matrix [[Ann.hyperplanes]] builds engine-side (nBits=8,
@@ -1786,32 +1830,23 @@ object OperatorQueries {
         |  md5(norm_text) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
     "q31_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, text,
-         |    regexp_split_to_array(lower(text), '\\s+') toks FROM documents),
-         |s AS (SELECT doc_id, text,
-         |  CAST(len(list_filter(toks, x -> list_contains(${swList("de")}, x))) AS DOUBLE) / len(toks) AS s_de,
-         |  CAST(len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS DOUBLE) / len(toks) AS s_en,
-         |  CAST(len(list_filter(toks, x -> list_contains(${swList("es")}, x))) AS DOUBLE) / len(toks) AS s_es,
-         |  CAST(len(list_filter(toks, x -> list_contains(${swList("fr")}, x))) AS DOUBLE) / len(toks) AS s_fr,
-         |  CASE WHEN LENGTH(text) > 0 THEN
-         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / LENGTH(text)
-         |    ELSE 0.0 END AS zh,
-         |  CASE WHEN LENGTH(text) > 0 THEN
-         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS DOUBLE) / LENGTH(text)
-         |    ELSE 0.0 END AS ru
-         |  FROM t),
-         |b AS (SELECT doc_id, zh, ru,
-         |  GREATEST(s_de, s_en, s_es, s_fr) AS bs,
-         |  CASE WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
-         |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
-         |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
-         |       ELSE 'de' END AS bl
-         |  FROM s)
+      s"""WITH $langPredCtes
          |SELECT doc_id,
-         |  CASE WHEN zh > 0.25 THEN 'zh' WHEN ru > 0.25 THEN 'ru'
-         |       WHEN bs >= 0.05 THEN bl ELSE 'und' END AS lang_pred,
+         |  $langPredExpr AS lang_pred,
          |  ROUND(GREATEST(zh, ru, bs), 4) AS lang_score
          |FROM b ORDER BY doc_id""".stripMargin,
+    // q169: the q31 prediction replay folded into a (label, pred)
+    // confusion matrix; window row-total on the matrix-sized aggregate.
+    "q169_langid_confusion" ->
+      s"""WITH $langPredCtes,
+         |p AS (SELECT doc_id, $langPredExpr AS lang_pred FROM b),
+         |j AS (SELECT d.lang, p.lang_pred
+         |      FROM documents d JOIN p USING (doc_id))
+         |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER
+         |    (PARTITION BY lang) AS BIGINT) AS row_share_e4
+         |FROM j GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin,
     "q33_ann_lsh" -> annLshOracleSql,
     "q136_ann_autorewrite" -> annLshOracleSql,
     "q142_ann_filtered_rewrite" -> annLshFilteredOracleSql,
