@@ -297,8 +297,14 @@ object IngestQueries {
         concat(lit("d"), col("doc_id")).as("documentid"))
       // Scatter each document's chunks across tasks: the write fans
       // every documentid partition over multiple files — the
-      // fragmented layout under test.
-      .repartition(32)
+      // fragmented layout under test. The pre-compaction file count is
+      // intrinsic (~one file per chunk: each doc's 3 chunks land in
+      // distinct tasks), so the scatter WIDTH doesn't move it —
+      // Profile pins q148's ~21 s wall as ~10 s driver (the
+      // dynamic-overwrite commit renaming ~1500 tiny files, i.e. the
+      // maintenance cost this query exists to measure) + a ~6 s write
+      // job, identical at 8 and 32 tasks (r13).
+      .repartition(8)
       .as[graft.model.EmbeddedChunk]
     vs.upsert(chunks, "docs")
     val (before, after) = vs.compact("docs")
