@@ -86,8 +86,11 @@ object ScaleStress {
     val scales = args.drop(1).headOption
       .getOrElse(if (tier == "ingest") "1,10,100" else "1,3,10")
       .split(',').map(_.trim.toInt).toSeq
-    require(Set("graph", "substring", "ingest", "ann", "multivec")(tier),
-      s"unknown tier '$tier' (graph|substring|ingest|ann|multivec)")
+    require(
+      Set("graph", "substring", "ingest", "ann", "multivec",
+        "corpusops")(tier),
+      s"unknown tier '$tier' " +
+        "(graph|substring|ingest|ann|multivec|corpusops)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -320,6 +323,72 @@ object ScaleStress {
             IvfSq.searchIndexed(ivfIdx, "vec_id", "embedding", "ivf_cid",
               "sq_code", m, q, k = 10, nprobe = 2, pool = 50).collect()
         }
+      }
+    }
+
+    if (tier == "corpusops") {
+      // The r13 corpus-analytics tier: skyline (q159), PMI + TextRank
+      // (q160/q166), grouped jackknife (q161) over the ×k-replicated
+      // docs, and farthest-first coreset (q168) over ×k-replicated
+      // embeddings. Exact-copy replication is adversarial for the
+      // SKYLINE in particular: every copy carries identical metrics,
+      // ties all survive, so the frontier (and the anti-join candidate
+      // set) grows ×k exactly — the worst case for the broadcast
+      // global phase. PMI/TextRank must show a CONSTANT pair-type
+      // table (counts grow ×k, types don't); jackknife a constant
+      // group table; coreset a ×k-linear per-step scan with an
+      // unchanged trajectory shape.
+      import graft.operators.{Collocations, Coreset, Skyline, Stats}
+      for (k <- scales) {
+        val docs = replicate(k)
+        val nDocs = docs.count()
+        val frontierN = phase("skyline", k) {
+          val toks = filter(split(lower(col("text")), " "),
+            t => length(t) > 0)
+          val feats = docs.withColumn("__t", toks)
+            .select(col("doc_id"),
+              size(col("__t")).cast("long").as("n_tokens"),
+              size(array_distinct(col("__t"))).cast("long").as("n_uniq"),
+              aggregate(col("__t"), lit(0L),
+                (acc, t) => acc + length(t)).as("sum_len"))
+          Skyline.frontier(feats, "doc_id",
+            Seq("n_tokens", "n_uniq", "sum_len")).count()
+        }
+        val pairTypes = phase("pair_counts", k) {
+          Collocations.pairCounts(docs, "text", maxDist = 3).count()
+        }
+        phase("pmi_topk", k) {
+          Collocations.pmiTopK(docs, "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        phase("textrank", k) {
+          Collocations.textRank(docs, "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        phase("jackknife", k) {
+          Stats.jackknifeMean(
+              docs.select((col("doc_id") % 997).as("grp"),
+                length(col("text")).cast("long").as("v")),
+              "grp", "v")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(s"""{"scale":$k,"n_docs":$nDocs,""" +
+          s""""frontier_rows":$frontierN,"pair_types":$pairTypes}""")
+      }
+      val emb0 = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val estride = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      for (k <- scales) {
+        val emb = (0 until k).map(i => emb0.select(
+            (col("vec_id") + lit(i.toLong * estride)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ union _).localCheckpoint(true)
+        val picks = phase("coreset_k8", k) {
+          Coreset.farthestFirst(emb, "vec_id", "embedding", k = 8)
+            .collect()
+        }
+        println(s"""{"scale":$k,"n_vecs":${emb.count()},""" +
+          s""""cover_radius_e8":${picks.last.getLong(2)}}""")
       }
     }
 
