@@ -489,6 +489,91 @@ class PlanAuditSpec extends SparkSpec {
     assert(countScans(lp) == 1, s"capacity ladder re-scans the cumsum:\n$lp")
   }
 
+  test("q158: Kneser-Ney joins happen between count tables only") {
+    // Same discipline as the q91 audit: the instance-sized bigram
+    // stream must aggregate before any join — KN adds a third count
+    // relation (continuation counts) but the raw stream still crosses
+    // exactly one aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q158_kneser_ney")(spark,
+      "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def generateAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate => true
+      case other => other.children.exists(generateAboveAggregate)
+    }
+    lp.collect { case j: Join => j }.foreach { j =>
+      assert(!j.children.exists(generateAboveAggregate),
+        s"un-aggregated bigram stream feeds a join:\n$lp")
+    }
+  }
+
+  test("q159: skyline global phase is a broadcast anti-join over " +
+      "candidates — no cartesian, no sort-merge") {
+    val p = plan("q159_pareto_frontier")
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p)
+  }
+
+  test("q160/q166: collocation stages run on the checkpointed pair " +
+      "table — no corpus re-explode, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    for (q <- Seq("q160_pmi_collocations", "q166_textrank_keywords")) {
+      val lp = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      def feedsFromParquet(p: LogicalPlan): Boolean =
+        p.collectFirst { case _: LogicalRelation => true }.nonEmpty
+      assert(lp.collect {
+        case g: Generate if feedsFromParquet(g.child) => g
+      }.isEmpty, s"$q re-explodes the corpus:\n$lp")
+      val pp = plan(q)
+      assert(!pp.contains("CartesianProduct"), s"$q:\n$pp")
+    }
+  }
+
+  test("q161: jackknife totals broadcast; corpus crosses one aggregate") {
+    val p = plan("q161_jackknife_influence")
+    // both cross joins carry 1-row broadcast totals, never a shuffle
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q163: weighted sample reduces via TakeOrderedAndProject") {
+    val p = plan("q163_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q165: silhouette is joinless — centroid literals, native " +
+      "distance expression") {
+    val p = plan("q165_silhouette")
+    assert(p.contains("sq_dist_e8"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q168-adjacent: coreset per-step argmax is a TakeOrdered over " +
+      "the literal-folded distance") {
+    // The operator's per-step plan, probed directly (the q168 entry
+    // runs the full k-step loop — audit one representative step).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // repartition: a pure LocalRelation would constant-fold the whole
+    // step into a LocalTableScan and hide the expression from the plan
+    val emb = (1L to 50L).map(i => (i, Array(i.toFloat, 0f)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val step = emb.withColumn("__d",
+        graft.functions.SqDistE8(col("embedding"),
+          typedLit(Array(0f, 0f))))
+      .orderBy(col("__d").desc, col("vec_id")).limit(1)
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject") &&
+      p.contains("sq_dist_e8"), p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
