@@ -321,7 +321,42 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("es_key_e9"))
 
+  // q171: largest-remainder (Hare) QUOTA apportionment — "allocate
+  // exactly T=1000 sampled docs across languages proportional to token
+  // mass, integer quotas only": floor quotas from exact integer
+  // division, the leftover seats to the largest remainders (tie: lang).
+  // The exact-k counterpart of q94's real-valued mixture weights —
+  // quotas sum to T by construction, no rounding drift. One combinable
+  // corpus aggregate; everything after is groups-sized window algebra.
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val T = 1000L
+    val toks = filter(split(lower(col("text")), " "),
+      t => length(t) > 0)
+    val g = docs(s, dir)
+      .select(col("lang"), size(toks).cast("long").as("__n"))
+      .groupBy(col("lang")).agg(sum(col("__n")).as("n_tokens"))
+    g.withColumn("__w", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("quota_floor",
+        expr(s"CAST($T * n_tokens div __w AS BIGINT)"))
+      .withColumn("__rem", expr(s"CAST($T * n_tokens % __w AS BIGINT)"))
+      .withColumn("rem_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col("lang"))))
+      .withColumn("__left",
+        lit(T) - sum(col("quota_floor")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("quota",
+        (col("quota_floor") +
+          when(col("rem_rank") <= col("__left"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("lang"), col("n_tokens"), col("quota_floor"),
+        col("rem_rank").cast("long").as("rem_rank"), col("quota"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_quota_apportionment" -> (q171 _),
     "q163_weighted_sample" -> (q163 _),
     "q139_incremental_stats" -> (q139 _),
     "q129_k_anonymity" -> (q129 _),
@@ -419,6 +454,29 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q171: same integer floor-quota + remainder-rank algebra; the
+    // leftover-seat count derives from the floors, so quotas sum to T
+    // identically in both engines.
+    "q171_quota_apportionment" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(SUM(len(list_filter(regexp_split_to_array(lower(text),
+        |      ' '), x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT g.*, (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM g)
+        |        AS tw FROM g),
+        |f AS (SELECT lang, n_tokens,
+        |    CAST(1000 * n_tokens // tw AS BIGINT) AS quota_floor,
+        |    CAST(1000 * n_tokens % tw AS BIGINT) AS rem
+        |  FROM w),
+        |r AS (SELECT f.*, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY rem DESC, lang) AS BIGINT) AS rem_rank,
+        |      (SELECT 1000 - CAST(SUM(quota_floor) AS BIGINT) FROM f)
+        |        AS leftover
+        |  FROM f)
+        |SELECT lang, n_tokens, quota_floor, rem_rank,
+        |  CAST(quota_floor + CASE WHEN rem_rank <= leftover THEN 1
+        |    ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY lang""".stripMargin,
     // q163: same md5→(0,1] uniform (13 hex digits, +1, /2^52), same
     // ln(u)/w key — quantized to an e9 long BEFORE ranking because
     // Spark's StrictMath log and DuckDB's libm ln can differ in the

@@ -97,12 +97,48 @@ object EventQueries {
       .orderBy(col("event_type"), col("bucket_start"))
   }
 
+  // q170: first-order MARKOV transition matrix over per-user event
+  // sequences — the journey model q119's fixed funnel is a slice of:
+  // each (prev → next) cell with its count and e4 conditional
+  // probability. The lag window is keyed by user (distributed, no
+  // global sort); the row-conditional total runs on the types²-sized
+  // matrix, never the event stream. (ts, event_id) ordering makes the
+  // sequence — and the oracle's LAG replay — deterministic under ties.
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_e4",
+        expr("CAST(n * 10000 div sum(n) over (partition by prev) " +
+          "AS BIGINT)"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_markov_transitions" -> (q170 _),
     "q119_funnel" -> (q119 _),
     "q120_retention" -> (q120 _),
     "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    // q170: LAG over the same (user, ts, event_id) order; conditional
+    // shares as `//` of exact counts on the matrix-sized aggregate.
+    "q170_markov_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER
+        |    (PARTITION BY prev) AS BIGINT) AS p_e4
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY prev, event_type ORDER BY prev, next""".stripMargin,
     "q119_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),
