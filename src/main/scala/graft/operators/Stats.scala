@@ -551,6 +551,39 @@ object Stats {
         .as("intercept_e4"))
   }
 
+  /** Per-GROUP ordinary-least-squares fit y ~ a + b·x over integral
+    * columns — the grouped trend diagnostic ([[zipfFit]]'s global OLS,
+    * generalized): per group the slope, intercept, and r² of the
+    * centered moments, each a fixed-shape double expression over EXACT
+    * integer sums (n·Σxy − ΣxΣy etc.), so partial aggregation is
+    * order-exact and the oracle replays bit-for-bit (SURVEY §5.4).
+    * One map-side-combinable aggregate; everything after is
+    * groups-sized. Degenerate groups (zero x- or y-variance) emit
+    * NaN/Inf slopes — callers filter by `n` if that matters.
+    */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val g = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
+    val dxy = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val slope = dxy / dxx
+    g.select(col(groupCol), col("n"), slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n")).as("intercept"),
+      (dxy / dxx * (dxy / dyy)).as("r2"))
+  }
+
   /** Delete-one-group JACKKNIFE of a corpus mean — the error bar every
     * corpus-level metric this engine reports should carry before a
     * 100 TB mixture decision leans on it: leave each `groupCol` shard

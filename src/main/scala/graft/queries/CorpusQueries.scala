@@ -239,7 +239,51 @@ object CorpusQueries {
     graft.operators.Collocations.textRank(docs(s, dir), "text",
       maxDist = 3, minCount = 5, iterations = 3, topK = 25)
 
+  // q172: categorical MUTUAL INFORMATION between lang and source —
+  // "is source informative of language?" (drives whether a mixture
+  // should stratify jointly or independently): per-cell pointwise
+  // ln-association pinned to e4 (q91's cross-engine ln discipline),
+  // MI as the exact-integer Σ n·t_e4 over the cells²-sized matrix,
+  // one final division chain. Corpus crosses ONE combinable aggregate.
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+    cells
+      .withColumn("__cx", sum(col("n")).over(w.partitionBy(col("lang"))))
+      .withColumn("__cy",
+        sum(col("n")).over(w.partitionBy(col("source"))))
+      .withColumn("__nn", sum(col("n")).over(w.partitionBy()))
+      .withColumn("t_e4",
+        round(log((col("n") * col("__nn")).cast("double") /
+          (col("__cx") * col("__cy")).cast("double")) * 10000, 0)
+          .cast("long"))
+      .withColumn("mi_nats",
+        sum(col("n") * col("t_e4")).over(w.partitionBy())
+          .cast("double") / col("__nn") / lit(10000.0))
+      .select(col("lang"), col("source"), col("n"), col("t_e4"),
+        col("mi_nats"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // q173: per-language OLS of n_chars against token count — does the
+  // chars-per-token relationship (≈ tokenizer byte fertility) differ
+  // by language, with r² saying how linear it is.
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "),
+      t => length(t) > 0)
+    Stats.olsByGroup(
+        docs(s, dir).select(col("lang"),
+          size(toks).cast("long").as("x"), col("n_chars").as("y")),
+        "lang", "x", "y")
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_group_ols" -> (q173 _),
+    "q172_mutual_information" -> (q172 _),
     "q166_textrank_keywords" -> (q166 _),
     "q161_jackknife_influence" -> (q161 _),
     "q160_pmi_collocations" -> (q160 _),
@@ -280,6 +324,48 @@ object CorpusQueries {
       |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q173: exact integer moments, then the engine's identical
+    // centered-moment double expressions (left-assoc division chains).
+    "q173_group_ols" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), ' '),
+        |      x -> LENGTH(x) > 0)) AS BIGINT) AS x,
+        |    CAST(n_chars AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / n AS intercept,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        |FROM g ORDER BY lang""".stripMargin,
+    // q172: margins/total as windows over the cells-sized aggregate;
+    // per-cell ln pinned e4 before the exact integer MI sum.
+    "q172_mutual_information" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source),
+        |w AS (SELECT c.*,
+        |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS cx,
+        |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS cy,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS nn FROM c),
+        |t AS (SELECT lang, source, n,
+        |    CAST(ROUND(ln(CAST(n * nn AS DOUBLE)
+        |      / CAST(cx * cy AS DOUBLE)) * 10000, 0) AS BIGINT) AS t_e4,
+        |    nn FROM w)
+        |SELECT lang, source, n, t_e4,
+        |  CAST(SUM(n * t_e4) OVER () AS DOUBLE) / nn / 10000e0
+        |    AS mi_nats
+        |FROM t ORDER BY lang, source""".stripMargin,
     // q166: q160's pair CTEs feed the edge set; PageRank unrolls as
     // materialized per-iteration CTEs (q118's replay — plain CTEs
     // would re-execute the chain exponentially), contributions in the

@@ -92,6 +92,21 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 2.33) // mean 7/3 rounded HALF_UP
   }
 
+  test("olsByGroup: exact fit on a line, r2 < 1 under noise") {
+    // group "a": y = 3 + 2x exactly -> slope 2, intercept 3, r2 = 1.
+    val a = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 11L))
+      .map { case (x, y) => ("a", x, y) }
+    // group "b": same line with one bent point.
+    val b = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 20L))
+      .map { case (x, y) => ("b", x, y) }
+    val out = Stats.olsByGroup((a ++ b).toDF("g", "x", "y"), "g", "x", "y")
+      .orderBy("g").collect()
+    assert(out(0).getDouble(2) == 2.0 && out(0).getDouble(3) == 3.0)
+    assert(out(0).getDouble(4) == 1.0)
+    assert(out(1).getDouble(2) > 2.0) // the bent point pulls the slope up
+    assert(out(1).getDouble(4) < 1.0 && out(1).getDouble(4) > 0.5)
+  }
+
   test("jackknifeMean: hand-checked loo means, influence, and SE") {
     // A: (3 docs, Σ6)  B: (1, 4)  C: (2, 10) → N=6, S=20, mean=10/3.
     // loo: A 14/3, B 16/5, C 10/4 → e4: 46667, 32000, 25000; m_e4=33333.
