@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -145,5 +145,62 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame_ts_ms", "frame_bytes")
+  }
+
+  /** 60-bit PERCEPTUAL-hash signature over a payload's hex view — the
+    * image-near-dup primitive (pHash-family): bit i compares the byte
+    * at wrapped position `i mod L` against the byte half-a-payload
+    * away (`(i + L/2) mod L`), so a small byte edit flips only the few
+    * bits whose comparisons touch it (locality — the property a
+    * cryptographic hash destroys and near-dup detection requires).
+    * 60 bits = 4 × 15-bit LSH bands with the sign bit untouched, so
+    * band extraction is shift-and-mask on a POSITIVE long in every
+    * engine (no arithmetic-shift divergence). Pure codegen'd column
+    * expression — no UDF, no decode; a real pipeline swaps the hex
+    * view for decoded luma the same way [[FakeCodec]] stubs decode.
+    *
+    * `hexCol`: lowercase hex of the payload; `lenCol`: payload byte
+    * length (must be even — every media payload here is 16-aligned).
+    */
+  def pHash60(hexCol: Column, lenCol: Column): Column = {
+    val half = (lenCol / 2).cast("long")
+    def byteAt(pos: Column): Column =
+      conv(hexCol.substr((pos * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    (0 until 60).map { i =>
+      val p1 = pmod(lit(i.toLong), lenCol.cast("long"))
+      val p2 = pmod(lit(i.toLong) + half, lenCol.cast("long"))
+      when(byteAt(p1) > byteAt(p2), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-duplicate pairs among pHash signatures via 15-bit LSH
+    * banding: candidates collide on at least one of the 4 bands
+    * (a ≤ `maxHamming` pair always agrees on SOME band once hamming
+    * < 4 by pigeonhole — wider misses are accepted, as in every LSH),
+    * then the exact Hamming filter. The self-join is banded — never
+    * all-pairs — and the band table is 4 rows per signature.
+    * Input: (idCol, sigCol). Output: a, b, hamming.
+    */
+  def pHashPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val bands = sigs.select(col(idCol).as("__id"), col(sigCol).as("__s"))
+      .select(col("__id"), col("__s"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__s"), b * 15).bitwiseAND(lit(32767L))
+              .as("v"))): _*)).as("__b"))
+      .select(col("__id"), col("__s"), col("__b.band").as("band"),
+        col("__b.v").as("v"))
+    val x = bands.select(col("band"), col("v"), col("__id").as("a"),
+      col("__s").as("sa"))
+    val y = bands.select(col("band"), col("v"), col("__id").as("b"),
+      col("__s").as("sb"))
+    x.join(y, Seq("band", "v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

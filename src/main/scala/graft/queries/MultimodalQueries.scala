@@ -103,12 +103,74 @@ object MultimodalQueries {
         col("meta.duration_ms").as("duration_ms"))
       .orderBy(col("media_id"))
 
+  /** q174: image near-dup via 60-bit perceptual hash + 15-bit LSH
+    * banding — every image paired with a 1-byte-tampered copy (the
+    * planted near-dup), signatures from the codegen'd
+    * [[Multimodal.pHash60]] locality hash, candidates from the banded
+    * self-join (never all-pairs), exact Hamming filter ≤ 12. The
+    * image-modality sibling of q27's text MinHash: the oracle replays
+    * the whole signature → band → pair trajectory from the md5-chain
+    * payload fabric.
+    */
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val imgs = mediaTable(s, 60).filter(col("kind") === "image")
+      .select(col("media_id"), lower(hex(col("bytes"))).as("h"),
+        length(col("bytes")).cast("long").as("len"))
+    val copies = imgs.select((col("media_id") + 1000).as("media_id"),
+      concat(lit("ff"), expr("substring(h, 3)")).as("h"), col("len"))
+    val sigs = imgs.union(copies)
+      .withColumn("sig", Multimodal.pHash60(col("h"), col("len")))
+    Multimodal.pHashPairs(sigs, "media_id", "sig", maxHamming = 12)
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_multimodal" -> (q48 _),
-    "q88_media_roundtrip" -> (q88 _)
+    "q88_media_roundtrip" -> (q88 _),
+    "q174_phash_neardup" -> (q174 _)
   )
 
+  /** q174's oracle: the full pHash trajectory replayed — payload fabric
+    * (md5 chain, image slice), the 1-byte tamper, all 60 wrapped byte
+    * comparisons as generated terms (BIGINT shifts — INTEGER `1 << i`
+    * overflows at i ≥ 31), band extraction on the positive 60-bit
+    * long, the banded pair join, and the exact Hamming filter.
+    */
+  private lazy val q174Sql: String = {
+    def byteAt(p: String) =
+      s"CAST(('0x' || substr(h, CAST(($p) * 2 + 1 AS INTEGER), 2)) " +
+        "AS BIGINT)"
+    val terms = (0 until 60).map { i =>
+      val p1 = s"$i % len"
+      val p2 = s"($i + len // 2) % len"
+      s"CASE WHEN ${byteAt(p1)} > ${byteAt(p2)} " +
+        s"THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" +\n  ")
+    val chain = (0 until 8).map(k => s"md5(id || '_$k')").mkString(" || ")
+    s"""WITH m AS (SELECT unnest(range(60)) AS id),
+       |base AS (SELECT id AS media_id,
+       |    substr($chain, 1, CAST(32 * (1 + id % 8) AS INTEGER)) AS h,
+       |    CAST(16 * (1 + id % 8) AS BIGINT) AS len
+       |  FROM m WHERE id % 3 = 0),
+       |allr AS (SELECT media_id, h, len FROM base
+       |  UNION ALL SELECT media_id + 1000, 'ff' || substr(h, 3), len
+       |  FROM base),
+       |sig AS MATERIALIZED (SELECT media_id, ($terms) AS sig FROM allr),
+       |bands AS (SELECT media_id, sig, b,
+       |    (sig >> CAST(b * 15 AS INTEGER)) & 32767 AS v
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+       |p AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b2,
+       |    x.sig AS sa, y.sig AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.media_id < y.media_id)
+       |SELECT a, b2 AS b,
+       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM p WHERE bit_count(xor(sa, sb)) <= 12
+       |ORDER BY a, b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q174_phash_neardup" -> q174Sql,
     // q48 full replay (r10): every operator in the chain is deterministic
     // arithmetic over the md5-hex payload q88 already certifies, so DuckDB
     // re-derives the whole feature surface — including the float32 step:

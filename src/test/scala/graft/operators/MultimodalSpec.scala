@@ -91,4 +91,30 @@ class MultimodalSpec extends SparkSpec {
     val totalBytes = frames.map(_.getAs[Array[Byte]]("frame_bytes").length).sum
     assert(totalBytes == 8192) // frames partition the video bytes
   }
+
+  test("pHash60: 1-byte edit on a 128-byte payload flips <= 1 bit; " +
+      "banding finds every planted pair, no cross pairs") {
+    import org.apache.spark.sql.functions._
+    // 128-byte payloads: bit i reads bytes i and i+64, so a byte-0
+    // tamper touches only bit 0 (positions 64..127 feed no first
+    // operand below i=60) — >= 3 clean bands by pigeonhole, every
+    // planted pair MUST surface with hamming <= 1.
+    val base = spark.range(10).select(col("id").as("media_id"),
+      lower(hex(concat((0 until 8).map(k =>
+        unhex(md5(concat(col("id").cast("string"), lit(s"_pp$k")))))
+        : _*))).as("h"),
+      lit(128L).as("len"))
+    val tampered = base.select((col("media_id") + 100).as("media_id"),
+      concat(lit("00"), expr("substring(h, 3)")).as("h"), col("len"))
+    val sigs = base.union(tampered)
+      .withColumn("sig", Multimodal.pHash60(col("h"), col("len")))
+    val pairs = Multimodal.pHashPairs(sigs, "media_id", "sig",
+      maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100 }
+    assert(planted.length == 10, s"missing planted pairs: ${pairs.toSeq}")
+    assert(planted.forall(_._3 <= 1), planted.toSeq)
+    assert(pairs.length == planted.length,
+      s"unexpected cross pairs: ${pairs.toSeq}")
+  }
 }
