@@ -452,4 +452,51 @@ object Dedup {
             i - winStart(i) + 1)))))
           .cast("long").as("n_fp"))
   }
+
+  /** TRIANGLE census + global clustering coefficient over an
+    * undirected pair graph — the cohesion diagnostic the CC/k-core/
+    * PageRank family lacks: a near-dup component that is a loose PATH
+    * (chained borderline pairs — transitive-closure overreach when
+    * dedup keeps one doc per component) and one that is a dense CLIQUE
+    * (true mirror set) have the same CC label but opposite triangle
+    * density; C = 3·triangles / wedges says which the graph is before
+    * a keep-one-per-component policy fires.
+    *
+    * Scale shape — the classic ordered triangle join: edges normalize
+    * to a < b ONCE, triangles enumerate as (a<b<c) via TWO keyed
+    * equi-joins of the edge list against itself ((a,b)⋈(b,c) on b,
+    * then the closing (a,c) semi-join) — never a cartesian, and the
+    * ordering means each triangle counts exactly once. Wedges are a
+    * degree-table fold (Σ d·(d−1)/2 — exact longs). Output is one row:
+    * n_vertices, n_edges, n_wedges, n_triangles, global_cc (the single
+    * 3T/W division, portable).
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+        expr("CAST(sum(d * (d - 1) div 2) AS BIGINT)").as("w"),
+        count(lit(1)).as("nv"))
+      .head()
+    val (nWedges, nVerts) = (wedges.getLong(0), wedges.getLong(1))
+    val nEdges = e.count()
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+      .count()
+    val s = edges.sparkSession
+    import s.implicits._
+    Seq((nVerts, nEdges, nWedges, tri,
+      if (nWedges == 0) 0.0 else 3.0 * tri / nWedges))
+      .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles",
+        "global_cc")
+  }
 }

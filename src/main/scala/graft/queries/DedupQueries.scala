@@ -358,7 +358,16 @@ object DedupQueries {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  // q175: triangle census + global clustering coefficient over the
+  // LSH candidate graph — is the near-dup graph a loose PATH (chained
+  // borderline pairs; keep-one-per-component overreaches) or a dense
+  // CLIQUE (true mirror set)? Ordered two-join triangle enumeration,
+  // never a cartesian.
+  def q175(s: SparkSession, dir: String): DataFrame =
+    Dedup.triangleCensus(lshPairs(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_triangle_census" -> (q175 _),
     "q167_source_overlap" -> (q167 _),
     "q125_leakage_free_split" -> (q125 _),
     "q109_snapshot_dedup" -> (q109 _),
@@ -475,6 +484,27 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q175: ordered (a<b<c) triangle enumeration — (a,b)⋈(b,c) on the
+    // shared vertex, closing (a,c) via join; wedges from the degree
+    // table; the single 3T/W division in the engine's exact shape.
+    "q175_triangle_census" ->
+      s"""WITH $candCte,
+         |e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a,
+         |    greatest(a, b) AS b FROM cand WHERE a <> b),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+         |  GROUP BY v),
+         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w,
+         |    CAST(COUNT(*) AS BIGINT) AS nv FROM deg),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM e),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT w.nv AS n_vertices, ne.ne AS n_edges, w.w AS n_wedges,
+         |  t.t AS n_triangles,
+         |  CASE WHEN w.w = 0 THEN 0e0
+         |    ELSE CAST(3 * t.t AS DOUBLE) / w.w END AS global_cc
+         |FROM w, ne, t""".stripMargin,
     // q167: the candidate-pair CTE lifted to a source×source matrix;
     // window total over the aggregate, `//` on non-negatives.
     "q167_source_overlap" ->

@@ -48,4 +48,23 @@ class KCoreSpec extends SparkSpec {
     val ok = run(chain, k = 2, rounds = 4)
     assert(ok.values.forall(v => v._2 == 0 && v._4 == 0L))
   }
+
+  test("triangleCensus: hand-checked triangle, wedges, and cc") {
+    // Triangle {1,2,3} + pendant 4: degrees 2/2/3/1 → wedges
+    // 1+1+3+0 = 5, one triangle, C = 3/5. Duplicate and reversed
+    // edges must not double-count.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L),
+      (1L, 2L)).toDF("a", "b")
+    val r = graft.operators.Dedup.triangleCensus(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)))
+    assert(r.getDouble(4) == 0.6)
+  }
+
+  test("triangleCensus: triangle-free path reports cc 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = graft.operators.Dedup.triangleCensus(e).head()
+    assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+    assert(r.getLong(2) == 2L) // two wedges on the path
+  }
 }
