@@ -355,7 +355,29 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  // q176: QUANTILE (rank) normalization — map every doc's raw score to
+  // its corpus percent-rank in e4 integer space (the feature scaling a
+  // mixer/curriculum needs: scale-free, outlier-immune). The corpus is
+  // never globally sorted: ranks come from a VALUE-HISTOGRAM cumsum
+  // (window over the distinct-score table), broadcast-joined back —
+  // percent_rank semantics (below/(N−1)) as exact integer div.
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val n = d.count()
+    val h = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars"))) - col("c"))
+      .withColumn("pct_e4",
+        expr(s"CAST(below * 10000 div (${n}L - 1) AS BIGINT)"))
+    d.join(broadcast(h.select(col("n_chars"), col("pct_e4"))),
+        Seq("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("pct_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_quantile_normalize" -> (q176 _),
     "q171_quota_apportionment" -> (q171 _),
     "q163_weighted_sample" -> (q163 _),
     "q139_incremental_stats" -> (q139 _),
@@ -454,6 +476,19 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q176: identical histogram-cumsum percent-rank; `//` of exact
+    // non-negatives.
+    "q176_quantile_normalize" ->
+      """WITH h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY n_chars),
+        |w AS (SELECT n_chars,
+        |    CAST(SUM(c) OVER (ORDER BY n_chars) - c AS BIGINT) AS below,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n
+        |  FROM h)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST(w.below * 10000 // (w.n - 1) AS BIGINT) AS pct_e4
+        |FROM documents d JOIN w USING (n_chars)
+        |ORDER BY d.doc_id""".stripMargin,
     // q171: same integer floor-quota + remainder-rank algebra; the
     // leftover-seat count derives from the floors, so quotas sum to T
     // identically in both engines.
