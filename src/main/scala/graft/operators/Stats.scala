@@ -551,6 +551,48 @@ object Stats {
         .as("intercept_e4"))
   }
 
+  /** Per-GROUP robust standardization — lower-median / MAD z-scores
+    * over an integral column: the outlier-immune scaling (one wild doc
+    * shifts a mean-σ z arbitrarily; it moves the median/MAD not at
+    * all) a 100 TB quality-filter threshold should be quoted in.
+    *
+    *   med_g  = value at rank ⌈n/2⌉ (lower median — exact, integral)
+    *   mad_g  = lower median of |x − med_g|
+    *   z_e4   = (x − med_g)·10⁴ div mad_g   (0 when mad_g = 0)
+    *
+    * Scale shape: BOTH medians come from value-HISTOGRAM cumsums
+    * (windows over the per-group distinct-value tables — never a
+    * corpus sort, never a per-group collect; q176's discipline), each
+    * joined back broadcast. Everything is exact integer algebra, so
+    * the oracle replays rank selection and the signed trunc-div
+    * bit-for-bit. Output: input columns + med, mad, z_e4.
+    */
+  def robustZByGroup(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(valueCol).cast("long")
+    def medians(in: DataFrame, vc: Column, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("__v"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+      in.select(col(groupCol), vc.as("__v"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(wg))
+        .filter(col("__cum") >= expr("(__n + 1) div 2"))
+        .groupBy(col(groupCol)).agg(min(col("__v")).as(out))
+    }
+    val med = medians(df, v, "med")
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = medians(withMed, abs(v - col("med")), "mad")
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("z_e4",
+        when(col("mad") === 0, lit(0L))
+          .otherwise(expr(s"CAST(($valueCol - med) * 10000 div mad " +
+            "AS BIGINT)")))
+  }
+
   /** Per-GROUP ordinary-least-squares fit y ~ a + b·x over integral
     * columns — the grouped trend diagnostic ([[zipfFit]]'s global OLS,
     * generalized): per group the slope, intercept, and r² of the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, Stats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -376,7 +376,19 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q177: robust per-language z-scores (lower-median / MAD) of doc
+  // length — the outlier-immune scale q176's percent-rank complements;
+  // exact histogram medians, signed trunc-div, no corpus sort.
+  def q177(s: SparkSession, dir: String): DataFrame =
+    Stats.robustZByGroup(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+        col("mad"), col("z_e4"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_robust_zscore" -> (q177 _),
     "q176_quantile_normalize" -> (q176 _),
     "q171_quota_apportionment" -> (q171 _),
     "q163_weighted_sample" -> (q163 _),
@@ -476,6 +488,37 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q177: the same histogram-cumsum selection for BOTH medians
+    // (lower median at rank (n+1)//2), then the signed trunc-div —
+    // DuckDB // truncates toward zero like Spark div (the q144 note).
+    "q177_robust_zscore" ->
+      """WITH h1 AS (SELECT lang, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, n_chars),
+        |w1 AS (SELECT lang, v,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h1),
+        |med AS (SELECT lang, CAST(MIN(v) AS BIGINT) AS med FROM w1
+        |  WHERE cum >= (n + 1) // 2 GROUP BY lang),
+        |dv AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
+        |    ABS(d.n_chars - med.med) AS adev
+        |  FROM documents d JOIN med USING (lang)),
+        |h2 AS (SELECT lang, adev AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dv GROUP BY lang, adev),
+        |w2 AS (SELECT lang, v,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h2),
+        |mad AS (SELECT lang, CAST(MIN(v) AS BIGINT) AS mad FROM w2
+        |  WHERE cum >= (n + 1) // 2 GROUP BY lang)
+        |SELECT dv.doc_id, dv.lang, dv.n_chars, dv.med, mad.mad,
+        |  CASE WHEN mad.mad = 0 THEN 0
+        |    ELSE CAST((dv.n_chars - dv.med) * 10000 // mad.mad
+        |      AS BIGINT) END AS z_e4
+        |FROM dv JOIN mad USING (lang) ORDER BY dv.doc_id""".stripMargin,
     // q176: identical histogram-cumsum percent-rank; `//` of exact
     // non-negatives.
     "q176_quantile_normalize" ->

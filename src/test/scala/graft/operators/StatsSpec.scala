@@ -92,6 +92,24 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 2.33) // mean 7/3 rounded HALF_UP
   }
 
+  test("robustZByGroup: hand-checked medians, MAD, trunc-div, mad=0") {
+    // a: [1,3,5,7,100] → med 5 (rank 3), adev [4,2,0,2,95] → mad 2;
+    //    the outlier's z is huge but the scale is untouched by it.
+    // c: [0,3,10] → med 3, mad 3 → z(10) = 70000 div 3 = 23333 (trunc).
+    // d: [5,5] → mad 0 → z pinned to 0.
+    val df = (Seq(1L, 3L, 5L, 7L, 100L).map(("a", _)) ++
+      Seq(0L, 3L, 10L).map(("c", _)) ++ Seq(5L, 5L).map(("d", _)))
+      .toDF("g", "v")
+    val out = Stats.robustZByGroup(df, "g", "v")
+      .select("g", "v", "med", "mad", "z_e4")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", 1L)) == ((5L, 2L, -20000L)))
+    assert(out(("a", 100L)) == ((5L, 2L, 475000L)))
+    assert(out(("c", 10L)) == ((3L, 3L, 23333L)))
+    assert(out(("d", 5L)) == ((5L, 0L, 0L)))
+  }
+
   test("olsByGroup: exact fit on a line, r2 < 1 under noise") {
     // group "a": y = 3 + 2x exactly -> slope 2, intercept 3, r2 = 1.
     val a = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 11L))
