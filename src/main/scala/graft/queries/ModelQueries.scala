@@ -256,7 +256,15 @@ object ModelQueries {
     graft.operators.Coreset.farthestFirst(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
 
+  // q178: top principal component of the embedding covariance —
+  // distributed moment pass, all-integer power iteration (8 steps),
+  // trajectory replayed by an unrolled oracle.
+  def q178(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.topComponent(Tables.load(s, dir, "embeddings"),
+      "embedding", dim = OperatorQueries.EmbeddingDim, iterations = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_pca_power" -> (q178 _),
     "q168_kcenter_coreset" -> (q168 _),
     "q165_silhouette" -> (q165 _),
     "q159_pareto_frontier" -> (q159 _),
@@ -363,7 +371,53 @@ object ModelQueries {
        |) ORDER BY step""".stripMargin
   }
 
+  /** q178's oracle: the centered moment matrix from an e×e self-join
+    * on vec_id, then the 8 power-iteration steps unrolled as
+    * MATERIALIZED CTEs — every mat-vec an exact integer SUM, every
+    * renormalization the engine's branch rule (`//` == trunc toward
+    * zero == Java `/`), the sign pinned by the same (|v| desc, i)
+    * pivot.
+    */
+  private val q178Sql: String = {
+    val iters = (1 to 8).map { k =>
+      val p = s"v${k - 1}"
+      s"""y$k AS MATERIALIZED (SELECT a.i,
+         |    CAST(SUM(a.a * p.v) AS BIGINT) AS y
+         |  FROM a JOIN $p p ON p.i = a.j GROUP BY a.i),
+         |m$k AS MATERIALIZED (SELECT MAX(ABS(y)) AS mx FROM y$k),
+         |v$k AS MATERIALIZED (SELECT y$k.i,
+         |    CAST(CASE WHEN m$k.mx >= 1000000
+         |      THEN y$k.y // (m$k.mx // 1000000)
+         |      ELSE y$k.y * 1000000 // m$k.mx END AS BIGINT) AS v
+         |  FROM y$k CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    generate_subscripts(embedding, 1) AS pos,
+       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+       |      AS BIGINT) AS xq FROM embeddings),
+       |cells AS MATERIALIZED (SELECT x.pos AS i, y.pos AS j,
+       |    CAST(SUM(x.xq * y.xq) AS BIGINT) AS s
+       |  FROM e x JOIN e y ON x.vec_id = y.vec_id GROUP BY 1, 2),
+       |sm AS MATERIALIZED (SELECT pos AS i, CAST(SUM(xq) AS BIGINT)
+       |    AS sm FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+       |  FROM e),
+       |a AS MATERIALIZED (SELECT c.i, c.j,
+       |    CAST((c.s * nn.n - si.sm * sj.sm) // 10000000 AS BIGINT)
+       |      AS a
+       |  FROM cells c JOIN sm si ON si.i = c.i JOIN sm sj ON sj.i = c.j
+       |  CROSS JOIN nn),
+       |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM sm),
+       |$iters,
+       |piv AS (SELECT v FROM v8 ORDER BY ABS(v) DESC, i LIMIT 1)
+       |SELECT CAST(v8.i AS BIGINT) AS pos,
+       |  CAST(CASE WHEN (SELECT v FROM piv) < 0 THEN -v8.v ELSE v8.v
+       |    END AS BIGINT) AS pc1_e6
+       |FROM v8 ORDER BY pos""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q178_pca_power" -> q178Sql,
     "q168_kcenter_coreset" -> q168Sql,
     // q144: ONE shared tokenization CTE feeds both the classifier
     // features (q92's replay) and the LM count tables (q91's replay);
