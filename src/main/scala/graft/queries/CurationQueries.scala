@@ -387,7 +387,49 @@ object CurationQueries {
         col("mad"), col("z_e4"))
       .orderBy(col("doc_id"))
 
+  // q179: exact-quota STRATIFIED weighted sampling — the two new
+  // primitives composed: q171's largest-remainder quotas (T=200,
+  // proportional to token mass) consumed by q163's Efraimidis–Spirakis
+  // keys, ranked WITHIN language (distributed window, never global) —
+  // "exactly 200 docs, mixture-faithful across languages, drawn
+  // without replacement proportional to length within each".
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    val T = 200L
+    val toks = filter(split(lower(col("text")), " "),
+      t => length(t) > 0)
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      col("n_chars"), size(toks).cast("long").as("__n"))
+    val g = d.groupBy(col("lang")).agg(sum(col("__n")).as("n_tokens"))
+    val quotas = g
+      .withColumn("__w", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("qf", expr(s"CAST($T * n_tokens div __w AS BIGINT)"))
+      .withColumn("__rem", expr(s"CAST($T * n_tokens % __w AS BIGINT)"))
+      .withColumn("__rr", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("__rem").desc, col("lang"))))
+      .withColumn("__left", lit(T) - sum(col("qf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("lang"),
+        (col("qf") + when(col("__rr") <= col("__left"), 1L)
+          .otherwise(0L)).as("quota"))
+    val h = conv(substring(md5(concat(lit("s19"), lit(":"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0)
+    val keyed = d.withColumn("es_key_e9",
+      round(log(u) / col("n_chars").cast("double") * 1000000000, 0)
+        .cast("long"))
+    keyed.join(broadcast(quotas), Seq("lang"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("es_key_e9").desc, col("doc_id"))))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("es_key_e9"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_quota_sample" -> (q179 _),
     "q177_robust_zscore" -> (q177 _),
     "q176_quantile_normalize" -> (q176 _),
     "q171_quota_apportionment" -> (q171 _),
@@ -488,6 +530,40 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q179: the q171 quota chain (T=200) + the q163 key chain (seed
+    // s19, e9) + a per-language ROW_NUMBER — one composed replay.
+    "q179_quota_sample" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |      ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY lang),
+        |w AS (SELECT g.*, (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM g)
+        |        AS tw FROM g),
+        |f AS (SELECT lang,
+        |    CAST(200 * n_tokens // tw AS BIGINT) AS qf,
+        |    CAST(200 * n_tokens % tw AS BIGINT) AS rem
+        |  FROM w),
+        |r AS (SELECT f.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+        |        AS rr,
+        |      (SELECT 200 - CAST(SUM(qf) AS BIGINT) FROM f) AS leftover
+        |  FROM f),
+        |q AS (SELECT lang, CAST(qf + CASE WHEN rr <= leftover THEN 1
+        |        ELSE 0 END AS BIGINT) AS quota FROM r),
+        |k AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(ROUND(ln(CAST(CAST(('0x' || substr(md5('s19:' ||
+        |      CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1
+        |      AS DOUBLE) / 4503599627370496e0)
+        |      / CAST(d.n_chars AS DOUBLE) * 1000000000, 0) AS BIGINT)
+        |      AS es_key_e9
+        |  FROM d),
+        |rk AS (SELECT k.*, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY es_key_e9 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM k)
+        |SELECT rk.doc_id, rk.lang, rk.n_chars, rk.es_key_e9, rk.rk
+        |FROM rk JOIN q USING (lang) WHERE rk.rk <= q.quota
+        |ORDER BY rk.doc_id""".stripMargin,
     // q177: the same histogram-cumsum selection for BOTH medians
     // (lower median at rank (n+1)//2), then the signed trunc-div —
     // DuckDB // truncates toward zero like Spark div (the q144 note).
