@@ -288,6 +288,65 @@ object Curation {
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
 
+  /** Bloom-filter FALSE-POSITIVE-RATE calibration — the measured curve
+    * behind choosing `numBits` for [[decontaminateBloomPortable]]
+    * (q140/q141's discipline applied to the decontamination filter): a
+    * filter built over the eval n-gram KEY set is probed with the
+    * train-only n-grams (TRUE negatives by construction — the eval set
+    * is anti-joined away), at each candidate size; every flagged probe
+    * is a measured false positive. Output per size: m_bits, k_hashes,
+    * n_keys, n_negatives, n_fp, fpr_e4 — exact integers end to end (no
+    * float theory column; the (1−e^{−kn/m})^k comparison lives in
+    * BASELINE.md where pow portability can't bite a hash).
+    *
+    * Scale shape: key and negative sets are distinct-gram tables
+    * (vocabulary-sized, checkpointed once, probed per size); each
+    * filter is `m/32` longs built by one combinable BIT_OR aggregate
+    * and folded into the probe scan as a literal — the q78 shape,
+    * swept.
+    */
+  def bloomFprAudit(train: DataFrame, eval: DataFrame, textCol: String,
+      n: Int, bitSizes: Seq[Int], numHashes: Int): DataFrame = {
+    bitSizes.foreach(m => require(Integer.bitCount(m) == 1 && m >= 64,
+      s"bit sizes must be powers of two >= 64, got $m"))
+    val s = train.sparkSession
+    import s.implicits._
+    val evalG = ngrams(eval, textCol, n, Seq.empty)
+      .select(col("g")).distinct().localCheckpoint(true)
+    val negG = ngrams(train, textCol, n, Seq.empty)
+      .select(col("g")).distinct()
+      .join(evalG, Seq("g"), "left_anti").localCheckpoint(true)
+    val nKeys = evalG.count()
+    val nNeg = negG.count()
+    def bitOf(p: Column): Column = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftBridge.expression(lit(1L)),
+        org.apache.spark.sql.GraftBridge.expression(
+          p.cast("int").bitwiseAND(lit(31)))))
+    val rows = bitSizes.map { m =>
+      def pos(i: Int): Column =
+        conv(substring(md5(concat(col("g"), lit(s"#$i"))), 1, 15), 16, 10)
+          .cast("long") % m
+      val built = evalG
+        .select(explode(array((0 until numHashes).map(pos): _*)).as("p"))
+        .select(shiftright(col("p"), 5).cast("int").as("w"),
+          bitOf(col("p")).as("b"))
+        .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val words = lit(Array.tabulate(m / 32)(built.getOrElse(_, 0L)))
+      val hit = (0 until numHashes).map { i =>
+        val p = pos(i)
+        element_at(words, shiftright(p, 5).cast("int") + 1)
+          .bitwiseAND(bitOf(p)) =!= 0L
+      }.reduce(_ && _)
+      val fp = negG.filter(hit).count()
+      (m.toLong, numHashes.toLong, nKeys, nNeg, fp,
+        fp * 10000L / nNeg)
+    }
+    rows.toDF("m_bits", "k_hashes", "n_keys", "n_negatives", "n_fp",
+      "fpr_e4")
+  }
+
   // ------------------------------------------------- repetition rules
 
   /** Most-frequent-element count of a string array, as pure expression

@@ -428,7 +428,22 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q180: Bloom FPR calibration sweep — measured false-positive rates
+  // at 2^14 / 2^17 / 2^20 bits (saturated → moderate → clean) for the
+  // q78 decontamination filter's parameter choice.
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.bloomFprAudit(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "text", n = 3,
+        bitSizes = Seq(1 << 14, 1 << 17, 1 << 20),
+        numHashes = Q78Hashes)
+      .orderBy(col("m_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_bloom_fpr" -> (q180 _),
     "q179_quota_sample" -> (q179 _),
     "q177_robust_zscore" -> (q177 _),
     "q176_quantile_normalize" -> (q176 _),
@@ -925,6 +940,52 @@ object CurationQueries {
     // generated from the same (i, Q78Bits) loop as the Scala side so the
     // two cannot drift. Verdicts match bit-for-bit INCLUDING false
     // positives — the collisions are part of the certified semantics.
+    // q180: the q78 bloom replay swept over three sizes; negatives are
+    // the train-only distinct grams (NOT IN ev), fpr as exact `//`.
+    "q180_bloom_fpr" -> {
+      def posList(m: Int) = (0 until Q78Hashes)
+        .map(i => s"CAST('0x' || substr(md5(g || '#$i'), 1, 15) " +
+          s"AS BIGINT) % $m")
+        .mkString("list_value(", ", ", ")")
+      val sizes = Seq(1 << 14, 1 << 17, 1 << 20)
+      val blocks = sizes.map { m =>
+        s"""ep$m AS MATERIALIZED (SELECT DISTINCT
+           |    unnest(${posList(m)}) AS p FROM ev),
+           |w$m AS MATERIALIZED (SELECT p // 32 AS w,
+           |    BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+           |      AS word
+           |  FROM ep$m GROUP BY 1),
+           |h$m AS MATERIALIZED (SELECT t.g,
+           |    BOOL_AND(COALESCE((w.word &
+           |      (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))) <> 0,
+           |      FALSE)) AS hit
+           |  FROM (SELECT g, unnest(${posList(m)}) AS p FROM tn) t
+           |  LEFT JOIN w$m w ON p // 32 = w.w GROUP BY t.g),
+           |f$m AS (SELECT CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS fp FROM h$m)""".stripMargin
+      }.mkString(",\n")
+      val sel = sizes.map { m =>
+        s"SELECT CAST($m AS BIGINT) AS m_bits, " +
+          s"CAST($Q78Hashes AS BIGINT) AS k_hashes, " +
+          s"c.nk AS n_keys, c.nn AS n_negatives, f$m.fp AS n_fp, " +
+          s"CAST(f$m.fp * 10000 // c.nn AS BIGINT) AS fpr_e4 " +
+          s"FROM f$m CROSS JOIN c"
+      }.mkString("\nUNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+         |              FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2 + 1)) AS i
+         |        FROM toks),
+         |ng AS (SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ')
+         |         AS g FROM pos),
+         |ev AS MATERIALIZED (SELECT DISTINCT g FROM ng
+         |  WHERE doc_id % 50 = 0),
+         |tn AS MATERIALIZED (SELECT DISTINCT g FROM ng
+         |  WHERE doc_id % 50 <> 0 AND g NOT IN (SELECT g FROM ev)),
+         |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS nk,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tn) AS nn),
+         |$blocks
+         |SELECT * FROM ($sel) t ORDER BY m_bits""".stripMargin
+    },
     "q78_decontam_bloom" -> {
       val posList = (0 until Q78Hashes)
         .map(i => s"CAST('0x' || substr(md5(g || '#$i'), 1, 15) AS BIGINT)" +
