@@ -46,6 +46,37 @@ object PipelineQueries {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
+  // q181: Count-Min OVERESTIMATE calibration sweep — q102 shows the
+  // top-20's overcounts at one width; this measures the whole key
+  // population at w ∈ {64, 256, 1024} (d=4): total/max overcount and
+  // exact-match count per config — the numbers that size w against the
+  // e·N/w bound before a 100 TB frequency table trusts a sketch
+  // (theory comparison in BASELINE.md prose, with q180's rationale).
+  // All-integer; completes the sketch-audit family (q140 MinHash,
+  // q141 LSH, q180 Bloom).
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact")).localCheckpoint(true)
+    val rows = Seq(64, 256, 1024).map { w =>
+      val regs = CountMin.sketch(ev, "user_id", CmD, w)
+      val r = CountMin.estimate(exact, regs, "user_id", CmD, w)
+        .join(exact, Seq("user_id"))
+        .agg(count(lit(1)).as("nk"),
+          sum(col("est") - col("n_exact")).as("so"),
+          max(col("est") - col("n_exact")).as("mo"),
+          sum(when(col("est") === col("n_exact"), 1L).otherwise(0L))
+            .as("nx"))
+        .head()
+      (w.toLong, CmD.toLong, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+    }
+    rows.toDF("w", "d", "n_keys", "sum_overcount", "max_overcount",
+      "n_exact_match")
+  }
+
   // q103: exact seeded 10-sample per language in one bounded-state
   // aggregate — k×strata pairs of state instead of a per-stratum sort of
   // the corpus (the row_number plan the oracle replays).
@@ -594,6 +625,7 @@ object PipelineQueries {
     "q122_fuzzy_match" -> (q122 _),
     "q123_web_pipeline" -> (q123 _),
     "q102_countmin" -> (q102 _),
+    "q181_cms_calibration" -> (q181 _),
     "q103_sample_k" -> (q103 _),
     "q104_html_extract" -> (q104 _),
     "q105_url_report" -> (q105 _),
@@ -669,8 +701,11 @@ object PipelineQueries {
     * (the SQL mirror of [[CountMin.bucket]]).
     */
   private def cmBucketSql(r: String, k: String): String =
+    cmBucketSqlW(r, k, CmW)
+
+  private def cmBucketSqlW(r: String, k: String, w: Int): String =
     s"CAST(('0x' || substring(md5(CAST($r AS VARCHAR) || ':' || $k), 1, 8)) " +
-      s"AS BIGINT) % $CmW"
+      s"AS BIGINT) % $w"
 
   private val blockedInList: String =
     Blocked.map(d => s"'$d'").mkString("(", ", ", ")")
@@ -963,6 +998,40 @@ object PipelineQueries {
          |    / CAST(ku AS DOUBLE) AS est_intersection
          |FROM um JOIN pt pa ON pa.t = um.ta JOIN pt pb ON pb.t = um.tb
          |ORDER BY type_a, type_b""".stripMargin,
+    // q181: the q102 register/estimate replay swept over widths; the
+    // aggregate runs over ALL keys, all exact integers.
+    "q181_cms_calibration" -> {
+      val widths = Seq(64, 256, 1024)
+      val blocks = widths.map { w =>
+        s"""regs$w AS MATERIALIZED (SELECT r,
+           |    ${cmBucketSqlW("r", "k", w)} AS b,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM src CROSS JOIN rs GROUP BY 1, 2),
+           |pe$w AS (SELECT user_id, n_exact, r,
+           |    ${cmBucketSqlW("r", "CAST(user_id AS VARCHAR)", w)} AS b
+           |  FROM exact CROSS JOIN rs),
+           |est$w AS (SELECT user_id, n_exact,
+           |    MIN(COALESCE(regs$w.c, 0)) AS est
+           |  FROM pe$w LEFT JOIN regs$w USING (r, b) GROUP BY 1, 2),
+           |agg$w AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+           |    CAST(SUM(est - n_exact) AS BIGINT) AS so,
+           |    CAST(MAX(est - n_exact) AS BIGINT) AS mo,
+           |    CAST(SUM(CASE WHEN est = n_exact THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nx
+           |  FROM est$w)""".stripMargin
+      }.mkString(",\n")
+      val sel = widths.map { w =>
+        s"SELECT CAST($w AS BIGINT) AS w, CAST($CmD AS BIGINT) AS d, " +
+          s"nk AS n_keys, so AS sum_overcount, mo AS max_overcount, " +
+          s"nx AS n_exact_match FROM agg$w"
+      }.mkString("\nUNION ALL ")
+      s"""WITH rs(r) AS (SELECT unnest(range(0, $CmD))),
+         |src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1),
+         |$blocks
+         |SELECT * FROM ($sel) t ORDER BY w""".stripMargin
+    },
     "q102_countmin" ->
       s"""WITH rs(r) AS (SELECT unnest(range(0, $CmD))),
          |src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
