@@ -574,6 +574,49 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("sq_dist_e8"), p)
   }
 
+  test("q170: transition lag window is keyed by user — no global sort") {
+    val p = plan("q170_markov_transitions")
+    // the only Window must partition on user_id; an empty partition
+    // spec would serialize the event stream through one task
+    assert(p.contains("Window") && p.contains("user_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q174/q175: banded pair joins stay cartesian-free") {
+    for (q <- Seq("q174_phash_neardup", "q175_triangle_census")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q176: rank lookup joins the histogram broadcast") {
+    val p = plan("q176_quantile_normalize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q178-adjacent: the moment pass is ONE aggregate over one scan") {
+    // The PCA operator's corpus-side plan: a single explode feeding a
+    // single combinable aggregate — audit the shape directly (q178's
+    // entry also runs the driver iteration).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 20L).map(i => Tuple1(Array(i.toFloat, 2f * i)))
+      .toDF("embedding").repartition(4)
+    val idx = sequence(lit(0), lit(1))
+    val xq = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000).cast("long"))
+    val cells = df.select(xq.as("__q"))
+      .select(explode(flatten(transform(idx, i => transform(idx, j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("__q"), i + 1) *
+            element_at(col("__q"), j + 1)).as("p")))))).as("c"))
+      .groupBy(col("c.i"), col("c.j")).agg(sum(col("c.p")).as("s"))
+    val p = cells.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q75/q76: BM25 is a joinless narrow scan; no cartesian anywhere") {
     // The literal-term BM25 plan is one projection over the checkpointed
     // per-doc stats — any Join/Exchange/Generate appearing here means the
