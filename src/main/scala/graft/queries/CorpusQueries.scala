@@ -281,7 +281,43 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  // q182: the one-row corpus DATASHEET — the dataset-card numbers a
+  // release ships (docs/tokens/languages/sources, exact-dup mass, the
+  // token median): counts from two combinable aggregates (corpus +
+  // md5-group table), the median from the q176/q177 histogram-cumsum
+  // selection — nothing here sorts or collects the corpus.
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "),
+      t => length(t) > 0)
+    val d = docs(s, dir).select(col("lang"), col("source"),
+        md5(col("text")).as("__m"), size(toks).cast("long").as("__n"))
+      .localCheckpoint(true)
+    val base = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("__n")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dups = d.groupBy(col("__m")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L))
+        .as("exact_dup_docs"))
+    val med = d.groupBy(col("__n")).agg(count(lit(1)).as("c"))
+      .withColumn("__cum", sum(col("c")).over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("__n"))))
+      .withColumn("__t", sum(col("c")).over(org.apache.spark.sql
+        .expressions.Window.partitionBy()))
+      .filter(col("__cum") >= expr("(__t + 1) div 2"))
+      .agg(min(col("__n")).as("median_tokens"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(med))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("exact_dup_docs"),
+        expr("CAST(exact_dup_docs * 10000 div n_docs AS BIGINT)")
+          .as("dup_frac_e4"),
+        expr("CAST(n_tokens * 100 div n_docs AS BIGINT)")
+          .as("mean_tokens_e2"),
+        col("median_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_dataset_card" -> (q182 _),
     "q173_group_ols" -> (q173 _),
     "q172_mutual_information" -> (q172 _),
     "q166_textrank_keywords" -> (q166 _),
@@ -324,6 +360,34 @@ object CorpusQueries {
       |       FROM run GROUP BY doc_id, n_words, island)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q182: the same aggregates + the histogram lower median; all
+    // exact integers, trunc-div shares.
+    "q182_dataset_card" ->
+      """WITH d AS (SELECT lang, source, md5(text) AS m,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), ' '),
+        |      x -> LENGTH(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM d),
+        |g AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY m),
+        |dd AS (SELECT CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
+        |    AS BIGINT) AS exact_dup_docs FROM g),
+        |h AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY n),
+        |w AS (SELECT n,
+        |    CAST(SUM(c) OVER (ORDER BY n) AS BIGINT) AS cum,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM h) AS t FROM h),
+        |md AS (SELECT CAST(MIN(n) AS BIGINT) AS median_tokens FROM w
+        |  WHERE cum >= (t + 1) // 2)
+        |SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources,
+        |  dd.exact_dup_docs,
+        |  CAST(dd.exact_dup_docs * 10000 // b.n_docs AS BIGINT)
+        |    AS dup_frac_e4,
+        |  CAST(b.n_tokens * 100 // b.n_docs AS BIGINT) AS mean_tokens_e2,
+        |  md.median_tokens
+        |FROM b, dd, md""".stripMargin,
     // q173: exact integer moments, then the engine's identical
     // centered-moment double expressions (left-assoc division chains).
     "q173_group_ols" ->
