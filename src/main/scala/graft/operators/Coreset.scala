@@ -42,6 +42,11 @@ object Coreset {
     val base = graft.SparkUtil.ensureParallelism(
         df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v")))
       .localCheckpoint(true)
+    val nRows = base.count()
+    require(nRows > 0, "farthestFirst: empty input — nothing to select")
+    require(k <= nRows,
+      s"farthestFirst: k=$k exceeds the ${nRows} distinct input rows; " +
+        "every row is already a center at k = n")
     val seedRow = base.orderBy(col("__id")).limit(1).head()
     val seedId = seedRow.getLong(0)
     val seedVec = seedRow.getSeq[Float](1).toArray

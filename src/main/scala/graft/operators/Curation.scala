@@ -340,8 +340,10 @@ object Curation {
           .bitwiseAND(bitOf(p)) =!= 0L
       }.reduce(_ && _)
       val fp = negG.filter(hit).count()
+      // nNeg == 0 (every train n-gram appears in eval) means there is
+      // nothing to false-positive on: report fpr 0, don't divide.
       (m.toLong, numHashes.toLong, nKeys, nNeg, fp,
-        fp * 10000L / nNeg)
+        if (nNeg == 0) 0L else fp * 10000L / nNeg)
     }
     rows.toDF("m_bits", "k_hashes", "n_keys", "n_negatives", "n_fp",
       "fpr_e4")
@@ -494,16 +496,26 @@ object Curation {
     * in the last ulp, so a raw-double boundary would be engine-
     * dependent; at e9 a flip needs the exact value within ~1e-20 of a
     * rounding edge (SURVEY §5.4 taken one step further: quantize the
-    * SELECTION key, not just the output). Weights must be positive.
+    * SELECTION key, not just the output). Weights must be positive and
+    * that is ENFORCED in-plan: a zero weight would make the key
+    * -Infinity and a negative weight flips ln(u)/w positive — silently
+    * promoting exactly the invalid rows to the top-k — so the key
+    * expression `raise_error`s on w <= 0 (or null) instead: the scan
+    * itself fails loudly, at zero extra passes.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, seed: String): DataFrame = {
     val h = conv(substring(md5(concat(lit(seed), lit(":"),
       col(keyCol).cast("string"))), 1, 13), 16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0)
+    val w = col(weightCol).cast("double")
     df.withColumn("es_key_e9",
-        round(log(u) / col(weightCol).cast("double") * 1000000000, 0)
-          .cast("long"))
+        when(w > 0, round(log(u) / w * 1000000000, 0).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"weightedSample: non-positive weight in '$weightCol' "),
+            lit("(row key "), col(keyCol).cast("string"),
+            lit(", weight "), col(weightCol).cast("string"),
+            lit(") — weights must be > 0")))))
       .orderBy(col("es_key_e9").desc, col(keyCol))
       .limit(k)
   }

@@ -182,21 +182,39 @@ object Multimodal {
       })
   }
 
-  /** Near-duplicate pairs among pHash signatures via 15-bit LSH
-    * banding: candidates collide on at least one of the 4 bands
-    * (a ≤ `maxHamming` pair always agrees on SOME band once hamming
-    * < 4 by pigeonhole — wider misses are accepted, as in every LSH),
-    * then the exact Hamming filter. The self-join is banded — never
-    * all-pairs — and the band table is 4 rows per signature.
+  /** Near-duplicate pairs among pHash signatures via LSH banding over
+    * the 60-bit signature, then the exact Hamming filter. The
+    * pigeonhole RECALL GUARANTEE is hamming < `numBands` ONLY: a pair
+    * differing in fewer bits than there are bands must leave some band
+    * untouched. At the DEFAULT (numBands = 4, maxHamming = 12) that
+    * means pairs at hamming ≤ 3 are guaranteed; pairs at 4–12 are found
+    * only if their differing bits happen to cluster inside ≤ 3 bands —
+    * real recall loss, accepted for bucket selectivity (15-bit bands
+    * keep buckets tiny). For GUARANTEED recall at the configured
+    * threshold, pass `numBands = maxHamming + 1` (Manku et al.'s
+    * block-permutation bound, WWW'07): bands shrink to ~60/(h+1) bits,
+    * buckets coarsen, and the candidate join pays for the guarantee —
+    * the classic LSH trade, now a caller choice instead of a silent
+    * default. The self-join is banded — never all-pairs — and the band
+    * table is `numBands` rows per signature.
     * Input: (idCol, sigCol). Output: a, b, hamming.
     */
   def pHashPairs(sigs: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int = 12): DataFrame = {
+      maxHamming: Int = 12, numBands: Int = 4): DataFrame = {
+    require(numBands >= 2 && numBands <= 60,
+      s"numBands must be in [2, 60], got $numBands")
+    // Distribute the 60 bits over numBands contiguous bands, sizes as
+    // equal as integers allow (rem bands get one extra bit).
+    val base = 60 / numBands
+    val rem = 60 % numBands
+    val sizes = Array.tabulate(numBands)(b => if (b < rem) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _)
     val bands = sigs.select(col(idCol).as("__id"), col(sigCol).as("__s"))
       .select(col("__id"), col("__s"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until numBands).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("__s"), b * 15).bitwiseAND(lit(32767L))
+            shiftright(col("__s"), offsets(b))
+              .bitwiseAND(lit((1L << sizes(b)) - 1L))
               .as("v"))): _*)).as("__b"))
       .select(col("__id"), col("__s"), col("__b.band").as("band"),
         col("__b.v").as("v"))

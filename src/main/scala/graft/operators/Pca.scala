@@ -22,9 +22,17 @@ import org.apache.spark.sql.functions._
   * final eigenvector, replays bit-for-bit in SQL with unrolled
   * per-iteration CTEs. No float enters any multi-row reduction.
   *
-  * Overflow budget (documented, not hoped): xq ≤ ~10³ per component,
-  * so S ≤ n·10⁶, A ≤ 2n²·10⁶ (n ≤ 3·10⁹ fits); A div 10⁷ ≤ 2.5·10⁶ at
-  * n = 5000, y ≤ d·(A div 10⁷)·10⁶ ≤ 1.6·10¹⁴ — longs end to end.
+  * Overflow budget (documented AND enforced): xq ≤ ~10³ per
+  * component, so |S| ≤ n·10⁶, |Sm_i·Sm_j| ≤ n²·10⁶ and
+  * |A| = |S·n − Sm·Sm| ≤ 2n²·10⁶ — that alone caps n at
+  * √(Long.Max/2·10⁶) ≈ 2.1·10⁶ rows. The iterate is tighter:
+  * |y_i| ≤ d·(A div 10⁷)·10⁶ ≤ d·(n²/5)·10⁶, so n must also satisfy
+  * n ≤ √(Long.Max·5 / (d·10⁶)) — ≈ 8.5·10⁵ rows at d = 64. Rather
+  * than silently wrapping past that, `topComponent` computes the
+  * binding cap from `dim` and `require`s n under it, so a
+  * corpus-scale caller gets a loud error telling them to sample
+  * (the moment matrix of a uniform sample estimates the same PC1) —
+  * never silently wrong eigenvectors.
   *
   * Sign convention: the returned vector's largest-|component| entry is
   * made non-negative (eigenvectors are sign-ambiguous; the tie rule
@@ -33,6 +41,17 @@ import org.apache.spark.sql.functions._
   * Output: one row per dimension — (pos 1..d, pc1_e6).
   */
 object Pca {
+
+  /** Largest row count the exact-integer pipeline can take without
+    * wrapping (see the overflow budget above): the binding constraint
+    * is the smaller of the centering cap √(Long.Max / 2·10⁶) ≈ 2.1·10⁶
+    * and the iterate cap √(Long.Max·5 / (d·10⁶)) — ≈ 8.5·10⁵ at d=64.
+    */
+  def overflowCap(dim: Int): Long = {
+    val capCenter = math.sqrt(Long.MaxValue / 2e6).toLong
+    val capIter = math.sqrt(Long.MaxValue * 5.0 / (dim * 1e6)).toLong
+    math.min(capCenter, capIter)
+  }
 
   def topComponent(df: DataFrame, vecCol: String, dim: Int,
       iterations: Int = 8): DataFrame = {
@@ -56,7 +75,14 @@ object Pca {
       .agg(sum(col("c.p")).as("s"), sum(col("c.m")).as("sm"),
         count(lit(1)).as("n"))
       .collect()
+    require(cells.nonEmpty, "Pca.topComponent: empty input")
     val n = cells.head.getAs[Long]("n")
+    val nCap = overflowCap(dim)
+    require(n <= nCap,
+      s"Pca.topComponent: n=$n exceeds the exact-integer overflow cap " +
+        s"$nCap for dim=$dim; uniformly sample the input below the " +
+        "cap — the sample's moment matrix estimates the same top " +
+        "component")
     val S = Array.ofDim[Long](dim, dim)
     val sm = new Array[Long](dim)
     cells.foreach { r =>

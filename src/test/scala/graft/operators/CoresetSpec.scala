@@ -25,6 +25,28 @@ class CoresetSpec extends SparkSpec {
       (5L, -1L, 100000000L)))
   }
 
+  test("farthestFirst: k > n and empty input fail loudly") {
+    val df = pts.toDF("vec_id", "embedding")
+    val eK = intercept[IllegalArgumentException] {
+      Coreset.farthestFirst(df, "vec_id", "embedding", k = 6)
+    }
+    assert(eK.getMessage.contains("k=6 exceeds"))
+    val eE = intercept[IllegalArgumentException] {
+      Coreset.farthestFirst(df.filter("vec_id < 0"),
+        "vec_id", "embedding", k = 2)
+    }
+    assert(eE.getMessage.contains("empty input"))
+  }
+
+  test("farthestFirst: k == n selects every row, cover radius 0") {
+    val out = Coreset.farthestFirst(pts.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length == 6)
+    assert(out.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSet ==
+      Set(-1L, 0L, 1L, 2L, 3L, 4L))
+    assert(out.last.getLong(2) == 0L)
+  }
+
   test("farthestFirst: partition-layout invariant") {
     val a = Coreset.farthestFirst(pts.toDF("vec_id", "embedding"),
       "vec_id", "embedding", k = 3).collect().toSeq

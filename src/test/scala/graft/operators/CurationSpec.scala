@@ -185,4 +185,26 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_.getLong(0) <= 20) >= 9,
       "weight-1000 rows should crowd out weight-1 rows")
   }
+
+  test("weightedSample: zero or negative weight fails loudly instead of " +
+      "biasing the top-k") {
+    // A negative weight flips ln(u)/w positive — without the guard it
+    // would WIN the sample; the in-plan raise_error must fire instead.
+    val df = Seq((1L, 5L), (2L, -3L), (3L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Curation.weightedSample(df, "id", "w", k = 2, seed = "s").collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"), e.getMessage)
+  }
+
+  test("bloomFprAudit: empty train-only negative set reports fpr 0, " +
+      "no division error") {
+    val train = Seq(Tuple1("a b c d")).toDF("text")
+    val eval = Seq(Tuple1("a b c d e")).toDF("text")
+    val out = Curation.bloomFprAudit(train, eval, "text", n = 3,
+      bitSizes = Seq(64), numHashes = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_negatives") == 0L)
+    assert(out.head.getAs[Long]("fpr_e4") == 0L)
+  }
 }

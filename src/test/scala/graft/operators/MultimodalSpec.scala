@@ -117,4 +117,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.length == planted.length,
       s"unexpected cross pairs: ${pairs.toSeq}")
   }
+
+  test("pHashPairs recall gap: hamming-12 pair spread over all 4 default " +
+      "bands is missed, numBands = maxHamming + 1 guarantees it") {
+    import org.apache.spark.sql.functions._
+    // 12 differing bits, 3 per 15-bit band: every default band differs,
+    // so 4-band LSH generates no candidate — the documented gap.
+    import spark.implicits._
+    val diff = Seq(0, 1, 2, 15, 16, 17, 30, 31, 32, 45, 46, 47)
+      .map(1L << _).reduce(_ | _)
+    val sigs = Seq((1L, 0L), (2L, diff))
+      .toDF("media_id", "sig")
+    val miss = Multimodal.pHashPairs(sigs, "media_id", "sig",
+      maxHamming = 12).count()
+    assert(miss == 0L, "default 4-band LSH unexpectedly found the pair")
+    // 13 bands over 60 bits: pigeonhole leaves >= 1 untouched band for
+    // any hamming <= 12 pair — the pair MUST surface, with exact hamming.
+    val hit = Multimodal.pHashPairs(sigs, "media_id", "sig",
+      maxHamming = 12, numBands = 13).collect()
+    assert(hit.length == 1 && hit.head.getLong(2) == 12L, hit.toSeq)
+  }
 }

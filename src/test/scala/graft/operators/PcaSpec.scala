@@ -49,4 +49,23 @@ class PcaSpec extends SparkSpec {
     assert(v(0) >= 1000000L && v(1) == 0L && v(2) == 0L && v(3) == 0L,
       v.toSeq)
   }
+
+  test("overflow cap: binding constraint is the iterate bound at real " +
+      "dims, the centering bound at tiny dims") {
+    // Centering: 2n²·10⁶ <= Long.Max → n <= 2 147 483. Iterate:
+    // d·(n²/5)·10⁶ <= Long.Max → n <= √(4.61e13/d).
+    assert(Pca.overflowCap(2) == 2147483L, Pca.overflowCap(2))
+    assert(Pca.overflowCap(64) == 848867L, Pca.overflowCap(64))
+    assert(Pca.overflowCap(384) == 346548L, Pca.overflowCap(384))
+    // Monotone in dim — more terms in the dot product, tighter cap.
+    assert(Pca.overflowCap(384) < Pca.overflowCap(64))
+  }
+
+  test("empty input fails loudly") {
+    val df = Seq(Tuple1(Array(1f, 2f))).toDF("embedding").filter("false")
+    val e = intercept[IllegalArgumentException] {
+      Pca.topComponent(df, "embedding", dim = 2)
+    }
+    assert(e.getMessage.contains("empty input"), e.getMessage)
+  }
 }
