@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.ModelQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.ModelQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.EventQueries.oracle
+      graft.queries.EventQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

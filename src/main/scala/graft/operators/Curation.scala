@@ -648,6 +648,78 @@ object Curation {
           .as("kept_frac"))
   }
 
+  /** OTSU per-group threshold — [[adaptiveThreshold]]'s percentile rule
+    * needs a keep-rate chosen by hand; Otsu's method (Otsu 1979) derives
+    * the threshold from the score DISTRIBUTION itself: pick the cut
+    * maximizing the between-class variance ω₀ω₁(μ₀−μ₁)² over the score
+    * histogram — the binarization rule for bimodal quality scores
+    * ("boilerplate mode vs prose mode"), with no tunable at all.
+    *
+    * Same scale shape as [[adaptiveThreshold]]: ONE map-side-combinable
+    * (group, score-bin) count aggregate over the corpus (checkpointed),
+    * then windows over the histogram — the candidate evaluation is
+    * bins-sized, never data-sized. The score must already be an integer
+    * bin (cap it — e.g. `least(n_chars div 20, 255)`); bounded bins are
+    * what makes the histogram the exact-and-scalable path at 100 TB.
+    *
+    * ALL-INTEGER objective (the q178 discipline): with cumulative
+    * w₀ = Σ c, m₀ = Σ c·s at threshold t and complements w₁, m₁,
+    * maximize obj = w₀·w₁·d² where d = (m₀·w₁ − m₁·w₀)·100 div (w₀·w₁)
+    * is (μ₀−μ₁) at e2 — trunc-div integer arithmetic both engines
+    * replay bit-for-bit, ties broken toward the smaller bin. Overflow
+    * budget (documented AND enforced): with B = max bin value,
+    * m₀·w₁ ≤ N²·B needs ·100 ≤ Long.Max, and obj ≤ (N²/4)·(100·B)²
+    * must fit — the binding cap is N ≤ √(4·Long.Max)/(100·B), ≈ 2.4·10⁸
+    * rows per group at B = 255; `require`d from the histogram's own
+    * marginals, so past the cap the call fails loudly (sample, or
+    * coarsen bins) instead of silently wrapping.
+    *
+    * Output per group: (groupCol, threshold (smallest KEPT bin = t+1),
+    * n_below, n_above, mu_below_e2, mu_above_e2, sep_obj).
+    */
+  def otsuThreshold(df: DataFrame, groupCol: String, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol), scoreBin.cast("long").as("__s"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val caps = hist.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__n"), max(col("__s")).as("__mx"),
+        min(col("__s")).as("__mn"))
+      .agg(max(col("__mx")).as("maxS"), min(col("__mn")).as("minS"),
+        max(col("__n")).as("maxN")).head()
+    require(!caps.isNullAt(0), "otsuThreshold: empty input")
+    val (maxS, maxN) = (caps.getLong(0), caps.getLong(2))
+    require(caps.getLong(1) >= 0, "otsuThreshold: score bins must be >= 0")
+    val nCap = math.sqrt(4.0 * Long.MaxValue).toLong / (100L * math.max(maxS, 1L))
+    require(maxN <= nCap,
+      s"otsuThreshold: largest group has $maxN rows, over the " +
+        s"exact-integer cap $nCap at max bin $maxS — coarsen the bins " +
+        "or sample; refusing to overflow silently")
+    val byScore = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+    val grp = Window.partitionBy(col(groupCol))
+    val scored = hist
+      .withColumn("__w0", sum(col("__c")).over(byScore))
+      .withColumn("__m0", sum(col("__c") * col("__s")).over(byScore))
+      .withColumn("__n", sum(col("__c")).over(grp))
+      .withColumn("__m", sum(col("__c") * col("__s")).over(grp))
+      .withColumn("__w1", col("__n") - col("__w0"))
+      .withColumn("__m1", col("__m") - col("__m0"))
+      .filter(col("__w1") > 0)
+      .withColumn("__d",
+        expr("(__m0 * __w1 - __m1 * __w0) * 100 div (__w0 * __w1)"))
+      .withColumn("__obj", col("__w0") * col("__w1") * col("__d") * col("__d"))
+      .withColumn("__rk", row_number().over(
+        grp.orderBy(col("__obj").desc, col("__s"))))
+    scored.filter(col("__rk") === 1)
+      .select(col(groupCol), (col("__s") + 1).as("threshold"),
+        col("__w0").as("n_below"), col("__w1").as("n_above"),
+        expr("__m0 * 100 div __w0").as("mu_below_e2"),
+        expr("__m1 * 100 div __w1").as("mu_above_e2"),
+        col("__obj").as("sep_obj"))
+  }
+
   /** N-gram novelty attribution: for every document, how many of its
     * distinct n-grams appear HERE FIRST (no lower-id document contains
     * them)? The diversity-decay curve of a corpus in document order —

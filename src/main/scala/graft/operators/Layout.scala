@@ -40,6 +40,54 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** CONSISTENT-HASH ring positions for `numShards` shards with
+    * `vnodesPerShard` virtual nodes each, computed on the driver (the
+    * ring is shards×vnodes metadata — IVF-centroid legitimacy): vnode
+    * (s, v) sits at the 52-bit position read from the first 13 hex
+    * digits of md5("shard:s:v") — the same digest both engines
+    * evaluate, so an oracle rebuilds the identical ring in SQL.
+    * Returned sorted by position.
+    */
+  def hashRing(numShards: Int, vnodesPerShard: Int): Seq[(Long, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for {
+      s <- 0 until numShards
+      v <- 0 until vnodesPerShard
+    } yield {
+      val hex = md.digest(s"shard:$s:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16), s)
+    }).sortBy(_._1)
+  }
+
+  /** CONSISTENT-HASH shard assignment — the layout primitive behind
+    * "grow the cluster without reshuffling the world": a key goes to
+    * the first ring vnode clockwise from its hash (wrap-around to the
+    * ring minimum). With mod-N hashing, adding one shard moves
+    * ~(N−1)/N of ALL keys; on the ring, ONLY keys landing in the new
+    * shard's vnode arcs move — expected 1/(N+1) of the data, nothing
+    * shard-to-old-shard. Vnodes smooth per-shard load (arc-length
+    * variance ~1/√V).
+    *
+    * The ring enters the row expression as a SORTED LITERAL ARRAY and
+    * the successor lookup is `filter(ring, pos >= h)[1]` with a
+    * wrap-around coalesce — per-row codegen'd expression algebra, zero
+    * joins, zero shuffles: assignment rides the scan at any scale.
+    */
+  def consistentShard(keyCol: Column, numShards: Int,
+      vnodesPerShard: Int = 16): Column = {
+    val ring = hashRing(numShards, vnodesPerShard)
+    val ringLit = array(ring.map { case (p, s) =>
+      struct(lit(p).as("pos"), lit(s).as("shard")) }: _*)
+    val h = conv(substring(md5(keyCol.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    // try_element_at: an empty successor list (key past the last vnode)
+    // must yield NULL for the wrap-around coalesce, not an ANSI error.
+    val succ = filter(ringLit, r => r.getField("pos") >= h)
+    coalesce(try_element_at(succ, lit(1)).getField("shard"),
+      lit(ring.head._2)).cast("long")
+  }
+
   /** Rewrite `df` into Z-order: range-partition on the Morton key (so
     * partitions hold contiguous key ranges → tight per-file stats), sort
     * within partitions, drop the key. This is the write-side half; the

@@ -131,6 +131,90 @@ object Stats {
     least(rho, lit(50))
   }
 
+  /** HLL estimate from a register table (`keys..., __b, __m`): groups
+    * the registers by `keys` and applies the original HLL recipe —
+    * α·m²·2^50 over the exact-integer harmonic sum, linear-counting
+    * fallback below 2.5m. The α·m²·2^50 prefactor is written as the
+    * same left-associated literal tree the oracle uses, so constant
+    * folding reproduces DuckDB's runtime doubles exactly. Returns
+    * `keys..., __ndv` (rounded long).
+    */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+      lit(16777216.0) * lit(1125899906842624.0) / col("__s").cast("double")
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - __m)")).as("__sp"))
+      .withColumn("__zeros", lit(HllBuckets) - col("__present"))
+      .withColumn("__s", col("__sp") + col("__zeros") * lit(1L << 50))
+      .withColumn("__est",
+        when(raw <= lit(10240.0) && col("__zeros") > 0,
+          lit(4096.0) * log(lit(4096.0) / col("__zeros").cast("double")))
+          .otherwise(raw))
+      .select(keys.map(col) :+
+        round(col("__est"), 0).cast("long").as("__ndv"): _*)
+  }
+
+  /** MERGEABLE-SKETCH ROLLUP CERTIFICATE — the cube pattern that makes
+    * distinct counts affordable at 100 TB: build one small HLL register
+    * set per (group, partition) cell ONCE (e.g. per source per day),
+    * persist those, and answer any coarser distinct-count — per group,
+    * global, arbitrary date ranges — by register-max MERGE, never
+    * rescanning the data. This operator certifies the whole contract on
+    * real data, per group:
+    *
+    *  - `est_merged` (cells max-merged, the production path) EQUALS
+    *    `est_direct` (a one-pass sketch over the raw stream) — register
+    *    max is associative, and the hash-match proves the merge
+    *    implementation loses nothing (`merged_eq_direct`);
+    *  - `sum_part_est` (naively ADDING per-partition estimates — the
+    *    classic wrong rollup) overcounts whenever values recur across
+    *    partitions, which is why sketches must merge, not add;
+    *  - `err_e4` = |est_merged − exact|·10⁴ div exact puts the measured
+    *    error next to the 1.6% theory bound (m = 4096).
+    *
+    * Scale: the sketch passes aggregate map-side to ≤ 4096 registers
+    * per cell; `exact_ndv` (one distinct count) is the certificate's
+    * audit column — at 100 TB you run the sketch passes only.
+    *
+    * Output: (group, n_parts, exact_ndv, est_direct, est_merged,
+    * merged_eq_direct, sum_part_est, err_e4).
+    */
+  def hllRollup(df: DataFrame, groupCol: String, partCol: Column,
+      value: Column): DataFrame = {
+    val stream = df.select(col(groupCol).as("__g"), partCol.as("__p"),
+        value.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+    val h = md5(col("__v"))
+    val cells = stream
+      .select(col("__g"), col("__p"), substring(h, 1, 3).as("__b"),
+        hllRegister(h).as("__m"))
+      .groupBy(col("__g"), col("__p"), col("__b"))
+      .agg(max(col("__m")).as("__m"))
+      .localCheckpoint(true)
+    val perPart = hllEstimate(cells, Seq("__g", "__p"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("__ndv")).as("sum_part_est"))
+    val merged = hllEstimate(
+      cells.groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m")),
+      Seq("__g")).withColumnRenamed("__ndv", "est_merged")
+    val direct = hllEstimate(
+      stream.select(col("__g"), substring(h, 1, 3).as("__b"),
+          hllRegister(h).as("__m"))
+        .groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m")),
+      Seq("__g")).withColumnRenamed("__ndv", "est_direct")
+    val exact = stream.groupBy(col("__g"))
+      .agg(countDistinct(col("__v")).as("exact_ndv"))
+    exact.join(direct, Seq("__g")).join(merged, Seq("__g"))
+      .join(perPart, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_parts"), col("exact_ndv"),
+        col("est_direct"), col("est_merged"),
+        (col("est_merged") === col("est_direct")).as("merged_eq_direct"),
+        col("sum_part_est"),
+        expr("abs(est_merged - exact_ndv) * 10000 div exact_ndv")
+          .as("err_e4"))
+  }
+
   def profileApproxPortable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileApproxPortable needs at least one column")
     val spark = df.sparkSession
@@ -154,21 +238,7 @@ object Stats {
         hllRegister(h).as("__m"))
       .groupBy(col("__c"), col("__b"))
       .agg(max(col("__m")).as("__m"))
-    // Constant-size per column from here on. The α·m²·2^50 prefactor is
-    // written as the same left-associated literal tree the oracle uses,
-    // so constant folding reproduces DuckDB's runtime doubles exactly.
-    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
-      lit(16777216.0) * lit(1125899906842624.0) / col("__s").cast("double")
-    val est = regs.groupBy(col("__c"))
-      .agg(count(lit(1)).as("__present"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - __m)")).as("__sp"))
-      .withColumn("__zeros", lit(HllBuckets) - col("__present"))
-      .withColumn("__s", col("__sp") + col("__zeros") * lit(1L << 50))
-      .withColumn("__est",
-        when(raw <= lit(10240.0) && col("__zeros") > 0,
-          lit(4096.0) * log(lit(4096.0) / col("__zeros").cast("double")))
-          .otherwise(raw))
-      .select(col("__c"), round(col("__est"), 0).cast("long").as("__ndv"))
+    val est = hllEstimate(regs, Seq("__c"))
     val ndv = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     cols.map { c =>
       (c, totalCnt - row.getAs[Long](s"__cnt_$c"),

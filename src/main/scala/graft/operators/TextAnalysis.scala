@@ -215,4 +215,126 @@ object TextAnalysis {
         (size(array_distinct(col("__t"))).cast("double") /
           size(col("__t"))).as("ttr"))
   }
+
+  /** KEYNESS — per-group characteristic terms by Dunning's G² (the
+    * log-likelihood ratio of the 2×2 contingency table term × group,
+    * Dunning 1993): for a term t in group g with observed in-group
+    * count a, out-of-group count b = tt−a, other-in-group mass c =
+    * st−a and remainder d = N−st−b, G² = 2·Σ k·ln(k/E_k) over the four
+    * cells. The corpus-linguistics answer to "what vocabulary makes
+    * this source DIFFERENT" — q160's PMI finds pairs that co-occur,
+    * q172's MI scores the whole lang×source association; keyness ranks
+    * individual terms per group, the signal behind source-mixture
+    * descriptions and contamination triage ("why is this shard full of
+    * SEO words"). Only over-represented cells (a·N > st·tt) rank —
+    * positive keywords, the standard keyness convention.
+    *
+    * Portability: each cell's ln argument is a ratio of exact integer
+    * products evaluated in IEEE doubles ((k·N)/(row·col) — identical
+    * bits in both engines), the ln is pinned at e4 (the psiReport
+    * discipline), and G²_e4 = 2·Σ k·lnE4 is then an exact integer sum.
+    * Overflow: k·lnE4 ≤ N·ln(N)·10⁴ — fits a long to N ≈ 3·10¹³
+    * tokens, beyond any single mixture's token count.
+    *
+    * Scale shape: ONE tokenize+explode pass into a map-side-combinable
+    * (group, term) count (checkpointed); everything after is
+    * vocabulary-sized — term marginals via a term-partitioned window,
+    * group marginals via a BROADCAST join of the groups-sized totals,
+    * and the grand total as a literal (never a partition-less window
+    * over the vocabulary table, which would single-thread a 100M-term
+    * vocab). No second corpus scan, no join back to rows.
+    *
+    * Output: (group, rank, term, n_obs, exp_e4, g2_e4), rank 1..topK
+    * per group by G² desc (tie: term asc).
+    */
+  def keyness(df: DataFrame, groupCol: String, textCol: String,
+      minCount: Int = 5, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = graft.SparkUtil.ensureParallelism(df)
+      .select(col(groupCol).as("grp"),
+        explode(filter(split(lower(col(textCol)), " "),
+          t => length(t) > 0)).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
+    val byTerm = Window.partitionBy(col("term"))
+    val byGrp = Window.partitionBy(col("grp"))
+    val lnE4 = (num: Column, den: Column) =>
+      round(log(num.cast("double") / den.cast("double")) * 10000, 0)
+        .cast("long")
+    // cellTerm(k, row, col): k·lnE4(k·N / (row·col)), 0 when k = 0.
+    val cellTerm = (k: Column, row: Column, cTot: Column, n: Column) =>
+      when(k > 0, k * lnE4(k * n, row * cTot)).otherwise(lit(0L))
+    val grpTotals = cells.groupBy(col("grp"))
+      .agg(sum(col("a")).as("st"))
+    // coalesce: an empty corpus flows through as an empty result, not
+    // an NPE on the null SUM.
+    val nTotal = grpTotals.agg(coalesce(sum(col("st")), lit(0L)))
+      .head().getLong(0)
+    val scored = cells
+      .withColumn("tt", sum(col("a")).over(byTerm))
+      .join(broadcast(grpTotals), Seq("grp"))
+      .withColumn("n", lit(nTotal))
+      .withColumn("b", col("tt") - col("a"))
+      .withColumn("c", col("st") - col("a"))
+      .withColumn("d", col("n") - col("st") - col("b"))
+      .filter(col("a") >= minCount &&
+        col("a") * col("n") > col("st") * col("tt"))
+      .withColumn("g2_e4", lit(2L) * (
+        cellTerm(col("a"), col("st"), col("tt"), col("n")) +
+          cellTerm(col("b"), col("n") - col("st"), col("tt"), col("n")) +
+          cellTerm(col("c"), col("st"), col("n") - col("tt"), col("n")) +
+          cellTerm(col("d"), col("n") - col("st"), col("n") - col("tt"),
+            col("n"))))
+      .withColumn("exp_e4",
+        expr("st * tt * 10000 div n"))
+      .withColumn("rank", row_number().over(
+        byGrp.orderBy(col("g2_e4").desc, col("term"))))
+      .filter(col("rank") <= topK)
+    scored.select(col("grp").as(groupCol),
+      col("rank").cast("long").as("rank"), col("term"),
+      col("a").as("n_obs"), col("exp_e4"), col("g2_e4"))
+  }
+
+  /** DISTINCT-n corpus diversity — per group, for n ∈ {1..maxN}: total
+    * n-grams, distinct n-grams, and the distinct ratio at e4 (the
+    * "distinct-1/distinct-2" metrics of Li et al. 2016 — the standard
+    * templatedness/diversity gauge run before admitting a source to a
+    * mixture; a low distinct-3 says the source is boilerplate even when
+    * document-level dedup is clean). Total counts are map-side
+    * combinable; the distinct count shuffles (group, n, gram) once —
+    * vocabulary-sized, the same budget as any df count.
+    *
+    * One tokenize pass: each doc's n-gram arrays for every n are built
+    * from ONE split and exploded together (n tags the rows), so the
+    * corpus crosses one Generate + one aggregate regardless of maxN.
+    *
+    * Output: (group, n, total_grams, distinct_grams, distinct_e4).
+    */
+  def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val toks = split(lower(col(textCol)), " ")
+    // Guard short docs: sequence(1, 0) in Spark DESCENDS ([1, 0]), so
+    // the window must only be built when the doc has >= n tokens.
+    val gramsOf = (n: Int) => {
+      val t = col("__t")
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(groupCol).as("grp"), toks.as("__t"))
+      .select(col("grp"), explode(array((1 to maxN).map(n =>
+        struct(lit(n.toLong).as("n"), gramsOf(n).as("gs"))): _*)).as("__g"))
+      .select(col("grp"), col("__g.n").as("n"),
+        explode(col("__g.gs")).as("gram"))
+      .groupBy(col("grp"), col("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("gram")).as("distinct_grams"))
+      .withColumn("distinct_e4",
+        expr("distinct_grams * 10000 div total_grams"))
+      .withColumnRenamed("grp", groupCol)
+  }
 }

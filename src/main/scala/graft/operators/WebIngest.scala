@@ -126,6 +126,70 @@ object WebIngest {
       .withColumn("registered_domain", rd)
   }
 
+  /** Deterministic MESSY URL for a document row — four raw variants per
+    * canonical page (page = id div 4, variant = id mod 4), covering the
+    * real crawl-frontier noise classes: mixed-case host (v1), explicit
+    * default port (v2), trailing slash (v3), shuffled query-parameter
+    * order (all), tracking parameters (utm_, gclid; v1/v2/v3), and a
+    * fragment (v2). All four variants of a page canonicalize to
+    * `https://www.<source><tld>/p/<page>?a=1&b=2` — the planted ground
+    * truth [[canonicalizeUrl]] must recover.
+    */
+  def withMessyUrl(df: DataFrame, idCol: String, sourceCol: String,
+      out: String = "raw_url"): DataFrame = {
+    val id = col(idCol)
+    val page = expr(s"$idCol div 4")
+    val v = id % 4
+    val tld = when(page % 3 === 0, lit(".com"))
+      .when(page % 3 === 1, lit(".co.uk"))
+      .otherwise(lit(".org"))
+    val host = concat(lit("www."), col(sourceCol), tld)
+    val hostCased = when(v === 1, upper(host)).otherwise(host)
+    val port = when(v === 2, lit(":443")).otherwise(lit(""))
+    val slash = when(v === 3, lit("/")).otherwise(lit(""))
+    val qs = when(v === 0, lit("?a=1&b=2"))
+      .when(v === 1, lit("?b=2&a=1&utm_source=feed"))
+      .when(v === 2, lit("?utm_campaign=x&a=1&b=2"))
+      .otherwise(lit("?a=1&gclid=zzz&b=2"))
+    val frag = when(v === 2, lit("#frag")).otherwise(lit(""))
+    df.withColumn(out, concat(lit("https://"), hostCased, port,
+      lit("/p/"), page.cast("string"), slash, qs, frag))
+  }
+
+  /** Query parameters that never change content: tracking junk dropped
+    * by canonicalization (the adblock/uBlock removeparam core set).
+    */
+  val TrackingParams = "^(utm_|gclid=|fbclid=|ref=)"
+
+  /** URL CANONICALIZATION — the dedup key for web-scale crawls: two
+    * fetches of the same page under cosmetically different URLs must
+    * collapse BEFORE content dedup ever runs (URL-level dedup is free;
+    * content dedup costs a corpus pass). Normalizations, each portable
+    * string algebra both engines replay bit-for-bit:
+    * lowercase scheme+host; strip the scheme's default port (:443 https,
+    * :80 http); strip the fragment; strip trailing slashes from the
+    * path; drop tracking parameters ([[TrackingParams]]) and empty
+    * params; SORT surviving parameters (order never changes content on
+    * idempotent GETs — the aggressive-but-standard crawler convention).
+    * Pure per-row expression algebra — zero shuffles, runs inside the
+    * scan at any scale.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val hostRaw = lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = when(scheme === "https",
+        regexp_replace(hostRaw, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .otherwise(hostRaw)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParams))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   /** Drop rows whose registrable domain is blocklisted. The blocklist
     * arrives as a DataFrame and joins as a broadcast anti-join — the
     * shape that still works when the list is millions of domains (a

@@ -1,0 +1,335 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Layout, Stats, TextAnalysis, WebIngest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q183–q188: corpus-analytics and layout certificates added in round
+  * 14 — data-derived thresholds (q183 Otsu), mergeable-sketch rollups
+  * (q184), URL-level dedup (q185), per-source characteristic vocabulary
+  * (q186 keyness), n-gram diversity (q187), and consistent-hash shard
+  * rebalancing (q188). All six are exact integer/string algebra (ln
+  * pinned at e4 where it appears) with full DuckDB oracles.
+  */
+object AnalyticsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // q183: Otsu per-language threshold over the chars-per-doc histogram
+  // (bins of 20 chars, capped at 255) — the parameter-free binarization
+  // cut between the "short doc" and "long doc" modes, maximizing
+  // between-class variance in exact integer arithmetic.
+  def q183(s: SparkSession, dir: String): DataFrame =
+    Curation.otsuThreshold(docs(s, dir), "lang",
+        least(expr("n_chars div 20"), lit(255L)))
+      .orderBy(col("lang"))
+
+  // q184: HLL register-rollup certificate — per-language word NDV from
+  // per-(language, shard) sketches max-merged vs built in one pass vs
+  // exact, with the naive sum-of-estimates column showing why sketches
+  // merge rather than add.
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir).select(col("lang"),
+      (col("doc_id") % 7).as("shard"),
+      explode(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)).as("w"))
+    Stats.hllRollup(words, "lang", col("shard"), col("w"))
+      .orderBy(col("lang"))
+  }
+
+  // q185: URL canonicalization — four deterministic messy variants per
+  // page (case, default port, fragment, tracking params, param order,
+  // trailing slash) must collapse to ONE canonical URL per page; the
+  // report is the per-cluster raw-variant census a crawl frontier runs
+  // before any content fetch.
+  def q185(s: SparkSession, dir: String): DataFrame =
+    WebIngest.withMessyUrl(docs(s, dir), "doc_id", "source")
+      .withColumn("canon", WebIngest.canonicalizeUrl(col("raw_url")))
+      .groupBy(col("canon"))
+      .agg(countDistinct(col("raw_url")).as("n_raw"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("canon"))
+
+  // q186: per-source keyness — top-5 characteristic terms by Dunning G²
+  // (observed >= 5, over-represented cells only), the "what vocabulary
+  // makes this source different" report.
+  def q186(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keyness(docs(s, dir), "source", "text",
+        minCount = 5, topK = 5)
+      .orderBy(col("source"), col("rank"))
+
+  // q187: distinct-n diversity — per source, the distinct/total n-gram
+  // ratio for n = 1..3 (the Li et al. distinct-n templatedness gauge).
+  def q187(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgrams(docs(s, dir), "source", "text", maxN = 3)
+      .orderBy(col("source"), col("n"))
+
+  // q188: consistent-hash rebalancing certificate — assign every doc to
+  // 8 and then 9 shards on the same 16-vnode ring; per final shard:
+  // docs before, docs after, docs that MOVED in. Consistent hashing's
+  // guarantee is that only the NEW shard gains moved keys (~1/9 of the
+  // data); the mod-N alternative would move ~8/9.
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val assigned = docs(s, dir).select(col("doc_id"),
+      Layout.consistentShard(col("doc_id"), 8).as("sh8"),
+      Layout.consistentShard(col("doc_id"), 9).as("sh9"))
+    // One pass: stack each doc into a before-row and an after-row, then
+    // a single map-side-combinable aggregate per shard.
+    assigned
+      .select(explode(array(
+        struct(col("sh8").as("shard"), lit(1L).as("before"),
+          lit(0L).as("after"), lit(0L).as("moved")),
+        struct(col("sh9").as("shard"), lit(0L).as("before"),
+          lit(1L).as("after"),
+          when(col("sh8") =!= col("sh9"), 1L).otherwise(0L)
+            .as("moved")))).as("r"))
+      .groupBy(col("r.shard").as("shard"))
+      .agg(sum(col("r.before")).as("n_before"),
+        sum(col("r.after")).as("n_after"),
+        sum(col("r.moved")).as("n_moved_in"))
+      .orderBy(col("shard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_otsu_threshold" -> (q183 _),
+    "q184_hll_rollup" -> (q184 _),
+    "q185_url_canonical" -> (q185 _),
+    "q186_keyness" -> (q186 _),
+    "q187_distinct_ngrams" -> (q187 _),
+    "q188_consistent_shards" -> (q188 _))
+
+  /** The portable-HLL rho/register algebra over an md5 column `h`,
+    * shared by every q184 CTE — the same hex-digit recipe as
+    * [[graft.operators.Stats.hllRegister]] and q79's oracle.
+    */
+  private val RhoSql: String =
+    """LEAST(CASE WHEN t = '' THEN 53
+      |  ELSE (13 - LENGTH(t)) * 4
+      |    + CASE WHEN substring(t, 1, 1) = '1' THEN 3
+      |           WHEN substring(t, 1, 1) IN ('2','3') THEN 2
+      |           WHEN substring(t, 1, 1) IN ('4','5','6','7') THEN 1
+      |           ELSE 0 END + 1 END, 50)""".stripMargin
+      .linesIterator.map(_.stripPrefix("|")).mkString(" ")
+
+  /** Grouped HLL estimate chain: from a register CTE `reg(keys..., b,
+    * m)` to `out(keys..., ndv)` — the q79 estimate arithmetic, grouped.
+    */
+  private def hllEstCtes(reg: String, keys: String, out: String): String = {
+    val raw = "(0.7213e0 / (1.0e0 + 1.079e0 / 4096.0e0)) * 16777216.0e0" +
+      " * 1125899906842624.0e0 / CAST(s AS DOUBLE)"
+    s"""${out}_ss AS (SELECT $keys, COUNT(*) AS present,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT) AS sp
+       |  FROM $reg GROUP BY $keys),
+       |${out}_ee AS (SELECT $keys, 4096 - present AS zeros,
+       |    sp + (4096 - present) * (CAST(1 AS BIGINT) << 50) AS s
+       |  FROM ${out}_ss),
+       |$out AS (SELECT $keys, CAST(ROUND(CASE
+       |    WHEN $raw <= 10240.0e0 AND zeros > 0
+       |    THEN 4096.0e0 * ln(4096.0e0 / zeros)
+       |    ELSE $raw END, 0) AS BIGINT) AS ndv
+       |  FROM ${out}_ee)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q183_otsu_threshold" ->
+      """WITH d AS (SELECT lang,
+        |    LEAST(n_chars // 20, 255) AS s FROM documents),
+        |hist AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM d GROUP BY 1, 2),
+        |r AS (SELECT lang, s, c,
+        |        SUM(c) OVER (PARTITION BY lang ORDER BY s) AS w0,
+        |        SUM(c * s) OVER (PARTITION BY lang ORDER BY s) AS m0,
+        |        SUM(c) OVER (PARTITION BY lang) AS n,
+        |        SUM(c * s) OVER (PARTITION BY lang) AS m
+        |      FROM hist),
+        |r2 AS (SELECT lang, s, w0, m0, n - w0 AS w1, m - m0 AS m1
+        |       FROM r WHERE n - w0 > 0),
+        |r3 AS (SELECT lang, s, w0, m0, w1, m1,
+        |        (m0 * w1 - m1 * w0) * 100 // (w0 * w1) AS d
+        |      FROM r2),
+        |r4 AS (SELECT lang, s, w0, m0, w1, m1, w0 * w1 * d * d AS obj,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY w0 * w1 * d * d DESC, s) AS rk
+        |      FROM r3)
+        |SELECT lang, CAST(s + 1 AS BIGINT) AS threshold,
+        |  CAST(w0 AS BIGINT) AS n_below, CAST(w1 AS BIGINT) AS n_above,
+        |  CAST(m0 * 100 // w0 AS BIGINT) AS mu_below_e2,
+        |  CAST(m1 * 100 // w1 AS BIGINT) AS mu_above_e2,
+        |  CAST(obj AS BIGINT) AS sep_obj
+        |FROM r4 WHERE rk = 1 ORDER BY lang""".stripMargin,
+    "q184_hll_rollup" -> {
+      s"""WITH words AS (SELECT lang, doc_id % 7 AS shard,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), ' '),
+         |      x -> LENGTH(x) > 0)) AS w
+         |  FROM documents),
+         |hh AS (SELECT lang, shard, md5(w) AS h, w FROM words),
+         |tt AS (SELECT lang, shard, w, substring(h, 1, 3) AS b,
+         |         ltrim(substring(h, 4, 13), '0') AS t FROM hh),
+         |rho AS (SELECT lang, shard, w, b, $RhoSql AS m FROM tt),
+         |reg AS (SELECT lang, shard, b, MAX(m) AS m FROM rho
+         |        GROUP BY 1, 2, 3),
+         |${hllEstCtes("reg", "lang, shard", "estp")},
+         |pp AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |         CAST(SUM(ndv) AS BIGINT) AS sum_part_est
+         |       FROM estp GROUP BY lang),
+         |mreg AS (SELECT lang, b, MAX(m) AS m FROM reg GROUP BY 1, 2),
+         |${hllEstCtes("mreg", "lang", "estm")},
+         |dreg AS (SELECT lang, b, MAX(m) AS m FROM rho GROUP BY 1, 2),
+         |${hllEstCtes("dreg", "lang", "estd")},
+         |ex AS (SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT)
+         |         AS exact_ndv FROM words GROUP BY lang)
+         |SELECT ex.lang, pp.n_parts, ex.exact_ndv,
+         |  estd.ndv AS est_direct, estm.ndv AS est_merged,
+         |  (estm.ndv = estd.ndv) AS merged_eq_direct, pp.sum_part_est,
+         |  CAST(abs(estm.ndv - ex.exact_ndv) * 10000 // ex.exact_ndv
+         |    AS BIGINT) AS err_e4
+         |FROM ex JOIN estd USING (lang) JOIN estm USING (lang)
+         |  JOIN pp USING (lang)
+         |ORDER BY ex.lang""".stripMargin
+    },
+    "q185_url_canonical" ->
+      """WITH raw AS (SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 1
+        |      THEN upper('www.' || source || CASE WHEN (doc_id // 4) % 3 = 0
+        |        THEN '.com' WHEN (doc_id // 4) % 3 = 1 THEN '.co.uk'
+        |        ELSE '.org' END)
+        |      ELSE 'www.' || source || CASE WHEN (doc_id // 4) % 3 = 0
+        |        THEN '.com' WHEN (doc_id // 4) % 3 = 1 THEN '.co.uk'
+        |        ELSE '.org' END END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END ||
+        |    '/p/' || CAST(doc_id // 4 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2'
+        |         WHEN doc_id % 4 = 1 THEN '?b=2&a=1&utm_source=feed'
+        |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&b=2'
+        |         ELSE '?a=1&gclid=zzz&b=2' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END AS raw_url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, raw_url,
+        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1))
+        |      AS hostraw,
+        |    regexp_replace(regexp_extract(raw_url,
+        |      '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(raw_url, '\?([^#]*)', 1) AS qs
+        |  FROM raw),
+        |canon AS (SELECT doc_id, raw_url,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'https'
+        |         THEN regexp_replace(hostraw, ':443$', '')
+        |         WHEN scheme = 'http'
+        |         THEN regexp_replace(hostraw, ':80$', '')
+        |         ELSE hostraw END ||
+        |    path ||
+        |    CASE WHEN len(list_sort(list_filter(string_split(qs, '&'),
+        |        p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+        |          '^(utm_|gclid=|fbclid=|ref=)')))) > 0
+        |      THEN '?' || list_aggregate(list_sort(list_filter(
+        |        string_split(qs, '&'),
+        |        p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+        |          '^(utm_|gclid=|fbclid=|ref=)'))), 'string_agg', '&')
+        |      ELSE '' END AS canon
+        |  FROM parts)
+        |SELECT canon, CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+    "q186_keyness" ->
+      """WITH tok AS (SELECT source AS grp,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), ' '),
+        |      x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |cells AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
+        |          FROM tok GROUP BY 1, 2),
+        |marg AS (SELECT grp, term, a,
+        |    SUM(a) OVER (PARTITION BY term) AS tt,
+        |    SUM(a) OVER (PARTITION BY grp) AS st,
+        |    SUM(a) OVER () AS n
+        |  FROM cells),
+        |cell4 AS (SELECT grp, term, a, tt, st, n, tt - a AS b, st - a AS c,
+        |    n - st - (tt - a) AS d
+        |  FROM marg WHERE a >= 5 AND a * n > st * tt),
+        |g2 AS (SELECT grp, term, a, st, tt, n,
+        |    2 * (
+        |      (CASE WHEN a > 0 THEN a * CAST(ROUND(ln(CAST(a * n AS DOUBLE)
+        |        / CAST(st * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) +
+        |      (CASE WHEN b > 0 THEN b * CAST(ROUND(ln(CAST(b * n AS DOUBLE)
+        |        / CAST((n - st) * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) +
+        |      (CASE WHEN c > 0 THEN c * CAST(ROUND(ln(CAST(c * n AS DOUBLE)
+        |        / CAST(st * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) +
+        |      (CASE WHEN d > 0 THEN d * CAST(ROUND(ln(CAST(d * n AS DOUBLE)
+        |        / CAST((n - st) * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END)) AS g2_e4,
+        |    st * tt * 10000 // n AS exp_e4
+        |  FROM cell4),
+        |ranked AS (SELECT grp, term, a, exp_e4, g2_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY g2_e4 DESC, term) AS rank
+        |  FROM g2)
+        |SELECT grp AS source, CAST(rank AS BIGINT) AS rank, term,
+        |  a AS n_obs, CAST(exp_e4 AS BIGINT) AS exp_e4,
+        |  CAST(g2_e4 AS BIGINT) AS g2_e4
+        |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q187_distinct_ngrams" ->
+      """WITH toks AS (SELECT source,
+        |    regexp_split_to_array(lower(text), ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(t) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT source, 2 AS n,
+        |    list_aggregate(t[i:i+1], 'string_agg', ' ') AS gram
+        |  FROM (SELECT source, t, unnest(range(1, len(t))) AS i FROM toks)
+        |  UNION ALL
+        |  SELECT source, 3 AS n,
+        |    list_aggregate(t[i:i+2], 'string_agg', ' ') AS gram
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks))
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS total_grams,
+        |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+        |  CAST(COUNT(DISTINCT gram) * 10000 // COUNT(*) AS BIGINT)
+        |    AS distinct_e4
+        |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
+    "q188_consistent_shards" -> {
+      // Single-line fragment body: a continuation line starting with
+      // "||" would lose a pipe to the OUTER stripMargin (skill gotcha).
+      def ringCte(n: Int, name: String): String =
+        s"$name AS (SELECT CAST(('0x' || substring(md5('shard:' || " +
+          "CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 13)) " +
+          "AS BIGINT) AS pos, s AS shard " +
+          s"FROM (SELECT unnest(range(0, $n)) AS s), " +
+          "(SELECT unnest(range(0, 16)) AS v))"
+      def asgCte(ring: String, out: String): String =
+        s"""${out}_succ AS (SELECT d.doc_id, MIN($ring.pos) AS p
+           |  FROM d JOIN $ring ON $ring.pos >= d.h GROUP BY d.doc_id),
+           |$out AS (SELECT d.doc_id, CAST(COALESCE(r2.shard,
+           |    (SELECT shard FROM $ring ORDER BY pos LIMIT 1)) AS BIGINT)
+           |      AS shard
+           |  FROM d LEFT JOIN ${out}_succ ON d.doc_id = ${out}_succ.doc_id
+           |  LEFT JOIN $ring r2 ON ${out}_succ.p = r2.pos)""".stripMargin
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+         |      AS BIGINT) AS h
+         |  FROM documents),
+         |${ringCte(8, "ring8")},
+         |${ringCte(9, "ring9")},
+         |${asgCte("ring8", "a8")},
+         |${asgCte("ring9", "a9")},
+         |st AS (SELECT a8.shard AS shard, 1 AS before, 0 AS after, 0 AS mv
+         |       FROM a8
+         |       UNION ALL
+         |       SELECT a9.shard, 0, 1,
+         |         CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END
+         |       FROM a9 JOIN a8 USING (doc_id))
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(SUM(before) AS BIGINT) AS n_before,
+         |  CAST(SUM(after) AS BIGINT) AS n_after,
+         |  CAST(SUM(mv) AS BIGINT) AS n_moved_in
+         |FROM st GROUP BY shard ORDER BY shard""".stripMargin
+    })
+}

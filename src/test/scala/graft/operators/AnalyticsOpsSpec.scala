@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-14 operator surface (q183–q188): Otsu thresholds, HLL rollup,
+  * URL canonicalization, keyness, distinct-n diversity, consistent
+  * hashing — hand-computed fixtures and the structural guarantees each
+  * operator advertises.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- Otsu q183
+
+  test("otsuThreshold: clean bimodal histogram cuts between the modes") {
+    // Group g: 10 rows at bin 1, 10 rows at bin 9 — any cut between
+    // them separates fully; the objective is maximized on the whole
+    // plateau 1..8 and the tie rule picks the smallest bin, so the
+    // smallest KEPT bin is 2. Means: 100 and 900 at e2.
+    val df = ((1 to 10).map(_ => ("g", 1L)) ++ (1 to 10).map(_ => ("g", 9L)))
+      .toDF("grp", "s")
+    val out = Curation.otsuThreshold(df, "grp", col("s")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("threshold") == 2L, r)
+    assert(r.getAs[Long]("n_below") == 10L && r.getAs[Long]("n_above") == 10L)
+    assert(r.getAs[Long]("mu_below_e2") == 100L)
+    assert(r.getAs[Long]("mu_above_e2") == 900L)
+  }
+
+  test("otsuThreshold: per-group independence and loud guards") {
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 10L), ("a", 10L),
+      ("b", 2L), ("b", 8L)).toDF("grp", "s")
+    val out = Curation.otsuThreshold(df, "grp", col("s"))
+      .orderBy("grp").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // negative bins refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Curation.otsuThreshold(Seq(("a", -1L)).toDF("grp", "s"), "grp",
+        col("s"))
+    }
+    assert(e.getMessage.contains(">= 0"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.otsuThreshold(df.filter("false"), "grp", col("s"))
+    }
+    assert(e2.getMessage.contains("empty input"), e2.getMessage)
+  }
+
+  // ----------------------------------------------------- HLL rollup q184
+
+  test("hllRollup: merged == direct, naive sum overcounts, exact in the " +
+      "linear-counting regime") {
+    // 3 partitions all containing the SAME 20 values: exact NDV 20,
+    // merged/direct estimates agree (register max is associative) and
+    // at tiny cardinality linear counting is exact; naive per-part sum
+    // triple-counts.
+    val rows = for (p <- 0 until 3; v <- 0 until 20)
+      yield ("g", p.toLong, s"val$v")
+    val out = Stats.hllRollup(rows.toDF("grp", "p", "v"), "grp",
+      col("p"), col("v")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_parts") == 3L)
+    assert(r.getAs[Long]("exact_ndv") == 20L)
+    assert(r.getAs[Boolean]("merged_eq_direct"))
+    assert(r.getAs[Long]("est_merged") == 20L)
+    assert(r.getAs[Long]("sum_part_est") == 60L)
+    assert(r.getAs[Long]("err_e4") == 0L)
+  }
+
+  test("hllRollup: estimate within the 1.6% theory band at 50k values") {
+    val rows = (0 until 50000).map(v => ("g", (v % 5).toLong, s"u$v"))
+    val r = Stats.hllRollup(rows.toDF("grp", "p", "v"), "grp",
+      col("p"), col("v")).collect().head
+    assert(r.getAs[Boolean]("merged_eq_direct"))
+    val est = r.getAs[Long]("est_merged")
+    assert(math.abs(est - 50000L) < 50000L * 0.05,
+      s"est $est too far from 50000")
+  }
+
+  // ------------------------------------------- URL canonicalization q185
+
+  test("canonicalizeUrl: the four planted noise classes all collapse") {
+    val raws = Seq(
+      "https://www.src3.co.uk/p/7?a=1&b=2",
+      "https://WWW.SRC3.CO.UK/p/7?b=2&a=1&utm_source=feed",
+      "https://www.src3.co.uk:443/p/7?utm_campaign=x&a=1&b=2#frag",
+      "https://www.src3.co.uk/p/7/?a=1&gclid=zzz&b=2")
+    val out = raws.toDF("u")
+      .select(WebIngest.canonicalizeUrl(col("u")).as("c"))
+      .distinct().collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "https://www.src3.co.uk/p/7?a=1&b=2")
+  }
+
+  test("canonicalizeUrl: http :80 stripped, other ports and real params " +
+      "kept, empty query dropped") {
+    val cases = Seq(
+      "http://Host.Com:80/x" -> "http://host.com/x",
+      "https://h.com:8443/x" -> "https://h.com:8443/x",
+      "https://h.com/x?z=3&m=1" -> "https://h.com/x?m=1&z=3",
+      "https://h.com/x?utm_source=a" -> "https://h.com/x",
+      "https://h.com/" -> "https://h.com",
+      "https://h.com/a//" -> "https://h.com/a")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), WebIngest.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"$in -> ${out(in)}, wanted $want")
+    }
+  }
+
+  test("withMessyUrl variants collapse 4:1 under canonicalization") {
+    val df = (0L until 40L).map(i => (i, "srcA")).toDF("doc_id", "source")
+    val canon = WebIngest.withMessyUrl(df, "doc_id", "source")
+      .select(WebIngest.canonicalizeUrl(col("raw_url")).as("c"),
+        col("raw_url"))
+    assert(canon.select("c").distinct().count() == 10L)
+    assert(canon.select("raw_url").distinct().count() == 40L)
+  }
+
+  // ---------------------------------------------------------- keyness q186
+
+  test("keyness: a term concentrated in one group is its top keyword") {
+    // "zebra" appears 10x, all in group A; shared filler everywhere.
+    val filler = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      ("A", s"$filler zebra zebra zebra zebra zebra"),
+      ("A", s"$filler zebra zebra zebra zebra zebra"),
+      ("B", filler), ("B", filler), ("B", filler))
+    val out = TextAnalysis.keyness(docs.toDF("grp", "text"), "grp", "text",
+      minCount = 5, topK = 3).collect()
+    val topA = out.filter(r => r.getString(0) == "A" && r.getLong(1) == 1L)
+    assert(topA.length == 1)
+    assert(topA.head.getAs[String]("term") == "zebra")
+    assert(topA.head.getAs[Long]("n_obs") == 10L)
+    assert(topA.head.getAs[Long]("g2_e4") > 0L)
+    // zebra never appears in B, so it cannot be a B keyword; B's rows
+    // are only terms over-represented in B.
+    assert(!out.exists(r => r.getString(0) == "B" &&
+      r.getAs[String]("term") == "zebra"))
+  }
+
+  // ------------------------------------------------------ distinct-n q187
+
+  test("distinctNgrams: hand-computed totals and ratios") {
+    // One doc "a b a b": unigrams 4 total / 2 distinct; bigrams
+    // "a b","b a","a b" -> 3 total / 2 distinct; trigrams 2 total /
+    // 2 distinct.
+    val out = TextAnalysis.distinctNgrams(
+        Seq(("s", "a b a b")).toDF("src", "text"), "src", "text", maxN = 3)
+      .orderBy("n").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("total_grams"),
+        r.getAs[Long]("distinct_grams"), r.getAs[Long]("distinct_e4")))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 5000L), (2L, 3L, 2L, 6666L),
+      (3L, 2L, 2L, 10000L)))
+  }
+
+  test("distinctNgrams: docs shorter than n contribute nothing at n") {
+    val out = TextAnalysis.distinctNgrams(
+        Seq(("s", "one"), ("s", "two words")).toDF("src", "text"),
+        "src", "text", maxN = 3)
+      .orderBy("n").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("total_grams")))
+    // n=3 has no rows at all (no doc has 3 tokens): group absent.
+    assert(out.toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  // ------------------------------------------------ consistent hash q188
+
+  test("consistentShard: deterministic, covers all shards, and adding a " +
+      "shard moves keys ONLY into the new shard") {
+    val keys = (0L until 2000L).toDF("k")
+    val asg = keys.select(col("k"),
+      Layout.consistentShard(col("k"), 8).as("s8"),
+      Layout.consistentShard(col("k"), 9).as("s9"))
+      .localCheckpoint(true)
+    // full coverage and sane balance at V=16 vnodes
+    val counts8 = asg.groupBy("s8").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts8.keySet == (0L until 8L).toSet)
+    // every moved key lands on the NEW shard (id 8)
+    val movedElsewhere = asg.filter(col("s8") =!= col("s9") &&
+      col("s9") =!= 8L).count()
+    assert(movedElsewhere == 0L)
+    // movement is bounded: well under 2x the ideal 1/9 share
+    val moved = asg.filter(col("s8") =!= col("s9")).count()
+    assert(moved > 0L && moved < 2 * 2000 / 9,
+      s"moved $moved of 2000 — expected ~${2000 / 9}")
+    // rerun is bit-identical (pure hash, no RNG)
+    val again = keys.select(Layout.consistentShard(col("k"), 8).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val first = asg.select("s8").collect().map(_.getLong(0)).toSeq
+    assert(again == first)
+  }
+
+  test("hashRing: positions are distinct and sorted") {
+    val ring = Layout.hashRing(9, 16)
+    assert(ring.length == 144)
+    assert(ring.map(_._1).distinct.length == 144)
+    assert(ring == ring.sortBy(_._1))
+    assert(ring.map(_._2).toSet == (0 until 9).toSet)
+  }
+}
