@@ -182,13 +182,17 @@ object Stats {
     */
   def hllRollup(df: DataFrame, groupCol: String, partCol: Column,
       value: Column): DataFrame = {
+    val h = md5(value.cast("string"))
+    // Materialized ONCE: the hashed stream feeds three consumers (cell
+    // registers, the direct one-pass sketch, the exact audit count) and
+    // Catalyst does not share subtrees — un-checkpointed, the source
+    // scan + value expression + md5 would run once per consumer.
     val stream = df.select(col(groupCol).as("__g"), partCol.as("__p"),
-        value.cast("string").as("__v"))
-      .filter(col("__v").isNotNull)
-    val h = md5(col("__v"))
-    val cells = stream
-      .select(col("__g"), col("__p"), substring(h, 1, 3).as("__b"),
+        value.cast("string").as("__v"), substring(h, 1, 3).as("__b"),
         hllRegister(h).as("__m"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(true)
+    val cells = stream
       .groupBy(col("__g"), col("__p"), col("__b"))
       .agg(max(col("__m")).as("__m"))
       .localCheckpoint(true)
@@ -199,9 +203,7 @@ object Stats {
       cells.groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m")),
       Seq("__g")).withColumnRenamed("__ndv", "est_merged")
     val direct = hllEstimate(
-      stream.select(col("__g"), substring(h, 1, 3).as("__b"),
-          hllRegister(h).as("__m"))
-        .groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m")),
+      stream.groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m")),
       Seq("__g")).withColumnRenamed("__ndv", "est_direct")
     val exact = stream.groupBy(col("__g"))
       .agg(countDistinct(col("__v")).as("exact_ndv"))

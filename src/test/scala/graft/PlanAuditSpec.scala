@@ -628,4 +628,84 @@ class PlanAuditSpec extends SparkSpec {
     val p76 = plan("q76_hybrid_rrf")
     assert(!p76.contains("CartesianProduct"), p76)
   }
+
+  test("q183: Otsu windows run on the checkpointed histogram, never " +
+      "the corpus") {
+    // Same contract as q99: the only data-sized shuffle is the
+    // (group, bin) count; every Window's subtree must bottom out in the
+    // materialized histogram (LogicalRDD) or an Aggregate, never a raw
+    // parquet scan.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q183_otsu_threshold")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case _: LeafNode => true
+      case other => other.children.exists(scanAboveAggregate)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAggregate(w.child),
+        s"window over un-aggregated corpus:\n$lp")
+    }
+  }
+
+  test("q184: rollup consumers read the checkpointed stream — no " +
+      "parquet scan or Generate at query time") {
+    // The hashed value stream is materialized once; the three audit
+    // consumers (cells, direct, exact) must all read the LogicalRDD.
+    val p = plan("q184_hll_rollup")
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q185: canonicalization is per-row algebra — the only exchanges " +
+      "are the census aggregate and its sort") {
+    val p = plan("q185_url_canonical")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    // census aggregate (the exact COUNT(DISTINCT raw_url) adds one
+    // (canon, raw_url) dedup exchange before the final (canon) one)
+    // plus the output range sort: exactly three Exchange boundaries,
+    // all keyed by the cluster — never the corpus rows.
+    val exchanges = "Exchange [a-z]+partitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
+  test("q186: keyness group totals join BROADCAST; no partition-less " +
+      "window") {
+    val p = plan("q186_keyness")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // a Window with an empty partition spec would single-thread the
+    // vocabulary table; both windows here are keyed (term / grp).
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val lp = SparkEntry.queries("q186_keyness")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"partition-less window:\n$w")
+    }
+  }
+
+  test("q187: one corpus Generate builds every gram ladder") {
+    // All three n ladders explode from ONE array column: exactly one
+    // Generate fed by the parquet scan, one distinct-aggregate chain.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    val lp = SparkEntry.queries("q187_distinct_ngrams")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    val gens = lp.collect { case g: Generate => g }
+    assert(gens.size <= 2, s"${gens.size} Generates:\n$lp")
+    val p = plan("q187_distinct_ngrams")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q188: shard assignment rides the scan — no join, no window") {
+    val p = plan("q188_consistent_shards")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // stacked explode + one partial/final aggregate + output sort
+    assert(p.contains("Generate"), p)
+  }
 }
