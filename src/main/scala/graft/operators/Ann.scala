@@ -142,6 +142,57 @@ object Ann {
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
     }
+
+    /** Query-specific |margin| of each hyperplane at e6 (the multiprobe
+      * ranking key): a small |dot(q, plane)| means q sits CLOSE to that
+      * cut, so true neighbors are likely just across it. Rounded
+      * half-away-from-zero to an e6 long so the probe RANKING is exact
+      * integer arithmetic both engines replay (the residual risk is a
+      * raw double landing within half an e6 ulp of a rounding edge —
+      * the same accepted posture as the bucket sign test itself).
+      */
+    def marginsE6(q: Array[Float]): Array[Long] =
+      planes.map { p =>
+        val d = p.zip(q).map { case (x, y) => x.toDouble * y }.sum
+        math.floor(math.abs(d) * 1e6 + 0.5).toLong
+      }
+
+    /** The multiprobe PROBING SEQUENCE (Lv et al., VLDB'07 — proper
+      * margin-ordered multi-probe, not [[probeBuckets]]'s uniform
+      * Hamming ball): the base bucket plus the `t−1` best perturbations
+      * among all single- and pair-bit flips, ranked by the summed e6
+      * margins of the flipped planes (tie: smaller mask). Probing T
+      * margin-chosen buckets beats a radius ball at equal scan budget —
+      * radius 2 admits all C(n,1)+C(n,2) buckets uniformly; this takes
+      * only the t cheapest crossings, which is how one LSH table serves
+      * high recall without multiplying tables (the memory trade the
+      * original paper quantifies).
+      */
+    def multiProbeSequence(q: Array[Float], t: Int): Seq[Int] = {
+      require(t >= 1, s"multiprobe needs t >= 1, got $t")
+      val b0 = bucketOf(q)
+      val m = marginsE6(q)
+      val singles = (0 until nBits).map(i => (m(i), 1 << i))
+      val pairs = for {
+        i <- 0 until nBits; j <- i + 1 until nBits
+      } yield (m(i) + m(j), (1 << i) | (1 << j))
+      val chosen = (singles ++ pairs).sorted.take(t - 1).map(_._2)
+      b0 +: chosen.map(b0 ^ _)
+    }
+
+    /** ANN top-k through the margin-ordered probing sequence: scan
+      * budget is exactly `t` buckets, chosen where this query's recall
+      * mass actually is. Same prune → exact-rescore → take-k shape as
+      * [[search]].
+      */
+    def searchMultiProbe(indexed: DataFrame, idCol: String, vecCol: String,
+        q: Array[Float], k: Int, t: Int): DataFrame = {
+      val bs = multiProbeSequence(q, t)
+      indexed.filter(col("bucket").isin(bs: _*))
+        .select(col(idCol), round(cosineCol(col(vecCol), q), 6).as("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
   }
 
   /** Embedding near-duplicate PAIRS at scale: hyperplane-LSH bucketing →

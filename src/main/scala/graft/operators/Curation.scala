@@ -680,7 +680,8 @@ object Curation {
   def otsuThreshold(df: DataFrame, groupCol: String, scoreBin: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.select(col(groupCol), scoreBin.cast("long").as("__s"))
+    val hist = graft.SparkUtil.ensureParallelism(df)
+      .select(col(groupCol), scoreBin.cast("long").as("__s"))
       .groupBy(col(groupCol), col("__s"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)

@@ -77,14 +77,16 @@ object Layout {
   def consistentShard(keyCol: Column, numShards: Int,
       vnodesPerShard: Int = 16): Column = {
     val ring = hashRing(numShards, vnodesPerShard)
-    val ringLit = array(ring.map { case (p, s) =>
-      struct(lit(p).as("pos"), lit(s).as("shard")) }: _*)
+    // typedlit: ONE folded ArrayData literal — an array(struct(lit..))
+    // tree of S·V CreateStructs would be re-evaluated per row (measured
+    // 1.4 s on 5k rows at 272 vnodes before this).
+    val ringLit = typedlit(ring)
     val h = conv(substring(md5(keyCol.cast("string")), 1, 13), 16, 10)
       .cast("long")
     // try_element_at: an empty successor list (key past the last vnode)
     // must yield NULL for the wrap-around coalesce, not an ANSI error.
-    val succ = filter(ringLit, r => r.getField("pos") >= h)
-    coalesce(try_element_at(succ, lit(1)).getField("shard"),
+    val succ = filter(ringLit, r => r.getField("_1") >= h)
+    coalesce(try_element_at(succ, lit(1)).getField("_2"),
       lit(ring.head._2)).cast("long")
   }
 

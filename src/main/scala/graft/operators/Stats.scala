@@ -187,7 +187,8 @@ object Stats {
     // registers, the direct one-pass sketch, the exact audit count) and
     // Catalyst does not share subtrees — un-checkpointed, the source
     // scan + value expression + md5 would run once per consumer.
-    val stream = df.select(col(groupCol).as("__g"), partCol.as("__p"),
+    val stream = graft.SparkUtil.ensureParallelism(df)
+      .select(col(groupCol).as("__g"), partCol.as("__p"),
         value.cast("string").as("__v"), substring(h, 1, 3).as("__b"),
         hllRegister(h).as("__m"))
       .filter(col("__v").isNotNull)

@@ -1,16 +1,20 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Layout, Stats, TextAnalysis, WebIngest}
+import graft.operators.{Curation, Layout, Stats, Stitch, TextAnalysis,
+  WebIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** q183–q188: corpus-analytics and layout certificates added in round
+/** q183–q190: corpus-analytics and layout certificates added in round
   * 14 — data-derived thresholds (q183 Otsu), mergeable-sketch rollups
   * (q184), URL-level dedup (q185), per-source characteristic vocabulary
-  * (q186 keyness), n-gram diversity (q187), and consistent-hash shard
-  * rebalancing (q188). All six are exact integer/string algebra (ln
-  * pinned at e4 where it appears) with full DuckDB oracles.
+  * (q186 keyness), n-gram diversity (q187), consistent-hash shard
+  * rebalancing (q188), and shard-boundary stitch repair (q190). All
+  * exact integer/string algebra (ln pinned at e4 where it appears)
+  * with full DuckDB oracles. (q189 multi-probe LSH lives with the ANN
+  * family in OperatorQueries; q191 token yield with the dedup family
+  * in DedupQueries.)
   */
 object AnalyticsQueries {
 
@@ -72,9 +76,13 @@ object AnalyticsQueries {
   // guarantee is that only the NEW shard gains moved keys (~1/9 of the
   // data); the mod-N alternative would move ~8/9.
   def q188(s: SparkSession, dir: String): DataFrame = {
-    val assigned = docs(s, dir).select(col("doc_id"),
-      Layout.consistentShard(col("doc_id"), 8).as("sh8"),
-      Layout.consistentShard(col("doc_id"), 9).as("sh9"))
+    // ensureParallelism: the ring lookup is an interpreted HOF (no
+    // codegen for higher-order functions), so a one-split parquet read
+    // would serialize ~3M lambda evals onto one core (the q145 gotcha).
+    val assigned = graft.SparkUtil.ensureParallelism(docs(s, dir))
+      .select(col("doc_id"),
+        Layout.consistentShard(col("doc_id"), 8).as("sh8"),
+        Layout.consistentShard(col("doc_id"), 9).as("sh9"))
     // One pass: stack each doc into a before-row and an after-row, then
     // a single map-side-combinable aggregate per shard.
     assigned
@@ -92,13 +100,39 @@ object AnalyticsQueries {
       .orderBy(col("shard"))
   }
 
+  // q190: shard-boundary STITCH round-trip — every doc is split into two
+  // shards with a 4-token overlap (the planted crawl artifact), the
+  // detector scans ADJACENT records per source (it does not know doc
+  // boundaries), and the repaired text must md5 back to the original.
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val det = Stitch.detectAdjacent(
+      Stitch.shard(d, "doc_id", "text", k = 4),
+      "source", "shard_id", "text", k = 4)
+    val own = det
+      .filter(col("left_id") % 2 === 0 &&
+        col("right_id") === col("left_id") + 1)
+      .select(expr("left_id div 2").as("doc_id"), col("matched"),
+        md5(col("merged_text")).as("merged_md5"))
+    d.select(col("doc_id"), col("source"),
+        (size(split(col("text"), " ")) >= 8).as("was_split"),
+        md5(col("text")).as("__orig"))
+      .join(own, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("was_split"),
+        coalesce(col("matched"), lit(false)).as("stitched"),
+        coalesce(col("__orig") === col("merged_md5"), !col("was_split"))
+          .as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_otsu_threshold" -> (q183 _),
     "q184_hll_rollup" -> (q184 _),
     "q185_url_canonical" -> (q185 _),
     "q186_keyness" -> (q186 _),
     "q187_distinct_ngrams" -> (q187 _),
-    "q188_consistent_shards" -> (q188 _))
+    "q188_consistent_shards" -> (q188 _),
+    "q190_shard_stitch" -> (q190 _))
 
   /** The portable-HLL rho/register algebra over an md5 column `h`,
     * shared by every q184 CTE — the same hex-digit recipe as
@@ -295,6 +329,46 @@ object AnalyticsQueries {
         |  CAST(COUNT(DISTINCT gram) * 10000 // COUNT(*) AS BIGINT)
         |    AS distinct_e4
         |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
+    "q190_shard_stitch" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id * 2 AS shard_id, doc_id, source,
+        |    CASE WHEN len(t) >= 8
+        |      THEN list_aggregate(t[1:(len(t)+4)//2], 'string_agg', ' ')
+        |      ELSE text END AS text
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, doc_id, source,
+        |    list_aggregate(t[(len(t)+4)//2-3:len(t)], 'string_agg', ' ')
+        |  FROM d WHERE len(t) >= 8),
+        |w AS (SELECT source, shard_id AS left_id, text,
+        |    LEAD(shard_id) OVER (PARTITION BY source ORDER BY shard_id)
+        |      AS right_id,
+        |    LEAD(text) OVER (PARTITION BY source ORDER BY shard_id)
+        |      AS next_text
+        |  FROM sh),
+        |p AS (SELECT source, left_id, right_id, text,
+        |    string_split(text, ' ') AS ct, string_split(next_text, ' ') AS nt
+        |  FROM w WHERE right_id IS NOT NULL),
+        |det AS (SELECT source, left_id, right_id,
+        |    (len(ct) >= 4 AND len(nt) >= 4
+        |      AND ct[len(ct)-3:len(ct)] = nt[1:4]) AS matched,
+        |    CASE WHEN (len(ct) >= 4 AND len(nt) >= 4
+        |        AND ct[len(ct)-3:len(ct)] = nt[1:4])
+        |      THEN text || ' ' ||
+        |        list_aggregate(nt[5:len(nt)], 'string_agg', ' ') END
+        |      AS merged
+        |  FROM p),
+        |own AS (SELECT left_id // 2 AS doc_id, matched,
+        |    md5(merged) AS merged_md5
+        |  FROM det WHERE left_id % 2 = 0 AND right_id = left_id + 1)
+        |SELECT d.doc_id, d.source, len(d.t) >= 8 AS was_split,
+        |  COALESCE(own.matched, FALSE) AS stitched,
+        |  COALESCE(md5(d.text) = own.merged_md5, NOT (len(d.t) >= 8))
+        |    AS roundtrip_ok
+        |FROM d LEFT JOIN own USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q188_consistent_shards" -> {
       // Single-line fragment body: a continuation line starting with
       // "||" would lose a pipe to the OUTER stripMargin (skill gotcha).

@@ -202,6 +202,41 @@ object DedupQueries {
         bands = 4, rowsPerBand = 4))
   }
 
+  // q191: DEDUP-ADJUSTED TOKEN YIELD per source — the planning table a
+  // mixture is actually built from: raw token mass, mass surviving
+  // exact dedup (md5-group min-id keepers), mass surviving near-dup
+  // clustering (q54's component representatives), and the e4 yield
+  // ratio. A source with a low yield is mostly mirrors — its raw size
+  // overstates its contribution to a 100 TB mix. Tokens attribute to
+  // the KEEPER's source. One narrow checkpointed projection feeds all
+  // three tiers; the keeper sets arrive as doc-keyed left-join marks.
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("__ntok"),
+        md5(col("text")).as("__h"))
+      .localCheckpoint(true)
+    val exactKeep = base.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__ke"))
+    val ndKeep = Dedup.connectedComponents(lshPairs(s, dir),
+        d.select(col("doc_id").as("id")))
+      .filter(col("id") === col("component"))
+      .select(col("id").as("doc_id"), lit(true).as("__kn"))
+    base.join(exactKeep, Seq("doc_id"), "left")
+      .join(ndKeep, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("tok_raw"),
+        sum(when(col("__ke"), col("__ntok")).otherwise(0L))
+          .as("tok_exact"),
+        sum(when(col("__kn"), col("__ntok")).otherwise(0L))
+          .as("tok_neardup"))
+      .withColumn("yield_e4",
+        expr("tok_neardup * 10000 div tok_raw"))
+      .orderBy(col("source"))
+  }
+
   // q54: near-dup CLUSTERS — connected components over the LSH candidate
   // pairs, every doc labeled with its component (min reachable doc_id).
   // The oracle replays the component labels with a recursive CTE.
@@ -382,6 +417,7 @@ object DedupQueries {
     "q30_regex_tokens" -> (q30 _),
     "q52_edit_distance" -> (q52 _),
     "q54_neardup_components" -> (q54 _),
+    "q191_token_yield" -> (q191 _),
     "q135_neardup_kcore" -> (q135 _),
     "q55_dedup_keep_best" -> (q55 _)
   )
@@ -634,6 +670,27 @@ object DedupQueries {
     "q54_neardup_components" ->
       s"""WITH RECURSIVE $compCte
          |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // q191: the q54 component chain + md5 exact-keep marks folded into
+    // one per-source aggregate of the token masses.
+    "q191_token_yield" ->
+      s"""WITH RECURSIVE $compCte,
+         |base AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |    md5(text) AS h
+         |  FROM documents),
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY h),
+         |nk AS (SELECT id AS doc_id FROM comp WHERE id = component)
+         |SELECT base.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS tok_raw,
+         |  CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS tok_exact,
+         |  CAST(SUM(CASE WHEN nk.doc_id IS NOT NULL THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS tok_neardup,
+         |  CAST(SUM(CASE WHEN nk.doc_id IS NOT NULL THEN ntok ELSE 0 END)
+         |    * 10000 // SUM(ntok) AS BIGINT) AS yield_e4
+         |FROM base LEFT JOIN ek ON base.doc_id = ek.doc_id
+         |LEFT JOIN nk ON base.doc_id = nk.doc_id
+         |GROUP BY base.source ORDER BY base.source""".stripMargin,
     // q135: four unrolled peel rounds over the candidate pair graph
     // (MATERIALIZED — DuckDB re-inlines plain CTEs exponentially), then
     // the same degree/core/witness join the engine emits.

@@ -69,6 +69,26 @@ object OperatorQueries {
       "vec_id", "embedding", q, k = 5, probes = 1)
   }
 
+  // q189: margin-ordered MULTI-PROBE LSH (Lv et al., VLDB'07) — q33's
+  // recall knob done properly: instead of the uniform radius-1 Hamming
+  // ball (9 buckets), probe exactly t=6 buckets chosen by the query's
+  // OWN hyperplane margins (base + the 5 cheapest single/pair flips at
+  // e6 integer ranking). One LSH table serving tunable recall without
+  // multiplying tables or probing blind — the scan-budget shape a
+  // serving ANN runs at 100 TB. The oracle replays margins → probing
+  // sequence → prune → exact rescore bit-for-bit.
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    require(q.length == EmbeddingDim,
+      s"q189 oracle is generated for dim=$EmbeddingDim, testdata has ${q.length}")
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = q.length)
+    lsh.searchMultiProbe(
+      lsh.index(emb.filter(col("vec_id") =!= 0), "embedding"),
+      "vec_id", "embedding", q, k = 5, t = 6)
+  }
+
   // q49: IVF (k-means coarse quantizer) ANN top-5 for the vec_id=0 query.
   // Fully oracle-checked (r10): the fit is the deterministic integer
   // k-means (md5-ordered sample, farthest-point seeding, fixed Lloyd
@@ -791,6 +811,7 @@ object OperatorQueries {
     "q169_langid_confusion" -> (q169 _),
     "q32_quality" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
+    "q189_ann_multiprobe" -> (q189 _),
     "q34_chunker" -> (q34 _),
     "q35_embed_knn" -> (q35 _),
     "q49_ann_ivf" -> (q49 _),
@@ -1226,6 +1247,48 @@ object OperatorQueries {
          |  FROM qb CROSS JOIN range(8) r),
          |cand AS (SELECT bk.vec_id FROM buckets bk JOIN probes ON bk.bucket = probes.pb
          |         WHERE bk.vec_id <> 0$extraPred),
+         |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+         |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
+         |d2 AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
+         |       FROM e JOIN q ON e.pos = q.pos
+         |       JOIN cand c ON e.vec_id = c.vec_id GROUP BY e.vec_id)
+         |SELECT d2.vec_id,
+         |  ROUND(d2.dot / (n.nrm * (SELECT nrm FROM n WHERE vec_id = 0)), 6) AS score
+         |FROM d2 JOIN n ON d2.vec_id = n.vec_id
+         |ORDER BY score DESC, d2.vec_id LIMIT 5""".stripMargin
+
+  /** q189's oracle: the annLshSql bucket replay, with the probe set
+    * derived from the query's e6 margins — singles and pairs ranked by
+    * summed margin (tie: mask), top 5 + the base bucket, then the same
+    * prune → exact-rescore tail.
+    */
+  private lazy val annMultiProbeOracleSql: String =
+      s"""WITH planes(b, p) AS (VALUES
+         |  $q33PlaneRows),
+         |pe AS (SELECT b, generate_subscripts(p, 1) AS pos, unnest(p) AS pv
+         |       FROM planes),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |dots AS (SELECT e.vec_id, pe.b, SUM(e.val * pe.pv) AS d
+         |         FROM e JOIN pe ON e.pos = pe.pos GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |m AS (SELECT b, CAST(ROUND(abs(d) * 1000000) AS BIGINT) AS mg
+         |      FROM dots WHERE vec_id = 0),
+         |flips AS (SELECT (1 << b) AS mask, mg AS score FROM m
+         |  UNION ALL
+         |  SELECT (1 << m1.b) + (1 << m2.b), m1.mg + m2.mg
+         |  FROM m m1 JOIN m m2 ON m1.b < m2.b),
+         |top AS (SELECT mask FROM flips ORDER BY score, mask LIMIT 5),
+         |probes AS (SELECT bucket AS pb FROM qb
+         |  UNION
+         |  SELECT xor(qb.bucket, CAST(mask AS INTEGER))
+         |  FROM qb CROSS JOIN top),
+         |cand AS (SELECT bk.vec_id FROM buckets bk
+         |         JOIN probes ON bk.bucket = probes.pb
+         |         WHERE bk.vec_id <> 0),
          |n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
          |q AS (SELECT pos, val FROM e WHERE vec_id = 0),
          |d2 AS (SELECT e.vec_id, SUM(e.val * q.val) AS dot
@@ -1848,6 +1911,7 @@ object OperatorQueries {
          |FROM j GROUP BY lang, lang_pred
          |ORDER BY lang, lang_pred""".stripMargin,
     "q33_ann_lsh" -> annLshOracleSql,
+    "q189_ann_multiprobe" -> annMultiProbeOracleSql,
     "q136_ann_autorewrite" -> annLshOracleSql,
     "q142_ann_filtered_rewrite" -> annLshFilteredOracleSql,
     "q50_embed_neardup_lsh" ->

@@ -708,4 +708,38 @@ class PlanAuditSpec extends SparkSpec {
     // stacked explode + one partial/final aggregate + output sort
     assert(p.contains("Generate"), p)
   }
+
+  test("q189: multiprobe prune is an In/InSet filter + TakeOrdered — " +
+      "no join, no window") {
+    val p = plan("q189_ann_multiprobe")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // Catalyst collapses the bucket projection into the filter: the
+    // probe-set prune shows as an IN (...) over the inlined bucket
+    // expression, inside the scan's DataFilters.
+    assert(p.contains(" IN ("), p)
+  }
+
+  test("q190: stitch detection is one keyed window — no cartesian, no " +
+      "global sort before it") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val lp = SparkEntry.queries("q190_shard_stitch")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    val wins = lp.collect { case w: Window => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less window:\n$w"))
+    val p = plan("q190_shard_stitch")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q191: yield tiers read the checkpointed projection; keeper " +
+      "joins stay keyed") {
+    val p = plan("q191_token_yield")
+    assert(!p.contains("CartesianProduct"), p)
+    // the base projection is materialized: no second parquet scan of
+    // documents' text column on the aggregate path
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"$scans corpus scans:\n$p")
+  }
 }

@@ -195,6 +195,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(again == first)
   }
 
+  // ---------------------------------------------------------- stitch q190
+
+  test("Stitch.shard: exact k-token overlap; short docs pass through") {
+    val df = Seq((3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "s"),
+      (4L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val out = Stitch.shard(df, "doc_id", "text", k = 4)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Int]("part"),
+        r.getAs[String]("text")))
+    // n=10, k=4: half = 7 → first 1..7, second 4..10 (4-token overlap)
+    assert(out.toSeq == Seq(
+      (6L, 0, "t1 t2 t3 t4 t5 t6 t7"),
+      (7L, 1, "t4 t5 t6 t7 t8 t9 t10"),
+      (8L, 0, "a b c")))
+  }
+
+  test("Stitch round trip: detect the planted boundary, repair to the " +
+      "original text; cross-doc pairs do not match") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "s"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11", "s"))
+      .toDF("doc_id", "text", "source")
+    val det = Stitch.detectAdjacent(Stitch.shard(docs, "doc_id", "text", 4),
+      "source", "shard_id", "text", k = 4).orderBy("left_id").collect()
+    // pairs: (2,3) own, (3,4) cross, (4,5) own
+    assert(det.length == 3)
+    val byPair = det.map(r => (r.getAs[Long]("left_id"),
+      r.getAs[Boolean]("matched"),
+      Option(r.getAs[String]("merged_text")))).toSeq
+    assert(byPair(0) == (2L, true,
+      Some("w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    assert(byPair(1)._2 == false && byPair(1)._3.isEmpty)
+    assert(byPair(2) == (4L, true,
+      Some("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11")))
+  }
+
   test("hashRing: positions are distinct and sorted") {
     val ring = Layout.hashRing(9, 16)
     assert(ring.length == 144)

@@ -122,4 +122,44 @@ class AnnSpec extends SparkSpec {
         s"bucket mismatch for vec ${r.getLong(0)}")
     }
   }
+
+  test("multiProbeSequence: t distinct buckets, base first, ordered by " +
+      "cheapest margin crossings") {
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = 64)
+    val seqT = lsh.multiProbeSequence(query, 6)
+    assert(seqT.length == 6)
+    assert(seqT.distinct.length == 6)
+    assert(seqT.head == lsh.bucketOf(query))
+    // every probe differs from base in <= 2 bits (singles + pairs only)
+    seqT.tail.foreach { b =>
+      assert(Integer.bitCount(b ^ seqT.head) <= 2, seqT)
+    }
+    // the first perturbation flips exactly the minimum-margin plane
+    val m = lsh.marginsE6(query)
+    val minBit = m.indices.minBy(i => (m(i), i))
+    // cheapest candidate is either the single min flip or (if two tiny
+    // margins sum below it — impossible for non-negative margins unless
+    // equal) the min single; assert the min single is probed.
+    assert(seqT.contains(seqT.head ^ (1 << minBit)), seqT)
+  }
+
+  test("searchMultiProbe: planted near-dup recall at t=6; candidates " +
+      "are a strict subset; more probes never lose results") {
+    val lsh = new Ann.RandomHyperplaneLsh(nBits = 8, dim = 64)
+    val indexed = lsh.index(corpus, "embedding").cache()
+    val found = ids(lsh.searchMultiProbe(indexed, "vec_id", "embedding",
+      query, 5, t = 6))
+    assert(found.toSet == planted.map(_._1).toSet)
+    val cand = indexed.filter(col("bucket")
+      .isin(lsh.multiProbeSequence(query, 6): _*)).count()
+    assert(cand < corpus.count() / 2, s"scanned $cand rows")
+    // monotone: the t=37 sequence (all singles+pairs) is a superset of
+    // t=6, so scores can only improve or stay
+    val s6 = lsh.searchMultiProbe(indexed, "vec_id", "embedding",
+      query, 5, t = 6).collect().map(_.getDouble(1)).sum
+    val s37 = lsh.searchMultiProbe(indexed, "vec_id", "embedding",
+      query, 5, t = 37).collect().map(_.getDouble(1)).sum
+    assert(s37 >= s6 - 1e-9)
+    indexed.unpersist()
+  }
 }
