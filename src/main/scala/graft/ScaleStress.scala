@@ -88,9 +88,9 @@ object ScaleStress {
       .split(',').map(_.trim.toInt).toSeq
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
-        "corpusops")(tier),
+        "corpusops", "analytics")(tier),
       s"unknown tier '$tier' " +
-        "(graph|substring|ingest|ann|multivec|corpusops)")
+        "(graph|substring|ingest|ann|multivec|corpusops|analytics)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -389,6 +389,98 @@ object ScaleStress {
         }
         println(s"""{"scale":$k,"n_vecs":${emb.count()},""" +
           s""""cover_radius_e8":${picks.last.getLong(2)}}""")
+      }
+    }
+
+    if (tier == "analytics") {
+      // The r14 tier: scale-INVARIANCE certificates for the corpus
+      // analytics family under ×k exact-copy replication. Replicating
+      // every doc ×k multiplies every histogram cell, count cell and
+      // marginal by exactly k, so the derived DECISIONS must not move:
+      // Otsu thresholds identical (the ×k² objective rescales, the
+      // argmax doesn't), per-language word NDV identical (same words,
+      // merged==direct still exact), keyness keyword sets identical
+      // with G² exactly ×k (the ln arguments are ratios where k
+      // cancels), the consistent-hash moved share constant (~1/9), and
+      // every stitched doc still round-trips. A threshold or keyword
+      // that MOVES under replication would mean the operator's answer
+      // depends on corpus size, not corpus shape — the failure mode
+      // this tier exists to catch.
+      import graft.operators.{Curation, Layout, Stats => GStats,
+        Stitch, TextAnalysis}
+      var thrAt1: Seq[(String, Long)] = null
+      var keysAt1: Seq[(String, String)] = null
+      var g2At1: Map[(String, String), Long] = null
+      for (k <- scales) {
+        val docs = replicate(k)
+        // keep source/lang columns: re-join them from the base table
+        val full = docs.join(
+            docs0.sparkSession.read.parquet(s"$sfDir/documents.parquet")
+              .select(col("doc_id").as("__base_id"), col("lang"),
+                col("source")),
+            pmod(col("doc_id"), lit(stride)) === col("__base_id"))
+          .drop("__base_id").localCheckpoint(true)
+        val nDocs = full.count()
+        val thr = phase("otsu", k) {
+          Curation.otsuThreshold(full, "lang",
+              least(expr("length(text) div 20"), lit(255L)))
+            .orderBy(col("lang")).collect()
+            .map(r => (r.getString(0), r.getAs[Long]("threshold"))).toSeq
+        }
+        if (k == scales.head) thrAt1 = thr
+        val thrStable = thr == thrAt1
+        val ndv = phase("hll_rollup", k) {
+          val words = full.select(col("lang"),
+            (col("doc_id") % 7).as("shard"),
+            explode(filter(split(lower(col("text")), " "),
+              t => length(t) > 0)).as("w"))
+          GStats.hllRollup(words, "lang", col("shard"), col("w"))
+            .orderBy(col("lang")).collect()
+        }
+        val mergedOk = ndv.forall(_.getAs[Boolean]("merged_eq_direct"))
+        // minCount scales with k: a FIXED support floor would admit new
+        // terms as replication lifts a=2..4 cells past it — the floor is
+        // an absolute threshold by design, so the invariance certificate
+        // scales it to keep the admitted set comparable.
+        val keys = phase("keyness", k) {
+          TextAnalysis.keyness(full, "source", "text", 5 * k, 3)
+            .orderBy(col("source"), col("rank")).collect()
+        }
+        val keySet = keys.map(r =>
+          (r.getString(0), r.getAs[String]("term"))).toSeq
+        val g2 = keys.map(r => ((r.getString(0),
+          r.getAs[String]("term")), r.getAs[Long]("g2_e4"))).toMap
+        if (k == scales.head) { keysAt1 = keySet; g2At1 = g2 }
+        val keysStable = keySet == keysAt1
+        // G² must scale exactly ×(k/k0) vs the first scale
+        val k0 = scales.head
+        val g2Linear = g2.forall { case (key, v) =>
+          g2At1.get(key).contains(v * k0 / k)
+        }
+        val moved = phase("consistent_hash", k) {
+          val asg = SparkUtil.ensureParallelism(full).select(
+            Layout.consistentShard(col("doc_id"), 8).as("s8"),
+            Layout.consistentShard(col("doc_id"), 9).as("s9"))
+          asg.agg(sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)),
+            count(lit(1))).head()
+        }
+        val movedShareE4 = moved.getLong(0) * 10000L / moved.getLong(1)
+        val stitchOk = phase("stitch_roundtrip", k) {
+          val det = Stitch.detectAdjacent(
+            Stitch.shard(full.select(col("doc_id"), col("text"),
+              col("source")), "doc_id", "text", 4),
+            "source", "shard_id", "text", 4)
+          det.filter(col("left_id") % 2 === 0 &&
+              col("right_id") === col("left_id") + 1 && col("matched"))
+            .join(full.select((col("doc_id") * 2).as("left_id"),
+              md5(col("text")).as("__om")), Seq("left_id"))
+            .filter(md5(col("merged_text")) === col("__om")).count()
+        }
+        println(s"""{"scale":$k,"n_docs":$nDocs,""" +
+          s""""otsu_stable":$thrStable,"merged_eq_direct":$mergedOk,""" +
+          s""""keyness_stable":$keysStable,"g2_linear":$g2Linear,""" +
+          s""""moved_share_e4":$movedShareE4,""" +
+          s""""stitch_roundtrips":$stitchOk}""")
       }
     }
 

@@ -755,4 +755,78 @@ object Stats {
           col("t4") * col("t4"))).cast("double")) / col("gg") /
           lit(10000.0)).as("jack_se"))
   }
+
+  /** Poisson(1) multiplicity thresholds at 2^52 — the exact-integer
+    * inverse CDF the bootstrap compares 13-hex-digit md5 draws
+    * against: m = #{thresholds below the draw}, capped at 4
+    * (P(m ≥ 5) ≈ 0.37%). Longs precomputed here (and inlined into the
+    * oracle) so no float `exp` crosses an engine boundary.
+    */
+  val PoissonThresholdsE52: Seq[Long] =
+    Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+      4418084571138598L)
+
+  /** POISSON-BOOTSTRAP confidence intervals for a per-group mean —
+    * [[jackknifeMean]] needs a within-group block structure; the
+    * bootstrap needs nothing: each of `b` replicates re-weights every
+    * row with an independent Poisson(1) multiplicity (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams" — the
+    * map-side-combinable bootstrap, since multiplicities are per-row
+    * and never require resampling the dataset). Deterministic: the
+    * multiplicity of (row, replicate) is md5-derived and compared
+    * against the exact-integer [[PoissonThresholdsE52]], so every
+    * replicate — and the CI — replays bit-for-bit in SQL.
+    *
+    * Scale shape: ONE map-side explode of b (replicate, m) structs per
+    * row (m = 0 rows dropped before the shuffle) into a combinable
+    * (group, replicate) sum/count aggregate — the corpus crosses one
+    * shuffle of b×groups cells; the percentile pick is a window over
+    * the b-row per-group table. No per-replicate scan, no RNG state.
+    *
+    * Output per group: n_rows, mean_e4 (full sample), boot_lo_e4 /
+    * boot_hi_e4 (the `loRank`-th / `hiRank`-th of the b sorted
+    * replicate means — ranks 2 and b−1 at b = 40 ≈ a 95% interval),
+    * n_replicates.
+    */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String, b: Int = 40, seed: String = "boot",
+      loRank: Int = 2, hiRank: Int = 39): DataFrame = {
+    require(b >= 4 && loRank >= 1 && hiRank <= b && loRank < hiRank,
+      s"bad bootstrap config b=$b loRank=$loRank hiRank=$hiRank")
+    import org.apache.spark.sql.expressions.Window
+    val m = (rep: Int) => {
+      val h = conv(substring(md5(concat_ws(":", lit(seed), lit(rep),
+        col("__k"))), 1, 13), 16, 10).cast("long")
+      PoissonThresholdsE52.map(t => when(h >= t, 1).otherwise(0))
+        .reduce(_ + _)
+    }
+    val cells = graft.SparkUtil.ensureParallelism(df)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        col(keyCol).cast("string").as("__k"))
+      .select(col("__g"), col("__v"),
+        explode(array((0 until b).map(rep =>
+          struct(lit(rep).as("rep"), m(rep).as("m"))): _*)).as("__r"))
+      .filter(col("__r.m") > 0)
+      .groupBy(col("__g"), col("__r.rep").as("__rep"))
+      .agg(sum(col("__r.m") * col("__v")).as("__s"),
+        sum(col("__r.m")).as("__n"))
+      .withColumn("__mean_e4", expr("__s * 10000 div __n"))
+    val byMean = Window.partitionBy(col("__g"))
+      .orderBy(col("__mean_e4"), col("__rep"))
+    val ranked = cells
+      .withColumn("__rk", row_number().over(byMean))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_replicates"),
+        max(when(col("__rk") === loRank, col("__mean_e4")))
+          .as("boot_lo_e4"),
+        max(when(col("__rk") === hiRank, col("__mean_e4")))
+          .as("boot_hi_e4"))
+    val full = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("__sv"))
+      .withColumn("mean_e4", expr("__sv * 10000 div n_rows"))
+    full.join(ranked, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_rows"), col("mean_e4"),
+        col("boot_lo_e4"), col("boot_hi_e4"), col("n_replicates"))
+  }
 }

@@ -216,6 +216,40 @@ object TextAnalysis {
           size(col("__t"))).as("ttr"))
   }
 
+  /** Control characters that should never appear in clean text —
+    * C0 minus TAB/LF/CR (RE2- and Java-regex-portable class).
+    */
+  val ControlCharRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** ENCODING/MOJIBAKE AUDIT — the data-quality gate that catches
+    * transcoding damage before it reaches a tokenizer: per group,
+    * documents carrying U+FFFD replacement characters (the universal
+    * "decode failed here" marker) and documents carrying C0 control
+    * characters (minus TAB/LF/CR). Bad decodes are per-FILE events, so
+    * per-source rates localize the broken pipeline stage; a tokenizer
+    * fed U+FFFD learns a garbage token that then attracts real text.
+    * Pure per-row `contains`/regexp algebra — rides the scan, one
+    * combinable aggregate.
+    *
+    * Output: (group, n_docs, n_replacement, n_control, repl_rate_e4,
+    * ctrl_rate_e4).
+    */
+  def encodingAudit(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(t.contains("�"), 1L).otherwise(0L))
+          .as("n_replacement"),
+        sum(when(t.rlike(ControlCharRe), 1L).otherwise(0L))
+          .as("n_control"))
+      .withColumn("repl_rate_e4",
+        expr("n_replacement * 10000 div n_docs"))
+      .withColumn("ctrl_rate_e4",
+        expr("n_control * 10000 div n_docs"))
+  }
+
   /** KEYNESS — per-group characteristic terms by Dunning's G² (the
     * log-likelihood ratio of the 2×2 contingency table term × group,
     * Dunning 1993): for a term t in group g with observed in-group

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Layout, Stats, Stitch, TextAnalysis,
-  WebIngest}
+import graft.operators.{Cooccurrence, Curation, Layout, Stats, Stitch,
+  TextAnalysis, WebIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,45 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q192: Poisson-bootstrap 95% CI on the per-language mean doc length
+  // — 40 deterministic md5-derived replicates (exact-integer inverse
+  // CDF), percentile pick at ranks 2/39 of the sorted replicate means.
+  def q192(s: SparkSession, dir: String): DataFrame =
+    Stats.bootstrapMeanCi(
+        docs(s, dir).withColumn("len", length(col("text"))),
+        "lang", "len", "doc_id", b = 40, seed = "boot",
+        loRank = 2, hiRank = 39)
+      .orderBy(col("lang"))
+
+  // q193: encoding/mojibake audit over planted corruption — doc_id%7=0
+  // gets a U+FFFD prefix (decode damage), doc_id%11=3 gets a BEL
+  // control char appended (binary bleed); both moduli are coprime to
+  // the source assignment's mod-20 cycle, so the planted rates spread
+  // across every source instead of degenerating to all-or-nothing.
+  // The per-source audit must count exactly the planted sets.
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dirty = d.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("� "), col("text"))).otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 3,
+          concat(col("text"), expr("chr(7)"))).otherwise(col("text")))
+    TextAnalysis.encodingAudit(dirty, "source", "text")
+      .orderBy(col("source"))
+  }
+
+  // q194: item co-occurrence with support + lift over the events
+  // baskets (item = the props.k payload): distinct per-user baskets,
+  // power users (> 64 items) dropped before the keyed pair join,
+  // minSupport 2.
+  def q194(s: SparkSession, dir: String): DataFrame =
+    Cooccurrence.pairs(
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item")),
+      "user_id", "item", minSupport = 2L, maxBasket = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_otsu_threshold" -> (q183 _),
     "q184_hll_rollup" -> (q184 _),
@@ -132,7 +171,10 @@ object AnalyticsQueries {
     "q186_keyness" -> (q186 _),
     "q187_distinct_ngrams" -> (q187 _),
     "q188_consistent_shards" -> (q188 _),
-    "q190_shard_stitch" -> (q190 _))
+    "q190_shard_stitch" -> (q190 _),
+    "q192_bootstrap_ci" -> (q192 _),
+    "q193_encoding_audit" -> (q193 _),
+    "q194_cooccurrence" -> (q194 _))
 
   /** The portable-HLL rho/register algebra over an md5 column `h`,
     * shared by every q184 CTE — the same hex-digit recipe as
@@ -167,6 +209,78 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q192_bootstrap_ci" -> {
+      val th = graft.operators.Stats.PoissonThresholdsE52
+      val mExpr = th.map(t =>
+        s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH reps AS (SELECT unnest(range(0, 40)) AS rep),
+         |base AS (SELECT doc_id, lang,
+         |    CAST(LENGTH(text) AS BIGINT) AS v FROM documents),
+         |hh AS (SELECT lang, rep, v,
+         |    CAST(('0x' || substring(md5('boot:' || CAST(rep AS VARCHAR)
+         |      || ':' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+         |  FROM base CROSS JOIN reps),
+         |mm AS (SELECT lang, rep, v, $mExpr AS m FROM hh),
+         |cells AS (SELECT lang, rep, SUM(m * v) AS s, SUM(m) AS n
+         |  FROM mm WHERE m > 0 GROUP BY 1, 2),
+         |means AS (SELECT lang, rep, s * 10000 // n AS mean_e4
+         |  FROM cells),
+         |rk AS (SELECT lang, rep, mean_e4, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY mean_e4, rep) AS rk FROM means),
+         |ci AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         |    CAST(MAX(CASE WHEN rk = 2 THEN mean_e4 END) AS BIGINT)
+         |      AS boot_lo_e4,
+         |    CAST(MAX(CASE WHEN rk = 39 THEN mean_e4 END) AS BIGINT)
+         |      AS boot_hi_e4
+         |  FROM rk GROUP BY lang),
+         |fl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(v) * 10000 // COUNT(*) AS BIGINT) AS mean_e4
+         |  FROM base GROUP BY lang)
+         |SELECT fl.lang, n_rows, mean_e4, boot_lo_e4, boot_hi_e4,
+         |  n_replicates
+         |FROM fl JOIN ci USING (lang) ORDER BY fl.lang""".stripMargin
+    },
+    "q193_encoding_audit" ->
+      """WITH dirty AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 3 THEN t2 || chr(7) ELSE t2 END AS text
+        |  FROM (SELECT doc_id, source,
+        |      CASE WHEN doc_id % 7 = 0 THEN '� ' || text ELSE text END
+        |        AS t2
+        |    FROM documents))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_replacement,
+        |  CAST(SUM(CASE WHEN regexp_matches(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_control,
+        |  CAST(SUM(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END)
+        |    * 10000 // COUNT(*) AS BIGINT) AS repl_rate_e4,
+        |  CAST(SUM(CASE WHEN regexp_matches(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+        |    * 10000 // COUNT(*) AS BIGINT) AS ctrl_rate_e4
+        |FROM dirty GROUP BY source ORDER BY source""".stripMargin,
+    "q194_cooccurrence" ->
+      """WITH b0 AS (SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS i
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND json_extract(props, '$.k') IS NOT NULL),
+        |ku AS (SELECT u FROM b0 GROUP BY u HAVING COUNT(*) <= 64),
+        |k AS (SELECT b0.u, b0.i FROM b0 JOIN ku USING (u)),
+        |n AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu FROM k),
+        |sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS s FROM k
+        |        GROUP BY i),
+        |p AS (SELECT a.i AS ia, b.i AS ib FROM k a
+        |      JOIN k b ON a.u = b.u AND a.i < b.i),
+        |g AS (SELECT ia, ib, CAST(COUNT(*) AS BIGINT) AS n_both
+        |      FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT ia AS item_a, ib AS item_b, n_both, sa.s AS sup_a,
+        |  sb.s AS sup_b,
+        |  CAST(n_both * n.nu * 10000 // (sa.s * sb.s) AS BIGINT)
+        |    AS lift_e4
+        |FROM g JOIN sup sa ON g.ia = sa.i JOIN sup sb ON g.ib = sb.i
+        |CROSS JOIN n
+        |ORDER BY n_both DESC, item_a, item_b""".stripMargin,
     "q183_otsu_threshold" ->
       """WITH d AS (SELECT lang,
         |    LEAST(n_chars // 20, 255) AS s FROM documents),

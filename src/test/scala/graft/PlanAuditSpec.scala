@@ -733,6 +733,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q192: bootstrap explode is map-side; replicate windows run on " +
+      "the b-by-groups cell table, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q192_bootstrap_ci")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case _: LeafNode => true
+      case other => other.children.exists(scanAboveAggregate)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAggregate(w.child),
+        s"window over un-aggregated corpus:\n$lp")
+    }
+    val p = plan("q192_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q193: encoding audit is one combinable aggregate — no join, " +
+      "no window, no generate") {
+    val p = plan("q193_encoding_audit")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q194: pair join is keyed on the user; supports broadcast") {
+    val p = plan("q194_cooccurrence")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q191: yield tiers read the checkpointed projection; keeper " +
       "joins stay keyed") {
     val p = plan("q191_token_yield")

@@ -231,6 +231,79 @@ class AnalyticsOpsSpec extends SparkSpec {
       Some("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11")))
   }
 
+  // ------------------------------------------------------ bootstrap q192
+
+  test("bootstrapMeanCi: CI brackets the true mean, deterministic, " +
+      "multiplicity mass ~ Poisson(1)") {
+    val rows = (1L to 400L).map(i => ("g", i, i % 100))
+    val df = rows.toDF("grp", "k", "v")
+    val out = Stats.bootstrapMeanCi(df, "grp", "v", "k", b = 40).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val mean = r.getAs[Long]("mean_e4")
+    assert(r.getAs[Long]("n_rows") == 400L)
+    assert(r.getAs[Long]("n_replicates") == 40L)
+    assert(r.getAs[Long]("boot_lo_e4") < mean &&
+      mean < r.getAs[Long]("boot_hi_e4"), r)
+    // repartition invariance (pure hash, no RNG state)
+    val again = Stats.bootstrapMeanCi(df.repartition(13), "grp", "v", "k",
+      b = 40).collect().head
+    assert(again == r)
+  }
+
+  test("PoissonThresholdsE52: multiplicity expectation is ~1") {
+    // P(m=j) implied by the thresholds should match Poisson(1):
+    // E[m] = sum of tail probabilities = sum_i (1 - T_i/2^52).
+    val tot = 1L << 52
+    val em = Stats.PoissonThresholdsE52
+      .map(t => (tot - t).toDouble / tot).sum
+    assert(math.abs(em - 0.9963) < 0.001, em) // 1 - tail mass past m=4
+  }
+
+  // ------------------------------------------------- encoding audit q193
+
+  test("encodingAudit: counts exactly the planted corruption classes") {
+    val df = Seq(
+      ("s", "clean text here"),
+      ("s", "bad � decode"),
+      ("s", "bellchar"),
+      ("s", "tab\tand newline\nare fine"),
+      ("t", "clean")).toDF("src", "text")
+    val out = TextAnalysis.encodingAudit(df, "src", "text")
+      .orderBy("src").collect()
+    val sRow = out.head
+    assert(sRow.getAs[Long]("n_docs") == 4L)
+    assert(sRow.getAs[Long]("n_replacement") == 1L)
+    assert(sRow.getAs[Long]("n_control") == 1L)
+    assert(sRow.getAs[Long]("repl_rate_e4") == 2500L)
+    assert(out(1).getAs[Long]("n_replacement") == 0L)
+  }
+
+  // --------------------------------------------------- co-occurrence q194
+
+  test("Cooccurrence.pairs: hand-computed supports and lift; power " +
+      "users dropped; minSupport filters") {
+    // u1 {1,2,3}, u2 {1,2}, u3 {2,3}, u4 {1,2} → N=4;
+    // pair (1,2): 3 users; (2,3): 2; (1,3): 1 (dropped at minSupport 2).
+    val df = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2),
+      (3L, 2), (3L, 3), (4L, 1), (4L, 2)).toDF("u", "i")
+    val out = Cooccurrence.pairs(df, "u", "i", minSupport = 2L)
+      .collect().map(r => (r.getAs[Int]("item_a"), r.getAs[Int]("item_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("sup_a"),
+        r.getAs[Long]("sup_b"), r.getAs[Long]("lift_e4")))
+    // lift(1,2) = 3*4/(3*4) = 1.0 → 10000; lift(2,3) = 2*4/(4*2) = 1.0
+    assert(out.toSeq == Seq((1, 2, 3L, 3L, 4L, 10000L),
+      (2, 3, 2L, 4L, 2L, 10000L)), out.toSeq)
+    // a power user holding every item must not flood the pair table
+    val power = (1 to 100).map(i => (99L, i))
+    val withPower = (Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2)) ++ power)
+      .toDF("u", "i")
+    val out2 = Cooccurrence.pairs(withPower, "u", "i", minSupport = 2L,
+      maxBasket = 64).collect()
+    assert(out2.length == 1)
+    assert(out2.head.getAs[Long]("n_both") == 2L)
+  }
+
   test("hashRing: positions are distinct and sorted") {
     val ring = Layout.hashRing(9, 16)
     assert(ring.length == 144)
