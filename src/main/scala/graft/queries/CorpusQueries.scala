@@ -163,6 +163,17 @@ object CorpusQueries {
       .orderBy(col("feature"), col("bin"))
   }
 
+  // q195: Kolmogorov–Smirnov two-sample drift — q150's sup-norm
+  // sibling (binning-free on ordered features, catches the pure
+  // location shift PSI's coarse bins smear): per feature, the maximal
+  // cumulative gap as exact integers plus the value where the
+  // distributions cross worst.
+  def q195(s: SparkSession, dir: String): DataFrame =
+    Drift.ksReport(docs(s, dir), col("doc_id") % 2 === 0, Seq(
+        "chars" -> col("n_chars"),
+        "words" -> size(split(col("text"), " ")).cast("long")))
+      .orderBy(col("feature"))
+
   // q153: Heaps'-law vocabulary-growth fit — q133's dataset-SCALING
   // sibling: V(T) ≈ K·T^β over ten ingestion-order prefixes (evenly
   // spaced doc-id cuts from a min/max aggregate — no global sort).
@@ -325,6 +336,7 @@ object CorpusQueries {
     "q160_pmi_collocations" -> (q160 _),
     "q134_dedup_attribution" -> (q134 _),
     "q150_psi_drift" -> (q150 _),
+    "q195_ks_drift" -> (q195 _),
     "q153_heaps_fit" -> (q153 _),
     "q155_oov_rate" -> (q155 _),
     "q98_span_dedup" -> (q98 _),
@@ -602,6 +614,33 @@ object CorpusQueries {
         |     CAST(n * sxx - sx * sx AS DOUBLE)) *
         |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_e4
         |FROM m ORDER BY ckpt""".stripMargin,
+    "q195_ks_drift" ->
+      """WITH st AS (
+        |  SELECT (doc_id % 2 = 0) AS ref, 'chars' AS feature,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id % 2 = 0), 'words',
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents),
+        |cnt AS (SELECT feature, v,
+        |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM st GROUP BY 1, 2),
+        |cum AS (SELECT feature, v,
+        |    SUM(r) OVER (PARTITION BY feature ORDER BY v) AS cumr,
+        |    SUM(c) OVER (PARTITION BY feature ORDER BY v) AS cumc,
+        |    SUM(r) OVER (PARTITION BY feature) AS nr,
+        |    SUM(c) OVER (PARTITION BY feature) AS nc
+        |  FROM cnt),
+        |d AS (SELECT feature, v, nr, nc,
+        |    abs(cumr * nc - cumc * nr) AS dd,
+        |    ROW_NUMBER() OVER (PARTITION BY feature
+        |      ORDER BY abs(cumr * nc - cumc * nr) DESC, v) AS rk
+        |  FROM cum)
+        |SELECT feature, CAST(nr AS BIGINT) AS n_ref,
+        |  CAST(nc AS BIGINT) AS n_cur, CAST(dd AS BIGINT) AS ks_num,
+        |  CAST(dd * 10000 // (nr * nc) AS BIGINT) AS ks_e4,
+        |  CAST(v AS BIGINT) AS argmax_value
+        |FROM d WHERE rk = 1 ORDER BY feature""".stripMargin,
     "q150_psi_drift" ->
       """WITH base AS (SELECT doc_id % 2 = 0 AS ref,
         |    lpad(CAST(n_chars // 100 AS VARCHAR), 2, '0') AS chars_bin,

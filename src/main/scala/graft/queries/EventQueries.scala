@@ -119,13 +119,44 @@ object EventQueries {
       .orderBy(col("prev"), col("next"))
   }
 
+  // q196: exponential time-decay aggregates per event type — the
+  // freshness-weighted popularity report (half-life 7 days, anchored
+  // at the stream's own max timestamp so it replays): weights are
+  // exact integers (10^6 >> half-life buckets), every sum order-free.
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val asOf = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    graft.operators.Decay.timeDecayed(ev, "event_type", col("ts"),
+        col("value"), asOf, halflifeSec = 7L * 86400L)
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_time_decay" -> (q196 _),
     "q170_markov_transitions" -> (q170 _),
     "q119_funnel" -> (q119 _),
     "q120_retention" -> (q120 _),
     "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    // q196: the same epoch-second anchor (epoch_us // 1e6 == Spark's
+    // unix_timestamp), half-life buckets as integer div, weights as
+    // right shifts — every cell exact.
+    "q196_time_decay" ->
+      """WITH anchor AS (SELECT MAX(epoch_us(ts) // 1000000) AS a
+        |  FROM events),
+        |w AS (SELECT event_type,
+        |    CASE WHEN a - (epoch_us(ts) // 1000000) <= 0 THEN 0
+        |      ELSE (a - (epoch_us(ts) // 1000000)) // 604800 END AS k,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events CROSS JOIN anchor),
+        |ww AS (SELECT event_type,
+        |    1000000 >> CAST(LEAST(k, 62) AS INTEGER) AS wgt, v FROM w)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(wgt) AS BIGINT) AS decayed_n_e6,
+        |  CAST(SUM(wgt * v) AS BIGINT) AS decayed_value_e8,
+        |  CAST(SUM(wgt) // (COUNT(*) * 100) AS BIGINT) AS recency_e4
+        |FROM ww GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q170: LAG over the same (user, ts, event_id) order; conditional
     // shares as `//` of exact counts on the matrix-sized aggregate.
     "q170_markov_transitions" ->

@@ -766,6 +766,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q195: KS cumsum windows run on the value histogram, never " +
+      "the corpus; one stacked explode") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q195_ks_drift")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case _: LeafNode => true
+      case other => other.children.exists(scanAboveAggregate)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAggregate(w.child),
+        s"window over un-aggregated corpus:\n$lp")
+    }
+    val gens = lp.collect { case g: Generate => g }
+    assert(gens.size <= 1, s"${gens.size} Generates:\n$lp")
+  }
+
+  test("q196: time decay is a joinless windowless scan aggregate") {
+    val p = plan("q196_time_decay")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("q191: yield tiers read the checkpointed projection; keeper " +
       "joins stay keyed") {
     val p = plan("q191_token_yield")

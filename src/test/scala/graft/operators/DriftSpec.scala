@@ -75,4 +75,31 @@ class DriftSpec extends SparkSpec {
     assert(one.map(_.getAs[String]("feature")).distinct.sorted ==
       Seq("n", "s"))
   }
+
+  test("ksReport: hand-computed sup gap, argmax value, and the " +
+      "identical-cohort zero") {
+    import spark.implicits._
+    // ref = {1,2,3,4}, cur = {3,4,5,6}: at v=2 cumR=2, cumC=0 →
+    // |2·4 − 0·4| = 8, the max (v=3,4 give |3·4−1·4|=8 too — argmax
+    // tie-break picks the SMALLEST v, 2). ks_e4 = 8·1e4 div 16 = 5000
+    // (D = 0.5).
+    val rows = Seq((1L, true), (2L, true), (3L, true), (4L, true),
+      (3L, false), (4L, false), (5L, false), (6L, false))
+    val df = rows.toDF("v", "ref")
+    val out = Drift.ksReport(df, col("ref"), Seq("f" -> col("v")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_ref") == 4L && r.getAs[Long]("n_cur") == 4L)
+    assert(r.getAs[Long]("ks_num") == 8L)
+    assert(r.getAs[Long]("ks_e4") == 5000L)
+    assert(r.getAs[Long]("argmax_value") == 2L)
+    // identical cohorts → D = 0 everywhere, argmax = smallest value
+    val same = (1L to 10L).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("v", "ref")
+    val z = Drift.ksReport(same, col("ref"), Seq("f" -> col("v")))
+      .collect().head
+    assert(z.getAs[Long]("ks_num") == 0L)
+    assert(z.getAs[Long]("argmax_value") == 1L)
+  }
 }
