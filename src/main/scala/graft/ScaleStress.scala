@@ -166,6 +166,11 @@ object ScaleStress {
         Ranking.pageRank(pairs, iterations = 3)
           .write.format("noop").mode("overwrite").save()
       }
+      phase("lpa", k) {
+        Ranking.labelPropagation(pairs,
+            docs.select(col("doc_id").as("id")), rounds = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     if (tier == "substring") for (k <- scales) {

@@ -71,4 +71,56 @@ object Ranking {
     }
     ranks
   }
+
+  /** LABEL-PROPAGATION communities (Raghavan et al. 2007), synchronous
+    * and DETERMINISTIC: every vertex starts as its own label; each
+    * round it adopts the most frequent label among its NEIGHBORS
+    * (ties → smallest label; isolated vertices keep their own). The
+    * community view the rest of the graph tier can't give: CC labels a
+    * barbell (two cliques bridged by one edge) as ONE component — LPA
+    * splits it at the bridge, which is exactly the dedup-policy
+    * question ("one mirror family or two template farms that share a
+    * page"). Fixed `rounds` (synchronous LPA can oscillate on
+    * bipartite-ish structures — a bounded round count makes the answer
+    * a total function of the input, and the oracle replays the same
+    * rounds), min-label ties make every round a pure function — no RNG,
+    * no visit order.
+    *
+    * Scale shape: per round ONE edge⋈label join shuffled on vertex id,
+    * one map-side-combinable (dst, label) count, one dst-keyed
+    * window argmax on the label-candidate table (bounded by degree) —
+    * [[pageRank]]'s per-round budget plus the argmax; labels
+    * checkpointed per round, lineage O(1).
+    *
+    * Output: (id, community, community_size) for every vertex in
+    * `vertices` (column `id`).
+    */
+  def labelPropagation(edges: DataFrame, vertices: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "need at least one round")
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = und.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+      val best = counts
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("dst"))
+          .orderBy(col("__c").desc, col("lbl"))))
+        .filter(col("__rk") === 1)
+        .select(col("dst"), col("lbl").as("__new"))
+      labels = labels.join(best, col("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+      .withColumn("community_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))))
+      .select(col("id"), col("lbl").as("community"),
+        col("community_size").cast("long").as("community_size"))
+  }
 }

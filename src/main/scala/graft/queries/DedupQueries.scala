@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Ranking}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -237,6 +237,18 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  // q197: LABEL-PROPAGATION communities over the LSH candidate graph —
+  // the community view CC can't give (a barbell is ONE component but
+  // TWO communities; the split is exactly where a dedup keep-policy
+  // should cut). Four synchronous deterministic rounds, min-label
+  // ties; oracle unrolls all four with MATERIALIZED CTEs.
+  def q197(s: SparkSession, dir: String): DataFrame =
+    Ranking.labelPropagation(lshPairs(s, dir),
+        docs(s, dir).select(col("doc_id").as("id")), rounds = 4)
+      .select(col("id").as("doc_id"), col("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+
   // q54: near-dup CLUSTERS — connected components over the LSH candidate
   // pairs, every doc labeled with its component (min reachable doc_id).
   // The oracle replays the component labels with a recursive CTE.
@@ -418,6 +430,7 @@ object DedupQueries {
     "q52_edit_distance" -> (q52 _),
     "q54_neardup_components" -> (q54 _),
     "q191_token_yield" -> (q191 _),
+    "q197_label_propagation" -> (q197 _),
     "q135_neardup_kcore" -> (q135 _),
     "q55_dedup_keep_best" -> (q55 _)
   )
@@ -670,6 +683,33 @@ object DedupQueries {
     "q54_neardup_components" ->
       s"""WITH RECURSIVE $compCte
          |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // q197: four unrolled synchronous LPA rounds (MATERIALIZED — DuckDB
+    // re-inlines plain CTEs exponentially), min-label tie-break in the
+    // per-dst argmax, isolated vertices carried by the LEFT JOIN.
+    "q197_label_propagation" -> {
+      val roundCtes = (1 to 4).map { i =>
+        val prev = s"l${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT und.dst, $prev.lbl,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM und JOIN $prev ON $prev.id = und.src GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT dst, lbl FROM (
+           |    SELECT dst, lbl, ROW_NUMBER() OVER (PARTITION BY dst
+           |      ORDER BY c DESC, lbl) AS rk FROM c$i) WHERE rk = 1),
+           |l$i AS MATERIALIZED (SELECT $prev.id,
+           |    COALESCE(b$i.lbl, $prev.lbl) AS lbl
+           |  FROM $prev LEFT JOIN b$i ON b$i.dst = $prev.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $candCte,
+         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand
+         |  UNION ALL SELECT b, a FROM cand),
+         |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
+         |  FROM documents),
+         |$roundCtes
+         |SELECT id AS doc_id, lbl AS community,
+         |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT)
+         |    AS community_size
+         |FROM l4 ORDER BY doc_id""".stripMargin
+    },
     // q191: the q54 component chain + md5 exact-keep marks folded into
     // one per-source aggregate of the token masses.
     "q191_token_yield" ->

@@ -785,6 +785,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(gens.size <= 1, s"${gens.size} Generates:\n$lp")
   }
 
+  test("q197: LPA rounds read checkpointed labels — cartesian-free, " +
+      "bounded lineage") {
+    val p = plan("q197_label_propagation")
+    assert(!p.contains("CartesianProduct"), p)
+    // labels come back from the per-round checkpoints: at most the
+    // final round's joins appear in the executed plan
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q196: time decay is a joinless windowless scan aggregate") {
     val p = plan("q196_time_decay")
     assert(!p.contains("Join"), p)

@@ -53,4 +53,45 @@ class RankingSpec extends SparkSpec {
     // The path's hub (6) dominates its leaves; the pair is unaffected.
     assert(r(6L) > r(5L) && r(6L) > r(7L), r)
   }
+
+  test("labelPropagation: a barbell is ONE component but TWO " +
+      "communities — split at the bridge") {
+    import spark.implicits._
+    // K4 on {0..3}, K4 on {10..13}, bridge 3–10.
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L)))
+      .toDF("a", "b")
+    val verts = (Seq(0L, 1L, 2L, 3L) ++ Seq(10L, 11L, 12L, 13L))
+      .toDF("id")
+    // CC: everything reachable → one component.
+    val cc = Dedup.connectedComponents(edges, verts)
+      .select("component").distinct().count()
+    assert(cc == 1L)
+    // LPA: two communities, each clique keeps its own min label.
+    val out = Ranking.labelPropagation(edges, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(out).distinct.length == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(out).distinct.length == 1)
+    assert(out(0L) != out(10L), out)
+  }
+
+  test("labelPropagation: isolated vertices keep their own label; " +
+      "community_size counts members") {
+    import spark.implicits._
+    // A triangle (odd cycle) converges under synchronous LPA; a PATH
+    // would oscillate on its bipartition — the documented reason the
+    // operator runs a FIXED round count.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val verts = Seq(1L, 2L, 3L, 99L).toDF("id")
+    val rows = Ranking.labelPropagation(edges, verts, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("community_size"))).toSeq.sortBy(_._1)
+    val iso = rows.find(_._1 == 99L).get
+    assert(iso._2 == 99L && iso._3 == 1L, rows)
+    // the triangle converges to one community of 3
+    assert(rows.filter(_._1 != 99L).map(_._2).distinct.length == 1)
+    assert(rows.filter(_._1 != 99L).forall(_._3 == 3L), rows)
+  }
 }
