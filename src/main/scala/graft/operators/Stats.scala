@@ -699,6 +699,81 @@ object Stats {
       (dxy / dxx * (dxy / dyy)).as("r2"))
   }
 
+  /** ROBUST per-group trend — Bartlett's three-group resistant line
+    * (Bartlett 1949), the outlier-immune sibling of [[olsByGroup]]:
+    * one wild y value moves an OLS slope arbitrarily; it cannot move a
+    * slope built from MEDIANS. Sort by x (conceptually), take the
+    * outer thirds, and run the line through their coordinate-wise
+    * medians: slope = (medY_hi − medY_lo)/(medX_hi − medX_lo),
+    * intercept anchored at the overall medians. This is also the
+    * SCALE-SAFE robust slope: full Theil–Sen is O(n²) pairwise slopes
+    * per group — a non-starter at corpus scale — while every statistic
+    * here is an exact rank selection over VALUE HISTOGRAMS (the
+    * q176/q177 discipline: the corpus crosses map-side-combinable
+    * counts; cumsum windows run on distinct-value tables only; there
+    * is no per-group sort of data rows anywhere).
+    *
+    * Terciles are VALUE-threshold sets: lo = {x ≤ x@rank ⌈n/3⌉},
+    * hi = {x ≥ x@rank n−⌈n/3⌉+1} — ties at the boundary widen the
+    * tercile identically in both engines. Medians are lower-medians
+    * (rank ⌈m/2⌉, the q177 convention). Slope/intercept at e4
+    * trunc-div; a group whose outer-tercile x-medians coincide (no x
+    * spread) emits a NULL slope rather than a division error.
+    *
+    * Output per group: (groupCol, n, mx_lo, my_lo, mx_hi, my_hi,
+    * slope_e4, intercept_e4).
+    */
+  def robustTrendByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .localCheckpoint(true)
+    val grp = Window.partitionBy(col("__g"))
+    val byV = (v: String) => Window.partitionBy(col("__g")).orderBy(col(v))
+    // Exact rank selection over a value histogram: value at rank r =
+    // min value whose cumulative count reaches r.
+    def histPick(src: DataFrame, v: String, rankOf: Column,
+        out: String): DataFrame =
+      src.groupBy(col("__g"), col(v)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(byV(v)))
+        .withColumn("__n", sum(col("__c")).over(grp))
+        .filter(col("__cum") >= rankOf)
+        .groupBy(col("__g")).agg(min(col(v)).as(out))
+    // integer ranks (trunc div — `div`, never Column `/` which is
+    // double division and would corrupt the >= rank comparison)
+    val r13 = expr("(__n + 2) div 3") // ceil(n/3)
+    val rUp = expr("__n - ((__n + 2) div 3) + 1")
+    val med = expr("(__n + 1) div 2") // lower median rank
+    val xl = histPick(base, "__x", r13, "xl")
+    val xu = histPick(base, "__x", rUp, "xu")
+    val bounds = xl.join(xu, Seq("__g"))
+    val marked = base.join(broadcast(bounds), Seq("__g"))
+      .localCheckpoint(true)
+    val lo = marked.filter(col("__x") <= col("xl"))
+    val hi = marked.filter(col("__x") >= col("xu"))
+    val mxLo = histPick(lo, "__x", med, "mx_lo")
+    val myLo = histPick(lo, "__y", med, "my_lo")
+    val mxHi = histPick(hi, "__x", med, "mx_hi")
+    val myHi = histPick(hi, "__y", med, "my_hi")
+    val mxAll = histPick(base, "__x", med, "mx_all")
+    val myAll = histPick(base, "__y", med, "my_all")
+    val n = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    n.join(mxLo, Seq("__g")).join(myLo, Seq("__g"))
+      .join(mxHi, Seq("__g")).join(myHi, Seq("__g"))
+      .join(mxAll, Seq("__g")).join(myAll, Seq("__g"))
+      .withColumn("slope_e4",
+        when(col("mx_hi") =!= col("mx_lo"),
+          expr("(my_hi - my_lo) * 10000 div (mx_hi - mx_lo)")))
+      .withColumn("intercept_e4",
+        when(col("slope_e4").isNotNull,
+          col("my_all") * 10000 - col("slope_e4") * col("mx_all")))
+      .select(col("__g").as(groupCol), col("n"), col("mx_lo"),
+        col("my_lo"), col("mx_hi"), col("my_hi"), col("slope_e4"),
+        col("intercept_e4"))
+  }
+
   /** Delete-one-group JACKKNIFE of a corpus mean — the error bar every
     * corpus-level metric this engine reports should carry before a
     * 100 TB mixture decision leans on it: leave each `groupCol` shard

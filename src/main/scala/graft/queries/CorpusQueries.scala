@@ -292,6 +292,21 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  // q198: ROBUST per-language trend — Bartlett's three-group resistant
+  // line over the same (tokens, chars) relationship q173 fits by OLS:
+  // coordinate-wise medians of the outer x-terciles, every median an
+  // exact histogram-rank selection (no per-group sort, no O(n²)
+  // Theil–Sen pairs). One wild doc cannot move this slope.
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "),
+      t => length(t) > 0)
+    Stats.robustTrendByGroup(
+        docs(s, dir).select(col("lang"),
+          size(toks).cast("long").as("x"), col("n_chars").as("y")),
+        "lang", "x", "y")
+      .orderBy(col("lang"))
+  }
+
   // q182: the one-row corpus DATASHEET — the dataset-card numbers a
   // release ships (docs/tokens/languages/sources, exact-dup mass, the
   // token median): counts from two combinable aggregates (corpus +
@@ -337,6 +352,7 @@ object CorpusQueries {
     "q134_dedup_attribution" -> (q134 _),
     "q150_psi_drift" -> (q150 _),
     "q195_ks_drift" -> (q195 _),
+    "q198_robust_trend" -> (q198 _),
     "q153_heaps_fit" -> (q153 _),
     "q155_oov_rate" -> (q155 _),
     "q98_span_dedup" -> (q98 _),
@@ -614,6 +630,49 @@ object CorpusQueries {
         |     CAST(n * sxx - sx * sx AS DOUBLE)) *
         |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_e4
         |FROM m ORDER BY ckpt""".stripMargin,
+    "q198_robust_trend" -> {
+      // histogram-rank pick as a reusable CTE triple (flattened to
+      // single lines — fragment lines must not re-enter stripMargin)
+      def pick(src: String, v: String, rank: String, name: String) =
+        s"${name}_h AS (SELECT g, $v AS v, CAST(COUNT(*) AS BIGINT) " +
+          s"AS c FROM $src GROUP BY 1, 2), " +
+          s"${name}_c AS (SELECT g, v, SUM(c) OVER (PARTITION BY g " +
+          s"ORDER BY v) AS cum, SUM(c) OVER (PARTITION BY g) AS n " +
+          s"FROM ${name}_h), " +
+          s"$name AS (SELECT g, MIN(v) AS $name FROM ${name}_c " +
+          s"WHERE cum >= $rank GROUP BY g)"
+      val r13 = "(n + 2) // 3"
+      val rUp = "n - ((n + 2) // 3) + 1"
+      val med = "(n + 1) // 2"
+      "WITH base AS (SELECT lang AS g, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), ' '), " +
+        "t -> LENGTH(t) > 0)) AS BIGINT) AS x, " +
+        "CAST(n_chars AS BIGINT) AS y FROM documents), " +
+        pick("base", "x", r13, "xl") + ", " +
+        pick("base", "x", rUp, "xu") + ", " +
+        "lo AS (SELECT base.g, base.x, base.y FROM base " +
+        "JOIN xl USING (g) WHERE base.x <= xl.xl), " +
+        "hi AS (SELECT base.g, base.x, base.y FROM base " +
+        "JOIN xu USING (g) WHERE base.x >= xu.xu), " +
+        pick("lo", "x", med, "mx_lo") + ", " +
+        pick("lo", "y", med, "my_lo") + ", " +
+        pick("hi", "x", med, "mx_hi") + ", " +
+        pick("hi", "y", med, "my_hi") + ", " +
+        pick("base", "x", med, "mx_all") + ", " +
+        pick("base", "y", med, "my_all") + ", " +
+        "nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base " +
+        "GROUP BY g) " +
+        "SELECT nn.g AS lang, nn.n, mx_lo, my_lo, mx_hi, my_hi, " +
+        "CASE WHEN mx_hi <> mx_lo THEN " +
+        "CAST((my_hi - my_lo) * 10000 // (mx_hi - mx_lo) AS BIGINT) " +
+        "END AS slope_e4, " +
+        "CASE WHEN mx_hi <> mx_lo THEN CAST(my_all * 10000 - " +
+        "((my_hi - my_lo) * 10000 // (mx_hi - mx_lo)) * mx_all " +
+        "AS BIGINT) END AS intercept_e4 " +
+        "FROM nn JOIN mx_lo USING (g) JOIN my_lo USING (g) " +
+        "JOIN mx_hi USING (g) JOIN my_hi USING (g) " +
+        "JOIN mx_all USING (g) JOIN my_all USING (g) ORDER BY lang"
+    },
     "q195_ks_drift" ->
       """WITH st AS (
         |  SELECT (doc_id % 2 = 0) AS ref, 'chars' AS feature,

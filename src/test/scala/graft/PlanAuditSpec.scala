@@ -794,6 +794,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q198: every median is a histogram selection — windows only " +
+      "over aggregated value tables") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = SparkEntry.queries("q198_robust_trend")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    def scanAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case _: LeafNode => true
+      case other => other.children.exists(scanAboveAggregate)
+    }
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(!scanAboveAggregate(w.child),
+        s"window over un-aggregated rows:\n$lp")
+    }
+    val p = plan("q198_robust_trend")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q196: time decay is a joinless windowless scan aggregate") {
     val p = plan("q196_time_decay")
     assert(!p.contains("Join"), p)

@@ -142,4 +142,41 @@ class StatsSpec extends SparkSpec {
     val se = math.sqrt(((g - 1) * (g * ssq - t4 * t4)).toDouble) / g / 10000.0
     assert(out.forall(r => r.getDouble(5) == se))
   }
+
+  test("robustTrendByGroup: hand-computed terciles/medians; a wild " +
+      "outlier cannot move the slope") {
+    import spark.implicits._
+    // x = 1..9, y = 10x, except a wild y at x = 9 — maximum OLS
+    // leverage, INSIDE the hi tercile, where the median absorbs it:
+    // lo = {1,2,3} (xl = x@rank3), hi = {7,8,9} (xu = x@rank7);
+    // medians 2/20 and 8/80 (the 9999 ranks last) -> slope exactly 10.
+    val rows = (1L to 9L).map(x => ("g", x, if (x == 9) 9999L else 10 * x))
+    val out = Stats.robustTrendByGroup(rows.toDF("grp", "x", "y"),
+      "grp", "x", "y").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("mx_lo") == 2L && r.getAs[Long]("my_lo") == 20L)
+    assert(r.getAs[Long]("mx_hi") == 8L && r.getAs[Long]("my_hi") == 80L)
+    assert(r.getAs[Long]("slope_e4") == 100000L)
+    // intercept anchored at overall medians (5, 50): 50e4 - 10e4*5 = 0.
+    assert(r.getAs[Long]("intercept_e4") == 0L)
+    // OLS on the same data is destroyed by the outlier — the contrast
+    // that motivates the operator.
+    val ols = Stats.olsByGroup(rows.toDF("grp", "x", "y"), "grp", "x", "y")
+      .collect().head.getAs[Double]("slope")
+    assert(math.abs(ols - 10.0) > 50.0, s"OLS slope $ols")
+  }
+
+  test("robustTrendByGroup: zero x-spread emits NULL slope, not an " +
+      "error; groups independent") {
+    import spark.implicits._
+    val rows = Seq(("a", 5L, 1L), ("a", 5L, 2L), ("a", 5L, 3L),
+      ("b", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 3L))
+    val out = Stats.robustTrendByGroup(rows.toDF("grp", "x", "y"),
+      "grp", "x", "y").orderBy("grp").collect()
+    assert(out.length == 2)
+    assert(out.head.isNullAt(out.head.fieldIndex("slope_e4")))
+    assert(out(1).getAs[Long]("slope_e4") == 10000L)
+  }
 }
