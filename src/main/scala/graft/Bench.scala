@@ -249,7 +249,10 @@ object Bench {
     val streamExec = Set("q69_bucketed_merge", "q84_stream_e2e",
       "q85_stream_neardup", "q89_stream_ingest", "q107_stream_join",
       "q117_stream_sessions", "q44_ingest_pipeline",
-      "q148_store_compaction", "q162_partition_pruning")
+      "q148_store_compaction", "q162_partition_pruning",
+      // r14: real micro-batch run (stream -> canonicalize -> state
+      // dedup -> parquet sink) vs a single-statement DISTINCT replay.
+      "q199_stream_url_dedup")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -41,8 +41,10 @@ object Cooccurrence {
       .agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select(col("__u"))
-    val kept = baskets.join(keptUsers, Seq("__u")).localCheckpoint(true)
-    val nUsers = kept.select(col("__u")).distinct().count()
+    val keptU = keptUsers.localCheckpoint(true)
+    val kept = baskets.join(keptU, Seq("__u")).localCheckpoint(true)
+    // keptU is already one row per user — no second distinct pass.
+    val nUsers = keptU.count()
     require(nUsers <= 30000000L,
       s"Cooccurrence.pairs: $nUsers kept users exceeds the exact-lift " +
         "overflow cap (3e7); use a two-step trunc-div lift form")

@@ -164,6 +164,33 @@ object AnalyticsQueries {
           get_json_object(col("props"), "$.k").cast("int").as("item")),
       "user_id", "item", minSupport = 2L, maxBasket = 64)
 
+  // q199: STREAMING canonical-URL dedup — the round-14 canonicalizer
+  // run through the REAL streaming runtime (readStream source listing ->
+  // per-row canonicalization -> stateful dropDuplicates on the canonical
+  // form -> parquet sink commit): the crawl-frontier shape, where URL
+  // dedup must happen as URLs ARRIVE, not in a nightly batch. The
+  // certified output is the distinct canonical SET (the representative
+  // chosen inside a micro-batch is not deterministic; the set is),
+  // hash-matched against the batch DISTINCT replay.
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parque*")
+    val canon = WebIngest.withMessyUrl(stream, "doc_id", "source")
+      .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"))
+      .dropDuplicates("canon")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q199")
+    val q = canon.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out").orderBy(col("canon"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_otsu_threshold" -> (q183 _),
     "q184_hll_rollup" -> (q184 _),
@@ -174,7 +201,8 @@ object AnalyticsQueries {
     "q190_shard_stitch" -> (q190 _),
     "q192_bootstrap_ci" -> (q192 _),
     "q193_encoding_audit" -> (q193 _),
-    "q194_cooccurrence" -> (q194 _))
+    "q194_cooccurrence" -> (q194 _),
+    "q199_stream_url_dedup" -> (q199 _))
 
   /** The portable-HLL rho/register algebra over an md5 column `h`,
     * shared by every q184 CTE — the same hex-digit recipe as
@@ -207,6 +235,56 @@ object AnalyticsQueries {
        |    ELSE $raw END, 0) AS BIGINT) AS ndv
        |  FROM ${out}_ee)""".stripMargin
   }
+
+  /** The messy-URL synthesis + canonicalization replay (raw/parts/
+    * canon CTE chain) — shared by the q185 cluster census and the
+    * q199 streaming-dedup certificate so the two oracles cannot
+    * drift.
+    */
+  private val CanonCtes: String =
+    """WITH raw AS (SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 1
+        |      THEN upper('www.' || source || CASE WHEN (doc_id // 4) % 3 = 0
+        |        THEN '.com' WHEN (doc_id // 4) % 3 = 1 THEN '.co.uk'
+        |        ELSE '.org' END)
+        |      ELSE 'www.' || source || CASE WHEN (doc_id // 4) % 3 = 0
+        |        THEN '.com' WHEN (doc_id // 4) % 3 = 1 THEN '.co.uk'
+        |        ELSE '.org' END END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END ||
+        |    '/p/' || CAST(doc_id // 4 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2'
+        |         WHEN doc_id % 4 = 1 THEN '?b=2&a=1&utm_source=feed'
+        |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&b=2'
+        |         ELSE '?a=1&gclid=zzz&b=2' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END AS raw_url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, raw_url,
+        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1))
+        |      AS hostraw,
+        |    regexp_replace(regexp_extract(raw_url,
+        |      '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(raw_url, '\?([^#]*)', 1) AS qs
+        |  FROM raw),
+        |canon AS (SELECT doc_id, raw_url,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'https'
+        |         THEN regexp_replace(hostraw, ':443$', '')
+        |         WHEN scheme = 'http'
+        |         THEN regexp_replace(hostraw, ':80$', '')
+        |         ELSE hostraw END ||
+        |    path ||
+        |    CASE WHEN len(list_sort(list_filter(string_split(qs, '&'),
+        |        p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+        |          '^(utm_|gclid=|fbclid=|ref=)')))) > 0
+        |      THEN '?' || list_aggregate(list_sort(list_filter(
+        |        string_split(qs, '&'),
+        |        p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+        |          '^(utm_|gclid=|fbclid=|ref=)'))), 'string_agg', '&')
+        |      ELSE '' END AS canon
+        |  FROM parts)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q192_bootstrap_ci" -> {
@@ -338,52 +416,13 @@ object AnalyticsQueries {
          |ORDER BY ex.lang""".stripMargin
     },
     "q185_url_canonical" ->
-      """WITH raw AS (SELECT doc_id,
-        |    'https://' ||
-        |    CASE WHEN doc_id % 4 = 1
-        |      THEN upper('www.' || source || CASE WHEN (doc_id // 4) % 3 = 0
-        |        THEN '.com' WHEN (doc_id // 4) % 3 = 1 THEN '.co.uk'
-        |        ELSE '.org' END)
-        |      ELSE 'www.' || source || CASE WHEN (doc_id // 4) % 3 = 0
-        |        THEN '.com' WHEN (doc_id // 4) % 3 = 1 THEN '.co.uk'
-        |        ELSE '.org' END END ||
-        |    CASE WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END ||
-        |    '/p/' || CAST(doc_id // 4 AS VARCHAR) ||
-        |    CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END ||
-        |    CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2'
-        |         WHEN doc_id % 4 = 1 THEN '?b=2&a=1&utm_source=feed'
-        |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&b=2'
-        |         ELSE '?a=1&gclid=zzz&b=2' END ||
-        |    CASE WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END AS raw_url
-        |  FROM documents),
-        |parts AS (SELECT doc_id, raw_url,
-        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
-        |    lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1))
-        |      AS hostraw,
-        |    regexp_replace(regexp_extract(raw_url,
-        |      '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
-        |    regexp_extract(raw_url, '\?([^#]*)', 1) AS qs
-        |  FROM raw),
-        |canon AS (SELECT doc_id, raw_url,
-        |    scheme || '://' ||
-        |    CASE WHEN scheme = 'https'
-        |         THEN regexp_replace(hostraw, ':443$', '')
-        |         WHEN scheme = 'http'
-        |         THEN regexp_replace(hostraw, ':80$', '')
-        |         ELSE hostraw END ||
-        |    path ||
-        |    CASE WHEN len(list_sort(list_filter(string_split(qs, '&'),
-        |        p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
-        |          '^(utm_|gclid=|fbclid=|ref=)')))) > 0
-        |      THEN '?' || list_aggregate(list_sort(list_filter(
-        |        string_split(qs, '&'),
-        |        p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
-        |          '^(utm_|gclid=|fbclid=|ref=)'))), 'string_agg', '&')
-        |      ELSE '' END AS canon
-        |  FROM parts)
+      (CanonCtes + """
         |SELECT canon, CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
-        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin),
+    "q199_stream_url_dedup" ->
+      (CanonCtes +
+        "\nSELECT DISTINCT canon FROM canon ORDER BY canon"),
     "q186_keyness" ->
       """WITH tok AS (SELECT source AS grp,
         |    unnest(list_filter(regexp_split_to_array(lower(text), ' '),
