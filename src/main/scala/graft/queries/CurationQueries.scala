@@ -393,7 +393,12 @@ object CurationQueries {
   // keys, ranked WITHIN language (distributed window, never global) —
   // "exactly 200 docs, mixture-faithful across languages, drawn
   // without replacement proportional to length within each".
-  def q179(s: SparkSession, dir: String): DataFrame = {
+  /** The q179 selection with per-doc token counts retained — shared by
+    * q179 (the sample dump) and q200 (the packing capstone) so the two
+    * cannot drift. Returns (doc_id, lang, n_chars, es_key_e9, rk,
+    * quota, __n) for the selected docs only.
+    */
+  private def quotaSample(s: SparkSession, dir: String): DataFrame = {
     val T = 200L
     val toks = filter(split(lower(col("text")), " "),
       t => length(t) > 0)
@@ -423,9 +428,44 @@ object CurationQueries {
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
           .orderBy(col("es_key_e9").desc, col("doc_id"))))
       .filter(col("rk") <= col("quota"))
+  }
+
+  def q179(s: SparkSession, dir: String): DataFrame =
+    quotaSample(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("es_key_e9"), col("rk").cast("long").as("rk"))
       .orderBy(col("doc_id"))
+
+  // q200: the TRAINING-MIX ASSEMBLY capstone — the last mile from
+  // corpus to batches, composing three certified primitives: q171's
+  // exact quotas × q163's ES sampling (= q179's selection, shared
+  // helper) × q70/q154's concat-packing geometry at max_seq_len 512.
+  // Per language: quota, selected count (== quota by construction),
+  // sampled token mass, bins opened (ceil pack), straddling docs
+  // (start bin ≠ end bin under sequential concat in sample order:
+  // es_key desc, doc_id), and utilization e4 (only the final bin pads).
+  // The packing windows run over the SAMPLE (T rows), never the
+  // corpus — the sample is the working set a mixer actually ships.
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    val C = 512L
+    val byRk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("rk"))
+    quotaSample(s, dir)
+      .withColumn("__cum", sum(col("__n")).over(byRk))
+      .withColumn("__start", expr(s"(__cum - __n) div $C"))
+      .withColumn("__end", expr(s"(__cum - 1) div $C"))
+      .groupBy(col("lang"))
+      .agg(max(col("quota")).as("quota"),
+        count(lit(1)).as("n_selected"),
+        sum(col("__n")).as("tok_sum"),
+        sum(when(col("__start") =!= col("__end"), 1L).otherwise(0L))
+          .as("n_straddle"))
+      .withColumn("n_bins", expr(s"(tok_sum + ${C - 1}) div $C"))
+      .withColumn("util_e4",
+        expr(s"tok_sum * 10000 div (n_bins * $C)"))
+      .select(col("lang"), col("quota"), col("n_selected"),
+        col("tok_sum"), col("n_bins"), col("n_straddle"), col("util_e4"))
+      .orderBy(col("lang"))
   }
 
   // q180: Bloom FPR calibration sweep — measured false-positive rates
@@ -445,6 +485,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_bloom_fpr" -> (q180 _),
     "q179_quota_sample" -> (q179 _),
+    "q200_mix_assembly" -> (q200 _),
     "q177_robust_zscore" -> (q177 _),
     "q176_quantile_normalize" -> (q176 _),
     "q171_quota_apportionment" -> (q171 _),
@@ -544,11 +585,12 @@ object CurationQueries {
        |  FROM ee)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
-    // q179: the q171 quota chain (T=200) + the q163 key chain (seed
-    // s19, e9) + a per-language ROW_NUMBER — one composed replay.
-    "q179_quota_sample" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars,
+  /** The q179 selection chain (quotas + ES keys + per-language
+    * ranks), shared verbatim by the q179 dump and the q200 packing
+    * capstone.
+    */
+  private val Q179Ctes: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars,
         |    CAST(len(list_filter(regexp_split_to_array(lower(text),
         |      ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n
         |  FROM documents),
@@ -575,10 +617,40 @@ object CurationQueries {
         |  FROM d),
         |rk AS (SELECT k.*, CAST(ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY es_key_e9 DESC, doc_id) AS BIGINT) AS rk
-        |  FROM k)
+        |  FROM k)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // q179: the q171 quota chain (T=200) + the q163 key chain (seed
+    // s19, e9) + a per-language ROW_NUMBER — one composed replay.
+    "q179_quota_sample" ->
+      (Q179Ctes + """
         |SELECT rk.doc_id, rk.lang, rk.n_chars, rk.es_key_e9, rk.rk
         |FROM rk JOIN q USING (lang) WHERE rk.rk <= q.quota
-        |ORDER BY rk.doc_id""".stripMargin,
+        |ORDER BY rk.doc_id""".stripMargin),
+    // q200: the q179 selection joined back to its token counts,
+    // packed sequentially per language in sample order.
+    "q200_mix_assembly" ->
+      (Q179Ctes + """
+        |,
+        |sel AS (SELECT rk.lang, rk.doc_id, rk.rk, q.quota, d.n
+        |  FROM rk JOIN q USING (lang) JOIN d USING (doc_id)
+        |  WHERE rk.rk <= q.quota),
+        |pk AS (SELECT lang, quota, n,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY rk) AS cum
+        |  FROM sel),
+        |ag AS (SELECT lang, CAST(MAX(quota) AS BIGINT) AS quota,
+        |    CAST(COUNT(*) AS BIGINT) AS n_selected,
+        |    CAST(SUM(n) AS BIGINT) AS tok_sum,
+        |    CAST(SUM(CASE WHEN (cum - n) // 512 <> (cum - 1) // 512
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        |  FROM pk GROUP BY lang)
+        |SELECT lang, quota, n_selected, tok_sum,
+        |  CAST((tok_sum + 511) // 512 AS BIGINT) AS n_bins,
+        |  n_straddle,
+        |  CAST(tok_sum * 10000 // (((tok_sum + 511) // 512) * 512)
+        |    AS BIGINT) AS util_e4
+        |FROM ag ORDER BY lang""".stripMargin),
+
     // q177: the same histogram-cumsum selection for BOTH medians
     // (lower median at rank (n+1)//2), then the signed trunc-div —
     // DuckDB // truncates toward zero like Spark div (the q144 note).

@@ -813,6 +813,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q200: mix assembly stays cartesian-free; quota table broadcast") {
+    val p = plan("q200_mix_assembly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q196: time decay is a joinless windowless scan aggregate") {
     val p = plan("q196_time_decay")
     assert(!p.contains("Join"), p)
