@@ -304,6 +304,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out2.head.getAs[Long]("n_both") == 2L)
   }
 
+  test("canonicalizeUrl is IDEMPOTENT: canon(canon(u)) == canon(u) " +
+      "over every messy variant and edge case") {
+    // Canonicalization must be a projection — a second pass that
+    // changes anything means re-canonicalizing stored URLs (e.g. after
+    // a frontier merge) would split clusters.
+    val messy = WebIngest.withMessyUrl(
+        (0L until 200L).map(i => (i, s"src${i % 7}"))
+          .toDF("doc_id", "source"), "doc_id", "source")
+      .select(col("raw_url").as("u"))
+    val edges = Seq("https://h.com/", "http://H.com:80/x?utm_source=1",
+      "https://h.com:8443/a//?z=1&a=2#f", "https://h.com").toDF("u")
+    val diff = messy.union(edges)
+      .select(WebIngest.canonicalizeUrl(col("u")).as("c1"))
+      .withColumn("c2", WebIngest.canonicalizeUrl(col("c1")))
+      .filter(col("c1") =!= col("c2")).collect()
+    assert(diff.isEmpty, diff.toSeq)
+  }
+
+  test("consistentShard is TOTAL: every key maps into [0, n), never " +
+      "null, across shard counts") {
+    val keys = (0L until 3000L).toDF("k")
+    for (n <- Seq(2, 8, 9, 32)) {
+      val bad = keys.select(Layout.consistentShard(col("k"), n).as("s"))
+        .filter(col("s").isNull || col("s") < 0 || col("s") >= n)
+        .count()
+      assert(bad == 0L, s"n=$n")
+    }
+  }
+
+  test("Stitch round trip holds across varied token counts (property " +
+      "sweep over lengths 8..40)") {
+    val docs = (8 to 40).map { n =>
+      (n.toLong, (1 to n).map(i => s"w${n}_$i").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val det = Stitch.detectAdjacent(
+      Stitch.shard(docs, "doc_id", "text", k = 4),
+      "source", "shard_id", "text", k = 4)
+    val own = det.filter(col("left_id") % 2 === 0 &&
+        col("right_id") === col("left_id") + 1 && col("matched"))
+      .select(expr("left_id div 2").as("doc_id"),
+        col("merged_text"))
+    val bad = docs.join(own, Seq("doc_id"))
+      .filter(col("merged_text") =!= col("text")).count()
+    val matched = own.count()
+    assert(matched == 33L, s"only $matched of 33 lengths round-trip")
+    assert(bad == 0L)
+  }
+
   test("hashRing: positions are distinct and sorted") {
     val ring = Layout.hashRing(9, 16)
     assert(ring.length == 144)
