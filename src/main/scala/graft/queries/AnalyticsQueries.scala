@@ -204,6 +204,44 @@ object AnalyticsQueries {
     "q194_cooccurrence" -> (q194 _),
     "q199_stream_url_dedup" -> (q199 _))
 
+  /** The Dunning-G2 keyness replay from a caller-supplied `tok(grp,
+    * term)` CTE to the `ranked` CTE — shared by q186 (grp = source)
+    * and q201 (grp = embedding cluster) so the two cannot drift.
+    * Pre-flattened lines: safe inside an outer concatenation.
+    */
+  private[queries] def keynessChainSql(tokCte: String): String =
+    tokCte + ",\n" +
+      """cells AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
+        |          FROM tok GROUP BY 1, 2),
+        |marg AS (SELECT grp, term, a,
+        |    SUM(a) OVER (PARTITION BY term) AS tt,
+        |    SUM(a) OVER (PARTITION BY grp) AS st,
+        |    SUM(a) OVER () AS n
+        |  FROM cells),
+        |cell4 AS (SELECT grp, term, a, tt, st, n, tt - a AS b, st - a AS c,
+        |    n - st - (tt - a) AS d
+        |  FROM marg WHERE a >= 5 AND a * n > st * tt),
+        |g2 AS (SELECT grp, term, a, st, tt, n,
+        |    2 * (
+        |      (CASE WHEN a > 0 THEN a * CAST(ROUND(ln(CAST(a * n AS DOUBLE)
+        |        / CAST(st * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) +
+        |      (CASE WHEN b > 0 THEN b * CAST(ROUND(ln(CAST(b * n AS DOUBLE)
+        |        / CAST((n - st) * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) +
+        |      (CASE WHEN c > 0 THEN c * CAST(ROUND(ln(CAST(c * n AS DOUBLE)
+        |        / CAST(st * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) +
+        |      (CASE WHEN d > 0 THEN d * CAST(ROUND(ln(CAST(d * n AS DOUBLE)
+        |        / CAST((n - st) * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END)) AS g2_e4,
+        |    st * tt * 10000 // n AS exp_e4
+        |  FROM cell4),
+        |ranked AS (SELECT grp, term, a, exp_e4, g2_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY g2_e4 DESC, term) AS rank
+        |  FROM g2)""".stripMargin
+
   /** The portable-HLL rho/register algebra over an md5 column `h`,
     * shared by every q184 CTE — the same hex-digit recipe as
     * [[graft.operators.Stats.hllRegister]] and q79's oracle.
@@ -424,44 +462,15 @@ object AnalyticsQueries {
       (CanonCtes +
         "\nSELECT DISTINCT canon FROM canon ORDER BY canon"),
     "q186_keyness" ->
-      """WITH tok AS (SELECT source AS grp,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), ' '),
-        |      x -> LENGTH(x) > 0)) AS term
-        |  FROM documents),
-        |cells AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
-        |          FROM tok GROUP BY 1, 2),
-        |marg AS (SELECT grp, term, a,
-        |    SUM(a) OVER (PARTITION BY term) AS tt,
-        |    SUM(a) OVER (PARTITION BY grp) AS st,
-        |    SUM(a) OVER () AS n
-        |  FROM cells),
-        |cell4 AS (SELECT grp, term, a, tt, st, n, tt - a AS b, st - a AS c,
-        |    n - st - (tt - a) AS d
-        |  FROM marg WHERE a >= 5 AND a * n > st * tt),
-        |g2 AS (SELECT grp, term, a, st, tt, n,
-        |    2 * (
-        |      (CASE WHEN a > 0 THEN a * CAST(ROUND(ln(CAST(a * n AS DOUBLE)
-        |        / CAST(st * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END) +
-        |      (CASE WHEN b > 0 THEN b * CAST(ROUND(ln(CAST(b * n AS DOUBLE)
-        |        / CAST((n - st) * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END) +
-        |      (CASE WHEN c > 0 THEN c * CAST(ROUND(ln(CAST(c * n AS DOUBLE)
-        |        / CAST(st * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END) +
-        |      (CASE WHEN d > 0 THEN d * CAST(ROUND(ln(CAST(d * n AS DOUBLE)
-        |        / CAST((n - st) * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END)) AS g2_e4,
-        |    st * tt * 10000 // n AS exp_e4
-        |  FROM cell4),
-        |ranked AS (SELECT grp, term, a, exp_e4, g2_e4,
-        |    ROW_NUMBER() OVER (PARTITION BY grp
-        |      ORDER BY g2_e4 DESC, term) AS rank
-        |  FROM g2)
+      ("WITH " + keynessChainSql(
+        """tok AS (SELECT source AS grp,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), ' '),
+          |      x -> LENGTH(x) > 0)) AS term
+          |  FROM documents)""".stripMargin) + """
         |SELECT grp AS source, CAST(rank AS BIGINT) AS rank, term,
         |  a AS n_obs, CAST(exp_e4 AS BIGINT) AS exp_e4,
         |  CAST(g2_e4 AS BIGINT) AS g2_e4
-        |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+        |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
     "q187_distinct_ngrams" ->
       """WITH toks AS (SELECT source,
         |    regexp_split_to_array(lower(text), ' ') AS t FROM documents),

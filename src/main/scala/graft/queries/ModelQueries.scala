@@ -81,6 +81,24 @@ object ModelQueries {
       .orderBy(col("label"), col("assigned"))
   }
 
+  // q201: CLUSTER TOPIC LABELS — the standard topic-browser step, two
+  // certified layers composed: q96's fixed-point centroid assignment
+  // puts every doc (vec_id == doc_id) in an embedding cluster, q186's
+  // Dunning-G² keyness names each cluster by the vocabulary that makes
+  // it DIFFERENT. The oracle composes the shared CentroidCtes and
+  // keynessChainSql fragments — neither layer can drift from its
+  // own gated query.
+  def q201(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Centroids.fit(emb, "label", "embedding")
+    val asg = Centroids.assign(emb, "embedding", cents, "label")
+      .select(col("vec_id").as("doc_id"), col("assigned"))
+    val d = Tables.load(s, dir, "documents")
+      .join(asg, Seq("doc_id"))
+    TextAnalysis.keyness(d, "assigned", "text", minCount = 5, topK = 5)
+      .orderBy(col("assigned"), col("rank"))
+  }
+
   // q124: embedding-space outlier report — SemDeDup's companion pruning
   // op: vectors far from EVERY cluster center are OOD/noise (corrupt
   // embeds, mislabeled modality, adversarial junk) and get pruned before
@@ -276,6 +294,7 @@ object ModelQueries {
     "q93_random_projection" -> (q93 _),
     "q94_mixture_weights" -> (q94 _),
     "q96_centroid_assign" -> (q96 _),
+    "q201_topic_labels" -> (q201 _),
     "q124_embedding_outliers" -> (q124 _),
     "q127_dsir_resample" -> (q127 _)
   )
@@ -629,6 +648,22 @@ object ModelQueries {
       s"""WITH $CentroidCtes
          |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
          |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q201: CentroidCtes assignment joined to documents, then the q186
+    // keyness chain keyed by the assigned cluster.
+    "q201_topic_labels" ->
+      (s"WITH $CentroidCtes,\n" +
+        AnalyticsQueries.keynessChainSql(
+          """tok AS (SELECT asg.assigned AS grp,
+            |    unnest(list_filter(regexp_split_to_array(lower(d.text),
+            |      ' '), x -> LENGTH(x) > 0)) AS term
+            |  FROM documents d JOIN (SELECT vec_id AS doc_id,
+            |      clabel AS assigned FROM a WHERE rn = 1) asg
+            |    USING (doc_id))""".stripMargin) + """
+        |SELECT grp AS assigned, CAST(rank AS BIGINT) AS rank, term,
+        |  a AS n_obs, CAST(exp_e4 AS BIGINT) AS exp_e4,
+        |  CAST(g2_e4 AS BIGINT) AS g2_e4
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY assigned, rank""".stripMargin),
     // q165: silhouette from the SAME ranked-distance CTE — a² is the
     // rn=1 distance, b² the rn=2 runner-up; one exact-integer division
     // + ROUND per row, `//` mean (all sil_e4 ≥ 0, trunc == floor).

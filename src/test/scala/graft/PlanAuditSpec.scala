@@ -819,6 +819,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q201: assignment is joinless argmin; keyness group totals " +
+      "broadcast; no partition-less window") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val lp = SparkEntry.queries("q201_topic_labels")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    lp.collect { case w: Window => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"partition-less window:\n$w")
+    }
+    val p = plan("q201_topic_labels")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q196: time decay is a joinless windowless scan aggregate") {
     val p = plan("q196_time_decay")
     assert(!p.contains("Join"), p)
