@@ -97,8 +97,11 @@ object Drift {
     * step needs nR·nC·10⁴ ≤ Long.Max — ≈ 3·10⁷ rows per cohort; a
     * larger monitor samples the cohorts (a KS estimate from 10⁷
     * uniform samples resolves D to ±0.04% — far inside any drift
-    * threshold) or divides D_num by a cohort first. Scale shape: the
-    * features stack map-side (ONE explode, the psiReport discipline)
+    * threshold) or divides D_num by a cohort first. That budget is
+    * ENFORCED in-plan (the otsuThreshold/Pca discipline): the e4
+    * projection `raise_error`s when nR·nC would overflow the ×10⁴
+    * step, so an oversized cohort fails loudly instead of silently
+    * corrupting the argmax ranking. Scale shape: the features stack
     * map-side (ONE explode, the psiReport discipline) into one
     * combinable (feature, value) aggregate; the cumsum windows run on
     * the value-histogram table only. Values compare as LONGS (order
@@ -134,7 +137,20 @@ object Drift {
       .filter(col("__rk") === 1)
       .select(col("feature"), col("__nR").as("n_ref"),
         col("__nC").as("n_cur"), col("__d").as("ks_num"),
-        expr("__d * 10000 div (__nR * __nC)").as("ks_e4"),
+        // Overflow budget enforced in-plan: nR·nC·10⁴ must fit a long
+        // (nR·nC ≤ Long.Max/10⁴ ≈ 9.2·10¹⁴; the check multiplies in
+        // doubles, exact below 2⁵³, because the long product itself
+        // would wrap first). Fails loudly with the sample-the-cohorts
+        // guidance from the scaladoc instead of corrupting the argmax.
+        when(col("__nR").cast("double") * col("__nC").cast("double") >
+            lit(Long.MaxValue / 10000L).cast("double"),
+          raise_error(concat(
+            lit("ksReport: cohort sizes overflow the e4 step (n_ref "),
+            col("__nR").cast("string"), lit(", n_cur "),
+            col("__nC").cast("string"),
+            lit(") — nR*nC must be <= Long.Max/1e4; "),
+            lit("sample the cohorts first"))))
+          .otherwise(expr("__d * 10000 div (__nR * __nC)")).as("ks_e4"),
         col("v").as("argmax_value"))
   }
 }

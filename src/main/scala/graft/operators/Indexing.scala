@@ -40,17 +40,40 @@ object Indexing {
   }
 
   /** Frequency-ranked vocabulary: id = dense rank by (count desc, term),
-    * zero-based. The ranking window runs over the DISTINCT TERM table —
-    * vocabulary-sized, not corpus-sized; for a truly huge vocab swap the
-    * window for zipWithIndex over a range-partitioned sort.
+    * zero-based. The rank is DISTRIBUTED: the term table is
+    * range-partitioned on the rank key, sorted within partitions, and
+    * numbered with zipWithIndex — a partition-count job plus a local
+    * offset add, never a partition-less Window (which would single-
+    * thread a 100M-term vocabulary through one task). The rank rule
+    * (count desc, term asc) is total — term is unique after the groupBy
+    * — so the assigned ids are independent of where the range
+    * boundaries land. PlanAuditSpec pins the no-global-window shape.
     */
-  def vocab(df: DataFrame, textCol: String): DataFrame =
-    graft.SparkUtil.ensureParallelism(df)
+  def vocab(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val counts = graft.SparkUtil.ensureParallelism(df)
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .withColumn("id", (row_number().over(
-        Window.orderBy(col("c").desc, col("term"))) - 1).cast("int"))
-      .select(col("term"), col("id"), col("c"))
+    // Materialized ONCE (vocabulary-sized): zipWithIndex runs a
+    // partition-size job up front, and the checkpoint keeps that job +
+    // every downstream action reading sorted blocks instead of
+    // re-tokenizing the corpus. (Eager local checkpoint, freed by the
+    // ContextCleaner — the BucketedMerge discipline.)
+    val sorted = counts
+      .repartitionByRange(col("c").desc, col("term"))
+      .sortWithinPartitions(col("c").desc, col("term"))
+      .localCheckpoint(true)
+    val indexed = sorted.rdd.zipWithIndex()
+      .map { case (r, i) =>
+        Row(r.getString(0), i.toInt, r.getLong(1))
+      }
+    spark.createDataFrame(indexed, StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("id", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false))))
+  }
 
   /** Token-id encoding — the text → ids step before sequence packing.
     * One explode, one (broadcastable) vocab join, one per-doc assembly;

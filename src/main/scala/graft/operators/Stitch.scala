@@ -89,8 +89,15 @@ object Stitch {
         size(ct) >= k && size(nt) >= k &&
           slice(ct, size(ct) - (k - 1), lit(k)) === slice(nt, lit(1), lit(k)))
       .withColumn("merged_text",
-        when(col("matched"), concat(col("__text"), lit(" "),
-          array_join(slice(nt, lit(k + 1), size(nt) - k), " "))))
+        // Full containment (right shard is exactly the k-token overlap):
+        // the merge is the left text UNCHANGED. The general concat would
+        // emit a trailing space here (array_join over the empty remainder
+        // slice is ""), and engines disagree on the empty-list edge
+        // (DuckDB's list_aggregate yields NULL, nulling the concat), so
+        // the edge gets its own branch in BOTH engines.
+        when(col("matched") && size(nt) === k, col("__text"))
+          .when(col("matched"), concat(col("__text"), lit(" "),
+            array_join(slice(nt, lit(k + 1), size(nt) - k), " "))))
       .select(col(groupCol), col("left_id"), col("right_id"),
         col("matched"), col("merged_text"))
   }

@@ -267,8 +267,14 @@ object TextAnalysis {
     * products evaluated in IEEE doubles ((k·N)/(row·col) — identical
     * bits in both engines), the ln is pinned at e4 (the psiReport
     * discipline), and G²_e4 = 2·Σ k·lnE4 is then an exact integer sum.
-    * Overflow: k·lnE4 ≤ N·ln(N)·10⁴ — fits a long to N ≈ 3·10¹³
-    * tokens, beyond any single mixture's token count.
+    * Overflow: the binding terms are the 64-bit PRODUCTS inside the ln
+    * arguments — k·N and row·col are both ≈ N² for the d cell — so the
+    * exact-integer form holds to N ≈ 3·10⁹ total tokens (√Long.Max),
+    * NOT the N·ln(N)·10⁴ ≈ 3·10¹³ the output sum alone would allow.
+    * That cap is ENFORCED (the otsuThreshold discipline): a corpus
+    * past it must pre-aggregate (keyness over per-shard samples, or
+    * the double-ratio restructuring (k/row)·(N/col) with a re-derived
+    * oracle) rather than silently wrap.
     *
     * Scale shape: ONE tokenize+explode pass into a map-side-combinable
     * (group, term) count (checkpointed); everything after is
@@ -305,6 +311,14 @@ object TextAnalysis {
     // an NPE on the null SUM.
     val nTotal = grpTotals.agg(coalesce(sum(col("st")), lit(0L)))
       .head().getLong(0)
+    // Exact-integer budget: the ln arguments multiply two ~N-sized
+    // longs (k·N, row·col), so past √Long.Max ≈ 3·10⁹ total tokens the
+    // products silently wrap. Loud cap, mirroring otsuThreshold.
+    require(nTotal <= 3000000000L,
+      s"keyness: $nTotal total tokens exceeds the exact-integer budget " +
+        "(k*N and row*col wrap past ~3e9) — pre-aggregate or sample " +
+        "the corpus, or restructure the ln argument as sub-overflow " +
+        "ratios with a re-derived oracle")
     val scored = cells
       .withColumn("tt", sum(col("a")).over(byTerm))
       .join(broadcast(grpTotals), Seq("grp"))

