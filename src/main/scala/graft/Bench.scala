@@ -266,7 +266,10 @@ object Bench {
       "q148_store_compaction", "q162_partition_pruning",
       // r14: real micro-batch run (stream -> canonicalize -> state
       // dedup -> parquet sink) vs a single-statement DISTINCT replay.
-      "q199_stream_url_dedup")
+      "q199_stream_url_dedup",
+      // r15: physical bucketed-store build + replace merge + compaction
+      // vs a content-derivation replay (same fairness note as q148).
+      "q202_bucketed_compaction")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -321,6 +321,66 @@ object IngestQueries {
       .orderBy(col("bucket"))
   }
 
+  // q202: BUCKETED-store compaction — the store LAYOUT that survives
+  // 100 TB, certified under the same content oracle as q148. q148's
+  // per-document-partition store (the reference's replace unit) has a
+  // file census that grows with the document count and a driver-serial
+  // commit that renames one file per document (~10 s of q148's wall —
+  // BASELINE.md r13 profile); [[graft.store.BucketedVectorStore]] keeps
+  // the replace-by-document contract on nBuckets hash partitions of
+  // documentid instead. The query (a) ingests the q148 chunk set,
+  // (b) RE-INGESTS every doc_id % 20 == 0 document with a DIFFERENT
+  // chunking (2×200 chars, keys 'd<id>:r<ci>') — the replace path must
+  // drop the obsolete 3×150 chunks, which the oracle's content
+  // checksum verifies, (c) compacts, REQUIRING inside the gated run
+  // that the census shrank AND the compacted census is bounded by
+  // nBuckets — i.e. INDEPENDENT of the document count, the claim that
+  // makes this the 100 TB shape. Same output aggregate as q148, so the
+  // two stores' certificates are directly comparable. Bench tier: exec
+  // (physical store writes; the denominator replays content
+  // derivation, not the layout work).
+  def q202(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q202-store").toString
+    val vs = new graft.store.BucketedVectorStore(s, storeRoot, nBuckets = 16)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def chunksOf(d: DataFrame, n: Int, width: Int, keyTag: String) = d
+      .select(col("doc_id"), col("lang"),
+        posexplode(array((0 until n).map(i =>
+          substring(col("text"), i * width + 1, width)): _*))
+          .as(Seq("ci", "content")))
+      .filter(length(col("content")) > 0)
+      .select(
+        concat(lit("d"), col("doc_id"), lit(s":$keyTag"), col("ci")).as("key"),
+        typedLit(Array.empty[Float]).as("embedding"),
+        col("content"),
+        col("lang").as("context"),
+        concat(lit("d"), col("doc_id")).as("documentid"))
+      .repartition(8) // scatter: every bucket gets multi-file fragments
+      .as[graft.model.EmbeddedChunk](
+        org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+    vs.upsert(chunksOf(docs, 3, 150, ""), "docs")
+    // The replace increment: re-chunked documents, fewer+wider chunks.
+    vs.upsert(chunksOf(docs.filter(col("doc_id") % 20 === 0), 2, 200, "r"),
+      "docs")
+    val (before, after) = vs.compact("docs")
+    require(after < before,
+      s"q202: compaction did not shrink the file census ($before -> $after)")
+    require(after <= 16,
+      s"q202: compacted census $after exceeds nBuckets=16 — the census " +
+        "must be independent of document count")
+    vs.read("docs")
+      .select(col("key"), col("content"),
+        substring(col("documentid"), 2, 18).cast("long").as("did"))
+      .groupBy((col("did") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("did")).as("n_docs"),
+        sum(conv(substring(md5(concat_ws(":", col("key"), col("content"))),
+          1, 13), 16, 10).cast("long")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   /** q162: hive-partitioned layout + PARTITION-PRUNING certificate —
     * writes the corpus partitioned by `lang`, reads it back with a
     * two-language predicate, and REQUIRES (a) the predicate reaches
@@ -403,6 +463,7 @@ object IngestQueries {
     "q89_stream_ingest" -> (q89 _),
     "q44_ingest_pipeline" -> (q44 _),
     "q148_store_compaction" -> (q148 _),
+    "q202_bucketed_compaction" -> (q202 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -489,6 +550,41 @@ object IngestQueries {
         |          CAST(ci AS VARCHAR) AS key,
         |        content
         |      FROM c WHERE LENGTH(content) > 0)
+        |SELECT doc_id % 7 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q202: the q148 content certificate over the bucketed layout's
+    // FINAL state — docs re-ingested by the second batch (doc_id % 20
+    // = 0) carry ONLY their 2×200 re-chunking ('d<id>:r<ci>' keys);
+    // everything else keeps the 3×150 chunks. A store that leaked the
+    // obsolete chunks through the replace path would fail the checksum.
+    "q202_bucketed_compaction" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |c1 AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 3)) AS ci) i
+        |      WHERE doc_id % 20 <> 0),
+        |c2 AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 200 + 1 AS INTEGER), 200)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':r' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 2)) AS ci) i
+        |      WHERE doc_id % 20 = 0),
+        |k AS (SELECT doc_id, key, content FROM c1
+        |        WHERE LENGTH(content) > 0
+        |      UNION ALL
+        |      SELECT doc_id, key, content FROM c2
+        |        WHERE LENGTH(content) > 0)
         |SELECT doc_id % 7 AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -1,0 +1,148 @@
+package graft.store
+
+import graft.model.EmbeddedChunk
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-BUCKETED vector store — the layout that survives 100 TB where
+  * [[VectorStore]]'s per-document partitioning does not.
+  *
+  * [[VectorStore]] mirrors the reference's replace-by-document unit
+  * (`VectorStoreCommands.cs:159`) as one parquet partition per
+  * `documentid`. That is the right IncrementalIngestion=false analogue
+  * for an ingest increment, but its physical file census grows with the
+  * DOCUMENT COUNT: a billion-document corpus is a billion directories,
+  * and every dynamic-overwrite commit renames one file per touched
+  * document serially on the driver (the measured ~10 s of q148's wall —
+  * BASELINE.md r13 profile).
+  *
+  * This store keeps the SAME logical contract — replace-by-document
+  * upsert, idempotent deterministic keys, layout invisible to readers —
+  * on the [[BucketedMerge]] layout: `nBuckets` hash partitions of
+  * `documentid` (one directory per bucket, every chunk of a document in
+  * exactly one bucket). Consequences, each load-bearing at scale:
+  *
+  *   - the file census is bounded by `nBuckets × files-per-bucket`,
+  *     INDEPENDENT of document count; compaction restores exactly
+  *     `nBuckets` files no matter how many documents ever arrived;
+  *   - an upsert reads and rewrites only the incoming documents'
+  *     buckets (partition pruning on the bucket column — untouched
+  *     buckets are never opened), and its commit renames O(touched
+  *     buckets) files, not O(touched documents);
+  *   - replace-by-document holds because bucket(documentid) is a pure
+  *     function: the anti-join that drops a re-ingested document's
+  *     prior chunks only ever needs the touched buckets.
+  *
+  * Pick `nBuckets` so one bucket fits an executor core's working set
+  * (100 TB / 8192 ≈ 12 GB), exactly like [[BucketedMerge]]. Certified
+  * under the q202 oracle (same content certificate as q148, plus the
+  * census bound asserted inside the gated run).
+  */
+final class BucketedVectorStore(spark: SparkSession, root: String,
+    nBuckets: Int = 16) {
+
+  import BucketedMerge.{BucketCol, bucketOf}
+
+  private def path(collection: String) = s"$root/$collection"
+
+  private def fs(p: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean =
+    fs(p).exists(new org.apache.hadoop.fs.Path(p))
+
+  private def tableSchema(dir: String) =
+    spark.read.parquet(s"$dir/_schema").schema
+
+  /** W1 on the bucketed layout: create-or-replace the incoming
+    * documents' chunks. First write lays the table out (static
+    * overwrite + 0-row schema sidecar, the [[BucketedMerge.init]]
+    * shape); every later batch is a pruned replace-by-document merge.
+    */
+  def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit = {
+    val dir = path(collection)
+    // Materialize the batch ONCE (the BucketedMerge discipline): the
+    // touched-bucket list, the documentid delete set and the write must
+    // all see identical rows.
+    val incoming = chunks.toDF()
+      .withColumn(BucketCol, bucketOf(col("documentid"), nBuckets))
+      .localCheckpoint(true)
+    if (!exists(dir)) {
+      incoming.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(dir)
+      incoming.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/_schema")
+    } else {
+      // O(nBuckets) driver-side list — bounded by construction.
+      val touched = incoming.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted
+      // Replace unit = documentid: drop every prior chunk of the
+      // incoming documents (a re-ingested document with FEWER chunks
+      // must not leave orphans), keep everything else in the touched
+      // buckets, append the batch. The delete set is bounded by the
+      // batch's distinct documents and broadcasts.
+      val docIds = incoming.select(col("documentid")).distinct()
+      val survivors = spark.read.schema(tableSchema(dir)).parquet(dir)
+        .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toSeq: _*))
+        .join(broadcast(docIds), Seq("documentid"), "left_anti")
+      // Deliberately NOT re-clustered on the bucket column: an
+      // incremental batch writes straight out of its upstream tasks
+      // (no extra shuffle per merge — the cheap-write side of the LSM
+      // trade-off), so a touched bucket accumulates one file per
+      // writing task until [[compact]] restores one-file-per-bucket.
+      // Write amplification per merge stays O(touched buckets' bytes);
+      // the file-census debt is what compaction is FOR, and unlike the
+      // per-document layout the debt is bounded by buckets × batches,
+      // never by document count.
+      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
+        .write.partitionBy(BucketCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+      // A touched bucket always holds ≥1 incoming row, so dynamic
+      // overwrite never leaves an emptied directory here (unlike
+      // tombstone merges — BucketedMerge.merge's cleanup).
+    }
+  }
+
+  /** Schema-on-read; the bucket column is layout, not data. */
+  def read(collection: String): DataFrame =
+    spark.read.schema(tableSchema(path(collection)))
+      .parquet(path(collection)).drop(BucketCol)
+
+  /** Compact a collection to exactly one file per bucket. Unlike
+    * [[VectorStore.compact]]'s whole-directory tmp-and-swap, the
+    * rewrite here is a dynamic partition overwrite of the (already
+    * materialized) rows — the commit renames O(nBuckets) files, never
+    * O(documents). Returns (files_before, files_after): after is
+    * bounded by `nBuckets` regardless of how many documents the store
+    * holds — the census-independence claim, asserted by q202.
+    */
+  def compact(collection: String): (Long, Long) = {
+    val dir = path(collection)
+    val before = countDataFiles(dir)
+    // Eager checkpoint: the write below overwrites the directory the
+    // rows came from — they must be materialized first.
+    val rows = spark.read.schema(tableSchema(dir)).parquet(dir)
+      .localCheckpoint(true)
+    rows.repartition(nBuckets, col(BucketCol))
+      .sortWithinPartitions(col("documentid"), col("key"))
+      .write.partitionBy(BucketCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(dir)
+    (before, countDataFiles(dir))
+  }
+
+  /** Recursive .parquet data-file census (excludes the _schema sidecar:
+    * underscore paths are invisible to reads and constant-size).
+    */
+  def countDataFiles(p: String): Long = {
+    val it = fs(p).listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val isSidecar = f.getPath.toString.contains("/_schema/")
+      if (f.getPath.getName.endsWith(".parquet") && !isSidecar) n += 1
+    }
+    n
+  }
+}

@@ -1,0 +1,83 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.model.EmbeddedChunk
+import org.apache.spark.sql.functions._
+
+class BucketedVectorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(key: String, content: String, doc: String) =
+    EmbeddedChunk(key, Array(0.1f, 0.2f), content, "ctx", doc)
+
+  private def tmpRoot() =
+    java.nio.file.Files.createTempDirectory("bvs-spec").toString
+
+  test("upsert + read round-trips chunks; bucket column is layout only") {
+    val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 4)
+    val chunks = Seq(mk("a:0", "alpha", "a"), mk("a:1", "beta", "a"),
+      mk("b:0", "gamma", "b")).toDS()
+    vs.upsert(chunks, "c")
+    val back = vs.read("c")
+    assert(back.columns.sorted.toSeq ==
+      Seq("content", "context", "documentid", "embedding", "key"))
+    assert(back.select("key", "content").as[(String, String)].collect()
+      .sorted.toSeq == Seq(("a:0", "alpha"), ("a:1", "beta"), ("b:0", "gamma")))
+  }
+
+  test("replace-by-document: a re-ingested document with FEWER chunks " +
+      "leaves no orphans; other documents untouched") {
+    val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 4)
+    vs.upsert(Seq(mk("a:0", "a0", "a"), mk("a:1", "a1", "a"),
+      mk("a:2", "a2", "a"), mk("b:0", "b0", "b")).toDS(), "c")
+    vs.upsert(Seq(mk("a:r0", "A0-new", "a")).toDS(), "c")
+    val back = vs.read("c").select("key", "content")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(back == Seq(("a:r0", "A0-new"), ("b:0", "b0")))
+  }
+
+  test("upsert prunes to touched buckets: an untouched bucket's files " +
+      "are not rewritten") {
+    val root = tmpRoot()
+    val vs = new BucketedVectorStore(spark, root, nBuckets = 8)
+    // Two documents in provably different buckets.
+    val d1 = "doc-one"
+    val d2 = (1 to 50).map(i => s"doc-$i").find { d =>
+      spark.range(1).select(BucketedMerge.bucketOf(lit(d), 8)).head.getInt(0) !=
+        spark.range(1).select(BucketedMerge.bucketOf(lit(d1), 8)).head.getInt(0)
+    }.get
+    vs.upsert(Seq(mk("1:0", "one", d1), mk("2:0", "two", d2)).toDS(), "c")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def filesOf(doc: String): Set[(String, Long)] = {
+      val b = spark.range(1).select(BucketedMerge.bucketOf(lit(doc), 8))
+        .head.getInt(0)
+      val p = new org.apache.hadoop.fs.Path(s"$root/c/bucket=$b")
+      fs.listStatus(p).map(f => (f.getPath.getName, f.getModificationTime))
+        .toSet
+    }
+    val d2Before = filesOf(d2)
+    vs.upsert(Seq(mk("1:1", "one-more", d1)).toDS(), "c")
+    assert(filesOf(d2) == d2Before,
+      "untouched bucket was rewritten by a pruned merge")
+    // Replace-by-document: the second batch replaced d1 wholesale.
+    assert(vs.read("c").select("key").as[String].collect().sorted.toSeq ==
+      Seq("1:1", "2:0"))
+  }
+
+  test("compact: census shrinks to <= nBuckets and content is unchanged") {
+    val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 4)
+    // Several merge batches so buckets accumulate multiple files.
+    vs.upsert((0 until 8).map(i => mk(s"d$i:0", s"c$i", s"d$i")).toDS(), "c")
+    vs.upsert((8 until 16).map(i => mk(s"d$i:0", s"c$i", s"d$i")).toDS(), "c")
+    vs.upsert((16 until 24).map(i => mk(s"d$i:0", s"c$i", s"d$i")).toDS(), "c")
+    val contentBefore = vs.read("c").select("key", "content")
+      .as[(String, String)].collect().sorted.toSeq
+    val (before, after) = vs.compact("c")
+    assert(after < before, s"census did not shrink: $before -> $after")
+    assert(after <= 4, s"compacted census $after exceeds nBuckets")
+    val contentAfter = vs.read("c").select("key", "content")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(contentAfter == contentBefore)
+  }
+}
