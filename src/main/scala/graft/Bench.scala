@@ -269,7 +269,10 @@ object Bench {
       "q199_stream_url_dedup",
       // r15: physical bucketed-store build + replace merge + compaction
       // vs a content-derivation replay (same fairness note as q148).
-      "q202_bucketed_compaction")
+      "q202_bucketed_compaction",
+      // r15: q199's bounded-state (watermarked) form — same real
+      // micro-batch runtime vs the same single-statement DISTINCT replay.
+      "q203_stream_url_dedup_wm")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -172,6 +172,18 @@ object AnalyticsQueries {
   // certified output is the distinct canonical SET (the representative
   // chosen inside a micro-batch is not deterministic; the set is),
   // hash-matched against the batch DISTINCT replay.
+  //
+  // STATE BOUND (r15): the unwatermarked dropDuplicates here holds one
+  // state row per distinct canonical URL FOREVER — exact, and correct
+  // for this certificate's bounded AvailableNow corpus, but unbounded
+  // on a true continuous crawl. The two scale-safe shapes both exist
+  // in-repo, and a 100 TB frontier picks by its recrawl policy:
+  //   - recrawl horizon (a URL seen again after H days is refetched
+  //     anyway): q203's dropDuplicatesWithinWatermark form — state is
+  //     bounded by the horizon, eviction is the watermark's;
+  //   - exact-forever frontier: the q85 discipline — foreachBatch
+  //     against an on-disk hash-bucketed signature store (state lives
+  //     in the store, pruned per batch by bucket, RAM stays O(batch)).
   def q199(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/documents.parquet")
     val stream = s.readStream.schema(raw.schema)
@@ -180,6 +192,44 @@ object AnalyticsQueries {
       .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"))
       .dropDuplicates("canon")
     val tmp = java.nio.file.Files.createTempDirectory("graft-q199")
+    val q = canon.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out").orderBy(col("canon"))
+  }
+
+  // q203: q199 with BOUNDED state — the recrawl-horizon frontier shape.
+  // Same real micro-batch runtime (readStream -> canonicalize -> state
+  // dedup -> parquet sink), but the dedup is dropDuplicatesWithinWatermark
+  // over a synthesized event time: state holds a canonical URL only until
+  // the watermark passes its event time + delay, so frontier RAM is
+  // O(URLs within the recrawl horizon), never O(URLs ever seen). Event
+  // times are deterministic (page id mod 600 seconds past a fixed epoch;
+  // all four messy variants of a page share the page's timestamp), and
+  // the delay (10 min) covers the full event-time span, so within this
+  // bounded run nothing is late and nothing is evicted-then-re-emitted —
+  // the emitted set IS the exact distinct set, hash-matched against the
+  // same DISTINCT replay as q199. The eviction behavior itself (state
+  // rows dropped once the watermark passes, a re-arrival after eviction
+  // re-emitting — the documented horizon trade-off) is pinned by the
+  // 2-batch UrlDedupWatermarkSpec, where batches control the watermark.
+  def q203(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parque*")
+    val canon = WebIngest.withMessyUrl(stream, "doc_id", "source")
+      .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(expr("doc_id div 4"), lit(600L))).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("canon")
+      .select(col("canon"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q203")
     val q = canon.writeStream
       .format("parquet")
       .option("path", s"$tmp/out")
@@ -202,7 +252,8 @@ object AnalyticsQueries {
     "q192_bootstrap_ci" -> (q192 _),
     "q193_encoding_audit" -> (q193 _),
     "q194_cooccurrence" -> (q194 _),
-    "q199_stream_url_dedup" -> (q199 _))
+    "q199_stream_url_dedup" -> (q199 _),
+    "q203_stream_url_dedup_wm" -> (q203 _))
 
   /** The Dunning-G2 keyness replay from a caller-supplied `tok(grp,
     * term)` CTE to the `ranked` CTE — shared by q186 (grp = source)
@@ -459,6 +510,11 @@ object AnalyticsQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM canon GROUP BY canon ORDER BY canon""".stripMargin),
     "q199_stream_url_dedup" ->
+      (CanonCtes +
+        "\nSELECT DISTINCT canon FROM canon ORDER BY canon"),
+    // q203: watermark delay covers the event-time span, so the bounded
+    // run's emitted set is exactly the distinct set — same replay.
+    "q203_stream_url_dedup_wm" ->
       (CanonCtes +
         "\nSELECT DISTINCT canon FROM canon ORDER BY canon"),
     "q186_keyness" ->
