@@ -272,7 +272,11 @@ object Bench {
       "q202_bucketed_compaction",
       // r15: q199's bounded-state (watermarked) form — same real
       // micro-batch runtime vs the same single-statement DISTINCT replay.
-      "q203_stream_url_dedup_wm")
+      "q203_stream_url_dedup_wm",
+      // r15: physical store write + 15 REPL-path searches (5 queries x
+      // 3 modes, ANN indexes built at search time per the REPL
+      // semantics) vs a replay of only the exact-mode scoring.
+      "q204_search_mode_recall")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -88,9 +88,10 @@ object ScaleStress {
       .split(',').map(_.trim.toInt).toSeq
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
-        "corpusops", "analytics")(tier),
+        "corpusops", "analytics", "streaming")(tier),
       s"unknown tier '$tier' " +
-        "(graph|substring|ingest|ann|multivec|corpusops|analytics)")
+        "(graph|substring|ingest|ann|multivec|corpusops|analytics|" +
+        "streaming)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -486,6 +487,200 @@ object ScaleStress {
           s""""keyness_stable":$keysStable,"g2_linear":$g2Linear,""" +
           s""""moved_share_e4":$movedShareE4,""" +
           s""""stitch_roundtrips":$stitchOk}""")
+      }
+    }
+
+    if (tier == "streaming") {
+      // The r15 tier: the five streaming-runtime certificate shapes
+      // (q84 stateful agg, q107 stream-stream join, q117 custom session
+      // state, q199/q203 stateful dedup, q85 store-backed near-dup)
+      // under ×k replication, REAL micro-batches (one input file per
+      // trigger), recording per-batch walls, input rows, and state-store
+      // rows/bytes from StreamingQueryProgress. Replication offsets the
+      // KEY columns (user_id / event_id / doc_id) while keeping the
+      // event-time span constant — the adversarial direction for state
+      // stores: keys grow ×k, the watermark horizon does not. What must
+      // hold: state rows ∝ keys for the key-scaling operators (join,
+      // sessions, dedup), state CONSTANT for the windowed agg (its keys
+      // are windows × types, independent of volume), per-batch overhead
+      // flat, driver heap flat (state lives in the stores, not the
+      // driver).
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.{StreamNearDup, Streams}
+      import graft.operators.WebIngest
+      val r1 = (v: Double) => math.rint(v * 10) / 10
+      def report(name: String, k: Int,
+          q: org.apache.spark.sql.streaming.StreamingQuery,
+          extra: String = ""): Unit = {
+        val progs = q.recentProgress.toSeq
+        val walls = progs.map(p =>
+          p.durationMs.get("triggerExecution").toDouble / 1000.0)
+        val inRows = progs.map(_.numInputRows)
+        val stRows = progs.map(p => Option(p.stateOperators)
+          .map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+        val stBytes = progs.map(p => Option(p.stateOperators)
+          .map(_.map(_.memoryUsedBytes).sum).getOrElse(0L))
+        println(s"""{"scale":$k,"phase":"$name","n_batches":${progs.size},""" +
+          s""""batch_walls":[${walls.map(r3).mkString(",")}],""" +
+          s""""input_rows":[${inRows.mkString(",")}],""" +
+          s""""state_rows":[${stRows.mkString(",")}],""" +
+          s""""state_kb":[${stBytes.map(b => r1(b / 1024.0)).mkString(",")}],""" +
+          s""""driver_heap_mb":${usedHeapMb()}$extra}""")
+      }
+      val ev0 = Tables.normalizeTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+      val evSchema = ev0.schema
+      val eStride = ev0.agg(max(col("event_id"))).head().getLong(0) + 1L
+      val uStride = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
+      // Each replica also ADVANCES event time by the base span + 2 h — a
+      // live stream moves forward; repeating the same span would make
+      // every later replica "late data" and measure watermark drops, not
+      // state growth. Advancing time is what makes watermark EVICTION
+      // observable between batches (join horizon, dedup horizon).
+      val tsRange = ev0.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val tsOffUs = tsRange.getLong(1) - tsRange.getLong(0) +
+        2L * 3600 * 1000000
+      // URL synthesis needs `source`; near-dup needs `text` — carry both.
+      val docsFull = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val docSchema = docsFull.schema
+      for (k <- scales) {
+        // One parquet FILE per replica → one micro-batch per replica
+        // (maxFilesPerTrigger=1): per-batch progress is observable and
+        // the watermark advances between batches like a live stream's.
+        val evDir = java.nio.file.Files
+          .createTempDirectory(s"scale-stream-ev-x$k").toString
+        for (i <- 0 until k)
+          ev0.select((col("event_id") + lit(i * eStride)).as("event_id"),
+              (col("user_id") + lit(i * uStride)).as("user_id"),
+              col("event_type"),
+              timestamp_micros(unix_micros(col("ts")) + lit(i * tsOffUs))
+                .as("ts"),
+              col("value"))
+            .coalesce(1).write.mode("append").parquet(evDir)
+        val docDir = java.nio.file.Files
+          .createTempDirectory(s"scale-stream-doc-x$k").toString
+        for (i <- 0 until k)
+          docsFull.select(
+              (col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
+              col("text"), col("source"))
+            .coalesce(1).write.mode("append").parquet(docDir)
+        def evStream() = spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 1).parquet(evDir)
+        def docStream() = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).parquet(docDir)
+        def sinkName(p: String) =
+          p + "_x" + k + "_" + java.util.UUID.randomUUID().toString.take(8)
+
+        // q84 shape: stateful windowed aggregation. State keys are
+        // (window, event_type): they grow with the stream's TIME span
+        // (×k here, since replicas advance time), never with row volume
+        // — ×k rows into the same windows would leave state flat.
+        phase("windowed_agg", k) {
+          val sink = sinkName("agg")
+          val q = Streams.windowedCounts(evStream(), "1 hour", "10 minutes")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          report("windowed_agg", k, q,
+            s""","out_rows":${spark.table(sink).count()}""")
+        }
+
+        // q107 shape: stream-stream interval join. Join state holds both
+        // sides' horizon-admissible rows — grows ×k with the keys.
+        phase("stream_join", k) {
+          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          try {
+            val sink = sinkName("join")
+            val q = Streams.attributionJoin(
+                evStream().filter(col("event_type") === "purchase"),
+                evStream().filter(col("event_type") === "click"),
+                windowMs = 30 * 60 * 1000L)
+              .writeStream.format("memory").queryName(sink)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+            report("stream_join", k, q,
+              s""","out_rows":${spark.table(sink).count()}""")
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+
+        // q117 shape: custom per-user session state
+        // (flatMapGroupsWithState + event-time timeout). State rows ≈
+        // still-open users — must grow ×k (uStride-offset users), while
+        // sessions close as the inter-batch watermark passes them.
+        phase("sessions", k) {
+          import spark.implicits._
+          val sink = sinkName("sess")
+          val q = Streams.sessionize(
+              Tables.normalizeTs(evStream()).as[Streams.Ev],
+              gapMs = 30 * 60 * 1000L)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          report("sessions", k, q,
+            s""","out_rows":${spark.table(sink).count()}""")
+        }
+
+        // q199 shape: unwatermarked dedup — state ∝ DISTINCT canonical
+        // URLs ever seen (×k by construction), the unbounded-frontier
+        // baseline the q203 form exists to bound.
+        phase("url_dedup", k) {
+          val sink = sinkName("url")
+          val q = WebIngest.withMessyUrl(docStream(), "doc_id", "source")
+            .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"))
+            .dropDuplicates("canon")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          report("url_dedup", k, q,
+            s""","out_rows":${spark.table(sink).count()}""")
+        }
+
+        // q203 shape: watermarked dedup — same ×k key growth, but
+        // state is bounded by the horizon: as batches advance the
+        // watermark, expired keys are EVICTED, so per-batch state_rows
+        // must stay ~flat while url_dedup's accumulate ×k.
+        phase("url_dedup_wm", k) {
+          val sink = sinkName("urlwm")
+          val q = WebIngest.withMessyUrl(docStream(), "doc_id", "source")
+            .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"),
+              // page ids grow with the replica offset, so event time
+              // ADVANCES 4 s per page — later batches push the watermark
+              // past earlier batches' keys and the state store must
+              // EVICT: state stays O(horizon), the bound under test.
+              timestamp_seconds(lit(1700000000L) +
+                expr("doc_id div 4") * 4).as("ts"))
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark("canon")
+            .select(col("canon"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          report("url_dedup_wm", k, q,
+            s""","out_rows":${spark.table(sink).count()}""")
+        }
+
+        // q85 shape: store-backed near-dup filter (foreachBatch). NO
+        // state-store rows at all — state is the on-disk signature
+        // store, pruned per batch by bucket. Replication is adversarial:
+        // every replica doc is an exact dup of batch 1's, so the store
+        // must stay ~CONSTANT (∝ distinct content) while cross-batch
+        // drop work grows ×k.
+        phase("neardup_store", k) {
+          val base = java.nio.file.Files
+            .createTempDirectory(s"scale-stream-nd-x$k").toString
+          val q = StreamNearDup.run(docStream(), "doc_id", "text",
+            s"$base/store", s"$base/out", s"$base/ckpt")
+          q.awaitTermination()
+          val storeRows = spark.read.parquet(s"$base/store/sigs").count()
+          val outRows = spark.read.parquet(s"$base/out").count()
+          report("neardup_store", k, q,
+            s""","store_sig_rows":$storeRows,"out_rows":$outRows""")
+        }
       }
     }
 

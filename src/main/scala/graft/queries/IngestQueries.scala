@@ -381,6 +381,86 @@ object IngestQueries {
       .orderBy(col("bucket"))
   }
 
+  // q204: the REPL surface's ANN modes gated end-to-end — the reference
+  // analogue is `VectorStoreCommands.cs:113` (brute-force search is the
+  // only mode there; `--mode lsh|ivfsq` are this engine's opt-in
+  // approximate scans). The ANN INTERNALS are oracle-certified since
+  // r10 (q33/q49/q128/q136/q138), but until r15 no gated query drove
+  // `VectorStore.search(mode=...)` — the composition a CLI user
+  // actually runs (collection read -> index-at-search-time -> probe ->
+  // exact re-score). The query builds a store from the embeddings
+  // table (documentids group 32 vectors per replace unit), routes five
+  // PRE-EMBEDDED queries through the text-search surface via
+  // [[graft.functions.VectorLiteralProvider]] (Float round-trips its
+  // string form exactly), and for each query runs all three modes,
+  // REQUIRING inside the gated run that each ANN mode's MEAN top-10
+  // overlap with the exact top-10 meets a recall floor (lsh >= 0.3,
+  // ivfsq >= 0.4 — under the worst measured SF with drift margin). The certified OUTPUT is the exact
+  // mode's (query_id, key, score) rows — replayed in DuckDB via
+  // list_dot_product over DOUBLE lists, the same ascending index-order
+  // fold as the codegen'd CosineSimilarity loop. Bench tier: exec
+  // (physical store write + 15 search executions; the denominator
+  // replays only the exact-mode scoring).
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q204-store").toString
+    val vs = new VectorStore(s, storeRoot)
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    // L2-normalize at ingest — the STORE CONTRACT the ivfsq mode's
+    // L2-ranking == cosine-ranking agreement depends on (the hashing
+    // embedder normalizes; pre-computed vectors must be normalized
+    // here). Double-precision divide, rounded to float32 per element —
+    // replayed bit-for-bit in the oracle via DuckDB REAL casts.
+    val n2 = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val chunks = emb.select(
+        lpad(col("vec_id").cast("string"), 6, "0").as("key"),
+        when(n2 > 0, transform(col("embedding"),
+            x => (x.cast("double") / sqrt(n2)).cast("float")))
+          .otherwise(col("embedding")).as("embedding"),
+        concat(lit("v"), col("vec_id")).as("content"),
+        lit("").as("context"),
+        concat(lit("g"), pmod(col("vec_id"), lit(32L))).as("documentid"))
+      .as[graft.model.EmbeddedChunk](
+        org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+    vs.upsert(chunks, "vecs")
+    val provider = new graft.functions.VectorLiteralProvider(dim)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val k = 10
+    val exactRows = queryVecs.map { case (qid, qv) =>
+      val text = graft.functions.VectorLiteralProvider.render(qv)
+      val exact = vs.search("vecs", text, k = k, provider = provider,
+        mode = "exact").select(col("key"), col("score")).collect()
+      val exactKeys = exact.map(_.getString(0)).toSet
+      def recallOf(mode: String): Double = {
+        val keys = vs.search("vecs", text, k = k, provider = provider,
+          mode = mode).select(col("key")).collect().map(_.getString(0))
+        keys.count(exactKeys).toDouble / k
+      }
+      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
+    }
+    // Floors under the worst measured SF with margin (r15 sweep:
+    // mean lsh 0.42-0.68, mean ivfsq 0.58-0.76 across sf0.001/0.01/0.1
+    // — deterministic, so the margin covers testdata drift only). On
+    // this synthetic table true neighbors are weakly clustered, which
+    // is the honest hard case for probe-pruned ANN; the certificate is
+    // "the REPL ANN modes return a large, floored fraction of the
+    // exact answer while scanning a pruned fraction of the store".
+    val meanLsh = exactRows.map(_._3).sum / exactRows.length
+    val meanIvf = exactRows.map(_._4).sum / exactRows.length
+    require(meanLsh >= 0.3,
+      s"q204: mean lsh recall@$k $meanLsh is below the 0.3 floor")
+    require(meanIvf >= 0.4,
+      s"q204: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    import s.implicits._
+    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
+      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
+    }.toDF("query_id", "key", "score")
+      .orderBy(col("query_id"), col("score").desc, col("key"))
+  }
+
   /** q162: hive-partitioned layout + PARTITION-PRUNING certificate —
     * writes the corpus partitioned by `lang`, reads it back with a
     * two-language predicate, and REQUIRES (a) the predicate reaches
@@ -464,6 +544,7 @@ object IngestQueries {
     "q44_ingest_pipeline" -> (q44 _),
     "q148_store_compaction" -> (q148 _),
     "q202_bucketed_compaction" -> (q202 _),
+    "q204_search_mode_recall" -> (q204 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -591,6 +672,35 @@ object IngestQueries {
         |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
         |    AS BIGINT)) AS BIGINT) AS checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q204: the exact-mode replay. list_dot_product over DOUBLE lists is
+    // the same ascending index-order double fold as the codegen'd
+    // CosineSimilarity loop (dot, self-norms, then dot/sqrt(nx*ny)),
+    // so the 6dp scores and the (score desc, key) cut reproduce. The
+    // ANN recall floors are enforced inside the gated Spark run.
+    "q204_search_mode_recall" ->
+      """WITH v0 AS (SELECT vec_id,
+        |    lpad(CAST(vec_id AS VARCHAR), 6, '0') AS key,
+        |    CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |vr AS (SELECT vec_id, key, de,
+        |    sqrt(list_dot_product(de, de)) AS nrm FROM v0),
+        |n AS (SELECT vec_id, key, list_dot_product(e, e) AS n2, e FROM (
+        |    SELECT vec_id, key, CASE WHEN nrm > 0 THEN
+        |        list_transform(de, x -> CAST(CAST(x / nrm AS REAL)
+        |          AS DOUBLE))
+        |      ELSE de END AS e FROM vr)),
+        |q AS (SELECT vec_id AS query_id, de AS qe,
+        |      list_dot_product(de, de) AS qn2
+        |      FROM v0 WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, n.key,
+        |        CASE WHEN n.n2 = 0 OR q.qn2 = 0 THEN 0.0
+        |          ELSE round(list_dot_product(n.e, q.qe)
+        |            / sqrt(n.n2 * q.qn2), 6) END AS score
+        |      FROM n CROSS JOIN q),
+        |r AS (SELECT query_id, key, score, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, key) AS rk
+        |      FROM p)
+        |SELECT query_id, key, score FROM r WHERE rk <= 10
+        |ORDER BY query_id, score DESC, key""".stripMargin,
     "q73_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

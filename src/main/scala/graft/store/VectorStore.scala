@@ -100,7 +100,11 @@ final class VectorStore(spark: SparkSession, root: String) {
           .round.toInt))
       val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
         nBits = nBits, dim = qv.length)
-      val probes = lsh.probeBuckets(qv, probes = 1)
+      // Radius-2 multiprobe: the REPL path favors recall over scan
+      // fraction (C(nBits,2) extra buckets of a REPL-sized collection);
+      // the production scan-budget knob is the stored-code index tier
+      // (q128/q138), not this convenience path.
+      val probes = lsh.probeBuckets(qv, probes = 2)
       lsh.index(chunks, "embedding")
         .filter(col("bucket").isin(probes: _*))
         .drop("bucket")
@@ -114,7 +118,7 @@ final class VectorStore(spark: SparkSession, root: String) {
       val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
         kCentroids = 8, dim = qv.length)
       val ids = graft.operators.IvfSq.search(chunks, "key", "embedding",
-          m, qv, k = k, nprobe = 2, pool = math.max(50, 4 * k))
+          m, qv, k = k, nprobe = 3, pool = math.max(200, 20 * k))
         .select(col("key"))
       chunks.join(broadcast(ids), Seq("key"))
         .withColumn("score",
