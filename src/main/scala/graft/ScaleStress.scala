@@ -48,8 +48,19 @@ import org.apache.spark.sql.functions._
   * driver state must stay O(1) in corpus size. Output: one JSON line
   * per (scale, phase) plus per-job arrays; committed as SCALE.md.
   *
+  *   - `streaming` (r15): the six streaming certificate shapes (q84
+  *     windowed agg, q107 stream-stream join, q117 session state,
+  *     q199/q203 stateful dedup, q85 store-backed near-dup) as REAL
+  *     micro-batch streams — one input file per trigger — with keys
+  *     offset AND event time advanced per replica; records per-batch
+  *     walls, input rows and state-store rows/bytes from
+  *     StreamingQueryProgress. The invariants: join/session/watermarked-
+  *     dedup state O(horizon) (flat across ×k), unwatermarked dedup
+  *     state O(keys) (the contrast), store-backed near-dup zero state
+  *     rows, driver heap flat.
+  *
   * Usage: graft.ScaleStress [sfDir] [scales CSV]
-  *   [graph|substring|ingest|ann|multivec]
+  *   [graph|substring|ingest|ann|multivec|corpusops|analytics|streaming]
   */
 object ScaleStress {
 
@@ -574,6 +585,22 @@ object ScaleStress {
           .option("maxFilesPerTrigger", 1).parquet(docDir)
         def sinkName(p: String) =
           p + "_x" + k + "_" + java.util.UUID.randomUUID().toString.take(8)
+        // Append-mode phases sink to PARQUET, not a memory sink: a
+        // memory sink retains every output row on the DRIVER (×10
+        // sessions ≈ 1M rows ≈ +450 MB heap in the first cut of this
+        // tier), which would report the harness's sink, not the
+        // operator's state, in the driver_heap_mb column.
+        def runToParquet(df: DataFrame, tag: String)
+            : (org.apache.spark.sql.streaming.StreamingQuery, String) = {
+          val base = java.nio.file.Files
+            .createTempDirectory(s"scale-stream-$tag-x$k").toString
+          val q = df.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (q, s"$base/out")
+        }
 
         // q84 shape: stateful windowed aggregation. State keys are
         // (window, event_type): they grow with the stream's TIME span
@@ -595,16 +622,12 @@ object ScaleStress {
           val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
           spark.conf.set("spark.sql.shuffle.partitions", "8")
           try {
-            val sink = sinkName("join")
-            val q = Streams.attributionJoin(
+            val (q, out) = runToParquet(Streams.attributionJoin(
                 evStream().filter(col("event_type") === "purchase"),
                 evStream().filter(col("event_type") === "click"),
-                windowMs = 30 * 60 * 1000L)
-              .writeStream.format("memory").queryName(sink)
-              .outputMode("append").trigger(Trigger.AvailableNow()).start()
-            q.awaitTermination()
+                windowMs = 30 * 60 * 1000L), "join")
             report("stream_join", k, q,
-              s""","out_rows":${spark.table(sink).count()}""")
+              s""","out_rows":${spark.read.parquet(out).count()}""")
           } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
 
@@ -614,30 +637,23 @@ object ScaleStress {
         // sessions close as the inter-batch watermark passes them.
         phase("sessions", k) {
           import spark.implicits._
-          val sink = sinkName("sess")
-          val q = Streams.sessionize(
+          val (q, out) = runToParquet(Streams.sessionize(
               Tables.normalizeTs(evStream()).as[Streams.Ev],
-              gapMs = 30 * 60 * 1000L)
-            .writeStream.format("memory").queryName(sink)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+              gapMs = 30 * 60 * 1000L).toDF(), "sess")
           report("sessions", k, q,
-            s""","out_rows":${spark.table(sink).count()}""")
+            s""","out_rows":${spark.read.parquet(out).count()}""")
         }
 
         // q199 shape: unwatermarked dedup — state ∝ DISTINCT canonical
         // URLs ever seen (×k by construction), the unbounded-frontier
         // baseline the q203 form exists to bound.
         phase("url_dedup", k) {
-          val sink = sinkName("url")
-          val q = WebIngest.withMessyUrl(docStream(), "doc_id", "source")
-            .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"))
-            .dropDuplicates("canon")
-            .writeStream.format("memory").queryName(sink)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+          val (q, out) = runToParquet(
+            WebIngest.withMessyUrl(docStream(), "doc_id", "source")
+              .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"))
+              .dropDuplicates("canon"), "url")
           report("url_dedup", k, q,
-            s""","out_rows":${spark.table(sink).count()}""")
+            s""","out_rows":${spark.read.parquet(out).count()}""")
         }
 
         // q203 shape: watermarked dedup — same ×k key growth, but
@@ -645,23 +661,20 @@ object ScaleStress {
         // watermark, expired keys are EVICTED, so per-batch state_rows
         // must stay ~flat while url_dedup's accumulate ×k.
         phase("url_dedup_wm", k) {
-          val sink = sinkName("urlwm")
-          val q = WebIngest.withMessyUrl(docStream(), "doc_id", "source")
-            .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"),
+          val (q, out) = runToParquet(
+            WebIngest.withMessyUrl(docStream(), "doc_id", "source")
+              .select(WebIngest.canonicalizeUrl(col("raw_url")).as("canon"),
               // page ids grow with the replica offset, so event time
               // ADVANCES 4 s per page — later batches push the watermark
               // past earlier batches' keys and the state store must
               // EVICT: state stays O(horizon), the bound under test.
-              timestamp_seconds(lit(1700000000L) +
-                expr("doc_id div 4") * 4).as("ts"))
-            .withWatermark("ts", "10 minutes")
-            .dropDuplicatesWithinWatermark("canon")
-            .select(col("canon"))
-            .writeStream.format("memory").queryName(sink)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+                timestamp_seconds(lit(1700000000L) +
+                  expr("doc_id div 4") * 4).as("ts"))
+              .withWatermark("ts", "10 minutes")
+              .dropDuplicatesWithinWatermark("canon")
+              .select(col("canon")), "urlwm")
           report("url_dedup_wm", k, q,
-            s""","out_rows":${spark.table(sink).count()}""")
+            s""","out_rows":${spark.read.parquet(out).count()}""")
         }
 
         // q85 shape: store-backed near-dup filter (foreachBatch). NO
