@@ -178,6 +178,23 @@ class PlanAuditSpec extends SparkSpec {
       .filter(col("id") =!= col("eid")).count() == 0L)
   }
 
+  test("q202: compacted-store read-back prunes to the certificate's " +
+      "columns and stays cartesian-free") {
+    // The q202 result is an aggregate over the compacted BUCKETED store;
+    // the scan must read only (key, content, documentid) — embedding and
+    // context stay in the footer — and nothing in the physical plan may
+    // fall back to a cartesian. (Touched-bucket pruning is proven
+    // PHYSICALLY in BucketedVectorStoreSpec: an untouched bucket's files
+    // survive a merge byte-identical.)
+    val p = plan("q202_bucketed_compaction")
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: [^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(readSchema.contains("key") && readSchema.contains("content"),
+      readSchema)
+    assert(!readSchema.contains("embedding") &&
+      !readSchema.contains("context"), readSchema)
+  }
+
   test("q86: sample-quantile plan prunes columns and stays cartesian-free") {
     val p = plan("q86_approx_percentiles")
     assert(!p.contains("CartesianProduct"), p)
