@@ -109,6 +109,25 @@ final class BucketedVectorStore(spark: SparkSession, root: String,
     spark.read.schema(tableSchema(path(collection)))
       .parquet(path(collection)).drop(BucketCol)
 
+  /** POINT READ: one document's chunks, opening exactly ONE bucket
+    * directory. `bucket(documentid)` is a pure function, so the lookup
+    * resolves the bucket driver-side (a 1-row local eval, no job
+    * against the store) and pushes `bucket = <literal>` to the scan as
+    * a PARTITION filter — the FileIndex never even lists the other
+    * buckets' files (certified physically in the spec, the q162
+    * discipline). The fetch-by-document primitive a serving layer
+    * needs: at 100 TB a point read costs one bucket's listing, not a
+    * store scan.
+    */
+  def readDocument(collection: String, documentId: String): DataFrame = {
+    val b = spark.range(1)
+      .select(bucketOf(lit(documentId), nBuckets)).head().getInt(0)
+    spark.read.schema(tableSchema(path(collection)))
+      .parquet(path(collection))
+      .filter(col(BucketCol) === lit(b) && col("documentid") === documentId)
+      .drop(BucketCol)
+  }
+
   /** Compact a collection to exactly one file per bucket. Unlike
     * [[VectorStore.compact]]'s whole-directory tmp-and-swap, the
     * rewrite here is a dynamic partition overwrite of the (already

@@ -65,6 +65,29 @@ class BucketedVectorStoreSpec extends SparkSpec {
       Seq("1:1", "2:0"))
   }
 
+  test("readDocument: point read prunes to ONE bucket at the FileIndex " +
+      "level and returns exactly the document's chunks") {
+    val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 8)
+    vs.upsert((0 until 32).map(i => mk(s"d$i:0", s"c$i", s"d$i")).toDS(), "c")
+    val q = vs.readDocument("c", "d7")
+    assert(q.select("key", "content").as[(String, String)].collect()
+      .toSeq == Seq(("d7:0", "c7")))
+    // Physical pruning proof (the q162 discipline): the scan must carry
+    // a bucket partition filter, and the FileIndex must list exactly
+    // one partition directory under it.
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, q.queryExecution.sparkPlan.toString)
+    val scan = scans.head
+    assert(scan.partitionFilters
+      .exists(_.references.exists(_.name == BucketedMerge.BucketCol)))
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).length
+    val all = scan.relation.location.listFiles(Nil, Nil).length
+    assert(pruned == 1 && all > 1, s"pruned=$pruned all=$all")
+  }
+
   test("compact: census shrinks to <= nBuckets and content is unchanged") {
     val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 4)
     // Several merge batches so buckets accumulate multiple files.
