@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{Embedding, EmbeddingProvider}
 import graft.model.{ElementRow, EmbeddedChunk, IngestionResult}
-import graft.store.VectorStore
+import graft.store.ChunkStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object IngestionPipeline {
 
-  def run(elements: Dataset[ElementRow], store: VectorStore,
+  def run(elements: Dataset[ElementRow], store: ChunkStore,
       collection: String,
       chunker: SemanticChunker = SemanticChunker.default,
       provider: EmbeddingProvider = Embedding.default)
@@ -81,7 +81,7 @@ object IngestionPipeline {
     * rather than silently cross-wiring chunks to the wrong collection.
     */
   def runTagged(sources: Seq[(String, Dataset[ElementRow])],
-      store: VectorStore, collectionOf: String => String,
+      store: ChunkStore, collectionOf: String => String,
       chunker: SemanticChunker = SemanticChunker.default,
       provider: EmbeddingProvider = Embedding.default): DataFrame = {
     require(sources.nonEmpty, "runTagged: no sources")

@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * census bound asserted inside the gated run).
   */
 final class BucketedVectorStore(spark: SparkSession, root: String,
-    nBuckets: Int = 16) {
+    nBuckets: Int = 16) extends ChunkStore {
 
   import BucketedMerge.{BucketCol, bucketOf}
 

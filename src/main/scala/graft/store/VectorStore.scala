@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * re-ingestion is idempotent. At 100 TB this is the scalable upsert: no
   * read-modify-write of the whole store, just the touched partitions.
   */
-final class VectorStore(spark: SparkSession, root: String) {
+final class VectorStore(spark: SparkSession, root: String)
+    extends ChunkStore {
 
   private def path(collection: String) = s"$root/$collection"
 

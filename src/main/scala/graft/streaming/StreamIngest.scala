@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.Chunk
 import graft.operators.Embed
-import graft.store.VectorStore
+import graft.store.ChunkStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamIngest {
 
-  def run(stream: DataFrame, store: VectorStore, collection: String,
+  def run(stream: DataFrame, store: ChunkStore, collection: String,
       idCol: String, textCol: String, ctxCol: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
