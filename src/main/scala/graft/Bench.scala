@@ -231,10 +231,11 @@ object Bench {
     // is visible in the artifact via `extra_reps` + `stall_attrib`.
     val extraRepNames = extraRepCounts.map(_._1).toSet
     val results = allWalls.map { case (n, w) =>
-      val clean = if (extraRepNames.contains(n)) {
-        val kept = w.filter(x => x <= 2.5 * w.head || x <= 1.0)
-        if (kept.nonEmpty) kept else w
-      } else w
+      // kept is never empty: w is sorted, so w.head (the rep-min)
+      // always satisfies x <= 2.5 * w.head.
+      val clean = if (extraRepNames.contains(n))
+        w.filter(x => x <= 2.5 * w.head || x <= 1.0)
+      else w
       n -> clean(clean.size / 2)
     }.toMap
     // Per-query [min,max] over the reps: the run-to-run noise band, so a

@@ -502,20 +502,23 @@ object ScaleStress {
     }
 
     if (tier == "streaming") {
-      // The r15 tier: the five streaming-runtime certificate shapes
+      // The r15 tier: the six streaming-runtime certificate shapes
       // (q84 stateful agg, q107 stream-stream join, q117 custom session
       // state, q199/q203 stateful dedup, q85 store-backed near-dup)
       // under ×k replication, REAL micro-batches (one input file per
       // trigger), recording per-batch walls, input rows, and state-store
       // rows/bytes from StreamingQueryProgress. Replication offsets the
-      // KEY columns (user_id / event_id / doc_id) while keeping the
-      // event-time span constant — the adversarial direction for state
-      // stores: keys grow ×k, the watermark horizon does not. What must
-      // hold: state rows ∝ keys for the key-scaling operators (join,
-      // sessions, dedup), state CONSTANT for the windowed agg (its keys
-      // are windows × types, independent of volume), per-batch overhead
-      // flat, driver heap flat (state lives in the stores, not the
-      // driver).
+      // KEY columns (user_id / event_id / doc_id) AND advances event
+      // time per replica (a live stream moves forward — see tsOffUs
+      // below), so total keys grow ×k while the watermark horizon stays
+      // fixed. What must hold (and SCALE.md records): PER-BATCH state
+      // stays FLAT for the horizon-bounded operators (join, sessions,
+      // watermarked dedup — eviction keeps state O(horizon) as the
+      // watermark advances), grows ×k only where the semantics demand
+      // unbounded memory (unwatermarked dedup = keys ever seen;
+      // complete-mode windowed agg = windows in the stream's time
+      // span), per-batch overhead flat, driver heap flat (state lives
+      // in the stores, not the driver).
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.{StreamNearDup, Streams}
       import graft.operators.WebIngest

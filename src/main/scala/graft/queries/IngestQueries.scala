@@ -389,7 +389,7 @@ object IngestQueries {
   // `VectorStore.search(mode=...)` — the composition a CLI user
   // actually runs (collection read -> index-at-search-time -> probe ->
   // exact re-score). The query builds a store from the embeddings
-  // table (documentids group 32 vectors per replace unit), routes five
+  // table (32 documentid replace units of N/32 vectors each), routes five
   // PRE-EMBEDDED queries through the text-search surface via
   // [[graft.functions.VectorLiteralProvider]] (Float round-trips its
   // string form exactly), and for each query runs all three modes,
@@ -414,7 +414,14 @@ object IngestQueries {
     val n2 = aggregate(col("embedding"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     val chunks = emb.select(
-        lpad(col("vec_id").cast("string"), 6, "0").as("key"),
+        // lpad TRUNCATES past its width — a silent key collision at
+        // vec_id >= 1e12; the guard raises in-plan (zero extra jobs)
+        // long before the 12-char pad can clip.
+        when(col("vec_id") < 1000000000000L,
+            lpad(col("vec_id").cast("string"), 12, "0"))
+          .otherwise(raise_error(concat(lit("q204: vec_id "),
+            col("vec_id").cast("string"),
+            lit(" overflows the 12-char key pad")))).as("key"),
         when(n2 > 0, transform(col("embedding"),
             x => (x.cast("double") / sqrt(n2)).cast("float")))
           .otherwise(col("embedding")).as("embedding"),
@@ -679,7 +686,7 @@ object IngestQueries {
     // ANN recall floors are enforced inside the gated Spark run.
     "q204_search_mode_recall" ->
       """WITH v0 AS (SELECT vec_id,
-        |    lpad(CAST(vec_id AS VARCHAR), 6, '0') AS key,
+        |    lpad(CAST(vec_id AS VARCHAR), 12, '0') AS key,
         |    CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
         |vr AS (SELECT vec_id, key, de,
         |    sqrt(list_dot_product(de, de)) AS nrm FROM v0),

@@ -61,47 +61,54 @@ final class BucketedVectorStore(spark: SparkSession, root: String,
     */
   def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit = {
     val dir = path(collection)
+    if (!exists(dir)) {
+      // First write: the table layout is exactly BucketedMerge.init's
+      // (bucket repartition + partitionBy + 0-row _schema sidecar) —
+      // ONE implementation of the init/sidecar discipline, not three.
+      BucketedMerge.init(chunks.toDF(), dir, "documentid", nBuckets)
+      return
+    }
     // Materialize the batch ONCE (the BucketedMerge discipline): the
     // touched-bucket list, the documentid delete set and the write must
     // all see identical rows.
     val incoming = chunks.toDF()
       .withColumn(BucketCol, bucketOf(col("documentid"), nBuckets))
       .localCheckpoint(true)
-    if (!exists(dir)) {
-      incoming.repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(dir)
-      incoming.limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/_schema")
-    } else {
-      // O(nBuckets) driver-side list — bounded by construction.
-      val touched = incoming.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).sorted
-      // Replace unit = documentid: drop every prior chunk of the
-      // incoming documents (a re-ingested document with FEWER chunks
-      // must not leave orphans), keep everything else in the touched
-      // buckets, append the batch. The delete set is bounded by the
-      // batch's distinct documents and broadcasts.
-      val docIds = incoming.select(col("documentid")).distinct()
-      val survivors = spark.read.schema(tableSchema(dir)).parquet(dir)
-        .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toSeq: _*))
-        .join(broadcast(docIds), Seq("documentid"), "left_anti")
-      // Deliberately NOT re-clustered on the bucket column: an
-      // incremental batch writes straight out of its upstream tasks
-      // (no extra shuffle per merge — the cheap-write side of the LSM
-      // trade-off), so a touched bucket accumulates one file per
-      // writing task until [[compact]] restores one-file-per-bucket.
-      // Write amplification per merge stays O(touched buckets' bytes);
-      // the file-census debt is what compaction is FOR, and unlike the
-      // per-document layout the debt is bounded by buckets × batches,
-      // never by document count.
-      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
-        .write.partitionBy(BucketCol)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(dir)
-      // A touched bucket always holds ≥1 incoming row, so dynamic
-      // overwrite never leaves an emptied directory here (unlike
-      // tombstone merges — BucketedMerge.merge's cleanup).
-    }
+    // O(nBuckets) driver-side list — bounded by construction.
+    val touched = incoming.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // Replace unit = documentid: drop every prior chunk of the
+    // incoming documents (a re-ingested document with FEWER chunks
+    // must not leave orphans), keep everything else in the touched
+    // buckets, append the batch. The delete set is bounded by the
+    // batch's distinct documents and broadcasts.
+    val docIds = incoming.select(col("documentid")).distinct()
+    val survivors = spark.read.schema(tableSchema(dir)).parquet(dir)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(docIds), Seq("documentid"), "left_anti")
+    // Deliberately NOT re-clustered on the bucket column: an
+    // incremental batch writes straight out of its upstream tasks
+    // (no extra shuffle per merge — the cheap-write side of the LSM
+    // trade-off), so a touched bucket accumulates one file per
+    // writing task until [[compact]] restores one-file-per-bucket.
+    // Write amplification per merge stays O(touched buckets' bytes);
+    // the file-census debt is what compaction is FOR, and unlike the
+    // per-document layout the debt is bounded by buckets × batches,
+    // never by document count.
+    // Materialized BEFORE the write: the rows come from the same
+    // directory the dynamic overwrite replaces, and a task retried
+    // after the commit starts deleting replaced files must never
+    // re-read them. The checkpoint is bounded by the TOUCHED buckets
+    // (the read above is pruned), never the whole store — the same
+    // self-overwrite discipline BucketedMerge.merge applies.
+    survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
+      .localCheckpoint(true)
+      .write.partitionBy(BucketCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(dir)
+    // A touched bucket always holds ≥1 incoming row, so dynamic
+    // overwrite never leaves an emptied directory here (unlike
+    // tombstone merges — BucketedMerge.merge's cleanup).
   }
 
   /** Schema-on-read; the bucket column is layout, not data. */
@@ -128,40 +135,40 @@ final class BucketedVectorStore(spark: SparkSession, root: String,
       .drop(BucketCol)
   }
 
-  /** Compact a collection to exactly one file per bucket. Unlike
-    * [[VectorStore.compact]]'s whole-directory tmp-and-swap, the
-    * rewrite here is a dynamic partition overwrite of the (already
-    * materialized) rows — the commit renames O(nBuckets) files, never
-    * O(documents). Returns (files_before, files_after): after is
-    * bounded by `nBuckets` regardless of how many documents the store
-    * holds — the census-independence claim, asserted by q202.
+  /** Compact a collection to exactly one file per bucket: rewrite into
+    * a sibling temp directory, then swap. The tmp-and-swap shape (not
+    * an in-place dynamic overwrite) is deliberate: an in-place rewrite
+    * reads the directory it replaces, which would force materializing
+    * the WHOLE collection first (the self-overwrite discipline upsert
+    * pays only for its touched buckets) — a full extra copy of a
+    * 100 TB store held in executor storage. Writing aside streams the
+    * store through once; the commit is nBuckets staged files + two
+    * driver renames, never O(documents) (VectorStore.compact's
+    * per-document layout renames ~one file per document). Returns
+    * (files_before, files_after): after is bounded by `nBuckets`
+    * regardless of document count — the census-independence claim
+    * q202 asserts.
     */
   def compact(collection: String): (Long, Long) = {
     val dir = path(collection)
     val before = countDataFiles(dir)
-    // Eager checkpoint: the write below overwrites the directory the
-    // rows came from — they must be materialized first.
+    val tmp = dir + "__compact_tmp"
     val rows = spark.read.schema(tableSchema(dir)).parquet(dir)
-      .localCheckpoint(true)
     rows.repartition(nBuckets, col(BucketCol))
       .sortWithinPartitions(col("documentid"), col("key"))
-      .write.partitionBy(BucketCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(dir)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
+    rows.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/_schema")
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir)),
+      s"compact: rename $tmp -> $dir failed")
     (before, countDataFiles(dir))
   }
 
-  /** Recursive .parquet data-file census (excludes the _schema sidecar:
-    * underscore paths are invisible to reads and constant-size).
+  /** Recursive .parquet data-file census (shared walker, _schema
+    * sidecar excluded).
     */
-  def countDataFiles(p: String): Long = {
-    val it = fs(p).listFiles(new org.apache.hadoop.fs.Path(p), true)
-    var n = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      val isSidecar = f.getPath.toString.contains("/_schema/")
-      if (f.getPath.getName.endsWith(".parquet") && !isSidecar) n += 1
-    }
-    n
-  }
+  def countDataFiles(p: String): Long = ChunkStore.countDataFiles(spark, p)
 }

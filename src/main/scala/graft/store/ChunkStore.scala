@@ -24,3 +24,24 @@ trait ChunkStore {
   def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit
   def read(collection: String): DataFrame
 }
+
+object ChunkStore {
+  /** Recursive .parquet data-file census under a store path — ONE
+    * walker for every layout's compaction certificate (underscore
+    * sidecar dirs are invisible to reads and constant-size, so they
+    * are not part of the census).
+    */
+  def countDataFiles(spark: org.apache.spark.sql.SparkSession,
+      p: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val isSidecar = f.getPath.toString.contains("/_schema/")
+      if (f.getPath.getName.endsWith(".parquet") && !isSidecar) n += 1
+    }
+    n
+  }
+}

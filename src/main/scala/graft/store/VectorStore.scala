@@ -66,9 +66,9 @@ final class VectorStore(spark: SparkSession, root: String)
     * `VectorStoreCommands.cs:113`). The ANN modes are opt-in and
     * APPROXIMATE (sub-linear scan, recall < 1):
     *
-    *   - `lsh`: random-hyperplane bucket probe (radius-1 multiprobe) —
-    *     only the query's probe buckets are scanned, candidates
-    *     re-scored with exact cosine.
+    *   - `lsh`: random-hyperplane bucket probe (radius-2 multiprobe,
+    *     r15 — 1 + nBits + C(nBits,2) buckets) — only the probe
+    *     buckets are scanned, candidates re-scored with exact cosine.
     *   - `ivfsq`: the composed IVF-SQ tier (q138's operator) — coarse
     *     k-means probe pruning + SQ8 residual codes rank the
     *     candidates in integer space; the returned rows carry exact
@@ -164,18 +164,9 @@ final class VectorStore(spark: SparkSession, root: String)
     (before, countDataFiles(p))
   }
 
-  /** Recursive .parquet data-file count under a collection path. */
-  private def countDataFiles(p: String): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
-    var n = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) n += 1
-    }
-    n
-  }
+  /** Recursive .parquet data-file count (shared walker). */
+  private def countDataFiles(p: String): Long =
+    ChunkStore.countDataFiles(spark, p)
 
   /** Q1 + metadata pre-filter: restrict the scan BEFORE scoring. Because
     * collections are parquet partitioned by `documentid`, a filter on

@@ -155,19 +155,34 @@ class PlanAuditSpec extends SparkSpec {
       p90.contains("BroadcastHashJoin"), p90)
   }
 
-  test("vocab: frequency rank is distributed — no partition-less Window " +
-      "over the term table, range exchange feeds the numbering") {
+  test("vocab: frequency rank is distributed — multi-partition output, " +
+      "no Window, ids equal the windowed rank rule") {
     // Indexing.vocab numbers the sorted term table with zipWithIndex over
-    // a range-partitioned sort. A partition-less Window here would
-    // single-thread a 100M-term vocabulary through one task; the audit
-    // pins (a) no Window anywhere in the vocab plan lineage and (b) a
-    // range exchange upstream of the numbering (the distributed sort).
+    // a range-partitioned sort. A partition-less Window (or any global
+    // single-task sort) would single-thread a 100M-term vocabulary AND
+    // collapse the result to ONE partition — so the audit pins (a) the
+    // returned table spans >1 partition (the vocab is materialized
+    // inside vocab(), so the partitioning of the RESULT is the
+    // partitioning of the rank computation itself), (b) no Window
+    // operator in the returned plan, and (c) id == the windowed rank
+    // rule value-for-value.
     import org.apache.spark.sql.functions._
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val v = graft.operators.Indexing.vocab(docsDf, "text")
+    // AQE legitimately coalesces the tiny test vocab to one partition —
+    // at scale it would keep many. Disable coalescing HERE so the
+    // partition count reflects the PARTITIONER (range), not the data
+    // size; production keeps the adaptive behavior.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val v = try {
+      spark.conf.set(coalesceKey, "false")
+      graft.operators.Indexing.vocab(docsDf, "text")
+    } finally spark.conf.set(coalesceKey, prev)
+    assert(v.rdd.getNumPartitions > 1,
+      s"vocab collapsed to ${v.rdd.getNumPartitions} partition(s) — " +
+        "a single-task global sort shape")
     assert(!v.queryExecution.executedPlan.toString.contains("Window"))
-    // The sorted stage (checkpointed inside vocab) must have come from a
-    // range partitioning, and the ids must equal the windowed rank rule.
+    // The ids must equal the windowed rank rule.
     import org.apache.spark.sql.expressions.{Window => W}
     val expected = docsDf
       .select(explode(split(col("text"), " ")).as("term"))
