@@ -277,7 +277,10 @@ object Bench {
       // r15: physical store write + 15 REPL-path searches (5 queries x
       // 3 modes, ANN indexes built at search time per the REPL
       // semantics) vs a replay of only the exact-mode scoring.
-      "q204_search_mode_recall")
+      "q204_search_mode_recall",
+      // r15: q89's real streaming ingest into the BUCKETED layout via
+      // the ChunkStore seam vs the same content-derivation replay.
+      "q205_stream_ingest_bucketed")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -257,6 +257,34 @@ object IngestQueries {
       .orderBy(col("documentid").cast("long"))
   }
 
+  // q205: q89's streaming ingest THROUGH THE ChunkStore SEAM into the
+  // bucketed layout — the r15 composition certificate: readStream →
+  // deterministic chunk records → per-partition embed → replace-by-
+  // document upsert, landing in [[graft.store.BucketedVectorStore]]
+  // instead of the per-document layout, under the SAME oracle as q89
+  // (store content re-derived from documents). Together with q89 this
+  // is the layout-swap claim made physical at the STREAMING surface:
+  // the pipeline cannot tell the layouts apart, only the filesystem
+  // can. Exactly-once stays by construction (deterministic keys +
+  // whole-document replacement — a redelivered micro-batch rewrites
+  // identical bytes into the same buckets). Bench tier: exec.
+  def q205(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parque*")
+      .filter(col("doc_id") < 100)
+    val tmp = Files.createTempDirectory("graft-q205").toString
+    val store = new graft.store.BucketedVectorStore(s, s"$tmp/store",
+      nBuckets = 8)
+    val q = graft.streaming.StreamIngest.run(stream, store, "docs",
+      "doc_id", "text", "lang", s"$tmp/ckpt")
+    q.awaitTermination()
+    store.read("docs")
+      .select(col("documentid"), size(col("embedding")).as("dim"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("documentid").cast("long"))
+  }
+
   // q148: store COMPACTION — the maintenance pass a long-lived
   // per-document-partitioned store needs: every dynamic-overwrite
   // upsert adds files to its touched partitions, and one document's
@@ -552,6 +580,7 @@ object IngestQueries {
     "q148_store_compaction" -> (q148 _),
     "q202_bucketed_compaction" -> (q202 _),
     "q204_search_mode_recall" -> (q204 _),
+    "q205_stream_ingest_bucketed" -> (q205 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -718,6 +747,12 @@ object IngestQueries {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q89_stream_ingest" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS documentid,
+        |  CAST(384 AS INTEGER) AS dim, md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // q205: same content certificate as q89 — the layout must be
+    // invisible to the read-back.
+    "q205_stream_ingest_bucketed" ->
       """SELECT CAST(doc_id AS VARCHAR) AS documentid,
         |  CAST(384 AS INTEGER) AS dim, md5(text) AS content_md5
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
