@@ -88,6 +88,39 @@ class BucketedVectorStoreSpec extends SparkSpec {
     assert(pruned == 1 && all > 1, s"pruned=$pruned all=$all")
   }
 
+  test("model-based property sweep: random upsert/compact sequences " +
+      "match an in-memory replace-by-document model (seeded)") {
+    // The storage layer's whole contract in one sweep: after ANY
+    // sequence of upserts (random doc subsets, random chunk counts,
+    // re-ingests shrinking/growing documents) interleaved with
+    // compactions, the store content equals a trivial Map[doc ->
+    // chunks] model applying replace-by-document. Seeded => repeatable.
+    val rnd = new scala.util.Random(20250815L)
+    val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 4)
+    val model = scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+    for (step <- 1 to 6) {
+      val docs = rnd.shuffle((0 until 12).toList).take(1 + rnd.nextInt(6))
+        .map(i => s"d$i")
+      val batch = docs.flatMap { d =>
+        val n = 1 + rnd.nextInt(3)
+        (0 until n).map(ci => (s"$d:$step:$ci", s"content-$d-$step-$ci", d))
+      }
+      vs.upsert(batch.map { case (k, c, d) => mk(k, c, d) }.toDS(), "c")
+      docs.foreach { d =>
+        model(d) = batch.filter(_._3 == d).map(t => (t._1, t._2))
+      }
+      if (step % 3 == 0) {
+        val (_, after) = vs.compact("c")
+        assert(after <= 4, s"census $after exceeds nBuckets after compact")
+      }
+      val got = vs.read("c").select("key", "content")
+        .as[(String, String)].collect().sorted.toSeq
+      val want = model.values.flatten.toSeq.sorted
+      assert(got == want, s"step $step: store diverged from model\n" +
+        s"got:  ${got.take(8)}...\nwant: ${want.take(8)}...")
+    }
+  }
+
   test("compact: census shrinks to <= nBuckets and content is unchanged") {
     val vs = new BucketedVectorStore(spark, tmpRoot(), nBuckets = 4)
     // Several merge batches so buckets accumulate multiple files.
