@@ -167,6 +167,47 @@ final class BucketedVectorStore(spark: SparkSession, root: String,
     (before, countDataFiles(dir))
   }
 
+  /** Per-bucket data-file census — O(nBuckets) driver-side listing. */
+  def bucketFileCounts(collection: String): Map[Int, Long] = {
+    val dir = path(collection)
+    val f = fs(dir)
+    f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$BucketCol="))
+      .map { st =>
+        val b = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+        b -> ChunkStore.countDataFiles(spark, st.getPath.toString)
+      }.toMap
+  }
+
+  /** INCREMENTAL compaction — the operational maintenance primitive at
+    * 100 TB, where [[compact]]'s whole-collection rewrite is a
+    * once-in-a-while layout reset: rewrite ONLY the buckets whose file
+    * count exceeds `maxFilesPerBucket`, in place (dynamic overwrite of
+    * exactly those buckets, rows materialized first — the bounded
+    * self-overwrite discipline upsert uses). Cost ∝ the fragmented
+    * buckets' bytes, not the store; the untouched buckets' files are
+    * never opened (partition pruning) or renamed. Returns
+    * (buckets_rewritten, files_before, files_after).
+    */
+  def compactFragmented(collection: String,
+      maxFilesPerBucket: Int = 4): (Int, Long, Long) = {
+    val dir = path(collection)
+    val counts = bucketFileCounts(collection)
+    val frag = counts.filter(_._2 > maxFilesPerBucket).keys.toSeq.sorted
+    val before = counts.values.sum
+    if (frag.isEmpty) return (0, before, before)
+    val rows = spark.read.schema(tableSchema(dir)).parquet(dir)
+      .filter(col(BucketCol).isin(frag.map(Integer.valueOf): _*))
+      .localCheckpoint(true)
+    rows.repartition(frag.length, col(BucketCol))
+      .sortWithinPartitions(col("documentid"), col("key"))
+      .write.partitionBy(BucketCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(dir)
+    (frag.length, before, bucketFileCounts(collection).values.sum)
+  }
+
   /** Recursive .parquet data-file census (shared walker, _schema
     * sidecar excluded).
     */

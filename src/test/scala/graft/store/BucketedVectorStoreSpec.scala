@@ -88,6 +88,48 @@ class BucketedVectorStoreSpec extends SparkSpec {
     assert(pruned == 1 && all > 1, s"pruned=$pruned all=$all")
   }
 
+  test("compactFragmented: rewrites ONLY over-threshold buckets; " +
+      "untouched buckets' files survive byte-identical; content intact") {
+    val root = tmpRoot()
+    val vs = new BucketedVectorStore(spark, root, nBuckets = 4)
+    // Several merge batches fragment the touched buckets.
+    for (step <- 0 until 5)
+      vs.upsert((0 until 8).map(i =>
+        mk(s"d$i:$step", s"c$i-$step", s"d$i")).toDS(), "c")
+    val counts = vs.bucketFileCounts("c")
+    assert(counts.values.exists(_ > 2), s"fixture not fragmented: $counts")
+    // Pick a threshold that splits the buckets into both classes if
+    // possible; otherwise compact everything over 2.
+    val thr = 2
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def filesOf(b: Int): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/c/bucket=$b")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p)
+        .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    }
+    val untouched = counts.filter(_._2 <= thr).keys.toSeq
+    val untouchedBefore = untouched.map(b => b -> filesOf(b)).toMap
+    val contentBefore = vs.read("c").select("key", "content")
+      .as[(String, String)].collect().sorted.toSeq
+    val (nRewritten, before, after) = vs.compactFragmented("c", thr)
+    assert(nRewritten == counts.count(_._2 > thr))
+    assert(after < before, s"census did not shrink: $before -> $after")
+    assert(vs.bucketFileCounts("c").filter(k => !untouched.contains(k._1))
+      .values.forall(_ == 1), "rewritten buckets must hold one file")
+    untouched.foreach { b =>
+      assert(filesOf(b) == untouchedBefore(b),
+        s"untouched bucket $b was rewritten")
+    }
+    val contentAfter = vs.read("c").select("key", "content")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(contentAfter == contentBefore)
+    // Idempotent: a second pass finds nothing to do.
+    val (n2, b2, a2) = vs.compactFragmented("c", thr)
+    assert(n2 == 0 && b2 == a2)
+  }
+
   test("model-based property sweep: random upsert/compact sequences " +
       "match an in-memory replace-by-document model (seeded)") {
     // The storage layer's whole contract in one sweep: after ANY
