@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.EventQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.WarehouseQueries.oracle
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.WarehouseQueries
+import java.sql.Timestamp
+import java.time.LocalDate
+
+/** Planted-fixture specs for the r15 warehouse/governance queries
+  * (q206–q213). The DuckDB oracle certifies engine-equality on the
+  * synthetic tables; these pin the SEMANTICS on corpora where the
+  * right answer is known by construction.
+  */
+class WarehouseQueriesSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("wh-spec").toString
+
+  private def ts(day: Int, hour: Int = 0, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$minute%02d:00")
+
+  private def epochDay(day: Int): Long =
+    LocalDate.of(2024, 1, day).toEpochDay
+
+  /** events.parquet with only the columns the query under test touches
+    * (plus ids for determinism).
+    */
+  private def eventsTable(
+      rows: Seq[(Long, Timestamp, Long, String)]): String = {
+    val dir = tmpDir()
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def docsTable(
+      rows: Seq[(Long, String, String, Long)]): String = {
+    val dir = tmpDir()
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q206: consecutive same-tier days fold into one version with " +
+      "chained validity bounds and a single current row per user") {
+    // user 1: Jan 1 ×1 (low), Jan 2 ×1 (low), Jan 3 ×3 (mid)
+    // → v1 [Jan1, Jan3) low 2 days 2 events; v2 [Jan3, ∅) mid current.
+    val rows = Seq(
+      (1L, ts(1, 9), 1L, "click"),
+      (2L, ts(2, 9), 1L, "click"),
+      (3L, ts(3, 9), 1L, "click"),
+      (4L, ts(3, 10), 1L, "view"),
+      (5L, ts(3, 11), 1L, "view"))
+    val out = WarehouseQueries.queries("q206_scd2_intervals")(
+      spark, eventsTable(rows)).collect()
+    assert(out.length == 2)
+    val v1 = out(0)
+    assert(v1.getLong(0) == 1L && v1.getLong(1) == 1L) // user, version
+    assert(v1.getString(2) == "low")
+    assert(v1.getLong(3) == epochDay(1))  // valid_from_d
+    assert(v1.getLong(4) == epochDay(3))  // valid_to_d = next start
+    assert(v1.getLong(5) == 2L && v1.getLong(6) == 2L) // n_days, n_events
+    assert(!v1.getBoolean(7))
+    val v2 = out(1)
+    assert(v2.getString(2) == "mid")
+    assert(v2.getLong(3) == epochDay(3))
+    assert(v2.isNullAt(4) && v2.getBoolean(7)) // open-ended current
+    assert(v2.getLong(5) == 1L && v2.getLong(6) == 3L)
+  }
+
+  test("q207: keys only-early are removed, only-late added, both-equal " +
+      "unchanged, both-different changed — with signed net_delta") {
+    // Span Jan 1..Jan 11 (epoch-second cuts: A ≤ Jan 7, B ≥ Jan 5).
+    def u(i: Long) = i
+    val rows = Seq(
+      // pin the span
+      (0L, ts(1), u(9), "span"), (1L, ts(11), u(9), "span"),
+      // user 1 click: only Jan 2 → removed (net −1)
+      (2L, ts(2), u(1), "click"),
+      // user 2 view: only Jan 10 → added (net +1)
+      (3L, ts(10), u(2), "view"),
+      // user 3 buy: Jan 6 ×2, in BOTH snapshots equally → unchanged
+      (4L, ts(6), u(3), "buy"), (5L, ts(6, 1), u(3), "buy"),
+      // user 4 err: Jan 2 ×1 vs Jan 6+Jan 10 — A sees 2, B sees 2 …
+      // make it asymmetric: Jan 2 ×2 and Jan 10 ×1 → A=2, B=1, changed
+      (6L, ts(2), u(4), "err"), (7L, ts(2, 1), u(4), "err"),
+      (8L, ts(10), u(4), "err"))
+    val out = WarehouseQueries.queries("q207_snapshot_diff")(
+      spark, eventsTable(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("removed", "click")) == (1L, -1L))
+    assert(out(("added", "view")) == (1L, 1L))
+    assert(out(("unchanged", "buy")) == (1L, 0L))
+    assert(out(("changed", "err")) == (1L, -1L))
+    // span user 9: Jan 1 in A only, Jan 11 in B only → changed? No:
+    // same (user, type) key seen in A (cnt 1) and B (cnt 1) → unchanged.
+    assert(out(("unchanged", "span")) == (1L, 0L))
+  }
+
+  test("q209: one dominant doc yields the closed-form Gini and an " +
+      "exactly-split top-decile share; uniform lengths yield zero") {
+    // source "skew": nine 1-token docs + one 91-token doc.
+    // Ascending rank sum S = 45·1 + 10·91 = 955;
+    // gini_e4 = (2·955 − 11·100)·10⁴ // (10·100) = 8100.
+    // top decile = 1 doc = the 91-token one → 9100.
+    // source "flat": four docs of 5 tokens → gini 0, top10 = 1 doc
+    // of 5 tokens / 20 = 2500.
+    val skew = (0L until 9L).map(i =>
+      (i, "w", "skew", 1L)) :+ (9L, Seq.fill(91)("w").mkString(" "),
+        "skew", 91L)
+    val flat = (10L until 14L).map(i =>
+      (i, "a b c d e", "flat", 9L))
+    val out = WarehouseQueries.queries("q209_gini_concentration")(
+      spark, docsTable(skew ++ flat)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("skew") == (10L, 100L, 8100L, 9100L))
+    assert(out("flat") == (4L, 20L, 0L, 2500L))
+  }
+
+  test("q210: a clocklike type reads Fano 0 (regular), a one-burst " +
+      "type reads overdispersed (bursty), on the shared dense spine") {
+    def u = 1L
+    // 3-hour spine. 'tick': 2 events each hour → var 0 → fano 0.
+    // 'burst': 6 events in hour 0 → S1=6, S2=36,
+    // fano = (3·36 − 36)·10⁴ // (3·6) = 40000.
+    val rows =
+      (0 until 3).flatMap(h => Seq(
+        (h * 10L, ts(1, h), u, "tick"),
+        (h * 10L + 1, ts(1, h, 30), u, "tick"))) ++
+      (0 until 6).map(i => (100L + i, ts(1, 0, i), u, "burst"))
+    val out = WarehouseQueries.queries("q210_burstiness")(
+      spark, eventsTable(rows)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out("tick") == (3L, 6L, 0L, "regular"))
+    assert(out("burst") == (3L, 6L, 40000L, "bursty"))
+  }
+
+  test("q211: perfectly anti-correlated signals read ρ_e4 = −10000") {
+    // n_chars ascending, distinct-word count descending: ranks exactly
+    // reversed, Σd² = 20, n = 4 → 10⁴ − 6·10⁴·20 // 60 = −10000.
+    val docs = Seq(
+      (0L, "p q r s", "s0", 10L),
+      (1L, "p q r", "s0", 20L),
+      (2L, "p q", "s0", 30L),
+      (3L, "p", "s0", 40L))
+    val out = WarehouseQueries.queries("q211_spearman_agreement")(
+      spark, docsTable(docs)).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 4L)      // n
+    assert(out.head.getLong(2) == 20L)     // sum_d2
+    assert(out.head.getLong(3) == -10000L) // rho_e4
+  }
+
+  test("q212: islands split on gaps; the longest-streak tie resolves " +
+      "to the earliest start") {
+    def u(i: Long) = i
+    // user 1: days {1,2,3, 5, 7,8} → 3 streaks, longest 3 @ day 1.
+    // user 2: days {1,2, 4,5} → tie of 2 → start day 1.
+    val rows =
+      Seq(1, 2, 3, 5, 7, 8).zipWithIndex.map { case (d, i) =>
+        (i.toLong, ts(d), u(1), "e") } ++
+      Seq(1, 2, 4, 5).zipWithIndex.map { case (d, i) =>
+        (100L + i, ts(d), u(2), "e") }
+    val out = WarehouseQueries.queries("q212_activity_streaks")(
+      spark, eventsTable(rows)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (6L, 3L, 3L, epochDay(1)))
+    assert(out(2L) == (4L, 2L, 2L, epochDay(1)))
+  }
+
+  test("q213: uniform keys read err 0; a skewed self-join shows the " +
+      "uniform model's signed underestimate") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // customer 1,2; orders: 4 by cust 1 → est = 2·4 // 2 = 4 = actual.
+    Seq(1L, 2L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (0L until 4L).map(i => (i, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lineitem: one item per order → orders⋈lineitem also exact.
+    (0L until 4L).map(i => (i, i)).toDF("l_linenumber", "l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // events: user 1 ×3, user 2 ×1 → est = 16 // 2 = 8,
+    // actual = 9 + 1 = 10 → err_e4 = −(2·10⁴ // 10) = −2000.
+    Seq((0L, ts(1), 1L, "e"), (1L, ts(1), 1L, "e"),
+        (2L, ts(1), 1L, "e"), (3L, ts(1), 2L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = WarehouseQueries.queries("q213_join_size_estimate")(
+      spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("customer_orders") == (4L, 4L, 0L))
+    assert(out("orders_lineitem") == (4L, 4L, 0L))
+    assert(out("events_self") == (8L, 10L, -2000L))
+  }
+}
