@@ -99,10 +99,10 @@ object ScaleStress {
       .split(',').map(_.trim.toInt).toSeq
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
-        "corpusops", "analytics", "streaming")(tier),
+        "corpusops", "analytics", "streaming", "warehouse")(tier),
       s"unknown tier '$tier' " +
         "(graph|substring|ingest|ann|multivec|corpusops|analytics|" +
-        "streaming)")
+        "streaming|warehouse)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -734,6 +734,88 @@ object ScaleStress {
         val wall = (System.nanoTime() - t0) / 1e9
         println(s"""{"scale":$k,"n_files":$nFiles,"n_ingested":$nOk,""" +
           s""""docs_per_sec":${r3(nOk / wall)}}""")
+      }
+    }
+    if (tier == "warehouse") {
+      // The r15 warehouse tier: scale-INVARIANCE for the event/
+      // warehouse family (q206 SCD2, q212 streaks, q217 last-touch,
+      // q210 burstiness — the queries' OWN plan functions, not a
+      // reimplementation) under ×k USER-COHORT replication: each
+      // replica is a fresh user_id/event_id range with identical
+      // history. What must hold: every per-user answer is byte-
+      // identical for the ORIGINAL cohort (user-keyed windows cannot
+      // see the new cohorts), censuses scale exactly ×k, and the Fano
+      // factor scales exactly linearly (exact copies are perfectly
+      // CORRELATED arrivals — a superposition of independent users
+      // would hold it flat; linearity is the correlated bound, and the
+      // floor-division slack is provably < k).
+      import graft.queries.WarehouseQueries
+      val ev0 = Tables.load(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val uStride = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
+      val eStride = ev0.agg(max(col("event_id"))).head().getLong(0) + 1L
+      def replicateEv(k: Int): DataFrame =
+        (0 until k).map { i =>
+          ev0.select((col("event_id") + i * eStride).as("event_id"),
+            col("ts"), (col("user_id") + i * uStride).as("user_id"),
+            col("event_type"))
+        }.reduce(_.unionByName(_))
+      // Order-free original-cohort fingerprint: XOR-fold of per-row
+      // xxhash64 (bit_xor — commutative, no ANSI overflow) — equality
+      // across scales is the invariance.
+      def fingerprint(df: DataFrame): Long = {
+        val r = df.filter(col("user_id") < uStride)
+          .agg(expr("bit_xor(xxhash64(struct(*)))")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val k0 = scales.head
+      var scdFp1 = 0L
+      var scdN1 = 0L
+      var stkFp1 = 0L
+      var touch1: Map[(String, Long), Long] = null
+      var fano1: Map[String, Long] = null
+      for (k <- scales) {
+        val e = replicateEv(k).localCheckpoint(true)
+        val nEvents = e.count()
+        val (scdN, scdFp) = phase("scd2", k) {
+          val out = WarehouseQueries.scd2Plan(e)
+          (out.count(), fingerprint(out))
+        }
+        if (k == k0) { scdN1 = scdN; scdFp1 = scdFp }
+        val (stkN, stkFp) = phase("streaks", k) {
+          val out = WarehouseQueries.streaksPlan(e)
+          (out.count(), fingerprint(out))
+        }
+        if (k == k0) stkFp1 = stkFp
+        val touch = phase("last_touch", k) {
+          WarehouseQueries.lastTouchPlan(e).collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+        }
+        if (k == k0) touch1 = touch
+        val fano = phase("burstiness", k) {
+          WarehouseQueries.burstinessPlan(e).collect()
+            .map(r => r.getString(0) -> r.getAs[Long]("fano_e4")).toMap
+        }
+        if (k == k0) fano1 = fano
+        val touchLinear = touch.keySet == touch1.keySet &&
+          touch.forall { case (c, n) => n * k0 == touch1(c) * k }
+        // floor(k·A/B) − k·floor(A/B) ∈ [0, k−1] for the k0 = 1 base
+        val fanoLinear = fano.keySet == fano1.keySet &&
+          fano.forall { case (t, f) =>
+            val d = f * k0 - fano1(t) * k
+            d >= 0 && d < k.toLong * k0
+          }
+        println(s"""{"scale":$k,"n_events":$nEvents,""" +
+          s""""scd_versions":$scdN,""" +
+          s""""scd_versions_linear":${scdN * k0 == scdN1 * k},""" +
+          s""""scd_orig_invariant":${scdFp == scdFp1},""" +
+          s""""streak_rows":$stkN,""" +
+          s""""streak_orig_invariant":${stkFp == stkFp1},""" +
+          s""""touch_census_linear":$touchLinear,""" +
+          s""""fano_linear":$fanoLinear}""")
       }
     }
     spark.stop()

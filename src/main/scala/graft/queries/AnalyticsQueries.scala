@@ -330,7 +330,10 @@ object AnalyticsQueries {
     * q199 streaming-dedup certificate so the two oracles cannot
     * drift.
     */
-  private val CanonCtes: String =
+  /** Shared with WarehouseQueries (q214 reuses the messy-URL + canon
+    * replay as its planted entity-resolution truth).
+    */
+  private[queries] val CanonCtes: String =
     """WITH raw AS (SELECT doc_id,
         |    'https://' ||
         |    CASE WHEN doc_id % 4 = 1

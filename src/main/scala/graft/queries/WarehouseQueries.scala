@@ -35,8 +35,15 @@ object WarehouseQueries {
   // = that user's active days, bounded by the time span), the version
   // fold is one keyed aggregate — the classic CDC-compaction plan that
   // survives a per-user-bounded 100 TB event log unchanged.
-  def q206(s: SparkSession, dir: String): DataFrame = {
-    val daily = ev(s, dir)
+  def q206(s: SparkSession, dir: String): DataFrame =
+    scd2Plan(ev(s, dir))
+
+  /** q206's plan on an arbitrary events frame — shared with the
+    * ScaleStress warehouse tier so the scale certificate runs the
+    * exact gated plan, not a reimplementation.
+    */
+  private[graft] def scd2Plan(e: DataFrame): DataFrame = {
+    val daily = e
       .groupBy(col("user_id"),
         to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -123,6 +130,17 @@ object WarehouseQueries {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** Per-(source, binned-token-count) histogram — ONE map-side
+    * combinable aggregate over the corpus; q209 (Gini) and q215
+    * (weighted quantiles) both fold it through bounded 1024-row keyed
+    * windows.
+    */
+  private def tokHist(d: DataFrame): DataFrame =
+    d.select(col("source"),
+        least(size(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)), lit(1023)).cast("long").as("sb"))
+      .groupBy(col("source"), col("sb")).agg(count(lit(1)).as("c"))
+
   // q209: corpus concentration — per-source Gini coefficient and
   // top-decile token share of the document-length distribution, the
   // dataset-card "is this source dominated by a few long documents"
@@ -134,11 +152,7 @@ object WarehouseQueries {
   // discipline. Products run in DECIMAL(38) (HUGEINT in the oracle):
   // n²·s̄ stays exact past 10¹² docs/source, no silent wrap.
   def q209(s: SparkSession, dir: String): DataFrame = {
-    val hist = docs(s, dir)
-      .select(col("source"),
-        least(size(filter(split(lower(col("text")), " "),
-          t => length(t) > 0)), lit(1023)).cast("long").as("sb"))
-      .groupBy(col("source"), col("sb")).agg(count(lit(1)).as("c"))
+    val hist = tokHist(docs(s, dir))
     val wAsc = Window.partitionBy(col("source")).orderBy(col("sb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wDesc = Window.partitionBy(col("source")).orderBy(col("sb").desc)
@@ -182,8 +196,11 @@ object WarehouseQueries {
   // sit at 10⁴, bursty streams above, clocklike below. The corpus
   // crosses one (type, hour) aggregate; the stats fold runs on the
   // types × hours grid.
-  def q210(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
+  def q210(s: SparkSession, dir: String): DataFrame =
+    burstinessPlan(ev(s, dir))
+
+  /** q210's plan on an arbitrary events frame (ScaleStress shares it). */
+  private[graft] def burstinessPlan(e: DataFrame): DataFrame = {
     val b = e.select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
     val hours = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
@@ -253,8 +270,12 @@ object WarehouseQueries {
   // streak with its start (earliest on ties). The islands key is the
   // O(1) day_idx − row_number trick; every window is keyed by user
   // with per-key cardinality bounded by the calendar span.
-  def q212(s: SparkSession, dir: String): DataFrame = {
-    val days = ev(s, dir)
+  def q212(s: SparkSession, dir: String): DataFrame =
+    streaksPlan(ev(s, dir))
+
+  /** q212's plan on an arbitrary events frame (ScaleStress shares it). */
+  private[graft] def streaksPlan(e: DataFrame): DataFrame = {
+    val days = e
       .select(col("user_id"),
         datediff(to_date(col("ts")), EpochDay).cast("long").as("d"))
       .distinct()
@@ -287,13 +308,17 @@ object WarehouseQueries {
         right: DataFrame, rk: String): DataFrame = {
       val ca = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
       val cb = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
-      val statsA = ca.agg(sum(col("ca")).as("n_left"),
-        count(lit(1)).as("ndv_left"))
-      val statsB = cb.agg(sum(col("cb")).as("n_right"),
-        count(lit(1)).as("ndv_right"))
-      val actual = ca.join(cb, Seq("k"))
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual"))
-      statsA.crossJoin(statsB).crossJoin(actual)
+      // ONE full-outer join + ONE 1-row aggregate per pair: side stats
+      // (sum/count ignore the other side's nulls) and the true join
+      // size (Σ ca·cb — the product is null unless the key matched)
+      // fall out of the same pass; the 3-subquery crossJoin form cost
+      // 27 AQE stage-jobs of pure scheduling floor.
+      ca.join(cb, Seq("k"), "full_outer")
+        .agg(sum(col("ca")).as("n_left"),
+          count(col("ca")).as("ndv_left"),
+          sum(col("cb")).as("n_right"),
+          count(col("cb")).as("ndv_right"),
+          coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual"))
         .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
           col("ndv_left"), col("ndv_right"),
           expr("CAST(CAST(n_left AS DECIMAL(38,0)) * n_right div " +
@@ -319,6 +344,161 @@ object WarehouseQueries {
       .orderBy(col("join_name"))
   }
 
+  // q214: entity-resolution BLOCKING audit — the reduction-ratio /
+  // pairs-completeness trade every record-linkage pipeline measures
+  // before it dares run a matcher, on the planted messy-URL truth
+  // (q185's four variants per page; truth = same page). Three blocking
+  // schemes: the canonical URL (perfect), the host (coarse but
+  // complete), the raw-URL length (cheap and lossy). EVERYTHING is
+  // count algebra — candidate pairs Σ C(c,2) over block sizes,
+  // co-blocked truth Σ C(m,2) over (page, key) cells — no pair is ever
+  // materialized, which is the only shape that survives a 10¹⁰-record
+  // linkage; C(c,2) sums run in DECIMAL(38)/HUGEINT.
+  def q214(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.WebIngest
+      .withMessyUrl(docs(s, dir), "doc_id", "source")
+      .select(expr("doc_id div 4").as("page"), col("raw_url"))
+    // canonicalizeUrl is interpreted HOF algebra → one-split guard
+    val keyed = graft.SparkUtil.ensureParallelism(base)
+      .select(col("page"), explode(array(
+        struct(lit("canon").as("scheme"),
+          graft.operators.WebIngest.canonicalizeUrl(col("raw_url"))
+            .as("bkey")),
+        struct(lit("host").as("scheme"),
+          lower(regexp_extract(col("raw_url"),
+            "^[A-Za-z]+://([^/:?#]+)", 1)).as("bkey")),
+        struct(lit("len").as("scheme"),
+          length(col("raw_url")).cast("string").as("bkey")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("page"),
+        col("r.bkey").as("bkey"))
+    val pairs2 = (c: String) =>
+      s"CAST(CAST($c AS DECIMAL(38,0)) * ($c - 1) div 2 AS DECIMAL(38,0))"
+    // ONE aggregation chain per audit side: the (scheme, bkey, page)
+    // cells fold into blocks CARRYING the per-cell co-blocked C(m,2)
+    // partial, so block stats and pairs-completeness come out of the
+    // same two-shuffle chain (a separate co-blocked branch would
+    // re-run the canonicalize chain — the Catalyst no-subtree-sharing
+    // rule — and an eager checkpoint measured WORSE than the recompute
+    // at this row count: lineage conversion beats pipelining only when
+    // the recomputed pass is expensive).
+    val perScheme = keyed
+      .groupBy(col("scheme"), col("bkey"), col("page"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("scheme"), col("bkey"))
+      .agg(sum(col("m")).as("c"),
+        expr(s"SUM(${pairs2("m")})").as("cobp"))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_blocks"),
+        expr(s"CAST(SUM(${pairs2("c")}) AS BIGINT)").as("cand_pairs"),
+        expr("CAST(SUM(cobp) AS BIGINT)").as("coblocked_pairs"))
+    val truth = base.groupBy(col("page")).agg(count(lit(1)).as("v"))
+      .agg(sum(col("v")).as("n_rows"),
+        expr(s"CAST(SUM(${pairs2("v")}) AS BIGINT)").as("true_pairs"))
+    perScheme
+      .crossJoin(broadcast(truth))
+      .select(col("scheme"), col("n_blocks"), col("cand_pairs"),
+        expr("10000 - CAST(cand_pairs AS DECIMAL(38,0)) * 10000 div " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1) div 2)")
+          .as("reduction_e4"),
+        col("true_pairs"), col("coblocked_pairs"),
+        expr("CAST(coblocked_pairs AS DECIMAL(38,0)) * 10000 div " +
+          "true_pairs").as("pc_e4"))
+      .orderBy(col("scheme"))
+  }
+
+  // q215: token-mass-weighted quantiles — per source, the doc-length
+  // bins where 25/50/75% of the TOKEN MASS sits (vs the unweighted doc
+  // median): the "half our training tokens come from docs longer than
+  // X" dataset-card line, which the unweighted median wildly misstates
+  // on skewed corpora. Same 1024-bin histogram as q209, answered by
+  // conditional-min crossing picks over the cumulative-mass window —
+  // the histogram-rank discipline, no data-row sort.
+  def q215(s: SparkSession, dir: String): DataFrame = {
+    val wAsc = Window.partitionBy(col("source")).orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    tokHist(docs(s, dir))
+      .withColumn("cm", sum(col("c") * col("sb")).over(wAsc))
+      .withColumn("cc", sum(col("c")).over(wAsc))
+      .withColumn("m", sum(col("c") * col("sb")).over(wAll))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("source"))
+      .agg(min(col("n")).as("n_docs"), min(col("m")).as("total_tokens"),
+        min(when(expr("CAST(cc AS DECIMAL(38,0)) * 2 >= n"), col("sb")))
+          .as("p50_docs"),
+        min(when(expr("CAST(cm AS DECIMAL(38,0)) * 4 >= m"), col("sb")))
+          .as("wp25"),
+        min(when(expr("CAST(cm AS DECIMAL(38,0)) * 2 >= m"), col("sb")))
+          .as("wp50"),
+        min(when(expr("CAST(cm AS DECIMAL(38,0)) * 4 >= " +
+          "CAST(m AS DECIMAL(38,0)) * 3"), col("sb"))).as("wp75"))
+      .orderBy(col("source"))
+  }
+
+  // q216: k-fold split balance audit — hash-assign every doc to one of
+  // 5 folds (the q188 md5-prefix idiom: deterministic, replayable,
+  // scan-local) and measure per-fold stratification drift: for each
+  // language, the fold's share of that language in e4 vs the ideal
+  // 2000, reported as the fold's max and summed absolute deviation.
+  // Two keyed aggregates + one window over the langs × folds cell
+  // table (bounded), nothing corpus-sized past the first fold.
+  def q216(s: SparkSession, dir: String): DataFrame = {
+    val fold = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long") % 5).as("fold")
+    val cells = docs(s, dir).select(col("lang"), fold)
+      .groupBy(col("lang"), col("fold")).agg(count(lit(1)).as("o"))
+    val wLang = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("tl", sum(col("o")).over(wLang))
+      .withColumn("dev",
+        abs(expr("o * 10000 div tl") - lit(2000L)))
+      .groupBy(col("fold"))
+      .agg(sum(col("o")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(col("dev")).as("max_dev_e4"),
+        sum(col("dev")).as("sum_dev_e4"))
+      .orderBy(col("fold"))
+  }
+
+  // q217: last-touch attribution — every purchase is credited to the
+  // user's most recent click/view within a 7-day lookback, the
+  // marketing-analytics join that funnel (q119) and Markov journeys
+  // (q170) bracket. The "last preceding touch" is a running MAX over a
+  // user-keyed window of a single sortable key (epoch-sec·10 + type
+  // code — click 1, view 2, so a same-second view outranks the click
+  // identically in both engines); no self-join, no range join. Output
+  // is the (touch_type, age_days) census.
+  def q217(s: SparkSession, dir: String): DataFrame =
+    lastTouchPlan(ev(s, dir).filter(col("user_id").isNotNull))
+
+  /** q217's plan on an arbitrary (null-free) events frame (ScaleStress
+    * shares it).
+    */
+  private[graft] def lastTouchPlan(ev0: DataFrame): DataFrame = {
+    val e = ev0
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val code = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "view", 2L)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lk",
+        max(when(code.isNotNull, col("ts_s") * 10 + code)).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("age_s", col("ts_s") - expr("lk div 10"))
+      .withColumn("touch_type",
+        when(col("lk").isNull || col("age_s") > 7L * 86400L, "none")
+          .otherwise(when(col("lk") % 10 === 1L, "click")
+            .otherwise("view")))
+      .withColumn("age_days",
+        when(col("touch_type") === "none", -1L)
+          .otherwise(expr("age_s div 86400")))
+      .groupBy(col("touch_type"), col("age_days"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("touch_type"), col("age_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_scd2_intervals" -> (q206 _),
     "q207_snapshot_diff" -> (q207 _),
@@ -327,7 +507,11 @@ object WarehouseQueries {
     "q210_burstiness" -> (q210 _),
     "q211_spearman_agreement" -> (q211 _),
     "q212_activity_streaks" -> (q212 _),
-    "q213_join_size_estimate" -> (q213 _))
+    "q213_join_size_estimate" -> (q213 _),
+    "q214_blocking_audit" -> (q214 _),
+    "q215_weighted_quantiles" -> (q215 _),
+    "q216_kfold_balance" -> (q216 _),
+    "q217_last_touch" -> (q217 _))
 
   val oracle: Map[String, String] = Map(
     "q206_scd2_intervals" ->
@@ -499,6 +683,106 @@ object WarehouseQueries {
         |  CAST(MAX(CASE WHEN r = 1 THEN start_d END) AS BIGINT)
         |    AS streak_start_d
         |FROM rk GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q214_blocking_audit" ->
+      (AnalyticsQueries.CanonCtes + ",\n" +
+        """base AS (SELECT doc_id // 4 AS page, raw_url, canon AS ck
+          |  FROM canon),
+          |keyed AS (SELECT page, 'canon' AS scheme, ck AS bkey FROM base
+          |  UNION ALL
+          |  SELECT page, 'host', lower(regexp_extract(raw_url,
+          |    '^[A-Za-z]+://([^/:?#]+)', 1)) FROM base
+          |  UNION ALL
+          |  SELECT page, 'len', CAST(LENGTH(raw_url) AS VARCHAR)
+          |  FROM base),
+          |blocks AS (SELECT scheme, bkey, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM keyed GROUP BY 1, 2),
+          |ps AS (SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          |    CAST(SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+          |      AS cand_pairs
+          |  FROM blocks GROUP BY 1),
+          |cbk AS (SELECT scheme,
+          |    CAST(SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS BIGINT)
+          |      AS coblocked_pairs
+          |  FROM (SELECT scheme, page, bkey,
+          |          CAST(COUNT(*) AS BIGINT) AS m
+          |        FROM keyed GROUP BY 1, 2, 3) GROUP BY 1),
+          |tt AS (SELECT CAST(SUM(v) AS BIGINT) AS n_rows,
+          |    CAST(SUM(CAST(v AS HUGEINT) * (v - 1) // 2) AS BIGINT)
+          |      AS true_pairs
+          |  FROM (SELECT page, CAST(COUNT(*) AS BIGINT) AS v FROM base
+          |        GROUP BY 1))
+          |SELECT ps.scheme, n_blocks, cand_pairs,
+          |  CAST(10000 - CAST(cand_pairs AS HUGEINT) * 10000 //
+          |    (CAST(n_rows AS HUGEINT) * (n_rows - 1) // 2) AS BIGINT)
+          |    AS reduction_e4,
+          |  true_pairs, coblocked_pairs,
+          |  CAST(CAST(coblocked_pairs AS HUGEINT) * 10000 // true_pairs
+          |    AS BIGINT) AS pc_e4
+          |FROM ps JOIN cbk ON ps.scheme = cbk.scheme CROSS JOIN tt
+          |ORDER BY ps.scheme""".stripMargin),
+    "q215_weighted_quantiles" ->
+      """WITH toks AS (SELECT source,
+        |    LEAST(len(list_filter(regexp_split_to_array(lower(text), ' '),
+        |      x -> LENGTH(x) > 0)), 1023) AS sb
+        |  FROM documents),
+        |hist AS (SELECT source, CAST(sb AS BIGINT) AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |e AS (SELECT source, sb, c,
+        |    SUM(c * sb) OVER (PARTITION BY source ORDER BY sb
+        |      ROWS UNBOUNDED PRECEDING) AS cm,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY sb
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(c * sb) OVER (PARTITION BY source) AS m,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM hist)
+        |SELECT source, CAST(MIN(n) AS BIGINT) AS n_docs,
+        |  CAST(MIN(m) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(CASE WHEN CAST(cc AS HUGEINT) * 2 >= n THEN sb END)
+        |    AS BIGINT) AS p50_docs,
+        |  CAST(MIN(CASE WHEN CAST(cm AS HUGEINT) * 4 >= m THEN sb END)
+        |    AS BIGINT) AS wp25,
+        |  CAST(MIN(CASE WHEN CAST(cm AS HUGEINT) * 2 >= m THEN sb END)
+        |    AS BIGINT) AS wp50,
+        |  CAST(MIN(CASE WHEN CAST(cm AS HUGEINT) * 4 >=
+        |      CAST(m AS HUGEINT) * 3 THEN sb END) AS BIGINT) AS wp75
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    "q216_kfold_balance" ->
+      """WITH cells AS (SELECT lang,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) % 5 AS fold,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |d AS (SELECT lang, fold, o,
+        |    SUM(o) OVER (PARTITION BY lang) AS tl FROM cells),
+        |v AS (SELECT fold, o, ABS(o * 10000 // tl - 2000) AS dev FROM d)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(SUM(o) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |  CAST(MAX(dev) AS BIGINT) AS max_dev_e4,
+        |  CAST(SUM(dev) AS BIGINT) AS sum_dev_e4
+        |FROM v GROUP BY fold ORDER BY fold""".stripMargin,
+    "q217_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS ts_s FROM events
+        |  WHERE user_id IS NOT NULL),
+        |k AS (SELECT *, MAX(CASE
+        |      WHEN event_type = 'click' THEN ts_s * 10 + 1
+        |      WHEN event_type = 'view' THEN ts_s * 10 + 2 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS lk
+        |  FROM e),
+        |p AS (SELECT ts_s - lk // 10 AS age_s, lk FROM k
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT CASE WHEN lk IS NULL OR age_s > 604800 THEN 'none'
+        |      WHEN lk % 10 = 1 THEN 'click' ELSE 'view' END
+        |      AS touch_type,
+        |    CASE WHEN lk IS NULL OR age_s > 604800 THEN -1
+        |      ELSE age_s // 86400 END AS age_days
+        |  FROM p)
+        |SELECT touch_type, CAST(age_days AS BIGINT) AS age_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY touch_type, age_days""".stripMargin,
     "q213_join_size_estimate" -> {
       def auditSql(name: String, lt: String, lk: String, rt: String,
           rk: String, lf: String, rf: String): String =

@@ -173,6 +173,78 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out(2L) == (4L, 2L, 2L, epochDay(1)))
   }
 
+  test("q214: canonical-URL blocking is complete (pc 10⁴) with the " +
+      "planted messy variants, and reduction follows from block sizes") {
+    // 2 pages × 4 variants (doc_id 0..7, one source): canon and host
+    // both put each page's 4 variants in one block → 2 blocks, C(4,2)·2
+    // = 12 candidate pairs of C(8,2) = 28 total → reduction_e4 =
+    // 10000 − 12·10⁴ // 28 = 5715; truth = 12, all co-blocked.
+    val docs = (0L until 8L).map(i => (i, "t", "acme", 1L))
+    val out = WarehouseQueries.queries("q214_blocking_audit")(
+      spark, docsTable(docs)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("canon") == (2L, 12L, 5715L, 12L, 12L, 10000L))
+    assert(out("host") == (2L, 12L, 5715L, 12L, 12L, 10000L))
+    // len blocking: completeness can only be ≤ perfect, reduction ≥ 0.
+    val len = out("len")
+    assert(len._6 <= 10000L && len._3 >= 0L && len._5 <= 12L)
+  }
+
+  test("q215: one dominant doc pulls every MASS quantile to its bin " +
+      "while the doc-count median stays at the short bin") {
+    // lengths {1,1,1,97}: token mass 100, 97% of it in one doc →
+    // wp25 = wp50 = wp75 = 97, but the doc median is 1.
+    val skew = (0L until 3L).map(i => (i, "w", "skew", 1L)) :+
+      (3L, Seq.fill(97)("w").mkString(" "), "skew", 97L)
+    val flat = (10L until 14L).map(i => (i, "a b c d e", "flat", 9L))
+    val out = WarehouseQueries.queries("q215_weighted_quantiles")(
+      spark, docsTable(skew ++ flat)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("skew") == (4L, 100L, 1L, 97L, 97L, 97L))
+    assert(out("flat") == (4L, 20L, 5L, 5L, 5L, 5L))
+  }
+
+  test("q216: folds partition the corpus and per-language shares sum " +
+      "back to the whole") {
+    val docs = (0L until 100L).map(i => (i, "t", "src", 1L))
+    val dir = tmpDir()
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = WarehouseQueries.queries("q216_kfold_balance")(spark, dir)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 100L)         // partition
+    assert(out.forall(_.getLong(2) == 1L))            // one lang seen
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 5))
+    assert(out.forall(r => r.getLong(3) == r.getLong(4))) // 1 lang ⇒ ==
+  }
+
+  test("q217: purchases credit the latest in-window touch; stale and " +
+      "absent touches read none; a same-second view outranks the click") {
+    def u(i: Long) = i
+    val rows = Seq(
+      // user 1: click 09:00, purchase 10:00 Jan 1 → click, age 0
+      (0L, ts(1, 9), u(1), "click"), (1L, ts(1, 10), u(1), "purchase"),
+      // user 2: view Jan 1, purchase Jan 20 → outside 7d → none
+      (2L, ts(1), u(2), "view"), (3L, ts(20), u(2), "purchase"),
+      // user 3: purchase with no prior touch → none
+      (4L, ts(2), u(3), "purchase"),
+      // user 4: click and view in the SAME second, purchase 2 days on
+      // → view (code 2 > 1), age 2
+      (5L, ts(5, 8), u(4), "click"), (6L, ts(5, 8), u(4), "view"),
+      (7L, ts(7, 9), u(4), "purchase"))
+    val out = WarehouseQueries.queries("q217_last_touch")(
+      spark, eventsTable(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("click", 0L)) == 1L)
+    assert(out(("none", -1L)) == 2L)
+    assert(out(("view", 2L)) == 1L)
+    assert(out.values.sum == 4L)
+  }
+
   test("q213: uniform keys read err 0; a skewed self-join shows the " +
       "uniform model's signed underestimate") {
     val dir = tmpDir()
