@@ -499,6 +499,125 @@ object WarehouseQueries {
       .orderBy(col("touch_type"), col("age_days"))
   }
 
+  /** Trailing-ones count of a nonnegative integer column expression,
+    * as engine-portable SQL TEXT (the same string runs in Spark and
+    * DuckDB): a uniform bit-string has P(t trailing ones) = 2^-(t+1),
+    * i.e. t ~ Geometric(1/2) — EXACT integer sampling, no ln/exp.
+    * Capped at 20 (P = 2^-21 ≈ 5·10^-7 of reaching the cap).
+    */
+  private def trailingOnesSql(u: String): String = {
+    val cases = (0 to 20).map { i =>
+      s"WHEN $u % ${1L << (i + 1)} = ${(1L << i) - 1} THEN $i"
+    }.mkString(" ")
+    s"CASE $cases ELSE 21 END"
+  }
+
+  // q218: DP-noisy-release CALIBRATION audit — per (lang, source) doc
+  // counts released under the geometric mechanism (discrete Laplace,
+  // ε = ln 2): noise magnitude ~ Geometric(1/2) drawn EXACTLY from the
+  // trailing-ones of a seeded md5 bit-string (P(t ones) = 2^-(t+1) —
+  // no ln, no float, both engines replay the same bits), sign from the
+  // next bit. This is the audit run BEFORE a release ships — true and
+  // noisy side by side with the mechanism's tail bound — not the
+  // release itself (publishing true_n would defeat the ε). Per-row
+  // expression algebra over the cell census; nothing corpus-sized.
+  def q218(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("true_n"))
+    // 52-bit uniform from the md5-prefix idiom; bit 0 → sign, bits
+    // 1.. → the geometric magnitude.
+    val h = conv(substring(md5(concat(lit("dp:"), col("lang"),
+      lit(":"), col("source"))), 1, 13), 16, 10).cast("long")
+    cells
+      .withColumn("__h", h)
+      .withColumn("__u", expr("__h div 2"))
+      .withColumn("mag", expr(trailingOnesSql("__u")).cast("long"))
+      .withColumn("noise",
+        when(col("__h") % 2 === 0, col("mag")).otherwise(-col("mag")))
+      .select(col("lang"), col("source"), col("true_n"), col("noise"),
+        (col("true_n") + col("noise")).as("noisy_n"),
+        // mechanism tail: P(|noise| ≥ t) = 2^-t ⇒ the 1-in-a-cell-set
+        // bound used to pre-check utility before release
+        abs(col("noise")).as("abs_noise"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // q219: V-OPTIMAL histogram certificate (Jagadish et al., VLDB'98)
+  // — the optimizer-statistics layout choice behind range-partition
+  // boundaries and footer-stats pruning: per language, the minimal
+  // total SSE achievable with 6 variance-optimal buckets over the
+  // 256-bin chars/20 histogram vs the equi-width default, and the
+  // improvement the optimal cut buys. The corpus crosses ONE histogram
+  // aggregate; the O(k·B²) dynamic program runs DRIVER-SIDE on the
+  // bounded (≤256 bins × languages) table — the "d×d moment cells"
+  // bounded-collect discipline — with every product in BigInt, exactly
+  // mirroring the oracle's HUGEINT unrolled-CTE replay. SSE is the e4
+  // integer (ΔS2·ΔC − ΔS1²)·10⁴ div ΔC (exact: that quotient IS
+  // SSE·10⁴ before truncation); budget: SSE_e4 < 2⁶³ ⇔ ≲10¹⁰ docs per
+  // language at full spread — past that, scale the e4 pin down.
+  def q219(s: SparkSession, dir: String): DataFrame = {
+    val K = 6
+    val hist = docs(s, dir)
+      .select(col("lang"),
+        least(expr("n_chars div 20"), lit(255L)).as("sb"))
+      .groupBy(col("lang"), col("sb")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = hist.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, cells) =>
+        val bins = cells.sortBy(_._2).map(t => (t._2, t._3))
+        val n = bins.length
+        // prefix sums over (count, count·s, count·s²), index 0 = empty
+        val pc = new Array[BigInt](n + 1)
+        val p1 = new Array[BigInt](n + 1)
+        val p2 = new Array[BigInt](n + 1)
+        pc(0) = 0; p1(0) = 0; p2(0) = 0
+        for (i <- 1 to n) {
+          val (sv, cv) = bins(i - 1)
+          pc(i) = pc(i - 1) + cv
+          p1(i) = p1(i - 1) + BigInt(cv) * sv
+          p2(i) = p2(i - 1) + BigInt(cv) * sv * sv
+        }
+        def sse(a: Int, b: Int): Long = {
+          val dc = pc(b) - pc(a)
+          val d1 = p1(b) - p1(a)
+          val d2 = p2(b) - p2(a)
+          ((d2 * dc - d1 * d1) * 10000 / dc).toLong
+        }
+        val vopt =
+          if (n <= K) 0L
+          else {
+            var prev = Array.tabulate(n + 1)(i =>
+              if (i >= 1) sse(0, i) else Long.MaxValue)
+            for (_ <- 2 to K) {
+              val cur = Array.fill(n + 1)(Long.MaxValue)
+              for (i <- 1 to n; m <- 1 until i
+                   if prev(m) != Long.MaxValue) {
+                val cand = prev(m) + sse(m, i)
+                if (cand < cur(i)) cur(i) = cand
+              }
+              prev = cur
+            }
+            prev(n)
+          }
+        // equi-width: fixed value cuts s·6 div 256, SSE summed per cut
+        val equiw = bins.groupBy { case (sv, _) => sv * K / 256 }
+          .map { case (_, bs) =>
+            val dc = BigInt(bs.map(_._2).sum)
+            val d1 = bs.map(t => BigInt(t._2) * t._1).sum
+            val d2 = bs.map(t => BigInt(t._2) * t._1 * t._1).sum
+            ((d2 * dc - d1 * d1) * 10000 / dc).toLong
+          }.sum
+        val improvement =
+          if (equiw > 0) 10000L - vopt * 10000L / equiw else 0L
+        (lang, n.toLong, vopt, equiw, improvement)
+    }
+    import s.implicits._
+    rows.toDF("lang", "n_bins", "vopt_sse_e4", "equiw_sse_e4",
+      "improvement_e4").orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_scd2_intervals" -> (q206 _),
     "q207_snapshot_diff" -> (q207 _),
@@ -511,7 +630,9 @@ object WarehouseQueries {
     "q214_blocking_audit" -> (q214 _),
     "q215_weighted_quantiles" -> (q215 _),
     "q216_kfold_balance" -> (q216 _),
-    "q217_last_touch" -> (q217 _))
+    "q217_last_touch" -> (q217 _),
+    "q218_dp_noisy_release" -> (q218 _),
+    "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
     "q206_scd2_intervals" ->
@@ -783,6 +904,85 @@ object WarehouseQueries {
         |SELECT touch_type, CAST(age_days AS BIGINT) AS age_days,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM t GROUP BY 1, 2 ORDER BY touch_type, age_days""".stripMargin,
+    "q218_dp_noisy_release" ->
+      (s"""WITH cells AS (SELECT lang, source,
+         |    CAST(COUNT(*) AS BIGINT) AS true_n
+         |  FROM documents GROUP BY 1, 2),
+         |hh AS (SELECT lang, source, true_n,
+         |    CAST(('0x' || substring(md5('dp:' || lang || ':' || source),
+         |      1, 13)) AS BIGINT) AS h
+         |  FROM cells),
+         |mm AS (SELECT lang, source, true_n, h,
+         |    CAST(${trailingOnesSql("(h // 2)")} AS BIGINT) AS m
+         |  FROM hh),
+         |nn AS (SELECT lang, source, true_n,
+         |    CASE WHEN h % 2 = 0 THEN m ELSE -m END AS noise
+         |  FROM mm)
+         |SELECT lang, source, true_n, noise,
+         |  true_n + noise AS noisy_n, ABS(noise) AS abs_noise
+         |FROM nn ORDER BY lang, source""".stripMargin),
+    "q219_vopt_histogram" -> {
+      // Unrolled DP levels as single-line fragments (a line-leading
+      // "||" inside an interpolated fragment loses a pipe to the outer
+      // stripMargin — the q188 gotcha).
+      def lvl(j: Int): String =
+        s"lv$j AS MATERIALIZED (SELECT s.lang, s.b AS i, " +
+          "MIN(l.best + s.sse) AS best " +
+          s"FROM lv${j - 1} l JOIN seg s ON l.lang = s.lang " +
+          "AND l.i = s.a GROUP BY 1, 2)"
+      s"""WITH hist AS MATERIALIZED (SELECT lang,
+         |    LEAST(n_chars // 20, 255) AS sb,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |idx AS MATERIALIZED (SELECT lang, sb, c,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sb) AS i,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY sb) AS pc,
+         |    SUM(c * sb) OVER (PARTITION BY lang ORDER BY sb) AS p1,
+         |    SUM(c * sb * sb) OVER (PARTITION BY lang ORDER BY sb) AS p2
+         |  FROM hist),
+         |pz AS MATERIALIZED (SELECT lang, CAST(0 AS BIGINT) AS i,
+         |    CAST(0 AS HUGEINT) AS pc, CAST(0 AS HUGEINT) AS p1,
+         |    CAST(0 AS HUGEINT) AS p2
+         |  FROM (SELECT DISTINCT lang FROM hist)
+         |  UNION ALL
+         |  SELECT lang, i, CAST(pc AS HUGEINT), CAST(p1 AS HUGEINT),
+         |    CAST(p2 AS HUGEINT) FROM idx),
+         |seg AS MATERIALIZED (SELECT a.lang, a.i AS a, b.i AS b,
+         |    CAST(((b.p2 - a.p2) * (b.pc - a.pc)
+         |      - (b.p1 - a.p1) * (b.p1 - a.p1)) * 10000
+         |      // (b.pc - a.pc) AS BIGINT) AS sse
+         |  FROM pz a JOIN pz b ON a.lang = b.lang AND a.i < b.i),
+         |lv1 AS MATERIALIZED (SELECT lang, b AS i, sse AS best
+         |  FROM seg WHERE a = 0),
+         |${lvl(2)},
+         |${lvl(3)},
+         |${lvl(4)},
+         |${lvl(5)},
+         |${lvl(6)},
+         |mx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM idx GROUP BY 1),
+         |eqw AS (SELECT lang, CAST(SUM(bsse) AS BIGINT) AS equiw
+         |  FROM (SELECT lang,
+         |      CAST((SUM(CAST(c AS HUGEINT) * sb * sb) * SUM(c)
+         |        - SUM(CAST(c AS HUGEINT) * sb)
+         |          * SUM(CAST(c AS HUGEINT) * sb)) * 10000
+         |        // SUM(c) AS BIGINT) AS bsse
+         |    FROM hist GROUP BY lang, sb * 6 // 256)
+         |  GROUP BY lang)
+         |SELECT mx.lang, mx.nb AS n_bins,
+         |  CAST(CASE WHEN mx.nb <= 6 THEN 0 ELSE l6.best END AS BIGINT)
+         |    AS vopt_sse_e4,
+         |  eqw.equiw AS equiw_sse_e4,
+         |  CASE WHEN eqw.equiw > 0 THEN
+         |    CAST(10000 - CAST(CASE WHEN mx.nb <= 6 THEN 0
+         |        ELSE l6.best END AS HUGEINT) * 10000 // eqw.equiw
+         |      AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS improvement_e4
+         |FROM mx
+         |LEFT JOIN lv6 l6 ON mx.lang = l6.lang AND l6.i = mx.nb
+         |JOIN eqw ON mx.lang = eqw.lang
+         |ORDER BY mx.lang""".stripMargin
+    },
     "q213_join_size_estimate" -> {
       def auditSql(name: String, lt: String, lk: String, rt: String,
           rk: String, lf: String, rf: String): String =

@@ -245,6 +245,65 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out.values.sum == 4L)
   }
 
+  test("q218: the geometric mechanism is deterministic, internally " +
+      "consistent, and calibrated (E|noise| = 1 for ε = ln 2)") {
+    // 200 (lang, source) cells: one doc per lang, fixed source.
+    val dir = tmpDir()
+    import spark.implicits._
+    (0L until 200L).map(i => (i, "t", "s", f"l$i%03d"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = WarehouseQueries.queries("q218_dp_noisy_release")(
+      spark, dir).collect()
+    assert(out.length == 200)
+    // noisy = true + noise, abs_noise = |noise|, magnitude ≤ 21
+    assert(out.forall(r =>
+      r.getLong(4) == r.getLong(2) + r.getLong(3) &&
+        r.getLong(5) == math.abs(r.getLong(3)) && r.getLong(5) <= 21))
+    // Geometric(1/2): half the cells should see zero noise, mean
+    // |noise| ≈ 1 — loose deterministic bands over 200 seeded draws.
+    val zeros = out.count(_.getLong(3) == 0L)
+    assert(zeros > 60 && zeros < 140, s"zero-noise cells: $zeros")
+    val meanAbs = out.map(_.getLong(5)).sum.toDouble / out.length
+    assert(meanAbs > 0.5 && meanAbs < 2.0, s"mean |noise|: $meanAbs")
+    // deterministic replay
+    val again = WarehouseQueries.queries("q218_dp_noisy_release")(
+      spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q219: six separated bins are exactly representable (vopt 0) " +
+      "while equi-width pays; at seven bins the DP merges the " +
+      "cheapest adjacent pair") {
+    // bins (= n_chars div 20): {0,42,86,129,172,215} land in equi-width
+    // buckets {0,0,2,3,4,5} — the two bins sharing bucket 0 cost
+    // SSE_e4 = (17640·20 − 420²)·10⁴ // 20 = 88 200 000; with ≤6 bins
+    // the v-opt histogram is exact. Adding bin 255 (bucket 5) forces
+    // ONE merge: cheapest adjacent pair is (215,255) at 80 000 000;
+    // equi-width pays both shared buckets = 168 200 000 →
+    // improvement_e4 = 10⁴ − 8·10¹¹ // 1.682·10⁸ = 5244.
+    val six = Seq(0L, 42L, 86L, 129L, 172L, 215L)
+    val docsSix = six.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 10).map(j =>
+        (bi * 100L + j, "t", "s", "six", b * 20L))
+    }
+    val docsSeven = (six :+ 255L).zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 10).map(j =>
+        (1000L + bi * 100L + j, "t", "s", "seven", b * 20L))
+    }
+    val dir = tmpDir()
+    import spark.implicits._
+    (docsSix ++ docsSeven)
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = WarehouseQueries.queries("q219_vopt_histogram")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("six") == (6L, 0L, 88200000L, 10000L))
+    assert(out("seven") == (7L, 80000000L, 168200000L, 5244L))
+  }
+
   test("q213: uniform keys read err 0; a skewed self-join shows the " +
       "uniform model's signed underestimate") {
     val dir = tmpDir()
