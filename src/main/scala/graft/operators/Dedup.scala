@@ -165,6 +165,53 @@ object Dedup {
       .distinct()
   }
 
+  /** ASYMMETRIC near-containment pairs — the duplication case
+    * resemblance dedup structurally misses: a short document wholly
+    * quoted inside a much longer one has near-zero Jaccard (the union
+    * grows with the size gap) but containment |A∩B| / min(|A|,|B|) ≈ 1.
+    * Training corpora care because a contained document contributes no
+    * novel tokens yet survives every MinHash-resemblance tier.
+    *
+    * Semantics: over each document's DISTINCT word n-gram shingles,
+    * restricted to NON-BOILERPLATE shingles (document frequency ≤
+    * `dfCap` — a shingle in more documents than that is template text,
+    * not copying evidence; the q97 ubiquity discipline), report pairs
+    * with containment_e4 = |A∩B|·10⁴ div min(|A|,|B|) ≥ `minContainE4`.
+    *
+    * Scale shape: candidate generation is a keyed equi-join on the
+    * shingle value — never all-pairs — and the dfCap bounds BOTH the
+    * per-shingle join fan-out (≤ dfCap² pairs) and hotspot skew, the
+    * same role the band hash plays in [[lshCandidatePairs]]. The
+    * rare-shingle table is eagerly checkpointed: it feeds the sizes
+    * aggregate and both self-join sides, and Catalyst shares no
+    * subtrees. Overflow: inter·10⁴ needs ≤ 9·10¹⁴ shared shingles per
+    * pair — unreachable (a pair's intersection is bounded by the
+    * smaller document's length).
+    *
+    * Output: (a, b, n_a, n_b, inter, containment_e4), a < b.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, dfCap: Int = 50, minContainE4: Long = 5000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("shingle")
+    val cand = sh.join(rare, "shingle").localCheckpoint(true)
+    val sizes = cand.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true) // two join consumers below
+    cand.as("x").join(cand.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("id").as("b"), col("n_sh").as("n_b")), "b")
+      .withColumn("containment_e4",
+        expr("inter * 10000 div least(n_a, n_b)"))
+      .filter(col("containment_e4") >= minContainE4)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("inter"),
+        col("containment_e4"))
+      .orderBy(col("containment_e4").desc, col("a"), col("b"))
+  }
+
   /** 60-bit SimHash from md5 of tokens (with multiplicity): bit j of the
     * signature is set iff the sum over tokens of ±1 (token hash bit j) is
     * positive. 60 bits = 15 hex chars keeps the value in a signed long for

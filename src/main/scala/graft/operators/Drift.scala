@@ -153,4 +153,54 @@ object Drift {
           .otherwise(expr("__d * 10000 div (__nR * __nC)")).as("ks_e4"),
         col("v").as("argmax_value"))
   }
+
+  /** One-sided CUSUM changepoint statistics per key — the sequential
+    * drift monitor for "WHEN did this source's volume shift", where
+    * psi/ksReport answer "did the distribution shift at all". Against
+    * the key's own mean rate as the reference, the classic recursions
+    *
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)),   S⁻_t symmetric,
+    *
+    * unroll to pure window algebra: with P_t = Σ_{i≤t}(x_i − μ),
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) and S⁻_t = max(0, max_{j≤t}
+    * P_j) − P_t — a prefix sum minus a running extremum, no recursion,
+    * no UDF. μ = T/D is kept EXACT by scaling everything by D (the
+    * key's period count): the reported statistics are in x·D units,
+    * all-integer, bit-identical in both engines.
+    *
+    * Scale shape: all windows are KEYED by `keyCol` and bounded per key
+    * by the calendar span (the q206 discipline) — nothing global, no
+    * corpus sort. Overflow: |P| ≤ D·T, enforced in-plan (D·T must fit
+    * a long; a 10-year daily monitor allows ~2.5·10¹⁵ events per key).
+    *
+    * Input: one row per (key, t) with the period's measure `xCol`
+    * (integer). Output: key, t, x, s_pos, s_neg (scaled ×D),
+    * is_peak (the earliest argmax of s_pos per key — the point of maximal upward evidence; the shift ONSET is the last prefix minimum before it, and an online monitor alarms when s_pos crosses its h threshold).
+    */
+  def cusum(df: DataFrame, keyCol: String, tCol: String, xCol: String)
+      : DataFrame = {
+    val byT = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val w = Window.partitionBy(col(keyCol))
+    df
+      .withColumn("__D", count(lit(1)).over(w))
+      .withColumn("__T",
+        when(sum(col(xCol)).over(w) <=
+            lit(Long.MaxValue).cast("double") /
+              count(lit(1)).over(w).cast("double"),
+          sum(col(xCol)).over(w))
+          .otherwise(raise_error(lit(
+            "cusum: D*T overflows a long; aggregate coarser periods"))))
+      .withColumn("__P",
+        col("__D") * sum(col(xCol)).over(byT)
+          - row_number().over(byT) * col("__T"))
+      .withColumn("__sPos",
+        col("__P") - least(lit(0L), min(col("__P")).over(byT)))
+      .withColumn("__sNeg",
+        greatest(lit(0L), max(col("__P")).over(byT)) - col("__P"))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("__sPos").desc, col(tCol))))
+      .select(col(keyCol), col(tCol), col(xCol),
+        col("__sPos").as("s_pos"), col("__sNeg").as("s_neg"),
+        (col("__rk") === 1).as("is_peak"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Stats}
+import graft.operators.{Curation, Layout, Stats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,60 @@ object CurationQueries {
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zkey"))
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       .limit(500)
+
+  // q224: HILBERT vs Z-ORDER locality audit — the layout decision q67's
+  // Morton key leaves open: for the same 2D clustering dims
+  // (customer bucket × season half-day-of-year), which curve maps a
+  // rectangular predicate to the TIGHTER contiguous key range? The
+  // metric is scan amplification: rows a contiguous [min_key, max_key]
+  // range fetch reads, over rows the rectangle actually wants — the
+  // file-skipping payoff a range-partitioned store sees from footer
+  // stats, measured instead of asserted. Hilbert's grid-adjacent steps
+  // beat Z-order's quadrant seams on square-ish windows (Jagadish,
+  // SIGMOD'90); the wide stripe shows the reverse can hold too — that
+  // is the audit's point. Scale shape: both keys ride the scan as
+  // codegen'd expression algebra ([[Layout.hilbertKey]] — bits chained
+  // projections, no UDF); TWO corpus passes total (rect bounds, then
+  // fetch counts with the 3-row bounds folded in as literals); driver
+  // state is rect-count-bounded. The oracle replays the curve from the
+  // same per-level SQL fragments, so the engines cannot drift.
+  def q224(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rects = Seq(("square", 64L, 95L, 60L, 89L),
+      ("wide", 0L, 255L, 80L, 84L), ("tall", 100L, 103L, 0L, 181L))
+    val keyed = Layout.hilbertKey(
+      Tables.load(s, dir, "orders")
+        .select((col("o_custkey") % 256).as("x"),
+          expr("cast((dayofyear(o_orderdate) - 1) div 2 as long)").as("y"))
+        .withColumn("zkey", Layout.zorderKey(Seq(col("x"), col("y")), 8)),
+      col("x"), col("y"), 8, "hkey")
+    val rdf = rects.toDF("rect", "x0", "x1", "y0", "y1")
+    val bounds = keyed.join(broadcast(rdf),
+        col("x") >= col("x0") && col("x") <= col("x1") &&
+          col("y") >= col("y0") && col("y") <= col("y1"))
+      .groupBy("rect")
+      .agg(count(lit(1)).as("nr"),
+        min("hkey").as("hmin"), max("hkey").as("hmax"),
+        min("zkey").as("zmin"), max("zkey").as("zmax"))
+      .collect() // 3 rows — rect-count-bounded driver state
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    val aggs = bounds.flatMap { case (rect, _, hmin, hmax, zmin, zmax) =>
+      Seq(sum(when(col("hkey") >= hmin && col("hkey") <= hmax, 1L)
+          .otherwise(0L)).as(s"h_$rect"),
+        sum(when(col("zkey") >= zmin && col("zkey") <= zmax, 1L)
+          .otherwise(0L)).as(s"z_$rect"))
+    }.toSeq
+    val fetched = keyed.agg(aggs.head, aggs.tail: _*).head()
+    bounds.toSeq.flatMap { case (rect, nr, _, _, _, _) =>
+      val fh = fetched.getAs[Long](s"h_$rect")
+      val fz = fetched.getAs[Long](s"z_$rect")
+      Seq(("hilbert", rect, nr, fh, fh * 10000L / nr),
+        ("zorder", rect, nr, fz, fz * 10000L / nr))
+    }.toDF("curve", "rect", "n_rows", "n_fetch", "amp_e4")
+      .orderBy("curve", "rect")
+  }
 
   // q68: temperature-balanced language sampling (alpha=0.5, target 30%):
   // heavy strata are downsampled toward the flattened p^alpha mixture.
@@ -483,6 +537,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_hilbert_locality" -> (q224 _),
     "q180_bloom_fpr" -> (q180 _),
     "q179_quota_sample" -> (q179 _),
     "q200_mix_assembly" -> (q200 _),
@@ -520,6 +575,29 @@ object CurationQueries {
     (for { (c, i) <- cols.zipWithIndex; j <- 0 until 16 }
       yield s"(((($c >> $j) & 1)) << ${j * cols.length + i})")
       .mkString(" + ")
+  }
+
+  /** q224's Hilbert levels + Morton key as DuckDB CTEs — generated from
+    * [[graft.operators.Layout.hilbertLevelSql]] (the SAME strings the
+    * engine evaluates through `expr`), so oracle and engine cannot
+    * drift. ox/oy carry the ORIGINAL dims through the coordinate-
+    * mutating levels; each level is MATERIALIZED (a plain CTE chain
+    * re-inlines its parent per reference — the q112 gotcha).
+    */
+  private val hilbertKeyCtes: String = {
+    val zk = (for { (c, i) <- Seq("__x", "__y").zipWithIndex;
+        j <- 0 until 8 }
+      yield s"((($c >> $j) & 1) << ${j * 2 + i})").mkString(" + ")
+    val lvls = (7 to 0 by -1).zipWithIndex.map { case (lev, idx) =>
+      val (dE, xE, yE) =
+        graft.operators.Layout.hilbertLevelSql(256L, 1L << lev)
+      s"lvl${idx + 1} AS MATERIALIZED (SELECT ox, oy, zkey, " +
+        s"$dE AS __d, $xE AS __x, $yE AS __y FROM lvl$idx)"
+    }.mkString(",\n")
+    "lvl0 AS MATERIALIZED (SELECT __x AS ox, __y AS oy, " +
+      s"CAST($zk AS BIGINT) AS zkey, __x, __y, CAST(0 AS BIGINT) AS __d " +
+      "FROM (SELECT o_custkey % 256 AS __x, " +
+      "(dayofyear(o_orderdate) - 1) // 2 AS __y FROM orders)),\n" + lvls
   }
 
   /** Gopher-repetition CTE block ending in `rep(doc_id, n_words,
@@ -959,6 +1037,35 @@ object CurationQueries {
       s"""SELECT l_orderkey, l_linenumber, CAST($zkeySql AS BIGINT) AS zkey
          |FROM lineitem
          |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q224_hilbert_locality" ->
+      (s"WITH $hilbertKeyCtes,\n" +
+        """keyed AS MATERIALIZED (SELECT ox AS x, oy AS y, zkey,
+          |    __d AS hkey
+          |  FROM lvl8),
+          |rects(rect, x0, x1, y0, y1) AS (VALUES
+          |  ('square', 64, 95, 60, 89), ('wide', 0, 255, 80, 84),
+          |  ('tall', 100, 103, 0, 181)),
+          |bounds AS MATERIALIZED (SELECT r.rect,
+          |    CAST(COUNT(*) AS BIGINT) AS nr,
+          |    MIN(k.hkey) AS hmin, MAX(k.hkey) AS hmax,
+          |    MIN(k.zkey) AS zmin, MAX(k.zkey) AS zmax
+          |  FROM keyed k JOIN rects r ON k.x BETWEEN r.x0 AND r.x1
+          |    AND k.y BETWEEN r.y0 AND r.y1
+          |  GROUP BY 1),
+          |ftc AS (SELECT b.rect,
+          |    CAST(SUM(CASE WHEN k.hkey BETWEEN b.hmin AND b.hmax
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS fh,
+          |    CAST(SUM(CASE WHEN k.zkey BETWEEN b.zmin AND b.zmax
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS fz
+          |  FROM keyed k CROSS JOIN bounds b GROUP BY 1)
+          |SELECT 'hilbert' AS curve, b.rect, b.nr AS n_rows,
+          |  f.fh AS n_fetch, CAST(f.fh * 10000 // b.nr AS BIGINT) AS amp_e4
+          |FROM bounds b JOIN ftc f USING (rect)
+          |UNION ALL
+          |SELECT 'zorder' AS curve, b.rect, b.nr, f.fz,
+          |  CAST(f.fz * 10000 // b.nr AS BIGINT)
+          |FROM bounds b JOIN ftc f USING (rect)
+          |ORDER BY curve, rect""".stripMargin),
     "q63_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, text ||
          |  CASE WHEN doc_id % 3 = 0

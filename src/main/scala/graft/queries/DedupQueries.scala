@@ -413,7 +413,21 @@ object DedupQueries {
   def q175(s: SparkSession, dir: String): DataFrame =
     Dedup.triangleCensus(lshPairs(s, dir))
 
+  // q223: ASYMMETRIC near-CONTAINMENT pairs — the quote/subset case the
+  // resemblance tiers (q27 MinHash, q28 SimHash) structurally miss: a
+  // short document wholly embedded in a longer one has near-zero
+  // Jaccard but containment ≈ 1, and contributes no novel training
+  // tokens. Word 5-shingles, boilerplate excluded by the document-
+  // frequency cap (the q97 ubiquity discipline — it also bounds join
+  // fan-out and skew), containment as the exact e4 integer
+  // |A∩B|·10⁴ div min(|A|,|B|) ≥ 0.5. See
+  // [[graft.operators.Dedup.containmentPairs]].
+  def q223(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+      n = 5, dfCap = 50, minContainE4 = 5000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_containment_pairs" -> (q223 _),
     "q175_triangle_census" -> (q175 _),
     "q167_source_overlap" -> (q167 _),
     "q125_leakage_free_split" -> (q125 _),
@@ -533,6 +547,34 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q223: the engine's 0-based sequence(0, len−n) shingle windows are
+    // DuckDB's 1-based inclusive slices ts[i:i+4] over generate_series
+    // (1, len−4); both sides split on single spaces with empties kept.
+    "q223_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ts,
+        |    unnest(generate_series(1, len(ts) - 4)) AS i
+        |  FROM toks WHERE len(ts) >= 5),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    list_aggregate(ts[i:i+4], 'string_agg', ' ') AS s
+        |  FROM pos),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand AS MATERIALIZED (SELECT sh.doc_id, sh.s
+        |  FROM sh JOIN rare USING (s)),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cand GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM cand x JOIN cand y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, sa.n AS n_a, sb.n AS n_b, i AS inter,
+        |  CAST(i * 10000 // LEAST(sa.n, sb.n) AS BIGINT)
+        |    AS containment_e4
+        |FROM inter JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE i * 10000 // LEAST(sa.n, sb.n) >= 5000
+        |ORDER BY containment_e4 DESC, a, b""".stripMargin,
     // q175: ordered (a<b<c) triangle enumeration — (a,b)⋈(b,c) on the
     // shared vertex, closing (a,c) via join; wedges from the degree
     // table; the single 3T/W division in the engine's exact shape.

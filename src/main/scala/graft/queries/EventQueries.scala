@@ -131,7 +131,27 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  // q222: CUSUM changepoint monitor over per-type DAILY event volume —
+  // the sequential "WHEN did this stream's rate shift" companion to
+  // q150's PSI / q195's KS "did it shift at all": one-sided cumulative
+  // sums against the type's own mean daily rate, unrolled to prefix-sum
+  // minus running-extremum window algebra (no recursion — see
+  // [[graft.operators.Drift.cusum]]), exact integers scaled by the day
+  // count. is_peak marks the earliest maximum of the upward
+  // statistic (the point of strongest evidence; onset = the last
+  // prefix minimum before it). All windows keyed by event_type, bounded per key by the
+  // calendar span.
+  def q222(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Drift.cusum(daily, "event_type", "day", "n")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_cusum_changepoint" -> (q222 _),
     "q196_time_decay" -> (q196 _),
     "q170_markov_transitions" -> (q170 _),
     "q119_funnel" -> (q119 _),
@@ -139,6 +159,34 @@ object EventQueries {
     "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    // q222: the same day anchor as q196 (epoch_us // 1e6 == Spark's
+    // unix_timestamp, then // 86400); prefix sums and running extrema
+    // over the same (event_type ORDER BY day) windows — default frames
+    // agree (RANGE UNBOUNDED PRECEDING..CURRENT ROW, days unique).
+    "q222_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, n,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS d,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS cum,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily),
+        |p AS (SELECT event_type, day, n, d * cum - i * t AS pp FROM st),
+        |sx AS (SELECT event_type, day, n,
+        |    pp - LEAST(0, MIN(pp) OVER (PARTITION BY event_type
+        |      ORDER BY day)) AS s_pos,
+        |    GREATEST(0, MAX(pp) OVER (PARTITION BY event_type
+        |      ORDER BY day)) - pp AS s_neg
+        |  FROM p)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+        |  CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+        |  (ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY s_pos DESC, day) = 1) AS is_peak
+        |FROM sx ORDER BY event_type, day""".stripMargin,
     // q196: the same epoch-second anchor (epoch_us // 1e6 == Spark's
     // unix_timestamp), half-life buckets as integer div, weights as
     // right shifts — every cell exact.

@@ -281,7 +281,41 @@ object ModelQueries {
     graft.operators.Pca.topComponent(Tables.load(s, dir, "embeddings"),
       "embedding", dim = OperatorQueries.EmbeddingDim, iterations = 8)
 
+  // q220: ISOTONIC calibration curve for the q92 quality score — the
+  // audit run before a score threshold gates a training mix: over 40
+  // fixed score bins, the best MONOTONE map from score to outcome rate
+  // (outcome: the document reaches 350 chars — a real corpus signal
+  // correlated with, but not determined by, the score's length
+  // feature). Computed by the PAVA minimax closed form on the bounded
+  // bins table ([[graft.operators.Calibration.isotonicFit]]); the
+  // oracle replays the identical max-min over e4 segment rates. The
+  // corpus crosses ONE aggregate; everything after is bins³ algebra.
+  def q220(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibration.isotonicFit(
+      TextAnalysis.linearQuality(docs(s, dir), "text")
+        .withColumn("bin",
+          expr("greatest(0, least(39, (score_e6 + 600000) div 100000))"))
+        .withColumn("y", when(col("n_chars") >= 350, 1L).otherwise(0L)),
+      "bin", "y")
+
+  // q221: BRIER decomposition of the q92 score read as a probability
+  // (min-max linear squash of score_e6 onto e4 [0,10⁴] — the honest
+  // "uncalibrated head" a raw linear classifier ships with): per
+  // source, reliability / resolution / uncertainty in exact e8
+  // integers ([[graft.operators.Calibration.brierDecomposition]]).
+  // Murphy's identity brier = rel − res + unc is spec-pinned within
+  // truncation ulps; the oracle replays every term bit-for-bit.
+  def q221(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibration.brierDecomposition(
+      TextAnalysis.linearQuality(docs(s, dir), "text")
+        .withColumn("p_e4",
+          expr("least(10000, greatest(0, (score_e6 + 600000) div 400))"))
+        .withColumn("y", when(col("n_chars") >= 350, 1L).otherwise(0L)),
+      "source", "p_e4", "y")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_isotonic_calibration" -> (q220 _),
+    "q221_brier_decomposition" -> (q221 _),
     "q178_pca_power" -> (q178 _),
     "q168_kcenter_coreset" -> (q168 _),
     "q165_silhouette" -> (q165 _),
@@ -306,6 +340,38 @@ object ModelQueries {
     TextAnalysis.stopwords("en")
       .map(w => "'" + w.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
+
+  /** Shared q92/q220/q221 replay prefix ending in `sc(doc_id, k_stop,
+    * k_uniq, k_mw, score_e6)`: the [[TextAnalysis.linearQuality]]
+    * features quantized to e4 LONGS (scale-0 ROUND of the same IEEE
+    * double is portable; ROUND(x, 4) is not — SURVEY §5.4), then the
+    * score as EXACT integer arithmetic in 1e-6 space. Pre-stripped —
+    * no line carries a leading `|` (double-strip gotcha).
+    */
+  private val ScoreCtes: String =
+    s"""t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), ' '),
+       |                x -> LENGTH(x) > 0) AS t
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+       |    CAST(len(list_filter(t, x -> list_contains($enStops, x)))
+       |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+       |    AS k_stop,
+       |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+       |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS k_uniq,
+       |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
+       |    CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+       |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
+       |    AS k_mw,
+       |  CAST(ROUND((CAST(LEAST(len(t), 1000) AS DOUBLE) / 1000.0)
+       |    * 10000, 0) AS BIGINT) AS k_len
+       |  FROM t),
+       |sc AS (SELECT doc_id, k_stop, k_uniq, k_mw,
+       |  -600000 + 180 * k_stop + 90 * k_uniq + 8 * k_mw + 35 * k_len
+       |    AS score_e6
+       |  FROM f)""".stripMargin
 
   /** The q93 projection directions as DuckDB VALUES rows — generated from
     * [[Projection.planes]] (seed 7) so the oracle replays the projection
@@ -561,32 +627,7 @@ object ModelQueries {
         |  CAST(SUM(nll) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q92_quality_classifier" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(text), ' '),
-         |                x -> LENGTH(x) > 0) AS t
-         |  FROM documents),
-         |-- Features quantized to e4 LONGS (scale-0 ROUND of the same
-         |-- IEEE double is portable; ROUND(x, 4) is not — SURVEY §5.4);
-         |-- the score is then EXACT integer arithmetic in 1e-6 space.
-         |f AS (SELECT doc_id,
-         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
-         |    CAST(len(list_filter(t, x -> list_contains($enStops, x)))
-         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
-         |    AS k_stop,
-         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
-         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
-         |    ELSE 0.0 END) * 10000, 0) AS BIGINT) AS k_uniq,
-         |  CAST(ROUND((CASE WHEN len(t) > 0 THEN
-         |    CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
-         |      AS DOUBLE) / len(t) ELSE 0.0 END) * 10000, 0) AS BIGINT)
-         |    AS k_mw,
-         |  CAST(ROUND((CAST(LEAST(len(t), 1000) AS DOUBLE) / 1000.0)
-         |    * 10000, 0) AS BIGINT) AS k_len
-         |  FROM t),
-         |sc AS (SELECT doc_id, k_stop, k_uniq, k_mw,
-         |  -600000 + 180 * k_stop + 90 * k_uniq + 8 * k_mw + 35 * k_len
-         |    AS score_e6
-         |  FROM f)
+      s"""WITH $ScoreCtes
          |SELECT doc_id,
          |  CAST(k_stop AS DOUBLE) / 10000.0 AS stop_frac,
          |  CAST(k_uniq AS DOUBLE) / 10000.0 AS uniq_frac,
@@ -594,6 +635,57 @@ object ModelQueries {
          |  CAST(score_e6 AS DOUBLE) / 1000000.0 AS clf_score,
          |  (score_e6 >= 500000) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "q220_isotonic_calibration" ->
+      (s"WITH $ScoreCtes,\n" +
+        """labeled AS (SELECT
+          |    GREATEST(0, LEAST(39, (s.score_e6 + 600000) // 100000))
+          |      AS bin,
+          |    CASE WHEN d.n_chars >= 350 THEN 1 ELSE 0 END AS y
+          |  FROM sc s JOIN documents d USING (doc_id)),
+          |bins AS MATERIALIZED (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(y) AS BIGINT) AS pos
+          |  FROM labeled GROUP BY 1),
+          |seg AS MATERIALIZED (SELECT l.bin AS lo, h.bin AS hi,
+          |    CAST(SUM(m.n) AS BIGINT) AS sn, CAST(SUM(m.pos) AS BIGINT) AS sp
+          |  FROM bins l JOIN bins h ON l.bin <= h.bin
+          |  JOIN bins m ON m.bin BETWEEN l.bin AND h.bin
+          |  GROUP BY 1, 2),
+          |mn AS (SELECT k.bin AS k, s.lo,
+          |    MIN(s.sp * 10000 // s.sn) AS mnrate
+          |  FROM bins k JOIN seg s ON s.lo <= k.bin AND s.hi >= k.bin
+          |  GROUP BY 1, 2),
+          |fit AS (SELECT k, CAST(MAX(mnrate) AS BIGINT) AS iso
+          |  FROM mn GROUP BY 1)
+          |SELECT b.bin, b.n, b.pos,
+          |  CAST(b.pos * 10000 // b.n AS BIGINT) AS raw_rate_e4,
+          |  f.iso AS iso_rate_e4
+          |FROM bins b JOIN fit f ON f.k = b.bin ORDER BY b.bin"""
+          .stripMargin),
+    "q221_brier_decomposition" ->
+      (s"WITH $ScoreCtes,\n" +
+        """labeled AS (SELECT d.source,
+          |    LEAST(10000, GREATEST(0, (s.score_e6 + 600000) // 400)) AS p,
+          |    CASE WHEN d.n_chars >= 350 THEN 1 ELSE 0 END AS y
+          |  FROM sc s JOIN documents d USING (doc_id)),
+          |cells AS MATERIALIZED (SELECT source, p,
+          |    CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(y) AS BIGINT) AS yc
+          |  FROM labeled GROUP BY 1, 2),
+          |g AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS n,
+          |    CAST(SUM(yc) AS BIGINT) AS y
+          |  FROM cells GROUP BY 1),
+          |g2 AS (SELECT source, n, y * 10000 // n AS ybar FROM g),
+          |cc AS (SELECT c.source, c.nc, c.yc, c.p,
+          |    c.yc * 10000 // c.nc AS ybc, g2.n, g2.ybar
+          |  FROM cells c JOIN g2 USING (source))
+          |SELECT source, n,
+          |  CAST(SUM(yc * (p - 10000) * (p - 10000) + (nc - yc) * p * p)
+          |    // n AS BIGINT) AS brier_e8,
+          |  CAST(SUM(nc * (p - ybc) * (p - ybc)) // n AS BIGINT) AS rel_e8,
+          |  CAST(SUM(nc * (ybc - ybar) * (ybc - ybar)) // n AS BIGINT)
+          |    AS res_e8,
+          |  CAST(ybar * (10000 - ybar) AS BIGINT) AS unc_e8
+          |FROM cc GROUP BY source, n, ybar ORDER BY source"""
+          .stripMargin),
     "q93_random_projection" ->
       s"""WITH planes(b, p) AS (VALUES
          |  $q93PlaneRows),

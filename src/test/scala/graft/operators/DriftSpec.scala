@@ -102,4 +102,41 @@ class DriftSpec extends SparkSpec {
     assert(z.getAs[Long]("ks_num") == 0L)
     assert(z.getAs[Long]("argmax_value") == 1L)
   }
+
+  test("cusum: a clocklike series carries zero evidence; a sustained " +
+      "step up accumulates s_pos from the onset and peaks at the end") {
+    import spark.implicits._
+    // 'flat': 5/day for 10 days — P_t = 0 exactly, both sides zero.
+    // 'step': 0 for days 1-5 then 10 for days 6-10 (mean 5): s_pos
+    // rises only after the shift; evidence peaks at the last day.
+    val rows = (1L to 10L).map(d => ("flat", d, 5L)) ++
+      (1L to 10L).map(d => ("step", d, if (d <= 5) 0L else 10L))
+    val out = Drift.cusum(rows.toDF("k", "t", "x"), "k", "t", "x")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val flat = out.filter(_._1 == "flat")
+    assert(flat.forall(r => r._3 == 0L && r._4 == 0L))
+    assert(flat.count(_._5) == 1 && flat.find(_._5).get._2 == 1L,
+      "all-zero evidence ties resolve to the earliest day")
+    val step = out.filter(_._1 == "step").sortBy(_._2)
+    // Before the shift the upward statistic is zero (P is its own
+    // running minimum); after it, s_pos grows by (10-5)*D = 50 per day.
+    assert(step.take(5).forall(_._3 == 0L))
+    assert(step.drop(5).map(_._3).toSeq ==
+      Seq(50L, 100L, 150L, 200L, 250L))
+    assert(step.find(_._5).get._2 == 10L, "peak evidence at the end")
+    // The downward statistic mirrors: days 1-5 drift below the mean.
+    assert(step.take(5).map(_._4).toSeq ==
+      Seq(50L, 100L, 150L, 200L, 250L))
+  }
+
+  test("cusum guards the D*T overflow budget in-plan") {
+    import spark.implicits._
+    val rows = Seq(("k", 1L, Long.MaxValue / 2), ("k", 2L, Long.MaxValue / 2))
+    val ex = intercept[Exception] {
+      Drift.cusum(rows.toDF("k", "t", "x"), "k", "t", "x").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
