@@ -426,7 +426,69 @@ object DedupQueries {
     graft.operators.Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
       n = 5, dfCap = 50, minContainE4 = 5000)
 
+  // q225: ENTITY-RESOLUTION capstone — the record-linkage pipeline
+  // composed from certified layers (q214's blocking discipline, q122's
+  // levenshtein matcher, q54's connected components): the testdata's
+  // customer names are synthetically uniform, so the query PLANTS
+  // deterministic messy variants (the q63 PII discipline — identical
+  // string algebra in both engines): every entity gets a canonical
+  // record `cust-DDDDDD-tttt` (tttt an md5 tail making distinct
+  // entities far apart in edit space), every k%3 a dash-dropped
+  // variant (lev 1), every k%5 a doubled-digit variant (lev 1).
+  // Pipeline: block on the perturbation-invariant first-5-digit key
+  // (bounds candidate fan-out — never all-pairs), match at
+  // levenshtein ≤ 2 within block, cluster via min-label components,
+  // report the (cluster_size → n_clusters, n_pure) census — purity =
+  // one true entity per cluster, the ER quality read. Rare accidental
+  // merges (a neighbor key whose md5 tail lands within the threshold)
+  // are part of the measured answer, replayed identically by the
+  // oracle's recursive-CTE closure; the spec pins exact
+  // precision/recall on a planted fixture. ONE customer scan (variants
+  // explode map-side), keyed block join, O(dup-subgraph) clustering.
+  def q225(s: SparkSession, dir: String): DataFrame = {
+    val recs = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        // lpad TRUNCATES past 10^n (r15 gotcha) — guard in-plan.
+        when(col("c_custkey").between(0, 999999),
+          lpad(col("c_custkey").cast("string"), 6, "0"))
+          .otherwise(raise_error(lit("q225: custkey out of 6 digits")))
+          .as("pad"),
+        substring(md5(concat(lit("e:"), col("c_custkey").cast("string"))),
+          1, 4).as("tail"))
+      .select(col("k"), explode(filter(array(
+        struct(lit(0L).as("v"),
+          concat(lit("cust-"), col("pad"), lit("-"), col("tail"))
+            .as("name")),
+        struct(lit(1L).as("v"),
+          when(col("k") % 3 === 0,
+            concat(lit("cust-"), col("pad"), col("tail"))).as("name")),
+        struct(lit(2L).as("v"),
+          when(col("k") % 5 === 0,
+            concat(lit("cust-"), col("pad"), substring(col("pad"), 6, 1),
+              lit("-"), col("tail"))).as("name"))),
+        s => s.getField("name").isNotNull)).as("r"))
+      .select((col("k") * 10 + col("r.v")).as("rec_id"), col("k"),
+        col("r.name").as("name"),
+        substring(col("r.name"), 6, 5).as("block"))
+      .localCheckpoint(true) // join sides + vertex list + purity join
+    val edges = recs.as("x").join(recs.as("y"),
+        col("x.block") === col("y.block") &&
+          col("x.rec_id") < col("y.rec_id") &&
+          levenshtein(col("x.name"), col("y.name")) <= 2)
+      .select(col("x.rec_id").as("a"), col("y.rec_id").as("b"))
+    val comp = graft.operators.Dedup.connectedComponents(edges,
+      recs.select(col("rec_id").as("id")))
+    comp.join(recs.select(col("rec_id").as("id"), col("k")), "id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("k")).as("nents"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("nents") === 1, 1L).otherwise(0L)).as("n_pure"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_entity_resolution" -> (q225 _),
     "q223_containment_pairs" -> (q223 _),
     "q175_triangle_census" -> (q175 _),
     "q167_source_overlap" -> (q167 _),
@@ -547,6 +609,42 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q225: the same planted variants, block join, lev ≤ 2 match, and
+    // a recursive-CTE reachability closure whose MIN(r) is exactly the
+    // engine's min-label component.
+    "q225_entity_resolution" ->
+      """WITH RECURSIVE base AS (SELECT c_custkey AS k,
+        |    lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS pad,
+        |    substring(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 4)
+        |      AS tail
+        |  FROM customer),
+        |recs AS MATERIALIZED (
+        |  SELECT k * 10 AS rec_id, k,
+        |    'cust-' || pad || '-' || tail AS name FROM base
+        |  UNION ALL SELECT k * 10 + 1, k, 'cust-' || pad || tail
+        |  FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k * 10 + 2, k,
+        |    'cust-' || pad || substring(pad, 6, 1) || '-' || tail
+        |  FROM base WHERE k % 5 = 0),
+        |blocked AS MATERIALIZED (SELECT rec_id, k, name,
+        |    substring(name, 6, 5) AS block FROM recs),
+        |edges AS MATERIALIZED (SELECT x.rec_id AS a, y.rec_id AS b
+        |  FROM blocked x JOIN blocked y ON x.block = y.block
+        |    AND x.rec_id < y.rec_id
+        |    AND levenshtein(x.name, y.name) <= 2),
+        |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT rec_id, rec_id FROM recs
+        |  UNION
+        |  SELECT reach.id, u.b FROM reach JOIN und u ON reach.r = u.a),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |cl AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz,
+        |    COUNT(DISTINCT bl.k) AS nents
+        |  FROM comp JOIN blocked bl ON bl.rec_id = comp.id GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(CASE WHEN nents = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pure
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     // q223: the engine's 0-based sequence(0, len−n) shingle windows are
     // DuckDB's 1-based inclusive slices ts[i:i+4] over generate_series
     // (1, len−4); both sides split on single spaces with empties kept.

@@ -618,7 +618,96 @@ object WarehouseQueries {
       "improvement_e4").orderBy(col("lang"))
   }
 
+  // q226: CUPED experiment readout (Deng et al., WSDM'13) — the
+  // variance-reduced A/B metric every experimentation platform ships:
+  // users hash-split into arms (md5 first hex < '8' — the q188
+  // deterministic-assignment idiom), the post-period purchase value
+  // adjusted by the PRE-period covariate, θ = cov(x,y)/var(x) fit on
+  // the pooled population. All integer e4: θ as the exact ratio of
+  // long moment products (BigInt driver arithmetic on the ONE-row
+  // moment aggregate — the d×d bounded-collect discipline; BigInt and
+  // DuckDB `//` both truncate toward zero, so negatives replay), the
+  // per-arm adjustment as portable integer algebra. Scale shape: one
+  // keyed user aggregate (checkpointed — moments + per-arm consumers),
+  // then arm-count-sized algebra. Budget: n·Σx² must fit a long —
+  // whole-unit values cap the population at ~5·10⁴ users per 2·10⁴
+  // value units; past that, coarsen units (documented, require'd).
+  def q226(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val purchase = col("event_type") === "purchase"
+    val users = graft.Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(purchase && col("ts") < cut,
+          round(col("value"), 0).cast("long")).otherwise(0L)).as("x"),
+        sum(when(purchase && col("ts") >= cut,
+          round(col("value"), 0).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 1) < "8",
+          lit("treat")).otherwise(lit("control")))
+      .localCheckpoint(true)
+    val m = users.agg(count(lit(1)), sum("x"), sum("y"),
+      sum(expr("x * x")), sum(expr("x * y"))).head()
+    val (n, sx, sy, sxx, sxy) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+        m.getLong(4))
+    val num = BigInt(n) * sxy - BigInt(sx) * sy
+    val den = BigInt(n) * sxx - BigInt(sx) * sx
+    require(den > 0, "q226: zero pre-period variance — CUPED undefined")
+    require(BigInt(n) * sxx <= BigInt(Long.MaxValue) &&
+      (num * 10000).abs <= BigInt(Long.MaxValue) * 10000,
+      "q226: moment products exceed the long budget; coarsen value units")
+    val thetaE4 = (num * 10000 / den).toLong
+    val xbarE4 = sx * 10000L / n
+    users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sxa"),
+        sum("y").as("sya"))
+      .select(col("arm"), col("n_users"),
+        expr("sxa * 10000 div n_users").as("mean_pre_e4"),
+        expr("sya * 10000 div n_users").as("mean_post_e4"),
+        expr(s"sya * 10000 div n_users - ($thetaE4 * " +
+          s"(sxa * 10000 div n_users - $xbarE4)) div 10000")
+          .as("adj_post_e4"),
+        lit(thetaE4).as("theta_e4"))
+      .orderBy("arm")
+  }
+
+  /** Benford e4 expectations log10(1 + 1/d), HALF_UP — the canonical
+    * first-digit law table, pinned as literals in BOTH engines.
+    */
+  private val BenfordE4: Seq[(Long, Long)] = Seq(1L -> 3010L,
+    2L -> 1761L, 3L -> 1249L, 4L -> 969L, 5L -> 792L, 6L -> 669L,
+    7L -> 580L, 8L -> 512L, 9L -> 458L)
+
+  // q227: BENFORD first-digit audit over order totals — the
+  // data-forensics read: organic multiplicative amounts follow
+  // log10(1+1/d); uniform/synthetic/fabricated columns deviate, and
+  // the per-digit deviation IS the detector (here it flags the
+  // testdata's uniform price generator — the audit working as
+  // intended). First digit via floor-then-string (CAST of a DOUBLE to
+  // BIGINT rounds in DuckDB but truncates in Spark — floor first is
+  // the portable form). ONE corpus aggregate into 9 digit rows; the
+  // share window runs on that bounded table.
+  def q227(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = BenfordE4.toDF("digit", "benford_e4")
+    graft.Tables.load(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      // partition-less window over the ≤9-digit table only
+      .withColumn("share_e4", expr("n * 10000 div sum(n) over ()"))
+      .join(broadcast(exp), Seq("digit"))
+      .withColumn("dev_e4", abs(col("share_e4") - col("benford_e4")))
+      .select(col("digit"), col("n"), col("share_e4"),
+        col("benford_e4"), col("dev_e4"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_cuped_readout" -> (q226 _),
+    "q227_benford_audit" -> (q227 _),
     "q206_scd2_intervals" -> (q206 _),
     "q207_snapshot_diff" -> (q207 _),
     "q208_l_diversity" -> (q208 _),
@@ -635,6 +724,62 @@ object WarehouseQueries {
     "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
+    // q226: θ derived IN SQL from the same integer moments the engine
+    // collects (BigInt and `//` both truncate toward zero, so the
+    // negative adjustment replays); same md5 arm split, same scale-0
+    // ROUND of the double value.
+    "q226_cuped_readout" ->
+      """WITH u AS MATERIALIZED (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        AND ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(ROUND(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        AND ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(ROUND(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS y,
+        |    CASE WHEN substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+        |        1, 1) < '8'
+        |      THEN 'treat' ELSE 'control' END AS arm
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM u),
+        |t AS (SELECT
+        |    (n * sxy - sx * sy) * 10000 // (n * sxx - sx * sx)
+        |      AS theta_e4,
+        |    sx * 10000 // n AS xbar_e4
+        |  FROM m)
+        |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(x) * 10000 // COUNT(*) AS BIGINT) AS mean_pre_e4,
+        |  CAST(SUM(y) * 10000 // COUNT(*) AS BIGINT) AS mean_post_e4,
+        |  CAST(SUM(y) * 10000 // COUNT(*) - (t.theta_e4 *
+        |    (SUM(x) * 10000 // COUNT(*) - t.xbar_e4)) // 10000
+        |    AS BIGINT) AS adj_post_e4,
+        |  CAST(t.theta_e4 AS BIGINT) AS theta_e4
+        |FROM u CROSS JOIN t
+        |GROUP BY arm, t.theta_e4, t.xbar_e4 ORDER BY arm""".stripMargin,
+    "q227_benford_audit" -> {
+      val rows = BenfordE4.map { case (d, e) => s"($d, $e)" }
+        .mkString(", ")
+      s"""WITH d AS (SELECT CAST(substring(CAST(CAST(
+         |      FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1),
+         |s AS (SELECT digit, n,
+         |    CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_e4
+         |  FROM c),
+         |b(digit, benford_e4) AS (VALUES $rows)
+         |SELECT s.digit, s.n, s.share_e4,
+         |  CAST(b.benford_e4 AS BIGINT) AS benford_e4,
+         |  CAST(ABS(s.share_e4 - b.benford_e4) AS BIGINT) AS dev_e4
+         |FROM s JOIN b ON s.digit = b.digit ORDER BY s.digit"""
+        .stripMargin
+    },
     "q206_scd2_intervals" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n

@@ -330,4 +330,47 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out("orders_lineitem") == (4L, 4L, 0L))
     assert(out("events_self") == (8L, 10L, -2000L))
   }
+
+  test("q226: a perfectly linear covariate reads the exact theta and " +
+      "the adjustment identity holds per arm") {
+    // Users 1..4 with one pre purchase x = 0/10/20/30 and one post
+    // purchase y = 2x: n=4, Σx=60, Σy=120, Σx²=1400, Σxy=2800 →
+    // θ = (4·2800 − 60·120)·10⁴ / (4·1400 − 3600) = 20000 exactly;
+    // the pooled pre mean is 15·10⁴ e4.
+    val dir = tmpDir()
+    import spark.implicits._
+    val rows = (1L to 4L).flatMap { u =>
+      val x = (u - 1) * 10.0
+      Seq((u * 10, ts(5), u, "purchase", x),
+        (u * 10 + 1, ts(20), u, "purchase", 2 * x))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = WarehouseQueries.queries("q226_cuped_readout")(spark, dir)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getLong(5) == 20000L))
+    out.foreach { r =>
+      val (pre, post, adj) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(adj == post - (20000L * (pre - 150000L)) / 10000L, r.toString)
+      // y = 2x exactly, so the adjusted means equal the pooled post
+      // mean 30·10⁴ for every arm — the variance reduction is total.
+      assert(adj == 300000L, r.toString)
+    }
+  }
+
+  test("q227: planted first digits read exact shares and deviations " +
+      "from the pinned Benford table") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val prices = Seq.fill(10)(1500.5) ++ Seq.fill(10)(2200.0) ++
+      Seq.fill(10)(9001.99)
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = WarehouseQueries.queries("q227_benford_audit")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 10L, 3333L, 323L),
+      (2L, 10L, 3333L, 1572L), (9L, 10L, 3333L, 2875L)))
+  }
 }
