@@ -280,7 +280,10 @@ object Bench {
       "q204_search_mode_recall",
       // r15: q89's real streaming ingest into the BUCKETED layout via
       // the ChunkStore seam vs the same content-derivation replay.
-      "q205_stream_ingest_bucketed")
+      "q205_stream_ingest_bucketed",
+      // r15: q222's CUSUM fed by a REAL streaming aggregation (q84's
+      // runtime shape) vs q222's single-statement batch replay.
+      "q231_stream_cusum")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

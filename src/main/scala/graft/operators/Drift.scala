@@ -203,4 +203,63 @@ object Drift {
         col("__sPos").as("s_pos"), col("__sNeg").as("s_neg"),
         (col("__rk") === 1).as("is_peak"))
   }
+
+  /** Lag-k AUTOCORRELATION per key — the seasonality/memory read of a
+    * per-period volume series ([[cusum]] finds level shifts; this finds
+    * weekly rhythm and burst persistence). The biased sample ACF
+    *
+    *   r_k = Σ_{t ≤ D−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * is scale-invariant, so the mean is kept EXACT by working with
+    * u_t = D·x_t − T (integers, the [[cusum]] scaling): r_k_e4 =
+    * Σ u_t·u_{t+k} · 10⁴ div Σ u_t². Lags materialize as `lead`
+    * columns over ONE keyed window pass (nulls past the series end
+    * drop out of the sum exactly as the t ≤ D−k bound requires).
+    *
+    * Scale shape: keyed windows bounded by the calendar span, then one
+    * keyed aggregate to (key, lag) rows. Overflow: Σu² ≤ D·(D·max|x −
+    * x̄|)² — enforced in-plan via a double-side check (D³·maxdev²
+    * must fit a long; a 365-day daily monitor allows ~4·10⁵ mean
+    * deviation per period — aggregate coarser periods past that).
+    *
+    * Output: key, lag (1..maxLag), n_pairs, r_e4 (NULL for a
+    * zero-variance series — flat input has no correlation to read).
+    */
+  def autocorr(df: DataFrame, keyCol: String, tCol: String, xCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val byT = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val w = Window.partitionBy(col(keyCol))
+    val withU = df
+      .withColumn("__D", count(lit(1)).over(w))
+      .withColumn("__T", sum(col(xCol)).over(w))
+      .withColumn("__u", col("__D") * col(xCol) - col("__T"))
+      .withColumn("__maxu", max(abs(col("__u"))).over(w))
+      .withColumn("__u",
+        when(col("__maxu").cast("double") * col("__maxu").cast("double") *
+            col("__D").cast("double") < lit(9.0e18),
+          col("__u"))
+          .otherwise(raise_error(lit(
+            "autocorr: D^3*maxdev^2 overflows a long; " +
+              "aggregate coarser periods"))))
+    val withLeads = (1 to maxLag).foldLeft(withU) { (d, k) =>
+      d.withColumn(s"__u$k", lead(col("__u"), k).over(byT))
+    }
+    val grouped = withLeads.groupBy(col(keyCol))
+      .agg(sum(expr("__u * __u")).as("__den"),
+        (1 to maxLag).flatMap(k => Seq(
+          sum(expr(s"__u * __u$k")).as(s"__num$k"),
+          count(expr(s"__u * __u$k")).as(s"__np$k"))): _*)
+    val lagRows = (1 to maxLag).map(k =>
+      s"struct(${k}L as lag, __num$k as num, __np$k as np)")
+      .mkString(", ")
+    grouped
+      .select(col(keyCol), col("__den"),
+        explode(expr(s"array($lagRows)")).as("__l"))
+      .select(col(keyCol), col("__l.lag").as("lag"),
+        col("__l.np").as("n_pairs"),
+        when(col("__den") > 0,
+          expr("__l.num * 10000 div __den")).as("r_e4"))
+      .orderBy(col(keyCol), col("lag"))
+  }
 }

@@ -904,4 +904,61 @@ object Stats {
       .select(col("__g").as(groupCol), col("n_rows"), col("mean_e4"),
         col("boot_lo_e4"), col("boot_hi_e4"), col("n_replicates"))
   }
+
+  /** EXACT k-each-end trimmed mean per group — the robust center a
+    * plain mean loses to outliers and a median throws information away
+    * for: drop exactly k = n·trimNum div trimDen rows from EACH end
+    * (row-exact even when ties straddle the cut — the boundary value's
+    * partial multiplicity is counted, not the whole tie class) and
+    * average the rest.
+    *
+    * Computation is the histogram-rank discipline (q124/q176): the
+    * corpus crosses ONE (group, value) aggregate; cumulative count and
+    * value-mass windows run on that histogram. The k smallest sum to
+    * maskBelow + lo·(k − countBelow) where lo is the k-th value — on
+    * the row holding lo this simplifies to sv + v·(k − cum), a single
+    * conditional picked by max(); the top side mirrors. No corpus
+    * sort, no per-group collect.
+    *
+    * Output: group, n, k_trim, trimmed_sum, trimmed_mean (floor of the
+    * exact rational — integer-div portable). Overflow: value mass must
+    * fit a long (Σ|v| ≤ 9·10¹⁸).
+    */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, trimNum: Int = 1, trimDen: Int = 10)
+      : DataFrame = {
+    require(trimNum >= 0 && trimDen > 2 * trimNum,
+      s"trim fraction must leave rows: $trimNum/$trimDen")
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy("__g").orderBy("__v")
+    val w = Window.partitionBy("__g")
+    df.groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(byV))
+      .withColumn("__sv", sum(col("__c") * col("__v")).over(byV))
+      .withColumn("__n", sum(col("__c")).over(w))
+      .withColumn("__tot", sum(col("__c") * col("__v")).over(w))
+      .withColumn("__k", expr(s"__n * $trimNum div $trimDen"))
+      .groupBy(col("__g"), col("__n"), col("__tot"), col("__k"))
+      .agg(
+        // the row holding the k-th smallest value: cum−c < k ≤ cum
+        max(when(col("__cum") - col("__c") < col("__k") &&
+            col("__cum") >= col("__k"),
+          col("__sv") + col("__v") * (col("__k") - col("__cum"))))
+          .as("__low"),
+        // the row holding the k-th largest: n−cum < k ≤ n−cum+c
+        max(when(col("__n") - col("__cum") < col("__k") &&
+            col("__n") - col("__cum") + col("__c") >= col("__k"),
+          col("__tot") - col("__sv") +
+            col("__v") * (col("__k") - col("__n") + col("__cum"))))
+          .as("__high"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__k").as("k_trim"),
+        (col("__tot") - coalesce(col("__low"), lit(0L)) -
+          coalesce(col("__high"), lit(0L))).as("trimmed_sum"),
+        expr("""(__tot - coalesce(__low, 0L) - coalesce(__high, 0L))
+                div (__n - 2 * __k)""").as("trimmed_mean"))
+      .orderBy(groupCol)
+  }
 }

@@ -409,6 +409,55 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  // q230: NEYMAN-style sampling ALLOCATION with a robust scale — the
+  // survey-design upgrade of q171's proportional quotas: a fixed
+  // T=1000 audit budget goes where the VARIABILITY is, alloc_h ∝
+  // N_h·scale_h, with scale the exact P90−P10 length spread (integer
+  // histogram-rank picks — classical Neyman uses σ, whose sqrt is not
+  // exactly portable across engines; an interdecile range is the
+  // standard robust stand-in and keeps every step integer). Quotas by
+  // the q171 largest-remainder rule, so allocations sum to T exactly.
+  // One (lang, n_chars) histogram aggregate; everything after is
+  // keyed-window algebra on that bounded table; the rank/remainder
+  // windows run on the languages-sized table only. Σw > 0 raise'd
+  // in-plan (an all-constant corpus has no variance to chase).
+  def q230(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val T = 1000L
+    val byV = Window.partitionBy("lang").orderBy("n_chars")
+    val w = Window.partitionBy("lang")
+    docs(s, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byV))
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("r10", expr("greatest(1L, n div 10)"))
+      .withColumn("r90", expr("n - n div 10"))
+      .groupBy(col("lang"), col("n"))
+      .agg(
+        max(when(col("cum") - col("c") < col("r10") &&
+          col("cum") >= col("r10"), col("n_chars"))).as("p10"),
+        max(when(col("cum") - col("c") < col("r90") &&
+          col("cum") >= col("r90"), col("n_chars"))).as("p90"))
+      .withColumn("scale", col("p90") - col("p10"))
+      .withColumn("wt", col("n") * col("scale"))
+      // languages-sized table from here on — partition-less windows OK
+      .withColumn("tw", sum(col("wt")).over(Window.partitionBy()))
+      .withColumn("tw", when(col("tw") > 0, col("tw"))
+        .otherwise(raise_error(lit(
+          "q230: zero total scale weight — no variability to allocate"))))
+      .withColumn("quota_floor", expr(s"CAST($T * wt div tw AS BIGINT)"))
+      .withColumn("rem", expr(s"CAST($T * wt % tw AS BIGINT)"))
+      .withColumn("rem_rank", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("leftover", lit(T) -
+        sum(col("quota_floor")).over(Window.partitionBy()))
+      .select(col("lang"), col("n").as("n_docs"), col("p10"), col("p90"),
+        col("scale"), col("quota_floor"),
+        (col("quota_floor") + when(col("rem_rank") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy(col("lang"))
+  }
+
   // q176: QUANTILE (rank) normalization — map every doc's raw score to
   // its corpus percent-rank in e4 integer space (the feature scaling a
   // mixer/curriculum needs: scale-free, outlier-immune). The corpus is
@@ -537,6 +586,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_neyman_allocation" -> (q230 _),
     "q224_hilbert_locality" -> (q224 _),
     "q180_bloom_fpr" -> (q180 _),
     "q179_quota_sample" -> (q179 _),
@@ -1037,6 +1087,41 @@ object CurationQueries {
       s"""SELECT l_orderkey, l_linenumber, CAST($zkeySql AS BIGINT) AS zkey
          |FROM lineitem
          |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    // q230: identical histogram-rank picks and largest-remainder
+    // windows; the remainder rank ties break on lang in both engines.
+    "q230_neyman_allocation" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |wnd AS (SELECT lang, n_chars, c,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h),
+        |rk AS (SELECT *, GREATEST(1, n // 10) AS r10, n - n // 10 AS r90
+        |  FROM wnd),
+        |q AS (SELECT lang, n,
+        |    MAX(CASE WHEN cum - c < r10 AND cum >= r10
+        |      THEN n_chars END) AS p10,
+        |    MAX(CASE WHEN cum - c < r90 AND cum >= r90
+        |      THEN n_chars END) AS p90
+        |  FROM rk GROUP BY 1, 2),
+        |wt AS (SELECT lang, n, p10, p90, p90 - p10 AS scale,
+        |    n * (p90 - p10) AS w FROM q),
+        |tt AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS tw FROM wt),
+        |fl AS (SELECT *,
+        |    CAST(1000 * w // tw AS BIGINT) AS quota_floor,
+        |    CAST(1000 * w % tw AS BIGINT) AS rem
+        |  FROM tt),
+        |rr AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rem_rank,
+        |    1000 - CAST(SUM(quota_floor) OVER () AS BIGINT) AS leftover
+        |  FROM fl)
+        |SELECT lang, n AS n_docs, p10, p90, CAST(scale AS BIGINT)
+        |    AS scale, quota_floor,
+        |  CAST(quota_floor + CASE WHEN rem_rank <= leftover
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rr ORDER BY lang""".stripMargin,
     "q224_hilbert_locality" ->
       (s"WITH $hilbertKeyCtes,\n" +
         """keyed AS MATERIALIZED (SELECT ox AS x, oy AS y, zkey,

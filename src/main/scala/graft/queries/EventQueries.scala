@@ -150,7 +150,24 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // q228: lag-1..7 AUTOCORRELATION of per-type daily volume — the
+  // seasonality/persistence read beside q222's level-shift monitor
+  // (lag-7 high = weekly rhythm; lag-1 high = bursts persist): the
+  // biased sample ACF in exact integers via the D-scaled residuals
+  // u_t = D·x_t − T ([[graft.operators.Drift.autocorr]] — the scale
+  // factor cancels in the ratio). One keyed window pass materializes
+  // the leads; one keyed aggregate emits the (type, lag) matrix.
+  def q228(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Drift.autocorr(daily, "event_type", "day", "n",
+      maxLag = 7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_autocorrelation" -> (q228 _),
     "q222_cusum_changepoint" -> (q222 _),
     "q196_time_decay" -> (q196 _),
     "q170_markov_transitions" -> (q170 _),
@@ -159,6 +176,37 @@ object EventQueries {
     "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    // q228: LEAD over the same keyed day order; products of exact
+    // D-scaled residuals; COUNT(u*uk) = the t ≤ D−k pair count.
+    "q228_autocorrelation" -> {
+      val leads = (1 to 7).map(k => s"LEAD(u, $k) OVER (PARTITION BY " +
+        s"event_type ORDER BY day) AS u$k").mkString(",\n    ")
+      val nums = (1 to 7).map(k =>
+        s"CAST(SUM(u * u$k) AS BIGINT) AS n$k, " +
+          s"CAST(COUNT(u * u$k) AS BIGINT) AS p$k").mkString(",\n    ")
+      val rows = (1 to 7).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, p$k AS n_pairs, " +
+          s"CASE WHEN den > 0 THEN CAST(n$k * 10000 // den AS BIGINT) " +
+          "END AS r_e4 FROM g").mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT event_type,
+         |    (epoch_us(ts) // 1000000) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, day, n,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS d,
+         |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t
+         |  FROM daily),
+         |u AS (SELECT event_type, day, d * n - t AS u FROM st),
+         |l AS MATERIALIZED (SELECT event_type, u,
+         |    $leads
+         |  FROM u),
+         |g AS MATERIALIZED (SELECT event_type,
+         |    CAST(SUM(u * u) AS BIGINT) AS den,
+         |    $nums
+         |  FROM l GROUP BY 1)
+         |$rows
+         |ORDER BY event_type, lag""".stripMargin
+    },
     // q222: the same day anchor as q196 (epoch_us // 1e6 == Spark's
     // unix_timestamp, then // 86400); prefix sums and running extrema
     // over the same (event_type ORDER BY day) windows — default frames

@@ -282,7 +282,37 @@ object StreamBatchQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // q231: q222's CUSUM monitor fed by an ACTUAL streaming aggregation
+  // — the deployment shape of a drift monitor (the counts accumulate
+  // in a live stateful agg; the CUSUM read runs on each snapshot):
+  // file-source stream → per-(type, day) counts, complete-mode memory
+  // sink (bounded: types × days rows, NOT the event stream — the r15
+  // memory-sink caveat doesn't bite an aggregate), Trigger.AvailableNow
+  // — then [[graft.operators.Drift.cusum]] over the sink table. The
+  // oracle is q222's verbatim (the layout-invisibility rule from
+  // q205): streamed counts must equal batch counts bit-for-bit, so the
+  // whole certificate rides the q222 replay. Bench tier: exec (real
+  // micro-batch runtime vs a single-statement replay).
+  def q231(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = graft.Tables.normalizeTs(
+      s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*"))
+    val sink = "graft_q231_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val daily = stream.groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val q = daily.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Drift.cusum(s.table(sink), "event_type", "day", "n")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_stream_cusum" -> (q231 _),
     "q117_stream_sessions" -> (q117 _),
     "q107_stream_join" -> (q107 _),
     "q84_stream_e2e" -> (q84 _),
@@ -297,6 +327,10 @@ object StreamBatchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q231: stream ≡ batch — the streamed aggregate must reproduce the
+    // batch daily counts exactly, so q222's oracle certifies both.
+    "q231_stream_cusum" ->
+      EventQueries.oracle("q222_cusum_changepoint"),
     "q62_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, 1 AS side, event_id,

@@ -705,7 +705,22 @@ object WarehouseQueries {
       .orderBy("digit")
   }
 
+  // q229: exact 10%-each-end TRIMMED mean of the order total per
+  // priority class — the robust KPI center a plain mean loses to whale
+  // orders, row-exact even when ties straddle the cut (boundary
+  // values count with PARTIAL multiplicity — see
+  // [[graft.operators.Stats.trimmedMeanByGroup]]): one (group, cents)
+  // histogram aggregate, keyed cumulative windows, no corpus sort.
+  // Cents via the certified scale-0 ROUND idiom (q196).
+  def q229(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.trimmedMeanByGroup(
+      graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents")),
+      "o_orderpriority", "cents", trimNum = 1, trimDen = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_trimmed_mean" -> (q229 _),
     "q226_cuped_readout" -> (q226 _),
     "q227_benford_audit" -> (q227 _),
     "q206_scd2_intervals" -> (q206 _),
@@ -724,6 +739,34 @@ object WarehouseQueries {
     "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
+    // q229: the same histogram-rank windows; the k-th-value boundary
+    // rows picked by the identical cum−c < k ≤ cum conditionals.
+    "q229_trimmed_mean" ->
+      """WITH h AS (SELECT o_orderpriority AS g,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |wnd AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c * v) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS sv,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(SUM(c * v) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |  FROM h),
+        |kk AS (SELECT *, n // 10 AS k FROM wnd),
+        |agg AS (SELECT g, n, tot, k,
+        |    MAX(CASE WHEN cum - c < k AND cum >= k
+        |      THEN sv + v * (k - cum) END) AS low,
+        |    MAX(CASE WHEN n - cum < k AND n - cum + c >= k
+        |      THEN tot - sv + v * (k - n + cum) END) AS high
+        |  FROM kk GROUP BY 1, 2, 3, 4)
+        |SELECT g AS o_orderpriority, n, CAST(k AS BIGINT) AS k_trim,
+        |  CAST(tot - COALESCE(low, 0) - COALESCE(high, 0) AS BIGINT)
+        |    AS trimmed_sum,
+        |  CAST((tot - COALESCE(low, 0) - COALESCE(high, 0))
+        |    // (n - 2 * k) AS BIGINT) AS trimmed_mean
+        |FROM agg ORDER BY o_orderpriority""".stripMargin,
     // q226: θ derived IN SQL from the same integer moments the engine
     // collects (BigInt and `//` both truncate toward zero, so the
     // negative adjustment replays); same md5 arm split, same scale-0

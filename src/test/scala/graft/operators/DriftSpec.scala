@@ -131,6 +131,24 @@ class DriftSpec extends SparkSpec {
       Seq(50L, 100L, 150L, 200L, 250L))
   }
 
+  test("autocorr: an alternating series reads the exact negative " +
+      "lag-1 and positive lag-2 correlations; a flat series reads NULL") {
+    import spark.implicits._
+    // x = 1,3,1,3,... (D=8): u = ∓8, den = 512; lag1 = 7·(−64) →
+    // −8750 e4; lag2 = 6·64 → 7500 e4.
+    val rows = (1L to 8L).map(t => ("alt", t, if (t % 2 == 1) 1L else 3L)) ++
+      (1L to 8L).map(t => ("flat", t, 5L))
+    val out = Drift.autocorr(rows.toDF("k", "t", "x"), "k", "t", "x",
+      maxLag = 2).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(out(("alt", 1L)) == (7L, Some(-8750L)))
+    assert(out(("alt", 2L)) == (6L, Some(7500L)))
+    assert(out(("flat", 1L)) == (7L, None))
+    assert(out(("flat", 2L)) == (6L, None))
+  }
+
   test("cusum guards the D*T overflow budget in-plan") {
     import spark.implicits._
     val rows = Seq(("k", 1L, Long.MaxValue / 2), ("k", 2L, Long.MaxValue / 2))

@@ -179,4 +179,29 @@ class StatsSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("slope_e4")))
     assert(out(1).getAs[Long]("slope_e4") == 10000L)
   }
+
+  test("trimmedMeanByGroup drops exactly k rows per end, counting a " +
+      "tie class that straddles the cut with PARTIAL multiplicity") {
+    // n=20, k=2: values 0×3, 10×14, 99×3 — the trim removes two of the
+    // three 0s and two of the three 99s: sum = 0 + 10·14 + 99 = 239
+    // over 16 rows → floor mean 14.
+    val rows = Seq.fill(3)(0L) ++ Seq.fill(14)(10L) ++ Seq.fill(3)(99L)
+    val out = Stats.trimmedMeanByGroup(
+      rows.map(("g", _)).toDF("grp", "v"), "grp", "v").head()
+    assert(out.getLong(1) == 20L && out.getLong(2) == 2L)
+    assert(out.getLong(3) == 239L && out.getLong(4) == 14L)
+  }
+
+  test("trimmedMeanByGroup: an outlier that a plain mean absorbs is " +
+      "fully trimmed; k=0 on tiny groups is the plain mean") {
+    val rows = (1L to 8L) ++ Seq(0L, 100000L)
+    val r = Stats.trimmedMeanByGroup(
+      rows.map(("g", _)).toDF("grp", "v"), "grp", "v").head()
+    // n=10, k=1: drops 0 and 100000 → mean(1..8) = 4 (floor of 4.5)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 36L &&
+      r.getLong(4) == 4L)
+    val tiny = Stats.trimmedMeanByGroup(
+      Seq(("g", 7L), ("g", 9L)).toDF("grp", "v"), "grp", "v").head()
+    assert(tiny.getLong(2) == 0L && tiny.getLong(4) == 8L)
+  }
 }
