@@ -99,10 +99,11 @@ object ScaleStress {
       .split(',').map(_.trim.toInt).toSeq
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
-        "corpusops", "analytics", "streaming", "warehouse")(tier),
+        "corpusops", "analytics", "streaming", "warehouse",
+        "linkage")(tier),
       s"unknown tier '$tier' " +
         "(graph|substring|ingest|ann|multivec|corpusops|analytics|" +
-        "streaming|warehouse)")
+        "streaming|warehouse|linkage)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -816,6 +817,79 @@ object ScaleStress {
           s""""streak_orig_invariant":${stkFp == stkFp1},""" +
           s""""touch_census_linear":$touchLinear,""" +
           s""""fano_linear":$fanoLinear}""")
+      }
+    }
+    if (tier == "linkage") {
+      // The r15 linkage tier: containment dedup (q223's shape) and
+      // entity resolution (q225's plan, via DedupQueries.erClusters)
+      // under ×k growth.
+      //
+      // Containment replicates documents as EXACT COPIES — the
+      // adversarial direction for a pair finder: every copy set is a
+      // clique, so true pairs grow ×k² BY SEMANTICS and the df-cap is
+      // the only thing bounding the candidate join. Pinned: shingle
+      // rows grow exactly ×k, rare-candidate rows stay ≤ shingle rows
+      // (the cap only ever REMOVES candidacy as df grows), and the
+      // pair count respects the structural fan-out bound
+      // pairs ≤ dfCap·candRows/2 — the inequality that holds at ANY
+      // corpus size and is why the join cannot blow up.
+      import graft.operators.Dedup
+      val dStride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def replicateDocs(k: Int): DataFrame = (0 until k).map(i =>
+        docs0.select((col("doc_id") + i * dStride).as("doc_id"),
+          col("text"))).reduce(_.unionByName(_))
+      for (k <- scales) {
+        val d = replicateDocs(k).localCheckpoint(true)
+        val sh = Dedup.shingles(d, "doc_id", "text", 5)
+          .localCheckpoint(true)
+        val shRows = sh.count()
+        val candRows = sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= 50).select("shingle"),
+          "shingle").count()
+        val pairs = phase("containment", k) {
+          Dedup.containmentPairs(d, "doc_id", "text",
+            n = 5, dfCap = 50, minContainE4 = 5000).count()
+        }
+        println(s"""{"scale":$k,"tier":"containment",""" +
+          s""""shingle_rows":$shRows,"cand_rows":$candRows,""" +
+          s""""pairs":$pairs,""" +
+          s""""fanout_bound_ok":${pairs <= 50L * candRows / 2}}""")
+      }
+      // ER replicates CUSTOMERS as fresh entity ranges (stride a
+      // multiple of 30, so the %3/%5 variant rules and the div-10
+      // block key replicate exactly and replica blocks are disjoint).
+      // Pinned: record mass grows exactly ×k, the ORIGINAL cohort's
+      // per-cluster table is byte-identical at every scale (disjoint
+      // blocks ⇒ new cohorts cannot touch old clusters), and driver
+      // heap stays flat (the phase log prints it).
+      val cust0 = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"))
+      val cStride = {
+        val m = cust0.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+        ((m + 29L) / 30L) * 30L
+      }
+      def replicateCust(k: Int): DataFrame = (0 until k).map(i =>
+        cust0.select((col("c_custkey") + i * cStride).as("c_custkey")))
+        .reduce(_.unionByName(_))
+      val k0 = scales.head
+      var recs1 = 0L
+      var fp1 = 0L
+      for (k <- scales) {
+        val c = replicateCust(k).localCheckpoint(true)
+        val (nrec, nclusters, fp) = phase("entity_resolution", k) {
+          val cl = graft.queries.DedupQueries.erClusters(c)
+            .localCheckpoint(true)
+          val n = cl.agg(sum(col("sz")), count(lit(1))).head()
+          val f = cl.filter(col("min_k") < cStride)
+            .agg(expr("bit_xor(xxhash64(struct(*)))")).head()
+          (n.getLong(0), n.getLong(1), if (f.isNullAt(0)) 0L else f.getLong(0))
+        }
+        if (k == k0) { recs1 = nrec; fp1 = fp }
+        println(s"""{"scale":$k,"tier":"entity_resolution",""" +
+          s""""records":$nrec,"clusters":$nclusters,""" +
+          s""""records_linear":${nrec * k0 == recs1 * k},""" +
+          s""""orig_cohort_invariant":${fp == fp1}}""")
       }
     }
     spark.stop()

@@ -445,8 +445,20 @@ object DedupQueries {
   // oracle's recursive-CTE closure; the spec pins exact
   // precision/recall on a planted fixture. ONE customer scan (variants
   // explode map-side), keyed block join, O(dup-subgraph) clustering.
-  def q225(s: SparkSession, dir: String): DataFrame = {
-    val recs = graft.Tables.load(s, dir, "customer")
+  def q225(s: SparkSession, dir: String): DataFrame =
+    erClusters(graft.Tables.load(s, dir, "customer"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("nents") === 1, 1L).otherwise(0L)).as("n_pure"))
+      .orderBy("cluster_size")
+
+  /** q225's ER pipeline up to the per-cluster table (component, sz,
+    * nents, min_k) — exposed so the ScaleStress linkage tier can run
+    * the SAME plan on replicated cohorts and fingerprint the
+    * original-cohort slice.
+    */
+  def erClusters(customers: DataFrame): DataFrame = {
+    val recs = customers
       .select(col("c_custkey").as("k"),
         // lpad TRUNCATES past 10^n (r15 gotcha) — guard in-plan.
         when(col("c_custkey").between(0, 999999),
@@ -480,11 +492,8 @@ object DedupQueries {
       recs.select(col("rec_id").as("id")))
     comp.join(recs.select(col("rec_id").as("id"), col("k")), "id")
       .groupBy("component")
-      .agg(count(lit(1)).as("sz"), countDistinct(col("k")).as("nents"))
-      .groupBy(col("sz").as("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"),
-        sum(when(col("nents") === 1, 1L).otherwise(0L)).as("n_pure"))
-      .orderBy("cluster_size")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("k")).as("nents"),
+        min(col("k")).as("min_k"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
