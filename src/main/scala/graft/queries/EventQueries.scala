@@ -166,7 +166,55 @@ object EventQueries {
       maxLag = 7)
   }
 
+  // q233: RFM SEGMENTATION census — the classic customer-value grid:
+  // per purchasing user, Recency (days since last purchase vs the
+  // stream's own max-day anchor — the q196 replayable-anchor
+  // discipline), Frequency (purchase count) and Monetary (cents, the
+  // certified scale-0 ROUND idiom). R and F codes are exact quartiles
+  // via VALUE-HISTOGRAM windows — both domains are value-bounded (the
+  // calendar span; the per-user count range), so the partition-less
+  // window never sees corpus-sized input; a value class straddling a
+  // cut takes ONE code (the value-tie rule, deterministic in both
+  // engines). M uses fixed business bands ($50/$200/$1000) — the
+  // scale-safe choice for an unbounded-domain dimension. Output: the
+  // (r, f, m) segment census with user counts and monetary mass.
+  def q233(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+    val anchor = ev
+      .agg(max(expr("unix_timestamp(ts) div 86400"))).head().getLong(0)
+    val u = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((lit(anchor) - max(expr("unix_timestamp(ts) div 86400")))
+        .as("r_days"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("m_cents"))
+      .localCheckpoint(true) // two histogram consumers + the final join
+    // quartile code from the bounded value histogram: code 1 = the
+    // smallest values (for R that means MOST recent)
+    def codeMap(c: String): DataFrame = u
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+      // bounded-domain table (days / count values) — window OK
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("cumb",
+        sum(col("c")).over(Window.orderBy(col("v"))) - col("c"))
+      .select(col("v"), expr("1 + cumb * 4 div n").as("code"))
+    u.join(broadcast(codeMap("r_days")
+        .select(col("v").as("r_days"), col("code").as("r_code"))),
+        Seq("r_days"))
+      .join(broadcast(codeMap("f")
+        .select(col("v").as("f"), col("code").as("f_code"))), Seq("f"))
+      .withColumn("m_code",
+        when(col("m_cents") < 5000L, 1L)
+          .when(col("m_cents") < 20000L, 2L)
+          .when(col("m_cents") < 100000L, 3L).otherwise(4L))
+      .groupBy(col("r_code"), col("f_code"), col("m_code"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m_cents")).as("m_total"))
+      .orderBy(col("r_code"), col("f_code"), col("m_code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_rfm_segments" -> (q233 _),
     "q228_autocorrelation" -> (q228 _),
     "q222_cusum_changepoint" -> (q222 _),
     "q196_time_decay" -> (q196 _),
@@ -176,6 +224,35 @@ object EventQueries {
     "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    // q233: same anchor, same quartile-from-histogram code rule
+    // (value ties take one code), same fixed monetary bands.
+    "q233_rfm_segments" ->
+      """WITH anchor AS (SELECT MAX((epoch_us(ts) // 1000000) // 86400)
+        |    AS a FROM events),
+        |u AS MATERIALIZED (SELECT user_id,
+        |    CAST(anchor.a - MAX((epoch_us(ts) // 1000000) // 86400)
+        |      AS BIGINT) AS r_days,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM events CROSS JOIN anchor
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY user_id, anchor.a),
+        |rh AS (SELECT r_days AS v, COUNT(*) AS c FROM u GROUP BY 1),
+        |rm AS (SELECT v, 1 + (SUM(c) OVER (ORDER BY v) - c) * 4
+        |    // (SUM(c) OVER ()) AS code FROM rh),
+        |fh AS (SELECT f AS v, COUNT(*) AS c FROM u GROUP BY 1),
+        |fm AS (SELECT v, 1 + (SUM(c) OVER (ORDER BY v) - c) * 4
+        |    // (SUM(c) OVER ()) AS code FROM fh)
+        |SELECT CAST(rm.code AS BIGINT) AS r_code,
+        |  CAST(fm.code AS BIGINT) AS f_code,
+        |  CAST(CASE WHEN m_cents < 5000 THEN 1
+        |    WHEN m_cents < 20000 THEN 2
+        |    WHEN m_cents < 100000 THEN 3 ELSE 4 END AS BIGINT) AS m_code,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(m_cents) AS BIGINT) AS m_total
+        |FROM u JOIN rm ON rm.v = u.r_days JOIN fm ON fm.v = u.f
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q228: LEAD over the same keyed day order; products of exact
     // D-scaled residuals; COUNT(u*uk) = the t ≤ D−k pair count.
     "q228_autocorrelation" -> {

@@ -719,7 +719,90 @@ object WarehouseQueries {
           expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents")),
       "o_orderpriority", "cents", trimNum = 1, trimDen = 10)
 
+  // q232: market-basket ASSOCIATION RULES (support / confidence /
+  // lift) over order baskets — the apriori level the warehouse
+  // actually runs: the FREQUENT-ITEM prefilter first (an item below
+  // the support floor cannot appear in a qualifying pair — the
+  // monotonicity that makes candidate generation tractable), then the
+  // within-basket pair join on the pruned item set, then the pair
+  // support floor. Lift is the exact integer n_pair·N·10⁴ div
+  // (n1·n2); its long budget (n_pair·N ≤ 9.2·10¹⁴) is raise'd
+  // in-plan per pair (the ksReport pattern). Both join sides are the
+  // checkpointed pruned basket table — Catalyst shares no subtrees.
+  def q232(s: SparkSession, dir: String): DataFrame = {
+    val minSup = 3L
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true) // consumers: basket count, item counts, prune
+    val n = li.select("o").distinct().count()
+    val itemN = li.groupBy("p").agg(count(lit(1)).as("np"))
+      .localCheckpoint(true) // consumers: prune + two rule joins
+    val liF = li.join(itemN.filter(col("np") >= minSup).select("p"), "p")
+      .localCheckpoint(true) // both self-join sides
+    liF.as("x").join(liF.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSup)
+      .join(itemN.select(col("p").as("p1"), col("np").as("n1")), "p1")
+      .join(itemN.select(col("p").as("p2"), col("np").as("n2")), "p2")
+      .select(col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),
+        expr("n_pair * 10000 div n1").as("conf12_e4"),
+        expr("n_pair * 10000 div n2").as("conf21_e4"),
+        when(col("n_pair").cast("double") * lit(n.toDouble) >
+            lit(9.2e14),
+          raise_error(lit("q232: n_pair*N overflows the e4 lift " +
+            "budget; sample baskets first")))
+          .otherwise(expr(s"n_pair * ${n}L * 10000 div (n1 * n2)"))
+          .as("lift_e4"))
+      .orderBy(col("p1"), col("p2"))
+  }
+
+  // q234: ABC / PARETO revenue classification — the inventory-policy
+  // cut ("class A carries 80% of revenue, B the next 15%"): per-part
+  // revenue in exact cents (scale-0 ROUND of the same IEEE product —
+  // the q92 discipline), then the cut VALUES from a descending
+  // cumulative-mass window over the revenue-DOLLAR histogram (the
+  // q215 weighted-quantile shape: the window input is value-domain
+  // bounded, never part-count bounded — the global part rank a naive
+  // ABC sorts for is exactly the single-partition window the q87 fix
+  // removed). cutA = largest dollar value whose ≥-tail carries ≥ 4/5
+  // of total mass (exact integer cross-multiplication, no floats);
+  // parts sharing a boundary value share a class (the value-cut form
+  // of ABC — deterministic in both engines). Output: per class, part
+  // count, revenue and exact e4 share.
+  def q234(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = graft.Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev"))
+      .localCheckpoint(true) // histogram + classification consumers
+    val hist = rev.groupBy(expr("rev div 100").as("rd"))
+      .agg(sum(col("rev")).as("mass"))
+      // value-domain-bounded dollar histogram — window OK
+      .withColumn("cm", sum(col("mass")).over(Window.orderBy(col("rd").desc)))
+      .withColumn("total", sum(col("mass")).over(Window.partitionBy()))
+    val cuts = hist.agg(
+      max(when(col("cm") * 5 >= col("total") * 4, col("rd"))).as("cutA"),
+      max(when(col("cm") * 20 >= col("total") * 19, col("rd"))).as("cutB"),
+      max(col("total")).as("total")).head()
+    val (cutA, cutB, total) =
+      (cuts.getLong(0), cuts.getLong(1), cuts.getLong(2))
+    rev.withColumn("abc_class",
+        when(expr("rev div 100") >= cutA, "A")
+          .when(expr("rev div 100") >= cutB, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+      .withColumn("share_e4", expr(s"revenue_cents * 10000 div ${total}L"))
+      .orderBy(col("abc_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_abc_classification" -> (q234 _),
+    "q232_association_rules" -> (q232 _),
     "q229_trimmed_mean" -> (q229 _),
     "q226_cuped_readout" -> (q226 _),
     "q227_benford_audit" -> (q227 _),
@@ -739,6 +822,51 @@ object WarehouseQueries {
     "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
+    // q234: the same cents aggregation, dollar-histogram tail-mass
+    // cuts by exact cross-multiplication, and value-cut classes.
+    "q234_abc_classification" ->
+      """WITH rev AS MATERIALIZED (SELECT l_partkey AS part,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |hist AS (SELECT rev // 100 AS rd,
+        |    CAST(SUM(rev) AS BIGINT) AS mass
+        |  FROM rev GROUP BY 1),
+        |cm AS (SELECT rd, SUM(mass) OVER (ORDER BY rd DESC) AS cm,
+        |    SUM(mass) OVER () AS total FROM hist),
+        |cuts AS (SELECT
+        |    MAX(CASE WHEN cm * 5 >= total * 4 THEN rd END) AS cuta,
+        |    MAX(CASE WHEN cm * 20 >= total * 19 THEN rd END) AS cutb,
+        |    CAST(MAX(total) AS BIGINT) AS total
+        |  FROM cm)
+        |SELECT CASE WHEN rev // 100 >= cuta THEN 'A'
+        |    WHEN rev // 100 >= cutb THEN 'B' ELSE 'C' END AS abc_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+        |  CAST(SUM(rev) * 10000 // cuts.total AS BIGINT) AS share_e4
+        |FROM rev CROSS JOIN cuts
+        |GROUP BY 1, cuts.total ORDER BY 1""".stripMargin,
+    // q232: the same frequent-item prune, within-basket pair join and
+    // integer rule metrics; N enters as a scalar subquery.
+    "q232_association_rules" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p FROM lineitem),
+        |nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM li),
+        |itemn AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM li GROUP BY 1),
+        |lif AS MATERIALIZED (SELECT li.o, li.p FROM li
+        |  JOIN itemn ON itemn.p = li.p AND itemn.np >= 3),
+        |pairs AS (SELECT x.p AS p1, y.p AS p2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM lif x JOIN lif y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p1, p2, n_pair, a.np AS n1, b.np AS n2,
+        |  CAST(n_pair * 10000 // a.np AS BIGINT) AS conf12_e4,
+        |  CAST(n_pair * 10000 // b.np AS BIGINT) AS conf21_e4,
+        |  CAST(n_pair * nn.n * 10000 // (a.np * b.np) AS BIGINT)
+        |    AS lift_e4
+        |FROM pairs JOIN itemn a ON a.p = p1 JOIN itemn b ON b.p = p2
+        |CROSS JOIN nn ORDER BY p1, p2""".stripMargin,
     // q229: the same histogram-rank windows; the k-th-value boundary
     // rows picked by the identical cum−c < k ≤ cum conditionals.
     "q229_trimmed_mean" ->

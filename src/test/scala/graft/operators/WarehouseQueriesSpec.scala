@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.queries.WarehouseQueries
+import graft.queries.{EventQueries => EventQueriesAlias}
 import java.sql.Timestamp
 import java.time.LocalDate
 
@@ -331,6 +332,28 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out("events_self") == (8L, 10L, -2000L))
   }
 
+  test("q233: four users spread across days land in four distinct " +
+      "recency quartiles; single-valued F and in-band M read code 1") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // One $10 purchase per user on days 10/20/30/40 of Jan 2024; a
+    // trailing view pins the anchor at day 40 for every fixture user.
+    val rows = Seq((1L, ts(10), 1L, "purchase", 10.0),
+      (2L, ts(20), 2L, "purchase", 10.0),
+      (3L, ts(30) /* Jan 30 */, 3L, "purchase", 10.0),
+      (4L, Timestamp.valueOf("2024-02-09 00:00:00"), 4L, "purchase", 10.0),
+      (5L, Timestamp.valueOf("2024-02-09 01:00:00"), 9L, "view", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueriesAlias.queries("q233_rfm_segments")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // r_days = 30/20/10/0 → r codes 4/3/2/1, one user each; F and M
+    // are single-valued → codes 1.
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1L), (2L, 1L, 1L, 1L),
+      (3L, 1L, 1L, 1L), (4L, 1L, 1L, 1L)))
+  }
+
   test("q226: a perfectly linear covariate reads the exact theta and " +
       "the adjustment identity holds per arm") {
     // Users 1..4 with one pre purchase x = 0/10/20/30 and one post
@@ -356,6 +379,41 @@ class WarehouseQueriesSpec extends SparkSpec {
       // mean 30·10⁴ for every arm — the variance reduction is total.
       assert(adj == 300000L, r.toString)
     }
+  }
+
+  test("q232: the frequent pair reads textbook support/confidence/" +
+      "lift; sub-floor items are pruned before pairing") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // Orders 1-4 hold {10, 20}, order 5 {10}, order 6 {30}: item 30
+    // (n=1) is pruned by the frequent-item floor; pair (10, 20) has
+    // support 4 of N=6 baskets, conf 4/5 and 4/4, lift 4·6/(5·4).
+    val rows = (1L to 4L).flatMap(o => Seq((o, 10L), (o, 20L))) ++
+      Seq((5L, 10L), (6L, 30L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseQueries.queries("q232_association_rules")(
+      spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (10L, 20L, 4L))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      (8000L, 10000L, 12000L))
+  }
+
+  test("q234: a textbook 80/15/5 revenue split classifies one part " +
+      "per class with exact shares") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq((1L, 800.0, 0.0), (2L, 150.0, 0.0), (3L, 50.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseQueries.queries("q234_abc_classification")(
+      spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 1L, 80000L, 8000L),
+      ("B", 1L, 15000L, 1500L), ("C", 1L, 5000L, 500L)))
   }
 
   test("q227: planted first digits read exact shares and deviations " +
