@@ -496,7 +496,51 @@ object DedupQueries {
         min(col("k")).as("min_k"))
   }
 
+  // q236: MODULARITY of the q197 LPA communities over the q54
+  // candidate graph — the "did the communities actually capture the
+  // edge structure" number (Newman Q ∈ [−0.5, 1]; ~0 = no better than
+  // random given degrees): Q = Σ_c e_c/m − Σ_c d_c²/(4m²), computed
+  // as ONE exact rational (Σe·4m − Σd²)·10⁴ div 4m². The per-
+  // community sums are keyed aggregates; Σd² accumulates in
+  // decimal(38,0) (a giant community's d_c² passes a long at web
+  // scale — DuckDB mirrors in HUGEINT); the final division runs on
+  // the driver in BigInt over the 1-row sums (the d×d discipline),
+  // truncating toward zero exactly like `//`.
+  def q236(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = lshPairs(s, dir).localCheckpoint(true)
+    val labels = Ranking.labelPropagation(edges,
+        docs(s, dir).select(col("doc_id").as("id")), rounds = 4)
+      .select(col("id"), col("community"))
+      .localCheckpoint(true) // degree join + two intra-edge sides
+    val m = edges.count()
+    val intra = edges
+      .join(labels.select(col("id").as("a"), col("community").as("ca")),
+        "a")
+      .join(labels.select(col("id").as("b"), col("community").as("cb")),
+        "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val sums = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(labels, "id")
+      .groupBy("community").agg(sum("deg").as("d_c"))
+      .join(intra, Seq("community"), "left")
+      .agg(sum(coalesce(col("e_c"), lit(0L))).as("se"),
+        sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("sd2"),
+        count(lit(1)).as("ncomm"))
+      .head()
+    val (se, sd2, ncomm) = (sums.getLong(0),
+      BigInt(sums.getDecimal(1).toBigInteger), sums.getLong(2))
+    val qE4 = ((BigInt(se) * 4 * m - sd2) * 10000 /
+      (BigInt(4) * m * m)).toLong
+    Seq((m, ncomm, se, qE4))
+      .toDF("m", "n_communities", "sum_intra", "q_e4")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_lpa_modularity" -> (q236 _),
     "q225_entity_resolution" -> (q225 _),
     "q223_containment_pairs" -> (q223 _),
     "q175_triangle_census" -> (q175 _),
@@ -616,6 +660,30 @@ object DedupQueries {
        |  SELECT reach.id, u.b FROM reach JOIN und u ON reach.r = u.a
        |),
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** q197's LPA chain as CTEs ending in `l4(id, lbl)` — shared by the
+    * q197 and q236 oracles so the community assignment cannot drift.
+    */
+  private val lpaCtes: String = {
+    val roundCtes = (1 to 4).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT und.dst, $prev.lbl,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM und JOIN $prev ON $prev.id = und.src GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT dst, lbl FROM (
+         |    SELECT dst, lbl, ROW_NUMBER() OVER (PARTITION BY dst
+         |      ORDER BY c DESC, lbl) AS rk FROM c$i) WHERE rk = 1),
+         |l$i AS MATERIALIZED (SELECT $prev.id,
+         |    COALESCE(b$i.lbl, $prev.lbl) AS lbl
+         |  FROM $prev LEFT JOIN b$i ON b$i.dst = $prev.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$candCte,
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand
+       |  UNION ALL SELECT b, a FROM cand),
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
+       |  FROM documents),
+       |$roundCtes""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // q225: the same planted variants, block join, lev ≤ 2 match, and
@@ -835,30 +903,40 @@ object DedupQueries {
     // q197: four unrolled synchronous LPA rounds (MATERIALIZED — DuckDB
     // re-inlines plain CTEs exponentially), min-label tie-break in the
     // per-dst argmax, isolated vertices carried by the LEFT JOIN.
-    "q197_label_propagation" -> {
-      val roundCtes = (1 to 4).map { i =>
-        val prev = s"l${i - 1}"
-        s"""c$i AS MATERIALIZED (SELECT und.dst, $prev.lbl,
-           |    CAST(COUNT(*) AS BIGINT) AS c
-           |  FROM und JOIN $prev ON $prev.id = und.src GROUP BY 1, 2),
-           |b$i AS MATERIALIZED (SELECT dst, lbl FROM (
-           |    SELECT dst, lbl, ROW_NUMBER() OVER (PARTITION BY dst
-           |      ORDER BY c DESC, lbl) AS rk FROM c$i) WHERE rk = 1),
-           |l$i AS MATERIALIZED (SELECT $prev.id,
-           |    COALESCE(b$i.lbl, $prev.lbl) AS lbl
-           |  FROM $prev LEFT JOIN b$i ON b$i.dst = $prev.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $candCte,
-         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand
-         |  UNION ALL SELECT b, a FROM cand),
-         |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
-         |  FROM documents),
-         |$roundCtes
+    "q197_label_propagation" ->
+      s"""WITH $lpaCtes
          |SELECT id AS doc_id, lbl AS community,
          |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT)
          |    AS community_size
-         |FROM l4 ORDER BY doc_id""".stripMargin
-    },
+         |FROM l4 ORDER BY doc_id""".stripMargin,
+    // q236: the shared LPA chain, then degree/intra-edge sums per
+    // community; the modularity products run in HUGEINT (Σd² needs
+    // past a long at web scale) and truncate toward zero exactly like
+    // the engine's driver BigInt.
+    "q236_lpa_modularity" ->
+      s"""WITH $lpaCtes,
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cand),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM cand UNION ALL SELECT b FROM cand)
+         |  GROUP BY 1),
+         |dl AS (SELECT l4.lbl AS community,
+         |    CAST(SUM(deg.deg) AS BIGINT) AS d_c
+         |  FROM deg JOIN l4 ON l4.id = deg.id GROUP BY 1),
+         |ie AS (SELECT x.lbl AS community, CAST(COUNT(*) AS BIGINT)
+         |      AS e_c
+         |  FROM cand JOIN l4 x ON x.id = cand.a
+         |  JOIN l4 y ON y.id = cand.b AND y.lbl = x.lbl GROUP BY 1),
+         |s AS (SELECT
+         |    CAST(SUM(COALESCE(ie.e_c, 0)) AS HUGEINT) AS se,
+         |    CAST(SUM(CAST(dl.d_c AS HUGEINT) * dl.d_c) AS HUGEINT)
+         |      AS sd2,
+         |    CAST(COUNT(*) AS BIGINT) AS ncomm
+         |  FROM dl LEFT JOIN ie USING (community))
+         |SELECT mm.m, s.ncomm AS n_communities,
+         |  CAST(s.se AS BIGINT) AS sum_intra,
+         |  CAST((s.se * 4 * mm.m - s.sd2) * 10000
+         |    // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_e4
+         |FROM mm CROSS JOIN s""".stripMargin,
     // q191: the q54 component chain + md5 exact-keep marks folded into
     // one per-source aggregate of the token masses.
     "q191_token_yield" ->

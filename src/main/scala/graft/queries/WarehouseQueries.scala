@@ -800,7 +800,49 @@ object WarehouseQueries {
       .orderBy(col("abc_class"))
   }
 
+  // q235: A/B conversion CHI-SQUARE — the significance read on q226's
+  // experiment: did the treatment arm convert (become a HEAVY
+  // post-period buyer, ≥8 purchases — every synthetic user purchases
+  // at least once, so plain did-purchase is a degenerate margin) at a
+  // different rate? Pearson's 2×2 statistic computed
+  // EXACTLY: the four cells are one keyed aggregate + a 2-row bounded
+  // collect, χ² = N·(ad−bc)²·10⁴ div (row·row·col·col margins) in
+  // BigInt on the driver (the d×d discipline — (ad−bc)² needs ~N⁴,
+  // far past a long; BigInt and DuckDB HUGEINT `//` agree), so the e4
+  // statistic replays bit-for-bit. Read against 3.84 (95%) / 6.63
+  // (99%) — the χ²₁ thresholds belong in the reader's head, not the
+  // engine.
+  def q235(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("2024-01-16").cast("timestamp")
+    val u = graft.Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase" &&
+        col("ts") >= cut, 1L).otherwise(0L)) >= 8, 1L).otherwise(0L)
+        .as("conv"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 1) < "8",
+          lit("treat")).otherwise(lit("control")))
+    val cells = u.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (nt, kt) = cells("treat")
+    val (nc, kc) = cells("control")
+    val (colC, colN) = (kt + kc, nt + nc - kt - kc)
+    require(colC > 0 && colN > 0 && nt > 0 && nc > 0,
+      "q235: a degenerate margin makes chi-square undefined")
+    val dd = BigInt(kt) * (nc - kc) - BigInt(kc) * (nt - kt)
+    val chi2E4 = (BigInt(nt + nc) * dd * dd * 10000 /
+      (BigInt(nt) * nc * colC * colN)).toLong
+    Seq((nt, kt, nc, kc, kt * 10000L / nt, kc * 10000L / nc, chi2E4))
+      .toDF("n_treat", "conv_treat", "n_control", "conv_control",
+        "rate_treat_e4", "rate_control_e4", "chi2_e4")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_ab_chisquare" -> (q235 _),
     "q234_abc_classification" -> (q234 _),
     "q232_association_rules" -> (q232 _),
     "q229_trimmed_mean" -> (q229 _),
@@ -822,6 +864,40 @@ object WarehouseQueries {
     "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
+    // q235: the same md5 arm split and conversion flag; the χ²
+    // products run in HUGEINT ((ad−bc)² needs ~N⁴) and truncate
+    // toward zero exactly like the engine's BigInt.
+    "q235_ab_chisquare" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) >= 8
+        |      THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+        |        1, 1) < '8'
+        |      THEN 'treat' ELSE 'control' END AS arm
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN arm = 'treat' THEN conv ELSE 0 END)
+        |      AS BIGINT) AS kt,
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN conv ELSE 0 END)
+        |      AS BIGINT) AS kc
+        |  FROM u),
+        |d AS (SELECT *,
+        |    CAST(kt AS HUGEINT) * (nc - kc)
+        |      - CAST(kc AS HUGEINT) * (nt - kt) AS dd
+        |  FROM t)
+        |SELECT nt AS n_treat, kt AS conv_treat, nc AS n_control,
+        |  kc AS conv_control,
+        |  CAST(kt * 10000 // nt AS BIGINT) AS rate_treat_e4,
+        |  CAST(kc * 10000 // nc AS BIGINT) AS rate_control_e4,
+        |  CAST((nt + nc) * dd * dd * 10000
+        |    // (CAST(nt AS HUGEINT) * nc * (kt + kc)
+        |       * (nt + nc - kt - kc)) AS BIGINT) AS chi2_e4
+        |FROM d""".stripMargin,
     // q234: the same cents aggregation, dollar-histogram tail-mass
     // cuts by exact cross-multiplication, and value-cut classes.
     "q234_abc_classification" ->

@@ -416,6 +416,30 @@ class WarehouseQueriesSpec extends SparkSpec {
       ("B", 1L, 15000L, 1500L), ("C", 1L, 5000L, 500L)))
   }
 
+  test("q235: a planted conversion imbalance reads the hand-computed " +
+      "chi-square exactly") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // Need deterministic arms: users are chosen so md5('ab:u')[0]
+    // splits them 2/2 (computed: 2,3 → treat; 1,4 → control — the
+    // q226 fixture's split). Treat users convert (8 post purchases),
+    // control users don't (1 post purchase): a=2 b=0 c=0 d=2 →
+    // χ² = 4·(2·2)²·10⁴ / (2·2·2·2) = 4·10⁴.
+    val rows = Seq(1L, 2L, 3L, 4L).flatMap { u =>
+      val k = if (u == 2L || u == 3L) 8 else 1
+      (0 until k).map(i =>
+        (u * 100 + i, ts(20, i), u, "purchase", 5.0))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = WarehouseQueries.queries("q235_ab_chisquare")(spark, dir)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 2L, 2L, 0L))
+    assert(r.getLong(4) == 10000L && r.getLong(5) == 0L)
+    assert(r.getLong(6) == 40000L)
+  }
+
   test("q227: planted first digits read exact shares and deviations " +
       "from the pinned Benford table") {
     val dir = tmpDir()
