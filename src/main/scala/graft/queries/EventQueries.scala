@@ -213,7 +213,41 @@ object EventQueries {
       .orderBy(col("r_code"), col("f_code"), col("m_code"))
   }
 
+  // q237: top SESSION PATHS — the "how do users actually move" census
+  // generalizing q170's single-step Markov matrix to 3-step journeys:
+  // 30-minute-gap sessions via the lag/cumsum idiom (q46's rule), then
+  // consecutive event-type 3-grams WITHIN session (leads stop at the
+  // session edge by construction of the keyed window), global top-20
+  // by count (ties → path — a TakeOrdered, never a full sort). All
+  // windows keyed by user / (user, session); the path census is at
+  // most |types|³ rows.
+  def q237(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order on the epoch-SECOND anchor + event_id (not the full-µs
+    // timestamp): the oracle's sequence must be the same total order,
+    // and same-second ties must break identically in both engines
+    val byT = Window.partitionBy("user_id")
+      .orderBy(col("__t"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("__t"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .withColumn("__t", unix_timestamp(col("ts")))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(byT))
+      .withColumn("sess",
+        sum(when(col("__gap").isNull || col("__gap") > 1800L, 1L)
+          .otherwise(0L)).over(byT))
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_session_paths" -> (q237 _),
     "q233_rfm_segments" -> (q233 _),
     "q228_autocorrelation" -> (q228 _),
     "q222_cusum_changepoint" -> (q222 _),
@@ -224,6 +258,27 @@ object EventQueries {
     "q121_gap_fill" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    // q237: the same session rule (lag gap > 1800 s on the epoch-sec
+    // anchor), in-session leads, and top-20 with the path tie-break.
+    "q237_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS t
+        |  FROM events),
+        |g AS (SELECT *, t - LAG(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS gap FROM e),
+        |sx AS (SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS sess FROM g),
+        |p AS (SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id, sess
+        |      ORDER BY t, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id, sess
+        |      ORDER BY t, event_id) AS e3
+        |  FROM sx)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // q233: same anchor, same quartile-from-histogram code rule
     // (value ties take one code), same fixed monetary bands.
     "q233_rfm_segments" ->

@@ -841,7 +841,63 @@ object WarehouseQueries {
         "rate_treat_e4", "rate_control_e4", "chi2_e4")
   }
 
+  /** q238's feature columns as exact integer expressions — shared by
+    * the engine and the oracle generator so the moment definitions
+    * cannot drift. (name, Spark/DuckDB-portable SQL over lineitem).
+    */
+  private val CorrFeatures: Seq[(String, String)] = Seq(
+    "quantity" -> "CAST(l_quantity AS BIGINT)",
+    "price_c" -> "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+    "disc_e2" -> "CAST(ROUND(l_discount * 100) AS BIGINT)",
+    "tax_e2" -> "CAST(ROUND(l_tax * 100) AS BIGINT)")
+
+  // q238: pairwise CORRELATION matrix over the lineitem measure
+  // columns — the profiling step before any feature is trusted in a
+  // model or a mixture weight. Pearson r needs a sqrt no engine pair
+  // computes bit-identically, so the certified statistic is SIGNED
+  // r²·10⁴ — computed as the SLOPE PRODUCT r² = b_xy·b_yx (the two
+  // regression slopes), each slope a truncated e6 integer: squaring
+  // the covariance numerator directly would pass even int128 at
+  // sf0.1 (num² ~ 10⁵¹), while Cauchy–Schwarz bounds the slope
+  // product at 10¹² and each factor at ~10¹⁶ — inside HUGEINT and
+  // BigInt alike, truncation toward zero in both. Driver BigInt over
+  // the ONE-row moment aggregate (the d×d discipline — F(F+3)/2
+  // cells, all map-side combinable; product sums accumulate in
+  // decimal(38,0), since Σprice² passes a long at sf0.1 already).
+  // NULL when a feature is constant (no variance to correlate).
+  def q238(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = CorrFeatures.map(_._1)
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select(CorrFeatures.map { case (n, e) => expr(e).as(n) }: _*)
+    val aggs = (f.map(c => sum(col(c)).as(s"s_$c")) ++
+      (for { i <- f.indices; j <- i until f.length } yield
+        sum(expr(s"CAST(${f(i)} AS DECIMAL(38,0)) * ${f(j)}"))
+          .as(s"p_${i}_$j")))
+    val m = li.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = m.getLong(0)
+    def sm(i: Int) = BigInt(m.getAs[Long](s"s_${f(i)}"))
+    def pm(i: Int, j: Int) = BigInt(m.getAs[java.math.BigDecimal](
+      s"p_${math.min(i, j)}_${math.max(i, j)}").toBigInteger)
+    val rows = for { i <- f.indices; j <- (i + 1) until f.length } yield {
+      val num = BigInt(n) * pm(i, j) - sm(i) * sm(j)
+      val di = BigInt(n) * pm(i, i) - sm(i) * sm(i)
+      val dj = BigInt(n) * pm(j, j) - sm(j) * sm(j)
+      val r2: Option[Long] =
+        if (di == 0 || dj == 0) None
+        else {
+          val q = ((num * 1000000 / di) * (num * 1000000 / dj) /
+            100000000L).toLong
+          Some(if (num < 0) -q else q)
+        }
+      (f(i), f(j), r2)
+    }
+    rows.toDF("col_x", "col_y", "signed_r2_e4")
+      .orderBy("col_x", "col_y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_corr_matrix" -> (q238 _),
     "q235_ab_chisquare" -> (q235 _),
     "q234_abc_classification" -> (q234 _),
     "q232_association_rules" -> (q232 _),
@@ -864,6 +920,37 @@ object WarehouseQueries {
     "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
+    // q238: the same moment cells in HUGEINT and the same two-step
+    // slope-product algebra (each slope truncated at e6, the product
+    // truncated at the final e4 — toward zero in both engines).
+    "q238_corr_matrix" -> {
+      val f = CorrFeatures
+      val moments = (f.map { case (nm, e) =>
+        s"CAST(SUM($e) AS HUGEINT) AS s_$nm" } ++
+        (for { i <- f.indices; j <- i until f.length } yield
+          s"SUM(CAST((${f(i)._2}) AS HUGEINT) * (${f(j)._2})) " +
+            s"AS p_${i}_$j")).mkString(",\n    ")
+      def num(i: Int, j: Int) =
+        s"(n * p_${i}_$j - s_${f(i)._1} * s_${f(j)._1})"
+      def dd(i: Int) = s"(n * p_${i}_$i - s_${f(i)._1} * s_${f(i)._1})"
+      val pairRows = (for { i <- f.indices; j <- (i + 1) until f.length }
+        yield {
+          val (q, di, dj) = (num(i, j), dd(i), dd(j))
+          s"SELECT '${f(i)._1}' AS col_x, '${f(j)._1}' AS col_y, " +
+            s"CASE WHEN $di = 0 OR $dj = 0 THEN NULL " +
+            s"WHEN $q < 0 THEN CAST(-(($q * 1000000 // $di) " +
+            s"* ($q * 1000000 // $dj) // 100000000) AS BIGINT) " +
+            s"ELSE CAST(($q * 1000000 // $di) " +
+            s"* ($q * 1000000 // $dj) // 100000000 AS BIGINT) " +
+            "END AS signed_r2_e4 FROM mom"
+        }).mkString("\nUNION ALL\n")
+      s"""WITH mom AS MATERIALIZED (SELECT
+         |    CAST(COUNT(*) AS HUGEINT) AS n,
+         |    $moments
+         |  FROM lineitem)
+         |$pairRows
+         |ORDER BY col_x, col_y""".stripMargin
+    },
     // q235: the same md5 arm split and conversion flag; the χ²
     // products run in HUGEINT ((ad−bc)² needs ~N⁴) and truncate
     // toward zero exactly like the engine's BigInt.

@@ -440,6 +440,46 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(r.getLong(6) == 40000L)
   }
 
+  test("q237: a 2-hour gap splits the session — 3-gram paths never " +
+      "cross it, and short sessions yield no path") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(5, 10, 0), 1L, "signup"), (2L, ts(5, 10, 5), 1L, "view"),
+      (3L, ts(5, 10, 9), 1L, "click"),
+      // 2-hour gap → new session
+      (4L, ts(5, 13, 0), 1L, "view"), (5L, ts(5, 13, 2), 1L, "click"),
+      (6L, ts(5, 13, 4), 1L, "purchase"),
+      // user 2: two events only — no 3-gram
+      (7L, ts(6, 9, 0), 2L, "view"), (8L, ts(6, 9, 1), 2L, "click"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueriesAlias.queries("q237_session_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("signup>view>click", 1L),
+      ("view>click>purchase", 1L)))
+  }
+
+  test("q238: a perfect linear pair reads +10000, a perfect inverse " +
+      "pair -10000, and a constant feature reads NULL") {
+    val dir = tmpDir()
+    import spark.implicits._
+    (1 to 10).map(i => (i.toLong, 2.0 * i, 0.50 - 0.01 * i, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseQueries.queries("q238_corr_matrix")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.toSeq == Seq(
+      ("disc_e2", "tax_e2", None),
+      ("price_c", "disc_e2", Some(-10000L)),
+      ("price_c", "tax_e2", None),
+      ("quantity", "disc_e2", Some(-10000L)),
+      ("quantity", "price_c", Some(10000L)),
+      ("quantity", "tax_e2", None)))
+  }
+
   test("q227: planted first digits read exact shares and deviations " +
       "from the pinned Benford table") {
     val dir = tmpDir()
