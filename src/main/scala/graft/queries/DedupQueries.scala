@@ -539,7 +539,54 @@ object DedupQueries {
       .toDF("m", "n_communities", "sum_intra", "q_e4")
   }
 
+  // q239: CONTAMINATION BLAST RADIUS — q64 flags train docs that
+  // directly share eval n-grams; this answers the question a real
+  // decontamination pass must: how far does the leak propagate through
+  // the near-dup graph (a near-copy of a contaminated doc carries the
+  // leak without sharing the exact 3-grams)? Hop 0 = q64's flagged
+  // set (same operator, same threshold — the flags cannot drift),
+  // hops 1–2 = new TRAIN docs reached across the q54 LSH candidate
+  // edges, each hop one keyed frontier join + anti-joins against the
+  // already-reached sets — O(frontier), never a transitive closure
+  // materialization. Output per hop: newly reached docs and their
+  // token mass — the "how much more must be quarantined" number.
+  def q239(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val seeds = graft.operators.Curation.decontaminate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, threshold = 0.3)
+      .filter(col("contaminated"))
+      .select(col("doc_id").as("id"))
+      .localCheckpoint(true) // hop-0 row + two anti-join consumers
+    val e = lshPairs(s, dir)
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true) // two frontier joins
+    val hop1 = und.join(seeds.select(col("id").as("src")), "src")
+      .select(col("dst").as("id")).distinct()
+      .filter(col("id") % 50 =!= 0)
+      .join(seeds, Seq("id"), "left_anti")
+      .localCheckpoint(true) // hop-1 row + two hop-2 consumers
+    val hop2 = und.join(hop1.select(col("id").as("src")), "src")
+      .select(col("dst").as("id")).distinct()
+      .filter(col("id") % 50 =!= 0)
+      .join(seeds, Seq("id"), "left_anti")
+      .join(hop1, Seq("id"), "left_anti")
+    val toks = d.select(col("doc_id").as("id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    def hopRow(hop: Long, ids: DataFrame): DataFrame =
+      ids.join(toks, "id")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("ntok")), lit(0L)).as("tok_mass"))
+        .select(lit(hop).as("hop"), col("n_docs"), col("tok_mass"))
+    hopRow(0L, seeds).unionByName(hopRow(1L, hop1))
+      .unionByName(hopRow(2L, hop2))
+      .orderBy("hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_contamination_radius" -> (q239 _),
     "q236_lpa_modularity" -> (q236 _),
     "q225_entity_resolution" -> (q225 _),
     "q223_containment_pairs" -> (q223 _),
@@ -686,6 +733,52 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q239: q64's seed CTE (same ROUND-threshold flag), the shared
+    // candidate chain, and two unrolled frontier hops with the same
+    // train-only filter and anti-join discipline.
+    "q239_contamination_radius" ->
+      s"""WITH $candCte,
+         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand
+         |  UNION ALL SELECT b, a FROM cand),
+         |toksq AS (SELECT doc_id, regexp_split_to_array(text, ' ') t
+         |  FROM documents),
+         |posq AS (SELECT doc_id, t, unnest(range(1, len(t) - 2 + 1))
+         |    AS i FROM toksq),
+         |ngq AS (SELECT doc_id,
+         |    list_aggregate(t[i:i+2], 'string_agg', ' ') AS g
+         |  FROM posq),
+         |evq AS (SELECT DISTINCT g FROM ngq WHERE doc_id % 50 = 0),
+         |seeds AS MATERIALIZED (SELECT doc_id AS id FROM (
+         |    SELECT doc_id, COUNT(*) AS n_ngrams,
+         |      SUM(CASE WHEN g IN (SELECT g FROM evq) THEN 1 ELSE 0 END)
+         |        AS n_hits
+         |    FROM ngq WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+         |  WHERE ROUND(n_hits * 1.0 / n_ngrams, 4) >= 0.3),
+         |h1 AS MATERIALIZED (SELECT DISTINCT und.dst AS id
+         |  FROM und JOIN seeds ON seeds.id = und.src
+         |  WHERE und.dst % 50 <> 0
+         |    AND und.dst NOT IN (SELECT id FROM seeds)),
+         |h2 AS MATERIALIZED (SELECT DISTINCT und.dst AS id
+         |  FROM und JOIN h1 ON h1.id = und.src
+         |  WHERE und.dst % 50 <> 0
+         |    AND und.dst NOT IN (SELECT id FROM seeds)
+         |    AND und.dst NOT IN (SELECT id FROM h1)),
+         |tk AS (SELECT doc_id AS id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents)
+         |SELECT CAST(0 AS BIGINT) AS hop,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS tok_mass
+         |FROM seeds JOIN tk USING (id)
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+         |FROM h1 JOIN tk USING (id)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+         |FROM h2 JOIN tk USING (id)
+         |ORDER BY hop""".stripMargin,
     // q225: the same planted variants, block join, lev ≤ 2 match, and
     // a recursive-CTE reachability closure whose MIN(r) is exactly the
     // engine's min-label component.
