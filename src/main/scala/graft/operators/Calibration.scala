@@ -76,7 +76,9 @@ object Calibration {
     * outcome separation, uncertainty ȳ(1−ȳ) is the data's floor. All
     * terms are e8 integers; cell and group outcome rates are e4
     * integers truncated BEFORE squaring, so the identity holds within
-    * truncation ulps (spec-pinned) and both engines agree bit-for-bit.
+    * ~6·10⁴ e8 (three truncated means × ≲2·10⁴ e8 each — 6·10⁻⁴ of
+    * the Brier scale; EXACT on exact-division cells). Both bounds are
+    * spec-pinned and both engines agree bit-for-bit.
     *
     * Scale shape: ONE corpus aggregate into (group, p) cells — bounded
     * by 10⁴+1 rows per group — eagerly checkpointed (two consumers),
