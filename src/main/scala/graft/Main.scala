@@ -70,6 +70,14 @@ object Main {
           sys.exit(2)
         }
         val k = opt(args, "k", "1").toInt
+        // Fail with the available names instead of a Spark
+        // PATH_NOT_FOUND stack trace when the collection is mistyped.
+        val existing = store.listCollections()
+        if (!existing.contains(collection)) {
+          System.err.println(s"collection '$collection' not found in " +
+            s"this store; available: ${existing.mkString(", ")}")
+          sys.exit(2)
+        }
         var line = ""
         while ({ print("query> "); line = Option(StdIn.readLine()).getOrElse("");
             line.trim.nonEmpty }) {
