@@ -80,6 +80,36 @@ object IvfSq {
     searchIndexed(index(df, vecCol, m), idCol, vecCol, "ivf_cid",
       "sq_code", m, q, k, nprobe, pool)
 
+  /** Serve a search from a PERSISTED codes table (the `_index` sidecar
+    * shape [[graft.store.VectorStore.buildIndex]] writes): `codes`
+    * carries only (idCol, cidCol, codeCol) — int8 codes plus a small
+    * int per row, the scan a 100 TB serving path wants — and the float
+    * vectors are joined back from `chunks` for the exact re-score of
+    * the ≤ `pool` survivors only. Ranking, tiebreaks and output are
+    * EXACTLY [[searchIndexed]]'s (pool by integer approximate d², k by
+    * exact integer d², both keyed ascending), so a sidecar built over
+    * the same rows returns the identical id set.
+    */
+  def searchCodes(codes: DataFrame, chunks: DataFrame, idCol: String,
+      vecCol: String, cidCol: String, codeCol: String, m: Model,
+      q: Array[Float], k: Int, nprobe: Int = 2, pool: Int = 50): DataFrame = {
+    val qE6 = q.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val probes = m.ivf.probeCentroids(q, nprobe)
+    val pruned = codes.filter(col(cidCol).isin(probes: _*))
+    val approx = zip_with(element_at(centsLit(m.ivf), col(cidCol) + 1),
+      Sq.dequantCol(col(codeCol), m.sq), (c, r) => c + r)
+    val poolIds = pruned
+      .select(col(idCol), Sq.sqDistToLit(approx, qE6).as("d2q_e12"))
+      .orderBy(col("d2q_e12"), col(idCol))
+      .limit(pool)
+    chunks.select(col(idCol), col(vecCol))
+      .join(broadcast(poolIds), Seq(idCol))
+      .select(col(idCol), col("d2q_e12"),
+        Sq.sqDistToLit(Sq.e6(col(vecCol)), qE6).as("d2_e12"))
+      .orderBy(col("d2_e12"), col(idCol))
+      .limit(k)
+  }
+
   /** Probe-pruned asymmetric search over an [[index]]ed table: scan only
     * the `nprobe` nearest inverted lists, rank by integer squared L2 of
     * (centroid + dequantized residual) vs the exact query, then exact

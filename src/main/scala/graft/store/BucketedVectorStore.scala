@@ -38,8 +38,8 @@ import org.apache.spark.sql.functions._
   * under the q202 oracle (same content certificate as q148, plus the
   * census bound asserted inside the gated run).
   */
-final class BucketedVectorStore(spark: SparkSession, root: String,
-    nBuckets: Int = 16) extends ChunkStore {
+final class BucketedVectorStore(protected val spark: SparkSession,
+    protected val root: String, nBuckets: Int = 16) extends ChunkStore {
 
   import BucketedMerge.{BucketCol, bucketOf}
 
@@ -136,18 +136,19 @@ final class BucketedVectorStore(spark: SparkSession, root: String,
   }
 
   /** Compact a collection to exactly one file per bucket: rewrite into
-    * a sibling temp directory, then swap. The tmp-and-swap shape (not
-    * an in-place dynamic overwrite) is deliberate: an in-place rewrite
-    * reads the directory it replaces, which would force materializing
-    * the WHOLE collection first (the self-overwrite discipline upsert
-    * pays only for its touched buckets) — a full extra copy of a
-    * 100 TB store held in executor storage. Writing aside streams the
-    * store through once; the commit is nBuckets staged files + two
-    * driver renames, never O(documents) (VectorStore.compact's
-    * per-document layout renames ~one file per document). Returns
-    * (files_before, files_after): after is bounded by `nBuckets`
-    * regardless of document count — the census-independence claim
-    * q202 asserts.
+    * a sibling temp directory, then swap via the crash-safe
+    * rename-aside commit ([[ChunkStore.commitSwap]]). The tmp-and-swap
+    * shape (not an in-place dynamic overwrite) is deliberate: an
+    * in-place rewrite reads the directory it replaces, which would
+    * force materializing the WHOLE collection first (the
+    * self-overwrite discipline upsert pays only for its touched
+    * buckets) — a full extra copy of a 100 TB store held in executor
+    * storage. Writing aside streams the store through once; the commit
+    * is nBuckets staged files + three driver renames (aside, publish,
+    * clear), never O(documents) (VectorStore.compact's per-document
+    * layout renames ~one file per document). Returns (files_before,
+    * files_after): after is bounded by `nBuckets` regardless of
+    * document count — the census-independence claim q202 asserts.
     */
   def compact(collection: String): (Long, Long) = {
     val dir = path(collection)
@@ -159,11 +160,7 @@ final class BucketedVectorStore(spark: SparkSession, root: String,
       .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
     rows.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/_schema")
-    val f = fs(dir)
-    f.delete(new org.apache.hadoop.fs.Path(dir), true)
-    require(f.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir)),
-      s"compact: rename $tmp -> $dir failed")
+    ChunkStore.commitSwap(spark, dir, tmp)
     (before, countDataFiles(dir))
   }
 
