@@ -283,7 +283,13 @@ object Bench {
       "q205_stream_ingest_bucketed",
       // r15: q222's CUSUM fed by a REAL streaming aggregation (q84's
       // runtime shape) vs q222's single-statement batch replay.
-      "q231_stream_cusum")
+      "q231_stream_cusum",
+      // r16: physical store write + TWO index builds + sidecar-served
+      // searches vs a replay of only the exact-mode scoring.
+      "q240_index_sidecar_search",
+      // r16: physical bucketed-store build, full compact, replace
+      // merge and incremental compact vs a content-derivation replay.
+      "q241_incremental_compaction")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.IngestionPipeline
 import graft.sources.{DatabaseSource, MarkdownSource, PdfSource, SqliteReader}
-import graft.store.VectorStore
+import graft.store.{BucketedVectorStore, ChunkStore, VectorStore}
 import org.apache.spark.sql.SparkSession
 
 import scala.io.StdIn
@@ -10,6 +10,15 @@ import scala.io.StdIn
 /** CLI surface (SURVEY.md §2.8, A1–A3): `ingest | search | list`, mirroring
   * the reference's three subcommands (`Program.cs:22-53`) with the same
   * defaults (collection `documents`, reader-specific sources).
+  *
+  * `--layout document|bucketed` selects the store layout behind the
+  * [[graft.store.ChunkStore]] seam: `document` is the reference's
+  * replace-unit layout (one parquet partition per documentid — right
+  * for REPL-scale collections), `bucketed` is the 100 TB layout
+  * (nBuckets hash partitions — file census independent of document
+  * count, O(buckets) commits; q202/q205's certified shape). The layout
+  * is invisible to results: ingest/search/list return the same answers
+  * through either (MainLayoutSpec drives both end-to-end).
   */
 object Main {
 
@@ -32,9 +41,28 @@ object Main {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
+    val code = run(args, spark)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** The command dispatcher, separated from session lifecycle so specs
+    * can drive the full CLI path (store construction included) on the
+    * shared test session. Returns the process exit code.
+    */
+  def run(args: Array[String], spark: SparkSession): Int = {
     val storeRoot = opt(args, "store", "/tmp/graft-store")
     val collection = opt(args, "collection", "documents")
-    val store = new VectorStore(spark, storeRoot)
+    val layout = opt(args, "layout", "document")
+    val store: ChunkStore = layout match {
+      case "document" => new VectorStore(spark, storeRoot)
+      case "bucketed" => new BucketedVectorStore(spark, storeRoot,
+        nBuckets = opt(args, "buckets", "16").toInt)
+      case other =>
+        System.err.println(s"unknown --layout '$other' " +
+          "(document|bucketed required)")
+        return 2
+    }
 
     args(0) match {
       case "ingest" =>
@@ -51,7 +79,7 @@ object Main {
           case other =>
             System.err.println(s"unknown --reader '$other' " +
               "(markdown|pdf|database required)") // validated, Program.cs:24-25
-            sys.exit(2); null
+            return 2
         }
         val results = IngestionPipeline.run(elements, store, collection)
         results.collect().foreach { r =>
@@ -59,6 +87,7 @@ object Main {
           println(s"[$status] ${r.documentid} chunks=${r.n_chunks}" +
             r.error.map(e => s" error=$e").getOrElse(""))
         }
+        0
       case "search" =>
         // REPL: blank line exits (VectorStoreCommands.cs:110,128-138).
         // --mode exact|lsh|ivfsq selects the scan strategy (default
@@ -67,7 +96,7 @@ object Main {
         if (!Set("exact", "lsh", "ivfsq")(mode)) {
           System.err.println(
             s"unknown --mode '$mode' (exact|lsh|ivfsq required)")
-          sys.exit(2)
+          return 2
         }
         val k = opt(args, "k", "1").toInt
         // Fail with the available names instead of a Spark
@@ -76,7 +105,7 @@ object Main {
         if (!existing.contains(collection)) {
           System.err.println(s"collection '$collection' not found in " +
             s"this store; available: ${existing.mkString(", ")}")
-          sys.exit(2)
+          return 2
         }
         var line = ""
         while ({ print("query> "); line = Option(StdIn.readLine()).getOrElse("");
@@ -89,8 +118,10 @@ object Main {
               .foreach(f => println(s"  $f: ${row.getAs[Any](f)}"))
           }
         }
+        0
       case "list" =>
         store.listCollections().foreach(println)
+        0
       case "sql" =>
         // Analytics REPL over the engine's full SQL surface: testdata
         // tables (--data <sfDir>) and every store collection (as
@@ -105,18 +136,20 @@ object Main {
           try spark.sql(line).show(50, truncate = false)
           catch { case e: Exception => System.err.println(e.getMessage) }
         }
+        0
       case other =>
-        System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
+        System.err.println(s"unknown command '$other'"); usage(); 2
     }
-    spark.stop()
   }
 
   private def usage(): Unit = System.err.println(
     """usage: graft.Main <command> [options]
       |  ingest --reader markdown|pdf|database --source <path>
-      |         [--collection c] [--store dir]
+      |         [--collection c] [--store dir] [--layout document|bucketed]
+      |         [--buckets n]
       |  search [--collection c] [--store dir] [--k n]
+      |         [--layout document|bucketed]
       |         [--mode exact|lsh|ivfsq]   (default exact; ANN approximate)
-      |  list   [--store dir]
+      |  list   [--store dir] [--layout document|bucketed]
       |  sql    [--data sfDir] [--store dir]""".stripMargin)
 }

@@ -496,6 +496,192 @@ object IngestQueries {
       .orderBy(col("query_id"), col("score").desc, col("key"))
   }
 
+  // q240: the PERSISTED-index serving path gated end-to-end — the
+  // reference analogue is sqlite-vec querying a persisted index
+  // (`VectorStoreCommands.cs:113`), never refitting per query. q204
+  // certified the REPL convenience path (index fit at search time);
+  // this query certifies the production path: `buildIndex` writes the
+  // LSH bucket table and the IVF-SQ code table + fitted model under
+  // `<collection>/_index/`, stamped with the store's data fingerprint,
+  // and `search(mode=lsh|ivfsq)` serves from the sidecar while it is
+  // FRESH (hasFreshIndex REQUIRED true before the searches, so the
+  // serving branch is the one exercised — the fit-at-search fallback
+  // is unreachable under that invariant). Same store construction,
+  // same five pre-embedded queries, same recall floors as q204 (the
+  // fits are deterministic over the same rows, so the sidecar returns
+  // the fit-at-search answer exactly — IndexSidecarSpec pins the
+  // equality rowwise). After the searches, ONE extra upsert must flip
+  // hasFreshIndex false for both modes — the staleness contract the
+  // q146/q151 refresh policies hook into. Certified output: the
+  // exact-mode rows, replayed by the q204 oracle. Bench tier: exec
+  // (physical store + index writes; the denominator replays only the
+  // exact-mode scoring).
+  def q240(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q240-store").toString
+    val vs = new VectorStore(s, storeRoot)
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val n2 = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val chunks = emb.select(
+        when(col("vec_id") < 1000000000000L,
+            lpad(col("vec_id").cast("string"), 12, "0"))
+          .otherwise(raise_error(concat(lit("q240: vec_id "),
+            col("vec_id").cast("string"),
+            lit(" overflows the 12-char key pad")))).as("key"),
+        when(n2 > 0, transform(col("embedding"),
+            x => (x.cast("double") / sqrt(n2)).cast("float")))
+          .otherwise(col("embedding")).as("embedding"),
+        concat(lit("v"), col("vec_id")).as("content"),
+        lit("").as("context"),
+        concat(lit("g"), pmod(col("vec_id"), lit(32L))).as("documentid"))
+      .as[graft.model.EmbeddedChunk](
+        org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+    vs.upsert(chunks, "vecs")
+    // The write-time half: fit once, persist codes + model, stamp the
+    // fingerprint. From here every ANN search is probe + re-score.
+    vs.buildIndex("vecs", "lsh")
+    vs.buildIndex("vecs", "ivfsq")
+    require(vs.hasFreshIndex("vecs", "lsh"),
+      "q240: lsh sidecar not fresh after buildIndex")
+    require(vs.hasFreshIndex("vecs", "ivfsq"),
+      "q240: ivfsq sidecar not fresh after buildIndex")
+    val provider = new graft.functions.VectorLiteralProvider(dim)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val k = 10
+    val exactRows = queryVecs.map { case (qid, qv) =>
+      val text = graft.functions.VectorLiteralProvider.render(qv)
+      val exact = vs.search("vecs", text, k = k, provider = provider,
+        mode = "exact").select(col("key"), col("score")).collect()
+      val exactKeys = exact.map(_.getString(0)).toSet
+      def recallOf(mode: String): Double = {
+        val keys = vs.search("vecs", text, k = k, provider = provider,
+          mode = mode).select(col("key")).collect().map(_.getString(0))
+        keys.count(exactKeys).toDouble / k
+      }
+      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
+    }
+    // Same floors as q204: the persisted index must not trade recall
+    // for its speed — it serves the very answer the fit would.
+    val meanLsh = exactRows.map(_._3).sum / exactRows.length
+    val meanIvf = exactRows.map(_._4).sum / exactRows.length
+    require(meanLsh >= 0.3,
+      s"q240: mean lsh recall@$k $meanLsh is below the 0.3 floor")
+    require(meanIvf >= 0.4,
+      s"q240: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    // Staleness contract: one more document and the sidecar must stop
+    // being trusted (fingerprint mismatch), not silently serve an
+    // index that has no codes for the newest data.
+    import s.implicits._
+    vs.upsert(Seq(graft.model.EmbeddedChunk("z-extra",
+      Array.fill(dim)(0.1f), "extra", "", "gz")).toDS(), "vecs")
+    require(!vs.hasFreshIndex("vecs", "lsh"),
+      "q240: lsh sidecar still fresh after an upsert")
+    require(!vs.hasFreshIndex("vecs", "ivfsq"),
+      "q240: ivfsq sidecar still fresh after an upsert")
+    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
+      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
+    }.toDF("query_id", "key", "score")
+      .orderBy(col("query_id"), col("score").desc, col("key"))
+  }
+
+  // q241: INCREMENTAL compaction gated — at 100 TB the whole-collection
+  // rewrite (q202) is a once-in-a-while layout reset; the compaction
+  // you actually operate is `compactFragmented`: rewrite ONLY the
+  // buckets whose file count exceeds the threshold, leave every other
+  // bucket's files physically untouched. The query (a) ingests the
+  // q202 chunk set and fully compacts (one file per bucket — the clean
+  // baseline), (b) re-ingests a FIXED 5-document cohort (the smallest
+  // doc_ids — a corpus-size-independent increment, so untouched
+  // buckets exist at every SF) with the 2×200 re-chunking —
+  // fragmenting ONLY those documents' buckets,
+  // (c) snapshots every bucket's (file name, length, mtime) census,
+  // (d) runs compactFragmented(maxFilesPerBucket = 1) and REQUIRES:
+  // the rewritten-bucket count equals the fragmented count, the total
+  // census is back to one file per present bucket, and every
+  // UNTOUCHED bucket's file statuses are byte-identical (same names,
+  // lengths, mtimes — the physical proof the rewrite cost is
+  // O(fragmented buckets' bytes), not O(store)). Certified output:
+  // the q202-style content checksum over the final state. Bench tier:
+  // exec (physical store writes; the denominator replays content
+  // derivation).
+  def q241(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q241-store").toString
+    val vs = new graft.store.BucketedVectorStore(s, storeRoot, nBuckets = 16)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def chunksOf(d: DataFrame, n: Int, width: Int, keyTag: String) = d
+      .select(col("doc_id"), col("lang"),
+        posexplode(array((0 until n).map(i =>
+          substring(col("text"), i * width + 1, width)): _*))
+          .as(Seq("ci", "content")))
+      .filter(length(col("content")) > 0)
+      .select(
+        concat(lit("d"), col("doc_id"), lit(s":$keyTag"), col("ci")).as("key"),
+        typedLit(Array.empty[Float]).as("embedding"),
+        col("content"),
+        col("lang").as("context"),
+        concat(lit("d"), col("doc_id")).as("documentid"))
+      .repartition(8) // scatter: replace batches fan buckets into files
+      .as[graft.model.EmbeddedChunk](
+        org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+    vs.upsert(chunksOf(docs, 3, 150, ""), "docs")
+    vs.compact("docs") // clean baseline: one file per present bucket
+    // The fragmenting increment: a fixed-size document cohort
+    // re-chunked — an ingest increment does not grow with the corpus.
+    val redo = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
+      .collect().map(_.getLong(0))
+    vs.upsert(chunksOf(docs.filter(col("doc_id").isin(redo.map(
+      java.lang.Long.valueOf): _*)), 2, 200, "r"), "docs")
+    def bucketStatuses(): Map[Int, Seq[String]] = {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storeRoot), s.sparkContext.hadoopConfiguration)
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$storeRoot/docs"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(
+          graft.store.BucketedMerge.BucketCol + "="))
+        .map { st =>
+          val b = st.getPath.getName
+            .stripPrefix(graft.store.BucketedMerge.BucketCol + "=").toInt
+          b -> fsys.listStatus(st.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => s"${f.getPath.getName}:${f.getLen}:" +
+              s"${f.getModificationTime}").toSeq.sorted
+        }.toMap
+    }
+    val beforeStatuses = bucketStatuses()
+    val fragmented = beforeStatuses.filter(_._2.size > 1).keySet
+    val untouched = beforeStatuses.keySet -- fragmented
+    require(fragmented.nonEmpty,
+      "q241: the replace increment fragmented no bucket")
+    require(untouched.nonEmpty,
+      "q241: every bucket was touched — the untouched-bucket claim " +
+        "has nothing to certify")
+    val (rewritten, before, after) =
+      vs.compactFragmented("docs", maxFilesPerBucket = 1)
+    require(rewritten == fragmented.size,
+      s"q241: rewrote $rewritten buckets, expected ${fragmented.size}")
+    require(after < before && after == beforeStatuses.size,
+      s"q241: census $before -> $after, expected one file per " +
+        s"present bucket (${beforeStatuses.size})")
+    val afterStatuses = bucketStatuses()
+    untouched.foreach { b =>
+      require(afterStatuses(b) == beforeStatuses(b),
+        s"q241: untouched bucket $b was physically rewritten")
+    }
+    vs.read("docs")
+      .select(col("key"), col("content"),
+        substring(col("documentid"), 2, 18).cast("long").as("did"))
+      .groupBy((col("did") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("did")).as("n_docs"),
+        sum(conv(substring(md5(concat_ws(":", col("key"), col("content"))),
+          1, 13), 16, 10).cast("long")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   /** q162: hive-partitioned layout + PARTITION-PRUNING certificate —
     * writes the corpus partitioned by `lang`, reads it back with a
     * two-language predicate, and REQUIRES (a) the predicate reaches
@@ -581,6 +767,8 @@ object IngestQueries {
     "q202_bucketed_compaction" -> (q202 _),
     "q204_search_mode_recall" -> (q204 _),
     "q205_stream_ingest_bucketed" -> (q205 _),
+    "q240_index_sidecar_search" -> (q240 _),
+    "q241_incremental_compaction" -> (q241 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -737,6 +925,68 @@ object IngestQueries {
         |      FROM p)
         |SELECT query_id, key, score FROM r WHERE rk <= 10
         |ORDER BY query_id, score DESC, key""".stripMargin,
+    // q240: the persisted-index serving path returns the same certified
+    // exact-mode rows as q204 (the sidecar must be invisible to
+    // results); the sidecar/staleness machinery is REQUIRED in-run.
+    "q240_index_sidecar_search" ->
+      """WITH v0 AS (SELECT vec_id,
+        |    lpad(CAST(vec_id AS VARCHAR), 12, '0') AS key,
+        |    CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |vr AS (SELECT vec_id, key, de,
+        |    sqrt(list_dot_product(de, de)) AS nrm FROM v0),
+        |n AS (SELECT vec_id, key, list_dot_product(e, e) AS n2, e FROM (
+        |    SELECT vec_id, key, CASE WHEN nrm > 0 THEN
+        |        list_transform(de, x -> CAST(CAST(x / nrm AS REAL)
+        |          AS DOUBLE))
+        |      ELSE de END AS e FROM vr)),
+        |q AS (SELECT vec_id AS query_id, de AS qe,
+        |      list_dot_product(de, de) AS qn2
+        |      FROM v0 WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, n.key,
+        |        CASE WHEN n.n2 = 0 OR q.qn2 = 0 THEN 0.0
+        |          ELSE round(list_dot_product(n.e, q.qe)
+        |            / sqrt(n.n2 * q.qn2), 6) END AS score
+        |      FROM n CROSS JOIN q),
+        |r AS (SELECT query_id, key, score, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, key) AS rk
+        |      FROM p)
+        |SELECT query_id, key, score FROM r WHERE rk <= 10
+        |ORDER BY query_id, score DESC, key""".stripMargin,
+    // q241: the q202 content certificate with the fixed 5-smallest-ids
+    // replace cohort — re-ingested docs carry ONLY the 2×200 'r'
+    // re-chunking; the incremental compaction must change no content
+    // (only files).
+    "q241_incremental_compaction" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |rc AS (SELECT doc_id FROM d ORDER BY doc_id LIMIT 5),
+        |c1 AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 3)) AS ci) i
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM rc)),
+        |c2 AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 200 + 1 AS INTEGER), 200)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':r' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 2)) AS ci) i
+        |      WHERE doc_id IN (SELECT doc_id FROM rc)),
+        |k AS (SELECT doc_id, key, content FROM c1
+        |        WHERE LENGTH(content) > 0
+        |      UNION ALL
+        |      SELECT doc_id, key, content FROM c2
+        |        WHERE LENGTH(content) > 0)
+        |SELECT doc_id % 7 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q73_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
