@@ -263,18 +263,24 @@ object TextAnalysis {
     * SEO words"). Only over-represented cells (a·N > st·tt) rank —
     * positive keywords, the standard keyness convention.
     *
-    * Portability: each cell's ln argument is a ratio of exact integer
-    * products evaluated in IEEE doubles ((k·N)/(row·col) — identical
-    * bits in both engines), the ln is pinned at e4 (the psiReport
-    * discipline), and G²_e4 = 2·Σ k·lnE4 is then an exact integer sum.
-    * Overflow: the binding terms are the 64-bit PRODUCTS inside the ln
-    * arguments — k·N and row·col are both ≈ N² for the d cell — so the
-    * exact-integer form holds to N ≈ 3·10⁹ total tokens (√Long.Max),
-    * NOT the N·ln(N)·10⁴ ≈ 3·10¹³ the output sum alone would allow.
-    * That cap is ENFORCED (the otsuThreshold discipline): a corpus
-    * past it must pre-aggregate (keyness over per-shard samples, or
-    * the double-ratio restructuring (k/row)·(N/col) with a re-derived
-    * oracle) rather than silently wrap.
+    * Portability: each cell's ln argument is the DOUBLE-RATIO product
+    * (k/row)·(N/col) — mathematically the (k·N)/(row·col) association
+    * ratio, but restructured so NO 64-bit integer product is ever
+    * formed (r16; the r15 form multiplied k·N and row·col, capping the
+    * exact-integer budget at √Long.Max ≈ 3·10⁹ tokens). Each cast is
+    * exact for counts < 2^53 and both engines evaluate the identical
+    * IEEE chain (divide, divide, multiply, ln), the ln is pinned at e4
+    * (the psiReport discipline), and G²_e4 = 2·Σ k·lnE4 is then an
+    * exact integer sum. The expected-count and over-representation
+    * tests are restructured the same way (st/n·tt·10⁴ with FLOOR;
+    * a/st > tt/n — the identical double comparison in both engines).
+    * Overflow: the binding term is now the OUTPUT sum — |k·lnE4| ≤
+    * k·ln(N)·10⁴, and the four cells' k sum to N, so |G²_e4| ≤
+    * 2·N·ln(N)·10⁴, which fits a long to N = 10¹³ total tokens
+    * (2·10¹³·30·10⁴ = 6·10¹⁸ < 2⁶³) — the 100 TB-corpus budget, 3,000×
+    * the r15 ceiling. The cap is ENFORCED (the otsuThreshold
+    * discipline): a corpus past it must pre-aggregate (keyness over
+    * per-shard samples) rather than silently wrap.
     *
     * Scale shape: ONE tokenize+explode pass into a map-side-combinable
     * (group, term) count (checkpointed); everything after is
@@ -299,26 +305,29 @@ object TextAnalysis {
       .localCheckpoint(true)
     val byTerm = Window.partitionBy(col("term"))
     val byGrp = Window.partitionBy(col("grp"))
-    val lnE4 = (num: Column, den: Column) =>
-      round(log(num.cast("double") / den.cast("double")) * 10000, 0)
+    // lnE4 of the association ratio via the double-ratio product
+    // (k/row)·(N/col): no integer product is ever formed, so the only
+    // overflow budget left is the output sum (see scaladoc). Each cast
+    // is exact below 2^53; both engines run the identical IEEE chain.
+    val lnE4 = (k: Column, row: Column, cTot: Column, n: Column) =>
+      round(log((k.cast("double") / row.cast("double")) *
+        (n.cast("double") / cTot.cast("double"))) * 10000, 0)
         .cast("long")
-    // cellTerm(k, row, col): k·lnE4(k·N / (row·col)), 0 when k = 0.
     val cellTerm = (k: Column, row: Column, cTot: Column, n: Column) =>
-      when(k > 0, k * lnE4(k * n, row * cTot)).otherwise(lit(0L))
+      when(k > 0, k * lnE4(k, row, cTot, n)).otherwise(lit(0L))
     val grpTotals = cells.groupBy(col("grp"))
       .agg(sum(col("a")).as("st"))
     // coalesce: an empty corpus flows through as an empty result, not
     // an NPE on the null SUM.
     val nTotal = grpTotals.agg(coalesce(sum(col("st")), lit(0L)))
       .head().getLong(0)
-    // Exact-integer budget: the ln arguments multiply two ~N-sized
-    // longs (k·N, row·col), so past √Long.Max ≈ 3·10⁹ total tokens the
-    // products silently wrap. Loud cap, mirroring otsuThreshold.
-    require(nTotal <= 3000000000L,
+    // Output-sum budget: |G²_e4| ≤ 2·N·ln(N)·10⁴ must fit a long —
+    // holds to N = 10¹³ tokens (6·10¹⁸ < 2⁶³). Loud cap past that,
+    // mirroring otsuThreshold.
+    require(nTotal <= 10000000000000L,
       s"keyness: $nTotal total tokens exceeds the exact-integer budget " +
-        "(k*N and row*col wrap past ~3e9) — pre-aggregate or sample " +
-        "the corpus, or restructure the ln argument as sub-overflow " +
-        "ratios with a re-derived oracle")
+        "(the G2_e4 output sum wraps past ~1e13 tokens) — pre-aggregate " +
+        "or sample the corpus")
     val scored = cells
       .withColumn("tt", sum(col("a")).over(byTerm))
       .join(broadcast(grpTotals), Seq("grp"))
@@ -326,8 +335,12 @@ object TextAnalysis {
       .withColumn("b", col("tt") - col("a"))
       .withColumn("c", col("st") - col("a"))
       .withColumn("d", col("n") - col("st") - col("b"))
+      // Over-representation as the identical double comparison in
+      // both engines (a/st > tt/n) — the r15 integer products a·n and
+      // st·tt would wrap past 3e9 tokens.
       .filter(col("a") >= minCount &&
-        col("a") * col("n") > col("st") * col("tt"))
+        col("a").cast("double") / col("st").cast("double") >
+          col("tt").cast("double") / col("n").cast("double"))
       .withColumn("g2_e4", lit(2L) * (
         cellTerm(col("a"), col("st"), col("tt"), col("n")) +
           cellTerm(col("b"), col("n") - col("st"), col("tt"), col("n")) +
@@ -335,7 +348,8 @@ object TextAnalysis {
           cellTerm(col("d"), col("n") - col("st"), col("n") - col("tt"),
             col("n"))))
       .withColumn("exp_e4",
-        expr("st * tt * 10000 div n"))
+        floor(col("st").cast("double") / col("n").cast("double") *
+          col("tt").cast("double") * lit(10000)).cast("long"))
       .withColumn("rank", row_number().over(
         byGrp.orderBy(col("g2_e4").desc, col("term"))))
       .filter(col("rank") <= topK)

@@ -259,6 +259,13 @@ object AnalyticsQueries {
     * term)` CTE to the `ranked` CTE — shared by q186 (grp = source)
     * and q201 (grp = embedding cluster) so the two cannot drift.
     * Pre-flattened lines: safe inside an outer concatenation.
+    *
+    * r16 double-ratio form, in lockstep with `TextAnalysis.keyness`:
+    * every ln argument is (k/row)·(N/col) evaluated as two double
+    * divisions and one multiply (NO integer product — the r15 k·N and
+    * row·col products capped the budget at 3·10⁹ tokens); the
+    * over-representation filter and exp_e4 are restructured the same
+    * way. Identical IEEE chains in both engines.
     */
   private[queries] def keynessChainSql(tokCte: String): String =
     tokCte + ",\n" +
@@ -271,22 +278,29 @@ object AnalyticsQueries {
         |  FROM cells),
         |cell4 AS (SELECT grp, term, a, tt, st, n, tt - a AS b, st - a AS c,
         |    n - st - (tt - a) AS d
-        |  FROM marg WHERE a >= 5 AND a * n > st * tt),
+        |  FROM marg WHERE a >= 5 AND
+        |    CAST(a AS DOUBLE) / CAST(st AS DOUBLE) >
+        |      CAST(tt AS DOUBLE) / CAST(n AS DOUBLE)),
         |g2 AS (SELECT grp, term, a, st, tt, n,
         |    2 * (
-        |      (CASE WHEN a > 0 THEN a * CAST(ROUND(ln(CAST(a * n AS DOUBLE)
-        |        / CAST(st * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END) +
-        |      (CASE WHEN b > 0 THEN b * CAST(ROUND(ln(CAST(b * n AS DOUBLE)
-        |        / CAST((n - st) * tt AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END) +
-        |      (CASE WHEN c > 0 THEN c * CAST(ROUND(ln(CAST(c * n AS DOUBLE)
-        |        / CAST(st * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END) +
-        |      (CASE WHEN d > 0 THEN d * CAST(ROUND(ln(CAST(d * n AS DOUBLE)
-        |        / CAST((n - st) * (n - tt) AS DOUBLE)) * 10000, 0) AS BIGINT)
-        |        ELSE 0 END)) AS g2_e4,
-        |    st * tt * 10000 // n AS exp_e4
+        |      (CASE WHEN a > 0 THEN a * CAST(ROUND(ln(
+        |        (CAST(a AS DOUBLE) / CAST(st AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)))
+        |        * 10000, 0) AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN b > 0 THEN b * CAST(ROUND(ln(
+        |        (CAST(b AS DOUBLE) / CAST(n - st AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)))
+        |        * 10000, 0) AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN c > 0 THEN c * CAST(ROUND(ln(
+        |        (CAST(c AS DOUBLE) / CAST(st AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) / CAST(n - tt AS DOUBLE)))
+        |        * 10000, 0) AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN d > 0 THEN d * CAST(ROUND(ln(
+        |        (CAST(d AS DOUBLE) / CAST(n - st AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) / CAST(n - tt AS DOUBLE)))
+        |        * 10000, 0) AS BIGINT) ELSE 0 END)) AS g2_e4,
+        |    CAST(FLOOR(CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * CAST(tt AS DOUBLE) * 10000) AS BIGINT) AS exp_e4
         |  FROM cell4),
         |ranked AS (SELECT grp, term, a, exp_e4, g2_e4,
         |    ROW_NUMBER() OVER (PARTITION BY grp

@@ -142,6 +142,63 @@ class AnalyticsOpsSpec extends SparkSpec {
       r.getAs[String]("term") == "zebra"))
   }
 
+  test("keyness: the r16 double-ratio form equals the r15 integer-" +
+      "product form below the old 3e9 budget") {
+    // A varied corpus (multiple groups, shared + exclusive + skewed
+    // terms) so several cells pass the filters with distinct margins.
+    val rnd = new scala.util.Random(7)
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "shared")
+    val vocabB = Seq("omega", "sigma", "beta", "shared", "tau")
+    val docs = (0 until 40).map { i =>
+      val (g, v) = if (i % 2 == 0) ("A", vocabA) else ("B", vocabB)
+      (g, (0 until 30).map(_ => v(rnd.nextInt(v.length))).mkString(" "))
+    }
+    val out = TextAnalysis.keyness(docs.toDF("grp", "text"), "grp",
+      "text", minCount = 5, topK = 5)
+    // Replay with the OLD arithmetic — integer products inside the ln
+    // and the filter, integer-division exp — over the same cells.
+    val cells = docs.toDF("grp", "text")
+      .select(col("grp"), explode(split(lower(col("text")), " "))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("grp", "term").agg(count(lit(1)).as("a"))
+    val w = org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val lnOld = (num: Column, den: Column) =>
+      round(log(num.cast("double") / den.cast("double")) * 10000, 0)
+        .cast("long")
+    val ct = (k: Column, row: Column, cT: Column, n: Column) =>
+      when(k > 0, k * lnOld(k * n, row * cT)).otherwise(lit(0L))
+    val old = cells
+      .withColumn("tt", sum(col("a")).over(w.partitionBy(col("term"))))
+      .withColumn("st", sum(col("a")).over(w.partitionBy(col("grp"))))
+      .withColumn("n", sum(col("a")).over(
+        w.partitionBy(lit(1)))) // tiny corpus: single-partition OK here
+      .withColumn("b", col("tt") - col("a"))
+      .withColumn("c", col("st") - col("a"))
+      .withColumn("d", col("n") - col("st") - col("b"))
+      .filter(col("a") >= 5 &&
+        col("a") * col("n") > col("st") * col("tt"))
+      .withColumn("g2_e4", lit(2L) * (
+        ct(col("a"), col("st"), col("tt"), col("n")) +
+          ct(col("b"), col("n") - col("st"), col("tt"), col("n")) +
+          ct(col("c"), col("st"), col("n") - col("tt"), col("n")) +
+          ct(col("d"), col("n") - col("st"), col("n") - col("tt"),
+            col("n"))))
+      .withColumn("exp_e4", expr("st * tt * 10000 div n"))
+      .withColumn("rank", row_number().over(w.partitionBy(col("grp"))
+        .orderBy(col("g2_e4").desc, col("term"))))
+      .filter(col("rank") <= 5)
+      .select(col("grp"), col("rank").cast("long").as("rank"),
+        col("term"), col("a").as("n_obs"), col("exp_e4"), col("g2_e4"))
+    val got = out.orderBy("grp", "rank").collect().map(_.toString).toSeq
+    val want = old.orderBy("grp", "rank").collect().map(_.toString).toSeq
+    assert(want.nonEmpty, "replay produced no keyword rows")
+    assert(got == want,
+      s"double-ratio form diverged from the integer-product form:\n" +
+        s"got  $got\nwant $want")
+  }
+
   // ------------------------------------------------------ distinct-n q187
 
   test("distinctNgrams: hand-computed totals and ratios") {
