@@ -100,10 +100,10 @@ object ScaleStress {
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
         "corpusops", "analytics", "streaming", "warehouse",
-        "linkage")(tier),
+        "linkage", "store")(tier),
       s"unknown tier '$tier' " +
         "(graph|substring|ingest|ann|multivec|corpusops|analytics|" +
-        "streaming|warehouse|linkage)")
+        "streaming|warehouse|linkage|store)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -890,6 +890,95 @@ object ScaleStress {
           s""""records":$nrec,"clusters":$nclusters,""" +
           s""""records_linear":${nrec * k0 == recs1 * k},""" +
           s""""orig_cohort_invariant":${fp == fp1}}""")
+      }
+    }
+
+    if (tier == "store") {
+      // The r16 BUCKETED-STORE operational tier: the four store
+      // primitives (bulk upsert, full compact, incremental replace
+      // merge, incremental compact) plus a point read, at ×k document
+      // counts. The invariants that make this the 100 TB layout, each
+      // MEASURED here rather than asserted from the design:
+      //   - compacted census == #present buckets, FLAT across ×k
+      //     (independent of document count);
+      //   - a fixed-size ingest increment touches a CONSTANT bucket
+      //     set regardless of corpus size (commit = O(touched
+      //     buckets), never O(documents));
+      //   - a point read lists exactly ONE bucket's files at the
+      //     FileIndex level (the q162 physical-pruning discipline) —
+      //     the fraction listed falls as the corpus grows;
+      //   - compactFragmented rewrites ONLY the increment's buckets —
+      //     its cost is O(fragmented buckets' bytes), flat across ×k;
+      //   - driver heap stays flat (the phase log prints it).
+      val nBuckets = 16
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def chunksOf(d: DataFrame, n: Int, width: Int, tag: String) = d
+        .select(col("doc_id"),
+          posexplode(array((0 until n).map(i =>
+            substring(col("text"), i * width + 1, width)): _*))
+            .as(Seq("ci", "content")))
+        .filter(length(col("content")) > 0)
+        .select(
+          concat(lit("d"), col("doc_id"), lit(s":$tag"), col("ci"))
+            .as("key"),
+          typedLit(Array.empty[Float]).as("embedding"),
+          col("content"), lit("x").as("context"),
+          concat(lit("d"), col("doc_id")).as("documentid"))
+        .repartition(8)
+        .as[graft.model.EmbeddedChunk](
+          org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+      // The increment cohort: the 5 smallest ORIGINAL doc_ids — the
+      // same physical documents at every scale, so any growth in the
+      // touched-bucket set or rewrite cost is the layout's fault.
+      val cohort = docs0.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit(5).collect().map(_.getLong(0))
+      val pointDoc = s"d${cohort.head}"
+      for (k <- scales) {
+        val docs = replicate(k)
+        val nDocs = docs.count()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"scale-store-x$k").toString
+        val store = new graft.store.BucketedVectorStore(
+          spark, root, nBuckets)
+        phase("upsert_base", k) {
+          store.upsert(chunksOf(docs, 3, 150, ""), "c")
+        }
+        val (cb, ca) = phase("compact_full", k) { store.compact("c") }
+        require(ca <= nBuckets,
+          s"store tier ×$k: compacted census $ca exceeds nBuckets")
+        val preInc = store.bucketFileCounts("c")
+        phase("upsert_increment", k) {
+          store.upsert(chunksOf(docs.filter(col("doc_id").isin(
+            cohort.map(java.lang.Long.valueOf): _*)), 2, 200, "r"), "c")
+        }
+        val postInc = store.bucketFileCounts("c")
+        val touched = postInc.count { case (b, n) => preInc.get(b) != Some(n) }
+        val (pointListed, pointTotal, pointRows) = phase("point_read", k) {
+          val df = store.readDocument("c", pointDoc)
+          val scan = df.queryExecution.sparkPlan.collect {
+            case f: FileSourceScanExec => f }.head
+          val listed = scan.relation.location
+            .listFiles(scan.partitionFilters, Nil).map(_.files.size).sum
+          val total = scan.relation.location
+            .listFiles(Nil, Nil).map(_.files.size).sum
+          (listed, total, df.count())
+        }
+        require(pointListed < pointTotal,
+          s"store tier ×$k: point read listed every file")
+        val (rewritten, fb, fa) = phase("compact_fragmented", k) {
+          store.compactFragmented("c", maxFilesPerBucket = 1)
+        }
+        require(rewritten <= cohort.length,
+          s"store tier ×$k: incremental compact rewrote $rewritten " +
+            s"buckets for a ${cohort.length}-doc increment")
+        println(s"""{"scale":$k,"tier":"store","n_docs":$nDocs,""" +
+          s""""census_pre_compact":$cb,"census_post_compact":$ca,""" +
+          s""""buckets_touched_by_increment":$touched,""" +
+          s""""point_read_files_listed":$pointListed,""" +
+          s""""point_read_files_total":$pointTotal,""" +
+          s""""point_read_rows":$pointRows,""" +
+          s""""frag_buckets_rewritten":$rewritten,""" +
+          s""""census_pre_frag":$fb,"census_post_frag":$fa}""")
       }
     }
     spark.stop()
