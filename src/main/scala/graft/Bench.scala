@@ -289,7 +289,14 @@ object Bench {
       "q240_index_sidecar_search",
       // r16: physical bucketed-store build, full compact, replace
       // merge and incremental compact vs a content-derivation replay.
-      "q241_incremental_compaction")
+      "q241_incremental_compaction",
+      // r16: physical store + index writes, a mixed upsert/delete
+      // delta and two frozen-model refreshes vs a replay of only the
+      // exact-mode scoring.
+      "q242_index_refresh",
+      // r16: two physical store builds + deletes on both layouts vs a
+      // content-derivation replay.
+      "q243_document_delete")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

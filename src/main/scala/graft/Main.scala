@@ -122,6 +122,75 @@ object Main {
       case "list" =>
         store.listCollections().foreach(println)
         0
+      case "delete" =>
+        // Whole-document takedown (ChunkStore.delete): the opt-out /
+        // right-to-be-forgotten primitive. Ids are documentids — the
+        // store's replace unit — so the cost is the layout's replace
+        // cost (partition dirs dropped / touched buckets rewritten).
+        val ids = opt(args, "ids", "").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        if (ids.isEmpty) {
+          System.err.println("delete requires --ids id1,id2,...")
+          return 2
+        }
+        val existing = store.listCollections()
+        if (!existing.contains(collection)) {
+          System.err.println(s"collection '$collection' not found in " +
+            s"this store; available: ${existing.mkString(", ")}")
+          return 2
+        }
+        store.delete(collection, ids)
+        println(s"deleted ${ids.length} document(s) from $collection")
+        0
+      case "index" =>
+        // Persisted-ANN maintenance (ChunkStore.buildIndex /
+        // refreshIndex / hasFreshIndex): `build` fits + persists the
+        // `_index` sidecar, `refresh` re-encodes only the named
+        // documents under the FROZEN model, `status` reports
+        // freshness. Works on either layout — the sidecar lives on
+        // the trait.
+        val action = if (args.length > 1) args(1) else ""
+        val mode = opt(args, "mode", "ivfsq")
+        if (!Set("lsh", "ivfsq")(mode)) {
+          System.err.println(s"unknown --mode '$mode' (lsh|ivfsq required)")
+          return 2
+        }
+        val existing = store.listCollections()
+        if (!existing.contains(collection)) {
+          System.err.println(s"collection '$collection' not found in " +
+            s"this store; available: ${existing.mkString(", ")}")
+          return 2
+        }
+        action match {
+          case "build" =>
+            store.buildIndex(collection, mode)
+            println(s"built $mode index for $collection " +
+              s"(fresh=${store.hasFreshIndex(collection, mode)})")
+            0
+          case "refresh" =>
+            val ids = opt(args, "ids", "").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+            if (ids.isEmpty) {
+              System.err.println(
+                "index refresh requires --ids id1,id2,...")
+              return 2
+            }
+            store.refreshIndex(collection, mode, ids)
+            println(s"refreshed $mode index for $collection " +
+              s"(${ids.length} document(s), " +
+              s"fresh=${store.hasFreshIndex(collection, mode)})")
+            0
+          case "status" =>
+            Seq("lsh", "ivfsq").foreach { m =>
+              println(s"$m: " + (if (store.hasFreshIndex(collection, m))
+                "fresh" else "stale-or-absent"))
+            }
+            0
+          case other =>
+            System.err.println(s"unknown index action '$other' " +
+              "(build|refresh|status required)")
+            2
+        }
       case "sql" =>
         // Analytics REPL over the engine's full SQL surface: testdata
         // tables (--data <sfDir>) and every store collection (as
@@ -151,5 +220,9 @@ object Main {
       |         [--layout document|bucketed]
       |         [--mode exact|lsh|ivfsq]   (default exact; ANN approximate)
       |  list   [--store dir] [--layout document|bucketed]
+      |  delete --ids id1,id2,... [--collection c] [--store dir]
+      |         [--layout document|bucketed]
+      |  index  build|refresh|status [--mode lsh|ivfsq] [--ids id1,...]
+      |         [--collection c] [--store dir] [--layout document|bucketed]
       |  sql    [--data sfDir] [--store dir]""".stripMargin)
 }

@@ -682,6 +682,201 @@ object IngestQueries {
       .orderBy(col("bucket"))
   }
 
+  // q242: INCREMENTAL index refresh gated — the maintenance op that
+  // keeps q240's persisted index current without refitting: the model
+  // stays FROZEN (refit is buildIndex, rare and deliberate), only the
+  // changed documents' code rows are re-derived. The query builds the
+  // q204 store + both sidecars, applies a mixed delta (8 NEW documents
+  // — copies of vec_id<50 under 'n'-prefixed keys — plus the DELETION
+  // of document g31), REQUIREs the sidecars went stale, refreshes both
+  // with exactly the delta's documentids, and REQUIREs (a) freshness is
+  // restored, (b) the refreshed IVF-SQ code table is SET-EQUAL to a
+  // frozen-model re-encode of the whole collection (refresh(Δ) == full
+  // re-encode — staleness cannot accumulate across refreshes), and
+  // (c) both ANN modes' mean recall@10 against exact over the FINAL
+  // collection meets the q204 floors. Certified output: the exact-mode
+  // rows over the post-delta collection — original vectors minus the
+  // g31 cohort plus the 'n' copies — replayed in DuckDB. Bench tier:
+  // exec (physical store + index writes; the denominator replays only
+  // the exact-mode scoring).
+  def q242(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q242-store").toString
+    val vs = new VectorStore(s, storeRoot)
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val n2 = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val keyCol = when(col("vec_id") < 1000000000000L,
+        lpad(col("vec_id").cast("string"), 12, "0"))
+      .otherwise(raise_error(concat(lit("q242: vec_id "),
+        col("vec_id").cast("string"),
+        lit(" overflows the 12-char key pad"))))
+    val normCol = when(n2 > 0, transform(col("embedding"),
+        x => (x.cast("double") / sqrt(n2)).cast("float")))
+      .otherwise(col("embedding"))
+    val enc = org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk]
+    vs.upsert(emb.select(keyCol.as("key"), normCol.as("embedding"),
+      concat(lit("v"), col("vec_id")).as("content"), lit("").as("context"),
+      concat(lit("g"), pmod(col("vec_id"), lit(32L))).as("documentid"))
+      .as[graft.model.EmbeddedChunk](enc), "vecs")
+    vs.buildIndex("vecs", "lsh")
+    vs.buildIndex("vecs", "ivfsq")
+    // The delta: 8 new documents (h0..h7) holding copies of the first
+    // 50 vectors under 'n'-prefixed keys, and one deleted document.
+    vs.upsert(emb.filter(col("vec_id") < 50)
+      .select(concat(lit("n"), keyCol).as("key"), normCol.as("embedding"),
+        concat(lit("vn"), col("vec_id")).as("content"),
+        lit("").as("context"),
+        concat(lit("h"), pmod(col("vec_id"), lit(8L))).as("documentid"))
+      .as[graft.model.EmbeddedChunk](enc), "vecs")
+    vs.delete("vecs", Seq("g31"))
+    require(!vs.hasFreshIndex("vecs", "lsh") &&
+      !vs.hasFreshIndex("vecs", "ivfsq"),
+      "q242: sidecars still fresh after the delta")
+    val delta = (0 until 8).map(b => s"h$b") :+ "g31"
+    vs.refreshIndex("vecs", "lsh", delta)
+    vs.refreshIndex("vecs", "ivfsq", delta)
+    require(vs.hasFreshIndex("vecs", "lsh") &&
+      vs.hasFreshIndex("vecs", "ivfsq"),
+      "q242: refresh did not restore freshness")
+    // refresh(Δ) == frozen-model full re-encode, cell for cell.
+    val meta = s.read.parquet(s"$storeRoot/vecs/_index/ivfsq_meta").head()
+    val frozen = new graft.operators.IvfSq.Model(
+      new graft.operators.Ann.Ivf(
+        meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+          "cents").map(_.toArray).toArray),
+      new graft.operators.Sq.Model(
+        meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
+        meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
+    val expectCodes = graft.operators.IvfSq
+      .index(vs.read("vecs"), "embedding", frozen)
+      .select(col("key"), col("ivf_cid"), col("sq_code"))
+    val gotCodes = s.read.parquet(s"$storeRoot/vecs/_index/ivfsq")
+      .select(col("key"), col("ivf_cid"), col("sq_code"))
+    require(gotCodes.exceptAll(expectCodes).isEmpty &&
+      expectCodes.exceptAll(gotCodes).isEmpty,
+      "q242: refreshed codes differ from a frozen-model full re-encode")
+    val provider = new graft.functions.VectorLiteralProvider(dim)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val k = 10
+    val exactRows = queryVecs.map { case (qid, qv) =>
+      val text = graft.functions.VectorLiteralProvider.render(qv)
+      val exact = vs.search("vecs", text, k = k, provider = provider,
+        mode = "exact").select(col("key"), col("score")).collect()
+      val exactKeys = exact.map(_.getString(0)).toSet
+      def recallOf(mode: String): Double = {
+        val keys = vs.search("vecs", text, k = k, provider = provider,
+          mode = mode).select(col("key")).collect().map(_.getString(0))
+        keys.count(exactKeys).toDouble / k
+      }
+      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
+    }
+    val meanLsh = exactRows.map(_._3).sum / exactRows.length
+    val meanIvf = exactRows.map(_._4).sum / exactRows.length
+    require(meanLsh >= 0.3,
+      s"q242: mean lsh recall@$k $meanLsh is below the 0.3 floor")
+    require(meanIvf >= 0.4,
+      s"q242: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    import s.implicits._
+    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
+      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
+    }.toDF("query_id", "key", "score")
+      .orderBy(col("query_id"), col("score").desc, col("key"))
+  }
+
+  // q243: DOCUMENT DELETION gated on BOTH layouts — the takedown /
+  // right-to-be-forgotten primitive (the replace-by-document upsert
+  // can only replace, never remove; a 100 TB store without a delete
+  // path cannot honor an opt-out). The query ingests the q202 chunk
+  // set into a per-document store AND a bucketed store, deletes the
+  // same fixed 5-document cohort from both, and REQUIREs in-run:
+  // (a) the per-document layout physically dropped the victims'
+  // partition directories (no rewrite at all — the layout's O(touched
+  // documents) commit); (b) the bucketed layout rewrote ONLY the
+  // victims' buckets (every untouched bucket's file statuses
+  // byte-identical — the O(touched buckets' bytes) claim); (c) the
+  // two layouts' read-backs are row-identical. Certified output: the
+  // q202-style content checksum over the survivors, replayed from
+  // `documents` minus the cohort. Bench tier: exec (physical store
+  // writes; the denominator replays content derivation).
+  def q243(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q243-store").toString
+    val docStore = new VectorStore(s, s"$storeRoot/doc")
+    val bktStore = new graft.store.BucketedVectorStore(
+      s, s"$storeRoot/bkt", nBuckets = 16)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val chunks = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(array((0 until 3).map(i =>
+          substring(col("text"), i * 150 + 1, 150)): _*))
+          .as(Seq("ci", "content")))
+      .filter(length(col("content")) > 0)
+      .select(
+        concat(lit("d"), col("doc_id"), lit(":"), col("ci")).as("key"),
+        typedLit(Array.empty[Float]).as("embedding"),
+        col("content"),
+        col("lang").as("context"),
+        concat(lit("d"), col("doc_id")).as("documentid"))
+      .repartition(8)
+      .as[graft.model.EmbeddedChunk](
+        org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+      .localCheckpoint(true) // one derivation feeds both stores
+    docStore.upsert(chunks, "docs")
+    bktStore.upsert(chunks, "docs")
+    val victims = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(5).collect().map(r => s"d${r.getLong(0)}").toSeq
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeRoot), s.sparkContext.hadoopConfiguration)
+    def bucketStatuses(): Map[String, Seq[String]] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$storeRoot/bkt/docs"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(
+          graft.store.BucketedMerge.BucketCol + "="))
+        .map(st => st.getPath.getName -> fsys.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => s"${f.getPath.getName}:${f.getLen}:" +
+            s"${f.getModificationTime}").toSeq.sorted).toMap
+    val preStatuses = bucketStatuses()
+    val victimBuckets = victims.map(v => s.range(1)
+      .select(graft.store.BucketedMerge.bucketOf(lit(v), 16))
+      .head().getInt(0)).toSet.map((b: Int) =>
+        s"${graft.store.BucketedMerge.BucketCol}=$b")
+    docStore.delete("docs", victims)
+    bktStore.delete("docs", victims)
+    // (a) per-document layout: victim partition dirs physically gone.
+    victims.foreach { v =>
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(
+        s"$storeRoot/doc/docs/documentid=$v")),
+        s"q243: victim partition $v survived the delete")
+    }
+    // (b) bucketed layout: untouched buckets physically untouched.
+    val postStatuses = bucketStatuses()
+    (preStatuses.keySet -- victimBuckets).foreach { b =>
+      require(postStatuses.get(b) == preStatuses.get(b),
+        s"q243: untouched bucket $b was rewritten by the delete")
+    }
+    // (c) the layouts agree row-for-row after the delete.
+    val dRead = docStore.read("docs")
+      .select(col("key"), col("content"), col("documentid"))
+    val bRead = bktStore.read("docs")
+      .select(col("key"), col("content"), col("documentid"))
+    require(dRead.exceptAll(bRead).isEmpty &&
+      bRead.exceptAll(dRead).isEmpty,
+      "q243: layouts disagree after the delete")
+    bktStore.read("docs")
+      .select(col("key"), col("content"),
+        substring(col("documentid"), 2, 18).cast("long").as("did"))
+      .groupBy((col("did") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("did")).as("n_docs"),
+        sum(conv(substring(md5(concat_ws(":", col("key"), col("content"))),
+          1, 13), 16, 10).cast("long")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   /** q162: hive-partitioned layout + PARTITION-PRUNING certificate —
     * writes the corpus partitioned by `lang`, reads it back with a
     * two-language predicate, and REQUIRES (a) the predicate reaches
@@ -769,6 +964,8 @@ object IngestQueries {
     "q205_stream_ingest_bucketed" -> (q205 _),
     "q240_index_sidecar_search" -> (q240 _),
     "q241_incremental_compaction" -> (q241 _),
+    "q242_index_refresh" -> (q242 _),
+    "q243_document_delete" -> (q243 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -980,6 +1177,60 @@ object IngestQueries {
         |        WHERE LENGTH(content) > 0
         |      UNION ALL
         |      SELECT doc_id, key, content FROM c2
+        |        WHERE LENGTH(content) > 0)
+        |SELECT doc_id % 7 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q242: the exact-mode replay over the POST-DELTA collection —
+    // originals minus the g31 cohort (vec_id % 32 = 31), plus the 'n'
+    // copies of vec_id < 50 (same normalized vectors, new keys). The
+    // refresh/freshness/code-equality machinery is REQUIRED in-run.
+    "q242_index_refresh" ->
+      """WITH v0 AS (SELECT vec_id,
+        |    lpad(CAST(vec_id AS VARCHAR), 12, '0') AS key,
+        |    CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |vr AS (SELECT vec_id, key, de,
+        |    sqrt(list_dot_product(de, de)) AS nrm FROM v0),
+        |n AS (SELECT vec_id, key, list_dot_product(e, e) AS n2, e FROM (
+        |    SELECT vec_id, key, CASE WHEN nrm > 0 THEN
+        |        list_transform(de, x -> CAST(CAST(x / nrm AS REAL)
+        |          AS DOUBLE))
+        |      ELSE de END AS e FROM vr)),
+        |fin AS (SELECT key, n2, e FROM n WHERE vec_id % 32 <> 31
+        |      UNION ALL
+        |      SELECT 'n' || key AS key, n2, e FROM n WHERE vec_id < 50),
+        |q AS (SELECT vec_id AS query_id, de AS qe,
+        |      list_dot_product(de, de) AS qn2
+        |      FROM v0 WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, fin.key,
+        |        CASE WHEN fin.n2 = 0 OR q.qn2 = 0 THEN 0.0
+        |          ELSE round(list_dot_product(fin.e, q.qe)
+        |            / sqrt(fin.n2 * q.qn2), 6) END AS score
+        |      FROM fin CROSS JOIN q),
+        |r AS (SELECT query_id, key, score, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, key) AS rk
+        |      FROM p)
+        |SELECT query_id, key, score FROM r WHERE rk <= 10
+        |ORDER BY query_id, score DESC, key""".stripMargin,
+    // q243: the q202-style survivor checksum — documents minus the
+    // deleted 5-smallest-ids cohort; both layouts' agreement and the
+    // physical delete claims are REQUIRED in-run.
+    "q243_document_delete" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |rc AS (SELECT doc_id FROM d ORDER BY doc_id LIMIT 5),
+        |c AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 3)) AS ci) i
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM rc)),
+        |k AS (SELECT doc_id, key, content FROM c
         |        WHERE LENGTH(content) > 0)
         |SELECT doc_id % 7 AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,

@@ -111,6 +111,46 @@ final class BucketedVectorStore(protected val spark: SparkSession,
     // tombstone merges — BucketedMerge.merge's cleanup).
   }
 
+  /** Document deletion on the bucketed layout: the id list resolves to
+    * its buckets driver-side (bucket(documentid) is a pure function
+    * over a bounded delete batch), ONLY those buckets are read back
+    * (partition pruning), survivors are anti-joined against the
+    * broadcast id set and rewritten in place — the same bounded
+    * self-overwrite discipline as [[upsert]], cost O(touched buckets'
+    * bytes). A bucket whose every row was deleted gets NO partition
+    * from the dynamic overwrite — the stale directory would resurrect
+    * the deleted chunks — so emptied buckets are removed explicitly
+    * (the [[BucketedMerge.merge]] tombstone cleanup).
+    */
+  def delete(collection: String, docIds: Seq[String]): Unit = {
+    if (docIds.isEmpty) return
+    val dir = path(collection)
+    import org.apache.spark.sql.Encoders
+    val ids = spark.createDataset(docIds)(Encoders.STRING)
+      .toDF("documentid")
+      .withColumn(BucketCol, bucketOf(col("documentid"), nBuckets))
+      .localCheckpoint(true)
+    val touched = ids.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val survivors = spark.read.schema(tableSchema(dir)).parquet(dir)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(ids.select(col("documentid"))),
+        Seq("documentid"), "left_anti")
+      .localCheckpoint(true)
+    survivors.write.partitionBy(BucketCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(dir)
+    val survived = survivors.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(survived)
+    if (emptied.nonEmpty) {
+      val f = fs(dir)
+      emptied.foreach { b =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$BucketCol=$b"), true)
+      }
+    }
+  }
+
   /** Schema-on-read; the bucket column is layout, not data. */
   def read(collection: String): DataFrame =
     spark.read.schema(tableSchema(path(collection)))

@@ -25,15 +25,37 @@ import org.apache.spark.sql.functions._
   * The QUERY surface (Q1 search, Q2 list) lives here too, implemented
   * once over `read`: search semantics must not depend on the layout,
   * so the CLI's `--layout` flag can swap stores without changing what
-  * a query returns. [[VectorStore]] overrides the ANN scan hooks to
-  * serve from a persisted `_index` sidecar when one is fresh.
+  * a query returns. The ANN scan hooks (implemented here, once)
+  * serve from a persisted `_index` sidecar when one is FRESH, else
+  * fit at search time — on either layout.
   */
 trait ChunkStore {
   protected def spark: SparkSession
   protected def root: String
 
+  /** One directory per collection under the store root — the layout
+    * both implementations share (what differs is INSIDE the
+    * directory: documentid partitions vs hash buckets), so the
+    * collection-scoped machinery (listing, fingerprints, the `_index`
+    * sidecar) lives here, written once.
+    */
+  protected final def collectionPath(collection: String): String =
+    s"$root/$collection"
+
+  private def indexDir(collection: String, part: String) =
+    s"${collectionPath(collection)}/_index/$part"
+
   def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit
   def read(collection: String): DataFrame
+
+  /** DELETE whole documents — the takedown/right-to-be-forgotten
+    * primitive every long-lived store needs (the replace-by-document
+    * upsert can only ever replace, never remove). The unit is the
+    * documentid, matching the upsert contract; deleting an absent id
+    * is a no-op; cost follows the layout's replace unit (per-document
+    * partitions dropped / touched buckets rewritten), never the store.
+    */
+  def delete(collection: String, docIds: Seq[String]): Unit
 
   /** Store maintenance: rewrite a collection to its canonical file
     * layout. Returns (files_before, files_after).
@@ -75,7 +97,7 @@ trait ChunkStore {
     * (cosine, 6dp), ordered (score desc, key). The trait's ANN hooks
     * build the index at search time from the collection (the
     * convenience path — right for REPL-sized collections);
-    * [[VectorStore.buildIndex]] persists the code tables once so the
+    * [[buildIndex]] persists the code tables once so the
     * serving path reads a `_index` sidecar instead — exactly the
     * stored-code shape q128/q138 certify under the oracle.
     */
@@ -100,7 +122,7 @@ trait ChunkStore {
     * unprobed buckets (recall collapses), a fixed low one over a large
     * collection stops pruning. At store scale nBits grows as log2(n) —
     * the scan stays ~constant per bucket. Shared by the fit-at-search
-    * path and [[VectorStore.buildIndex]] so a sidecar built over the
+    * path and [[buildIndex]] so a sidecar built over the
     * same rows probes the same buckets.
     */
   protected final def lshBitsFor(n: Long): Int =
@@ -108,8 +130,43 @@ trait ChunkStore {
       (math.log(math.max(n, 8L).toDouble / 8.0) / math.log(2.0))
         .round.toInt))
 
-  /** ANN scan hook: fit-at-search LSH (the REPL convenience path). */
-  protected def searchLsh(collection: String, qv: Array[Float],
+  /** LSH serving: the persisted bucket table when fresh (scan = probe
+    * buckets of a (key, bucket) table + a keyed join back for exact
+    * re-score), else fit-at-search. Identical output either way: the
+    * sidecar stores the SAME deterministic hyperplane-family
+    * assignment (nBits from the same size rule, fixed seed) the
+    * search-time fit would recompute. Layout-independent — the sidecar
+    * lives under `<collection>/_index/` on EITHER store, so the 100 TB
+    * bucketed layout serves from a persisted index exactly like the
+    * per-document one (BOTH layouts exercised by IndexSidecarSpec).
+    */
+  protected final def searchLsh(collection: String, qv: Array[Float],
+      k: Int): DataFrame = {
+    if (!hasFreshIndex(collection, "lsh"))
+      return searchLshFit(collection, qv, k)
+    val meta = spark.read.parquet(indexDir(collection, "lsh_meta")).head()
+    val nBits = meta.getAs[Int]("nbits")
+    val dim = meta.getAs[Int]("dim")
+    require(dim == qv.length,
+      s"lsh index dim $dim != query dim ${qv.length}")
+    val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
+      nBits = nBits, dim = dim, seed = meta.getAs[Long]("seed"))
+    val probes = lsh.probeBuckets(qv, probes = 2)
+    val cand = spark.read.parquet(indexDir(collection, "lsh"))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("key"))
+    read(collection).join(cand, Seq("key"))
+      .withColumn("score",
+        round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
+      .orderBy(col("score").desc, col("key"))
+      .limit(k)
+  }
+
+  /** Fit-at-search LSH (the REPL convenience path, and the fallback
+    * whenever no FRESH sidecar exists — never silently serving an
+    * index that is missing the newest documents).
+    */
+  private def searchLshFit(collection: String, qv: Array[Float],
       k: Int): DataFrame = {
     val chunks = read(collection)
     val nBits = lshBitsFor(chunks.count())
@@ -129,8 +186,43 @@ trait ChunkStore {
       .limit(k)
   }
 
-  /** ANN scan hook: fit-at-search IVF-SQ (the REPL convenience path). */
-  protected def searchIvfsq(collection: String, qv: Array[Float],
+  /** IVF-SQ serving: the persisted code table + fitted model when
+    * fresh ([[graft.operators.IvfSq.searchCodes]] — probe-pruned
+    * integer ranking over (key, cid, code) rows, exact re-score joined
+    * from the collection), else fit-at-search. The fit is
+    * deterministic over the same rows, so sidecar and fit-at-search
+    * return the identical id set.
+    */
+  protected final def searchIvfsq(collection: String, qv: Array[Float],
+      k: Int): DataFrame = {
+    if (!hasFreshIndex(collection, "ivfsq"))
+      return searchIvfsqFit(collection, qv, k)
+    val meta = spark.read.parquet(indexDir(collection, "ivfsq_meta")).head()
+    val dim = meta.getAs[Int]("dim")
+    require(dim == qv.length,
+      s"ivfsq index dim $dim != query dim ${qv.length}")
+    val cents = meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+      "cents").map(_.toArray).toArray
+    val m = new graft.operators.IvfSq.Model(
+      new graft.operators.Ann.Ivf(cents),
+      new graft.operators.Sq.Model(
+        meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
+        meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
+    val chunks = read(collection)
+    val ids = graft.operators.IvfSq.searchCodes(
+        spark.read.parquet(indexDir(collection, "ivfsq")), chunks,
+        "key", "embedding", "ivf_cid", "sq_code", m, qv,
+        k = k, nprobe = 3, pool = math.max(200, 20 * k))
+      .select(col("key"))
+    chunks.join(broadcast(ids), Seq("key"))
+      .withColumn("score",
+        round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
+      .orderBy(col("score").desc, col("key"))
+      .limit(k)
+  }
+
+  /** Fit-at-search IVF-SQ (the REPL convenience path / fallback). */
+  private def searchIvfsqFit(collection: String, qv: Array[Float],
       k: Int): DataFrame = {
     val chunks = read(collection)
     val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
@@ -144,9 +236,164 @@ trait ChunkStore {
       .orderBy(col("score").desc, col("key"))
       .limit(k)
   }
+
+  /** Persist the ANN index sidecar for `mode` (`lsh` or `ivfsq`) under
+    * `<collection>/_index/` — the write-time half of the stored-code
+    * index tier (q128/q138): fit once, serve many. Each sidecar
+    * carries the store's [[ChunkStore.dataFingerprint]] at build time;
+    * [[search]] trusts it only while the fingerprint still matches.
+    * The code tables store only (key, documentid, code) — int8/int
+    * columns, the ~1% footprint that makes a persisted index
+    * affordable at 100 TB — and float vectors stay solely in the
+    * collection, joined back for the exact re-score of the pruned
+    * survivors. An underscore-prefixed sidecar dir is invisible to the
+    * collection's own parquet reads and excluded from the file census,
+    * so building an index changes neither query results nor compaction
+    * certificates. Layout-independent: the build reads through
+    * [[read]], so the bucketed store indexes exactly like the
+    * per-document one.
+    */
+  def buildIndex(collection: String, mode: String): Unit = mode match {
+    case "ivfsq" =>
+      val fp = ChunkStore.dataFingerprint(spark, collectionPath(collection))
+      val chunks = read(collection)
+      val dim = chunks.select("embedding").head().getSeq[Float](0).length
+      val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
+        kCentroids = 8, dim = dim)
+      graft.operators.IvfSq.index(chunks, "embedding", m)
+        .select(col("key"), col("documentid"), col("ivf_cid"),
+          col("sq_code"))
+        .write.mode("overwrite").parquet(indexDir(collection, "ivfsq"))
+      spark.createDataset(Seq(ChunkStore.IvfSqMeta(fp, dim,
+          m.ivf.centroidsE6.map(_.toSeq).toSeq,
+          m.sq.mnE6.toSeq, m.sq.mxE6.toSeq)))(
+          org.apache.spark.sql.Encoders.product[ChunkStore.IvfSqMeta])
+        .coalesce(1).write.mode("overwrite")
+        .parquet(indexDir(collection, "ivfsq_meta"))
+    case "lsh" =>
+      val fp = ChunkStore.dataFingerprint(spark, collectionPath(collection))
+      val chunks = read(collection)
+      val dim = chunks.select("embedding").head().getSeq[Float](0).length
+      val nBits = lshBitsFor(chunks.count())
+      val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
+        nBits = nBits, dim = dim)
+      lsh.index(chunks, "embedding")
+        .select(col("key"), col("documentid"), col("bucket"))
+        .write.mode("overwrite").parquet(indexDir(collection, "lsh"))
+      spark.createDataset(Seq(ChunkStore.LshMeta(fp, dim, nBits, 42L)))(
+          org.apache.spark.sql.Encoders.product[ChunkStore.LshMeta])
+        .coalesce(1).write.mode("overwrite")
+        .parquet(indexDir(collection, "lsh_meta"))
+    case other => throw new IllegalArgumentException(
+      s"unknown index mode '$other' (lsh|ivfsq)")
+  }
+
+  /** True iff `mode`'s sidecar exists AND was built over exactly the
+    * current data files (fingerprint match) — one driver-side listing
+    * plus a 1-row meta read; no scan of the collection. Any upsert,
+    * delete or compact since the build flips this false, which is the
+    * signal the q151 refresh policy acts on (rebuild/refresh) and
+    * [[search]] acts on conservatively (serve fit-at-search instead of
+    * a stale index — never silently missing the newest documents).
+    */
+  def hasFreshIndex(collection: String, mode: String): Boolean = {
+    val metaDir = indexDir(collection, s"${mode}_meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) return false
+    val stamped = spark.read.parquet(metaDir)
+      .select("fingerprint").head().getString(0)
+    stamped == ChunkStore.dataFingerprint(spark, collectionPath(collection))
+  }
+
+  /** INCREMENTAL index maintenance — the production refresh pattern:
+    * the fitted MODEL stays FROZEN (refitting is rare and deliberate —
+    * that is [[buildIndex]]); only the named documents' code rows are
+    * re-derived. The caller passes exactly its upsert/delete batch's
+    * documentids (the replace unit, so the delta is known for free):
+    * their old code rows are dropped, the documents' CURRENT chunks —
+    * none, for a deleted document — are re-encoded under the frozen
+    * model and appended, and the meta is re-stamped with the store's
+    * current fingerprint. The result is REQUIRED-equal to re-encoding
+    * the whole collection under the same model (q242 certifies
+    * `refresh(Δ) == frozen-model full re-encode` by set equality), so
+    * staleness never accumulates across refreshes. Cost: the changed
+    * documents' encode + one rewrite of the codes TABLE (~1% of store
+    * bytes; at 100 TB, partition the codes by cid/bucket and dynamic-
+    * overwrite only the touched partitions — same discipline, smaller
+    * unit). The rewrite commits through [[ChunkStore.commitSwap]].
+    */
+  def refreshIndex(collection: String, mode: String,
+      docIds: Seq[String]): Unit = {
+    require(Set("lsh", "ivfsq")(mode),
+      s"unknown index mode '$mode' (lsh|ivfsq)")
+    val codesDir = indexDir(collection, mode)
+    val metaDir = indexDir(collection, s"${mode}_meta")
+    val meta = spark.read.parquet(metaDir).head()
+    val chunks = read(collection)
+    val changed = chunks.filter(col("documentid").isin(
+      docIds.map(x => x: Any): _*))
+    val fresh = mode match {
+      case "ivfsq" =>
+        val cents = meta.getAs[scala.collection.Seq[
+          scala.collection.Seq[Long]]]("cents").map(_.toArray).toArray
+        val m = new graft.operators.IvfSq.Model(
+          new graft.operators.Ann.Ivf(cents),
+          new graft.operators.Sq.Model(
+            meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
+            meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
+        graft.operators.IvfSq.index(changed, "embedding", m)
+          .select(col("key"), col("documentid"), col("ivf_cid"),
+            col("sq_code"))
+      case "lsh" =>
+        val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
+          nBits = meta.getAs[Int]("nbits"), dim = meta.getAs[Int]("dim"),
+          seed = meta.getAs[Long]("seed"))
+        lsh.index(changed, "embedding")
+          .select(col("key"), col("documentid"), col("bucket"))
+    }
+    val kept = spark.read.parquet(codesDir)
+      .filter(!col("documentid").isin(docIds.map(x => x: Any): _*))
+    val tmp = codesDir + "__refresh_tmp"
+    kept.unionByName(fresh).write.mode("overwrite").parquet(tmp)
+    ChunkStore.commitSwap(spark, codesDir, tmp)
+    // Re-stamp: same frozen model, current data fingerprint.
+    val fp = ChunkStore.dataFingerprint(spark, collectionPath(collection))
+    mode match {
+      case "ivfsq" =>
+        spark.createDataset(Seq(ChunkStore.IvfSqMeta(fp,
+            meta.getAs[Int]("dim"),
+            meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+              "cents").map(_.toSeq).toSeq,
+            meta.getAs[scala.collection.Seq[Long]]("mn").toSeq,
+            meta.getAs[scala.collection.Seq[Long]]("mx").toSeq)))(
+            org.apache.spark.sql.Encoders.product[ChunkStore.IvfSqMeta])
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+      case "lsh" =>
+        spark.createDataset(Seq(ChunkStore.LshMeta(fp,
+            meta.getAs[Int]("dim"), meta.getAs[Int]("nbits"),
+            meta.getAs[Long]("seed"))))(
+            org.apache.spark.sql.Encoders.product[ChunkStore.LshMeta])
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+    }
+  }
 }
 
 object ChunkStore {
+  /** `_index/ivfsq_meta` row: build fingerprint + the fitted model
+    * (IVF centroids at e6, SQ residual bounds) — everything a search
+    * needs to serve without refitting.
+    */
+  private[store] case class IvfSqMeta(fingerprint: String, dim: Int,
+      cents: Seq[Seq[Long]], mn: Seq[Long], mx: Seq[Long])
+
+  /** `_index/lsh_meta` row: build fingerprint + the deterministic
+    * hyperplane-family parameters (the planes regenerate from
+    * (nbits, dim, seed); only the bucket TABLE needs storing).
+    */
+  private[store] case class LshMeta(fingerprint: String, dim: Int,
+      nbits: Int, seed: Long)
+
   /** Recursive .parquet data-file census under a store path — ONE
     * walker for every layout's compaction certificate (underscore
     * sidecar dirs — `_schema`, `_index` — are invisible to reads and
@@ -164,7 +411,7 @@ object ChunkStore {
     * upsert/compact changes at least one component, so an `_index`
     * sidecar stamped with the fingerprint at build time can be
     * freshness-checked with ONE driver-side listing (O(files), no
-    * job) — the cheap staleness test [[VectorStore.hasFreshIndex]]
+    * job) — the cheap staleness test [[hasFreshIndex]]
     * runs before trusting a persisted index. Sidecar dirs are
     * excluded (building an index must not invalidate it).
     */

@@ -2,7 +2,7 @@ package graft.store
 
 import graft.functions.{Embedding, EmbeddingProvider}
 import graft.model.EmbeddedChunk
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed vector store (SURVEY.md §1.2, §2.6, §2.7).
@@ -37,9 +37,6 @@ final class VectorStore(protected val spark: SparkSession,
 
   private def path(collection: String) = s"$root/$collection"
 
-  private def indexDir(collection: String, part: String) =
-    s"${path(collection)}/_index/$part"
-
   /** W1: create-or-replace the incoming documents' chunks. */
   def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit =
     chunks.write
@@ -52,6 +49,23 @@ final class VectorStore(protected val spark: SparkSession,
   def read(collection: String): DataFrame =
     spark.read.parquet(path(collection))
 
+  /** Document deletion on the per-document layout: each id IS a
+    * partition directory, so a delete is one driver-side directory
+    * remove per id — no data rewrite at all, the same O(touched
+    * documents) commit class as this layout's upsert. Any `_index`
+    * sidecar goes fingerprint-stale automatically (the data files
+    * changed), so searches fall back rather than resurrecting deleted
+    * chunks from a stale index; [[refreshIndex]] drops their codes.
+    */
+  def delete(collection: String, docIds: Seq[String]): Unit = {
+    val dir = path(collection)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    docIds.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/documentid=$id"), true)
+    }
+  }
+
   /** Schema-supplied read: skips the footer-sampling schema-inference
     * job — the right call when the caller already knows the chunk
     * schema (every re-read in a pipeline does).
@@ -59,134 +73,6 @@ final class VectorStore(protected val spark: SparkSession,
   def read(collection: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).parquet(path(collection))
-
-  /** Persist the ANN index sidecar for `mode` (`lsh` or `ivfsq`) under
-    * `<collection>/_index/` — the write-time half of the stored-code
-    * index tier (q128/q138): fit once, serve many. Each sidecar
-    * carries the store's [[ChunkStore.dataFingerprint]] at build time;
-    * [[search]] trusts it only while the fingerprint still matches.
-    * The code tables store only (key, code) — int8/int columns, the
-    * ~1% footprint that makes a persisted index affordable at 100 TB —
-    * and float vectors stay solely in the collection, joined back for
-    * the exact re-score of the pruned survivors. An underscore-prefixed
-    * sidecar dir is invisible to the collection's own parquet reads
-    * and excluded from the file census, so building an index changes
-    * neither query results nor compaction certificates.
-    */
-  def buildIndex(collection: String, mode: String): Unit = mode match {
-    case "ivfsq" =>
-      val fp = ChunkStore.dataFingerprint(spark, path(collection))
-      val chunks = read(collection)
-      val dim = chunks.select("embedding").head().getSeq[Float](0).length
-      val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
-        kCentroids = 8, dim = dim)
-      graft.operators.IvfSq.index(chunks, "embedding", m)
-        .select(col("key"), col("ivf_cid"), col("sq_code"))
-        .write.mode("overwrite").parquet(indexDir(collection, "ivfsq"))
-      spark.createDataset(Seq(VectorStore.IvfSqMeta(fp, dim,
-          m.ivf.centroidsE6.map(_.toSeq).toSeq,
-          m.sq.mnE6.toSeq, m.sq.mxE6.toSeq)))(
-          Encoders.product[VectorStore.IvfSqMeta])
-        .coalesce(1).write.mode("overwrite")
-        .parquet(indexDir(collection, "ivfsq_meta"))
-    case "lsh" =>
-      val fp = ChunkStore.dataFingerprint(spark, path(collection))
-      val chunks = read(collection)
-      val dim = chunks.select("embedding").head().getSeq[Float](0).length
-      val nBits = lshBitsFor(chunks.count())
-      val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
-        nBits = nBits, dim = dim)
-      lsh.index(chunks, "embedding").select(col("key"), col("bucket"))
-        .write.mode("overwrite").parquet(indexDir(collection, "lsh"))
-      spark.createDataset(Seq(VectorStore.LshMeta(fp, dim, nBits, 42L)))(
-          Encoders.product[VectorStore.LshMeta])
-        .coalesce(1).write.mode("overwrite")
-        .parquet(indexDir(collection, "lsh_meta"))
-    case other => throw new IllegalArgumentException(
-      s"unknown index mode '$other' (lsh|ivfsq)")
-  }
-
-  /** True iff `mode`'s sidecar exists AND was built over exactly the
-    * current data files (fingerprint match) — one driver-side listing
-    * plus a 1-row meta read; no scan of the collection. Any upsert or
-    * compact since the build flips this false, which is the signal the
-    * q151 refresh policy acts on (rebuild) and [[search]] acts on
-    * conservatively (serve exact-fit-at-search instead of a stale
-    * index — never silently missing the newest documents).
-    */
-  def hasFreshIndex(collection: String, mode: String): Boolean = {
-    val metaDir = indexDir(collection, s"${mode}_meta")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) return false
-    val stamped = spark.read.parquet(metaDir)
-      .select("fingerprint").head().getString(0)
-    stamped == ChunkStore.dataFingerprint(spark, path(collection))
-  }
-
-  /** LSH serving: the persisted bucket table when fresh (scan = probe
-    * buckets of a (key, bucket) table + a keyed join back for exact
-    * re-score), else the trait's fit-at-search path. Identical output
-    * either way: the sidecar stores the SAME deterministic
-    * hyperplane-family assignment (nBits from the same size rule,
-    * fixed seed) the search-time fit would recompute.
-    */
-  override protected def searchLsh(collection: String, qv: Array[Float],
-      k: Int): DataFrame = {
-    if (!hasFreshIndex(collection, "lsh"))
-      return super.searchLsh(collection, qv, k)
-    val meta = spark.read.parquet(indexDir(collection, "lsh_meta")).head()
-    val nBits = meta.getAs[Int]("nbits")
-    val dim = meta.getAs[Int]("dim")
-    require(dim == qv.length,
-      s"lsh index dim $dim != query dim ${qv.length}")
-    val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
-      nBits = nBits, dim = dim, seed = meta.getAs[Long]("seed"))
-    val probes = lsh.probeBuckets(qv, probes = 2)
-    val cand = spark.read.parquet(indexDir(collection, "lsh"))
-      .filter(col("bucket").isin(probes: _*))
-      .select(col("key"))
-    read(collection).join(cand, Seq("key"))
-      .withColumn("score",
-        round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
-      .orderBy(col("score").desc, col("key"))
-      .limit(k)
-  }
-
-  /** IVF-SQ serving: the persisted code table + fitted model when
-    * fresh ([[graft.operators.IvfSq.searchCodes]] — probe-pruned
-    * integer ranking over (key, cid, code) rows, exact re-score joined
-    * from the collection), else the trait's fit-at-search path. The
-    * fit is deterministic over the same rows, so sidecar and
-    * fit-at-search return the identical id set.
-    */
-  override protected def searchIvfsq(collection: String, qv: Array[Float],
-      k: Int): DataFrame = {
-    if (!hasFreshIndex(collection, "ivfsq"))
-      return super.searchIvfsq(collection, qv, k)
-    val meta = spark.read.parquet(indexDir(collection, "ivfsq_meta")).head()
-    val dim = meta.getAs[Int]("dim")
-    require(dim == qv.length,
-      s"ivfsq index dim $dim != query dim ${qv.length}")
-    val cents = meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
-      "cents").map(_.toArray).toArray
-    val m = new graft.operators.IvfSq.Model(
-      new graft.operators.Ann.Ivf(cents),
-      new graft.operators.Sq.Model(
-        meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
-        meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
-    val chunks = read(collection)
-    val ids = graft.operators.IvfSq.searchCodes(
-        spark.read.parquet(indexDir(collection, "ivfsq")), chunks,
-        "key", "embedding", "ivf_cid", "sq_code", m, qv,
-        k = k, nprobe = 3, pool = math.max(200, 20 * k))
-      .select(col("key"))
-    chunks.join(broadcast(ids), Seq("key"))
-      .withColumn("score",
-        round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
-      .orderBy(col("score").desc, col("key"))
-      .limit(k)
-  }
 
   /** Store MAINTENANCE: compact a collection's small files. Every
     * dynamic-overwrite upsert writes ≥1 new file into each touched
@@ -245,18 +131,3 @@ final class VectorStore(protected val spark: SparkSession,
   }
 }
 
-object VectorStore {
-  /** `_index/ivfsq_meta` row: build fingerprint + the fitted model
-    * (IVF centroids at e6, SQ residual bounds) — everything a search
-    * needs to serve without refitting.
-    */
-  private[store] case class IvfSqMeta(fingerprint: String, dim: Int,
-      cents: Seq[Seq[Long]], mn: Seq[Long], mx: Seq[Long])
-
-  /** `_index/lsh_meta` row: build fingerprint + the deterministic
-    * hyperplane-family parameters (the planes regenerate from
-    * (nbits, dim, seed); only the bucket TABLE needs storing).
-    */
-  private[store] case class LshMeta(fingerprint: String, dim: Int,
-      nbits: Int, seed: Long)
-}

@@ -52,6 +52,61 @@ class MainLayoutSpec extends SparkSpec {
     assert(schB == schD, "search output differs between layouts")
   }
 
+  test("delete + index build/refresh/status drive the maintenance " +
+      "surface end-to-end on both layouts") {
+    for (layout <- Seq("document", "bucketed")) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"main-maint-$layout").toString
+      val md = resourcePath("content/markdown")
+      val common = Array("--store", root, "--layout", layout)
+      assert(capture("") { Main.run(Array("ingest", "--reader",
+        "markdown", "--source", md) ++ common, spark) }._1 == 0)
+      // Build both sidecars; status must report fresh.
+      assert(capture("") { Main.run(Array("index", "build", "--mode",
+        "ivfsq") ++ common, spark) }._1 == 0)
+      assert(capture("") { Main.run(Array("index", "build", "--mode",
+        "lsh") ++ common, spark) }._1 == 0)
+      val (cs1, st1) = capture("") {
+        Main.run(Array("index", "status") ++ common, spark) }
+      assert(cs1 == 0 && st1.contains("lsh: fresh") &&
+        st1.contains("ivfsq: fresh"), s"[$layout] status after build:\n$st1")
+      // Delete one ingested document -> sidecars go stale.
+      val victim = {
+        val store: graft.store.ChunkStore = if (layout == "document")
+          new graft.store.VectorStore(spark, root)
+        else new graft.store.BucketedVectorStore(spark, root, 16)
+        store.read("documents").select("documentid")
+          .orderBy("documentid").head().getString(0)
+      }
+      val (cd, delOut) = capture("") {
+        Main.run(Array("delete", "--ids", victim) ++ common, spark) }
+      assert(cd == 0 && delOut.contains("deleted 1 document"),
+        s"[$layout] delete output:\n$delOut")
+      val (_, st2) = capture("") {
+        Main.run(Array("index", "status") ++ common, spark) }
+      assert(st2.contains("lsh: stale-or-absent"),
+        s"[$layout] sidecar still fresh after delete:\n$st2")
+      // Refresh with exactly the delta -> fresh again; search serves.
+      for (m <- Seq("lsh", "ivfsq"))
+        assert(capture("") { Main.run(Array("index", "refresh", "--mode",
+          m, "--ids", victim) ++ common, spark) }._1 == 0)
+      val (_, st3) = capture("") {
+        Main.run(Array("index", "status") ++ common, spark) }
+      assert(st3.contains("lsh: fresh") && st3.contains("ivfsq: fresh"),
+        s"[$layout] status after refresh:\n$st3")
+      val (cq, schOut) = capture("how do plants convert sunlight\n\n") {
+        Main.run(Array("search", "--k", "2", "--mode", "ivfsq") ++
+          common, spark) }
+      assert(cq == 0 && schOut.contains("score="),
+        s"[$layout] sidecar-served search:\n$schOut")
+      assert(!schOut.contains(victim),
+        s"[$layout] deleted document resurfaced in search:\n$schOut")
+      // Guardrails: missing --ids and unknown action fail cleanly.
+      assert(Main.run(Array("delete") ++ common, spark) == 2)
+      assert(Main.run(Array("index", "frobnicate") ++ common, spark) == 2)
+    }
+  }
+
   test("unknown --layout fails with a usage message, not a stack trace") {
     val err = new java.io.ByteArrayOutputStream()
     val code = Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {

@@ -4,8 +4,10 @@ import graft.SparkSpec
 import graft.model.EmbeddedChunk
 import org.apache.spark.sql.functions._
 
-/** [[VectorStore.buildIndex]] / [[VectorStore.hasFreshIndex]] — the
-  * persisted ANN serving path. Properties:
+/** [[ChunkStore.buildIndex]] / [[ChunkStore.hasFreshIndex]] — the
+  * persisted ANN serving path, exercised on BOTH layouts (the sidecar
+  * machinery lives on the trait, so the 100 TB bucketed store indexes
+  * and serves exactly like the per-document one). Properties:
   *
   *   - a fresh sidecar serves `search(mode=lsh|ivfsq)` with EXACTLY the
   *     rows the fit-at-search path returns (the fits are deterministic
@@ -27,10 +29,13 @@ class IndexSidecarSpec extends SparkSpec {
     raw.map(x => (x / n).toFloat)
   }
 
-  private def mkStore(): (VectorStore, String) = {
+  private def mkStore(layout: String): (ChunkStore, String) = {
     val root = java.nio.file.Files
       .createTempDirectory("sidecar-spec").toString
-    val vs = new VectorStore(spark, root)
+    val vs: ChunkStore = layout match {
+      case "document" => new VectorStore(spark, root)
+      case "bucketed" => new BucketedVectorStore(spark, root, nBuckets = 4)
+    }
     import spark.implicits._
     val rows = for (d <- 0 until 8; i <- 0 until 8) yield
       EmbeddedChunk(f"d$d%02d:$i", vec(d * 100 + i), s"c$d$i", "",
@@ -39,15 +44,17 @@ class IndexSidecarSpec extends SparkSpec {
     (vs, root)
   }
 
-  private def hits(vs: VectorStore, mode: String, qv: Array[Float]) =
+  private def hits(vs: ChunkStore, mode: String, qv: Array[Float]) =
     vs.search("c", graft.functions.VectorLiteralProvider.render(qv),
         k = 5, provider = new graft.functions.VectorLiteralProvider(dim),
         mode = mode)
       .select(col("key"), col("score")).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
-  test("sidecar-served ANN search returns the fit-at-search rows") {
-    val (vs, root) = mkStore()
+  for (layout <- Seq("document", "bucketed")) {
+
+  test(s"[$layout] sidecar-served ANN search returns the fit-at-search rows") {
+    val (vs, root) = mkStore(layout)
     val queries = Seq(vec(9001), vec(9002), vec(9003))
     val before = for (m <- Seq("lsh", "ivfsq"); q <- queries)
       yield hits(vs, m, q)
@@ -69,9 +76,9 @@ class IndexSidecarSpec extends SparkSpec {
       "building the index changed the data fingerprint")
   }
 
-  test("an upsert stales the sidecar and search falls back") {
+  test(s"[$layout] an upsert stales the sidecar and search falls back") {
     import spark.implicits._
-    val (vs, _) = mkStore()
+    val (vs, _) = mkStore(layout)
     vs.buildIndex("c", "ivfsq")
     vs.buildIndex("c", "lsh")
     assert(vs.hasFreshIndex("c", "ivfsq"))
@@ -95,8 +102,60 @@ class IndexSidecarSpec extends SparkSpec {
       s"rebuilt sidecar missed the newest document: $got2")
   }
 
-  test("compact drops the sidecar; staleness is detected either way") {
-    val (vs, _) = mkStore()
+  test(s"[$layout] refreshIndex: frozen-model incremental refresh equals " +
+      "a full re-encode and restores freshness through upserts AND deletes") {
+    import spark.implicits._
+    val (vs, root) = mkStore(layout)
+    vs.buildIndex("c", "ivfsq")
+    vs.buildIndex("c", "lsh")
+    // The delta: one new document, one replaced document (fewer
+    // chunks), one deleted document.
+    vs.upsert(Seq(EmbeddedChunk("d99:0", vec(9900), "new", "", "d99"),
+      EmbeddedChunk("d03:0", vec(8300), "repl", "", "d03")).toDS(), "c")
+    vs.delete("c", Seq("d05"))
+    assert(!vs.hasFreshIndex("c", "ivfsq"))
+    val delta = Seq("d99", "d03", "d05")
+    vs.refreshIndex("c", "ivfsq", delta)
+    vs.refreshIndex("c", "lsh", delta)
+    assert(vs.hasFreshIndex("c", "ivfsq"), "ivfsq not fresh after refresh")
+    assert(vs.hasFreshIndex("c", "lsh"), "lsh not fresh after refresh")
+    // Code tables track the collection's key set exactly — no orphan
+    // codes for deleted/replaced chunks, no missing codes for new ones.
+    val keys = vs.read("c").select("key").collect()
+      .map(_.getString(0)).sorted.toSeq
+    for (m <- Seq("ivfsq", "lsh")) {
+      val codeKeys = spark.read.parquet(s"$root/c/_index/$m")
+        .select("key").collect().map(_.getString(0)).sorted.toSeq
+      assert(codeKeys == keys, s"$m code table diverged from the " +
+        s"collection: ${codeKeys.size} codes vs ${keys.size} keys")
+    }
+    // Refresh(delta) == frozen-model FULL re-encode, cell for cell.
+    val meta = spark.read.parquet(s"$root/c/_index/ivfsq_meta").head()
+    val m = new graft.operators.IvfSq.Model(
+      new graft.operators.Ann.Ivf(
+        meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+          "cents").map(_.toArray).toArray),
+      new graft.operators.Sq.Model(
+        meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
+        meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
+    val expected = graft.operators.IvfSq.index(vs.read("c"), "embedding", m)
+      .select(col("key"), col("ivf_cid"), col("sq_code"))
+    val got = spark.read.parquet(s"$root/c/_index/ivfsq")
+      .select(col("key"), col("ivf_cid"), col("sq_code"))
+    assert(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty,
+      "refreshed codes differ from a frozen-model full re-encode")
+    // The refreshed sidecar actually serves: the new document's own
+    // vector finds it; the deleted document never surfaces.
+    val hit = hits(vs, "ivfsq", vec(9900))
+    assert(hit.nonEmpty && hit.head._1 == "d99:0",
+      s"refreshed index missed the new document: $hit")
+    assert(!hits(vs, "lsh", vec(500 + 3)).exists(_._1.startsWith("d05")),
+      "deleted document resurfaced through the refreshed lsh index")
+  }
+
+  test(s"[$layout] compact drops the sidecar; staleness is detected either way") {
+    val (vs, _) = mkStore(layout)
     vs.buildIndex("c", "lsh")
     assert(vs.hasFreshIndex("c", "lsh"))
     vs.compact("c")
@@ -105,5 +164,6 @@ class IndexSidecarSpec extends SparkSpec {
     assert(!vs.hasFreshIndex("c", "lsh"),
       "sidecar reported fresh after compact rewrote every file")
     assert(hits(vs, "lsh", vec(9001)).nonEmpty)
+  }
   }
 }
