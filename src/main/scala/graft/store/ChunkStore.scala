@@ -45,6 +45,19 @@ trait ChunkStore {
   private def indexDir(collection: String, part: String) =
     s"${collectionPath(collection)}/_index/$part"
 
+  /** Content-version fingerprint backing the `_index` freshness check —
+    * any upsert/delete/compact must change it. Default: the raw
+    * data-file census hash ([[ChunkStore.dataFingerprint]]), right for
+    * the rename-commit layouts whose directories hold exactly the live
+    * data. [[SnapshotStore]] overrides it with a hash of the LATEST
+    * MANIFEST instead: its directories retain non-live files for time
+    * travel, so a vacuum (which changes no live content) must NOT
+    * invalidate a fresh index, and a commit (which changes only the
+    * manifest until old files age out) MUST.
+    */
+  protected def storeFingerprint(collection: String): String =
+    ChunkStore.dataFingerprint(spark, collectionPath(collection))
+
   def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit
   def read(collection: String): DataFrame
 
@@ -255,7 +268,7 @@ trait ChunkStore {
     */
   def buildIndex(collection: String, mode: String): Unit = mode match {
     case "ivfsq" =>
-      val fp = ChunkStore.dataFingerprint(spark, collectionPath(collection))
+      val fp = storeFingerprint(collection)
       val chunks = read(collection)
       val dim = chunks.select("embedding").head().getSeq[Float](0).length
       val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
@@ -271,7 +284,7 @@ trait ChunkStore {
         .coalesce(1).write.mode("overwrite")
         .parquet(indexDir(collection, "ivfsq_meta"))
     case "lsh" =>
-      val fp = ChunkStore.dataFingerprint(spark, collectionPath(collection))
+      val fp = storeFingerprint(collection)
       val chunks = read(collection)
       val dim = chunks.select("embedding").head().getSeq[Float](0).length
       val nBits = lshBitsFor(chunks.count())
@@ -303,7 +316,7 @@ trait ChunkStore {
     if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) return false
     val stamped = spark.read.parquet(metaDir)
       .select("fingerprint").head().getString(0)
-    stamped == ChunkStore.dataFingerprint(spark, collectionPath(collection))
+    stamped == storeFingerprint(collection)
   }
 
   /** INCREMENTAL index maintenance — the production refresh pattern:
@@ -358,7 +371,7 @@ trait ChunkStore {
     kept.unionByName(fresh).write.mode("overwrite").parquet(tmp)
     ChunkStore.commitSwap(spark, codesDir, tmp)
     // Re-stamp: same frozen model, current data fingerprint.
-    val fp = ChunkStore.dataFingerprint(spark, collectionPath(collection))
+    val fp = storeFingerprint(collection)
     mode match {
       case "ivfsq" =>
         spark.createDataset(Seq(ChunkStore.IvfSqMeta(fp,

@@ -1,0 +1,473 @@
+package graft.store
+
+import graft.model.EmbeddedChunk
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** MANIFEST-committed snapshot store — the layout whose COMMIT survives
+  * an object store, where [[VectorStore]] and [[BucketedVectorStore]]
+  * do not.
+  *
+  * Both rename-commit layouts publish state transitions with directory
+  * renames (dynamic-partition overwrite; [[ChunkStore.commitSwap]]).
+  * Renames are atomic O(1) metadata ops on HDFS-like filesystems — and
+  * NOT on the object stores a 100 TB deployment actually lives on: S3
+  * "rename" is a copy+delete per object (a compaction commit becomes a
+  * non-atomic multi-minute window), and dynamic overwrite's
+  * delete-then-write exposes readers to partial state. This store
+  * removes renames of data from the commit path entirely — the
+  * Iceberg/Delta commit shape, rebuilt on plain parquet:
+  *
+  *   - **Data files are immutable.** Every writer lands its rows in a
+  *     fresh uniquely-named directory under `data/` and NEVER touches
+  *     an existing file. There is nothing to rename, copy, or
+  *     overwrite — the only ordering requirement is "data durable
+  *     before manifest visible".
+  *   - **The commit is ONE atomic file creation.** State version N is
+  *     the manifest `_snapshots/v%08dN.json` — the list of (data dir,
+  *     kind, seq) entries that ARE version N. Publishing = creating
+  *     that file if-absent (Hadoop `FileContext.rename(…, Rename.NONE)`
+  *     over a staged temp — fails if vN exists; on S3 the same slot is
+  *     a conditional `If-None-Match` PUT). Readers see the old version
+  *     or the new one, never anything between.
+  *   - **Concurrent writers are SAFE, not corrupting.** Two committers
+  *     race for the same version slot; exactly one file creation
+  *     succeeds. The loser re-reads the new latest, REBASES its staged
+  *     entry (pure manifest arithmetic — upsert/delete append their
+  *     entry; compact keeps entries committed past its snapshot), and
+  *     retries the next slot. No writer ever blocks a reader.
+  *   - **Old versions remain readable** ([[readAt]]): a manifest pins
+  *     its file set, and commits only ADD files — time travel until
+  *     [[vacuum]] ages the old manifests out. Failed/crashed writers
+  *     leave only orphan data dirs no manifest references; vacuum
+  *     sweeps those too (behind a mtime grace window so an in-flight
+  *     writer's staged-but-uncommitted data is never collected).
+  *
+  * Replace-by-document on immutable files is MERGE-ON-READ: an upsert
+  * appends its batch as a `delta` entry (cost O(batch) — no read-back,
+  * no shuffle, the cheap-write side of the LSM trade-off); a delete
+  * appends a `tombstone` entry (just the documentids). A read
+  * arbitrates per documentid by entry seq — newest mention wins, a
+  * tombstone winner drops the document, and base files are shadowed by
+  * ANY delta mention (replace semantics: a document's chunks always
+  * come wholly from one entry). The arbitration table is
+  * O(delta-mentioned documents), not O(store): after [[compact]]
+  * (copy-on-write: rewrite live rows into nBuckets base files, commit
+  * a manifest with that single entry) reads are a plain scan again.
+  * The LSM ledger at 100 TB: commits stay O(batch) all day, reads pay
+  * a delta-sized arbitration that compaction resets on schedule.
+  *
+  * The reference's store commits row-at-a-time inside one SQLite
+  * transaction (`VectorStoreCommands.cs:159`) — single-writer ACID the
+  * engine gets for free on one node and must RECONSTRUCT on a fleet;
+  * this layout is that reconstruction.
+  */
+final class SnapshotStore(protected val spark: SparkSession,
+    protected val root: String, nBuckets: Int = 16) extends ChunkStore {
+
+  import SnapshotStore._
+
+  private def fs(p: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+
+  private def snapshotsDir(c: String) = s"${collectionPath(c)}/_snapshots"
+  private def dataDir(c: String) = s"${collectionPath(c)}/data"
+
+  private def tableSchema(c: String): StructType =
+    spark.read.parquet(s"${collectionPath(c)}/_schema").schema
+
+  // ---------------------------------------------------------------- commits
+
+  /** All committed versions, ascending — one driver-side listing. */
+  def versions(collection: String): Seq[Long] = {
+    val d = snapshotsDir(collection)
+    val f = fs(d)
+    val p = new org.apache.hadoop.fs.Path(d)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }.sorted.toSeq
+  }
+
+  private def latestVersion(collection: String): Option[Long] =
+    versions(collection).lastOption
+
+  private def readManifestJson(collection: String, v: Long): Manifest = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${snapshotsDir(collection)}/${manifestName(v)}")
+    val f = fs(p.toString)
+    require(f.exists(p),
+      s"snapshot v$v of '$collection' does not exist (never committed, " +
+        "or vacuumed past retention)")
+    val in = f.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toByteArray
+    } finally in.close()
+    Manifest.fromJson(new String(bytes, "UTF-8"))
+  }
+
+  /** Publish `m` as version `m.version` — atomic create-if-absent.
+    * The manifest is fully written to a staged temp first, then moved
+    * into the version slot with `FileContext.rename(Rename.NONE)`
+    * (fails when the slot is taken — the CAS; readers never observe a
+    * partially-written manifest because the slot's bytes appear in one
+    * metadata op). Returns false on a lost race. On an object store,
+    * implement this one method as a conditional PUT; nothing else in
+    * the store changes.
+    */
+  private def tryPublish(collection: String, m: Manifest): Boolean = {
+    val snapDir = snapshotsDir(collection)
+    val bytes = m.toJson.getBytes("UTF-8")
+    val scheme = Option(new java.net.URI(snapDir).getScheme)
+    if (scheme.forall(_ == "file")) {
+      // Local filesystem: hard-link CAS. Hadoop's local FileContext is
+      // a ChecksumFs whose rename moves the `.crc` sidecar in a second
+      // non-atomic step — a losing racer can overwrite the winner's
+      // checksum (observed as ChecksumException under concurrent
+      // committers). `Files.createLink` is one inode op that atomically
+      // fails EEXIST, so the slot's bytes and its claim are the same
+      // syscall, and no checksum sidecar exists to race on.
+      val dirP = java.nio.file.Paths.get(
+        snapDir.stripPrefix("file:"), "_staged")
+      java.nio.file.Files.createDirectories(dirP)
+      val tmpP = dirP.resolve(
+        s"${java.util.UUID.randomUUID().toString.take(8)}.json")
+      java.nio.file.Files.write(tmpP, bytes)
+      val slotP = dirP.getParent.resolve(manifestName(m.version))
+      try {
+        java.nio.file.Files.createLink(slotP, tmpP)
+        java.nio.file.Files.delete(tmpP)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmpP)
+          false
+      }
+    } else {
+      // HDFS-like: stage fully, then FileContext.rename with the
+      // default Rename.NONE — atomic, fails when the slot is taken
+      // (checksums are inline there, no sidecar to race). On S3,
+      // implement THIS branch as a conditional `If-None-Match` PUT;
+      // nothing else in the store changes.
+      val f = fs(snapDir)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$snapDir/_staged"))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$snapDir/_staged/${java.util.UUID.randomUUID().toString.take(8)}.json")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val slot = new org.apache.hadoop.fs.Path(
+        s"$snapDir/${manifestName(m.version)}")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new java.net.URI(snapDir), spark.sparkContext.hadoopConfiguration)
+      try {
+        fc.rename(tmp, slot)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          false
+        case _: java.io.IOException if f.exists(slot) =>
+          f.delete(tmp, false)
+          false
+      }
+    }
+  }
+
+  /** The optimistic-concurrency commit loop: stage data once (the
+    * caller already wrote it), then CAS manifests until one lands.
+    * `rebase` maps the then-current latest manifest (None = empty
+    * collection) to the next version's entry list — pure manifest
+    * arithmetic, so a lost race costs one re-list + one re-publish,
+    * never a data rewrite.
+    */
+  private def commit(collection: String, op: String)(
+      rebase: Option[Manifest] => Seq[Entry]): Manifest = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val parent = latestVersion(collection).map(readManifestJson(collection, _))
+      val v = parent.map(_.version).getOrElse(0L) + 1
+      val m = Manifest(v, parent.map(_.version).getOrElse(0L), op,
+        rebase(parent))
+      if (tryPublish(collection, m)) return m
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"snapshot commit on '$collection' lost 50 consecutive races")
+  }
+
+  // ---------------------------------------------------------- ChunkStore
+
+  /** W1: append the batch as an immutable delta (or the first base).
+    * Cost O(batch): one parquet write of the incoming rows straight out
+    * of their upstream tasks — no read-back of existing data, no
+    * shuffle, no renames of any existing file — plus the one-file
+    * manifest CAS. Replace-by-document holds at READ time (newest seq
+    * wins per documentid), not by rewriting the replaced rows here.
+    */
+  def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit = {
+    val cdir = collectionPath(collection)
+    val f = fs(cdir)
+    val schemaDir = new org.apache.hadoop.fs.Path(s"$cdir/_schema")
+    if (!f.exists(schemaDir))
+      chunks.toDF().limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(schemaDir.toString)
+    val rel = s"data/${newDirName("delta")}"
+    chunks.toDF().write.parquet(s"$cdir/$rel")
+    commit(collection, "upsert") { parent =>
+      val v = parent.map(_.version).getOrElse(0L) + 1
+      val kind = if (parent.isEmpty) "base" else "delta"
+      parent.map(_.entries).getOrElse(Seq.empty) :+ Entry(rel, kind, v)
+    }
+  }
+
+  /** Document takedown: a tombstone entry — ONLY the documentids land
+    * on disk (a tiny parquet), cost O(ids). The documents' chunk rows
+    * stay physically present in older files until [[compact]] +
+    * [[vacuum]] age them out — the honest MOR contract (a
+    * right-to-be-forgotten pipeline runs delete, compact, vacuum; the
+    * delete alone makes the rows unreadable at every live version
+    * going forward, the other two make the bytes go away).
+    */
+  def delete(collection: String, docIds: Seq[String]): Unit = {
+    if (docIds.isEmpty) return
+    if (latestVersion(collection).isEmpty) return // nothing to delete
+    val rel = s"data/${newDirName("tomb")}"
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(docIds.distinct)(Encoders.STRING)
+      .toDF("documentid").coalesce(1)
+      .write.parquet(s"${collectionPath(collection)}/$rel")
+    commit(collection, "delete") { parent =>
+      val v = parent.map(_.version).getOrElse(0L) + 1
+      parent.map(_.entries).getOrElse(Seq.empty) :+
+        Entry(rel, "tombstone", v)
+    }
+  }
+
+  /** Schema-on-read of the LATEST snapshot. */
+  def read(collection: String): DataFrame = {
+    val v = latestVersion(collection).getOrElse(
+      throw new IllegalArgumentException(
+        s"collection '$collection' has no committed snapshot"))
+    readAt(collection, v)
+  }
+
+  /** TIME TRAVEL: read the store exactly as committed at `version`.
+    * A manifest pins its file set and data files are immutable, so
+    * this is reproducible to the byte until vacuum drops the manifest
+    * — the training-data provenance primitive ("which corpus state did
+    * run X read?") the rename layouts cannot offer.
+    */
+  def readAt(collection: String, version: Long): DataFrame =
+    readManifest(collection, readManifestJson(collection, version))
+
+  /** Merge-on-read over one manifest. Base entries are a plain scan;
+    * delta/tombstone entries build a per-documentid arbitration table
+    * (newest seq wins; struct max — one partial-aggregable pass) that
+    * is O(delta-mentioned documents), NEVER O(store): base rows join
+    * it anti (any mention shadows the whole document — replace
+    * semantics), delta rows keep only their winning seq's rows, a
+    * tombstone winner drops the document everywhere. With no deltas
+    * (post-compact) the arbitration disappears entirely.
+    */
+  private def readManifest(collection: String, m: Manifest): DataFrame = {
+    val cdir = collectionPath(collection)
+    val sch = tableSchema(collection)
+    def dataDf(paths: Seq[String]) =
+      spark.read.schema(sch).parquet(paths.map(p => s"$cdir/$p"): _*)
+    val bases = m.entries.filter(_.kind == "base")
+    val deltas = m.entries.filter(_.kind == "delta")
+    val tombs = m.entries.filter(_.kind == "tombstone")
+    val base =
+      if (bases.nonEmpty) dataDf(bases.map(_.path))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    if (deltas.isEmpty && tombs.isEmpty) return base
+    val tombSchema = StructType(Seq(StructField("documentid", StringType)))
+    val mentions = (deltas.map(e =>
+        dataDf(Seq(e.path)).select(col("documentid"))
+          .withColumn("__seq", lit(e.seq))
+          .withColumn("__tomb", lit(false))) ++
+      tombs.map(e =>
+        spark.read.schema(tombSchema).parquet(s"$cdir/${e.path}")
+          .withColumn("__seq", lit(e.seq))
+          .withColumn("__tomb", lit(true))))
+      .reduce(_ unionByName _)
+    val arb = mentions.groupBy(col("documentid"))
+      .agg(max(struct(col("__seq"), col("__tomb"))).as("__w"))
+      .select(col("documentid"), col("__w.__seq").as("__wseq"),
+        col("__w.__tomb").as("__wtomb"))
+    val deltaRows = deltas.map(e =>
+        dataDf(Seq(e.path)).withColumn("__seq", lit(e.seq)))
+      .reduceOption(_ unionByName _)
+    val liveDelta = deltaRows.map(_
+        .join(arb.filter(!col("__wtomb")), Seq("documentid"))
+        .filter(col("__seq") === col("__wseq"))
+        .select(sch.fieldNames.map(col): _*))
+    val liveBase = base
+      .join(arb.select(col("documentid")), Seq("documentid"), "left_anti")
+      .select(sch.fieldNames.map(col): _*)
+    liveDelta.fold(liveBase)(liveBase.unionByName(_))
+  }
+
+  /** COPY-ON-WRITE compaction: stream the live rows (one MOR pass)
+    * into nBuckets fresh base files clustered and sorted by
+    * documentid, then commit a manifest whose entry list is that
+    * single base — plus any entries OTHER writers committed past the
+    * compaction's snapshot (the rebase: their seqs are newer, so MOR
+    * arbitration keeps their rows winning — a compaction never undoes
+    * a concurrent upsert). Old files stay on disk, still readable at
+    * old versions, until [[vacuum]]. Returns (live files before,
+    * after): after is bounded by nBuckets regardless of how many
+    * commits ever happened — same census independence as the bucketed
+    * layout, with a rename-free commit.
+    */
+  def compact(collection: String): (Long, Long) = {
+    val snapV = latestVersion(collection).getOrElse(
+      throw new IllegalArgumentException(
+        s"collection '$collection' has no committed snapshot"))
+    val before = liveDataFiles(collection, snapV).size.toLong
+    val rel = s"data/${newDirName("base")}"
+    readAt(collection, snapV)
+      .repartition(nBuckets, col("documentid"))
+      .sortWithinPartitions(col("documentid"), col("key"))
+      .write.parquet(s"${collectionPath(collection)}/$rel")
+    val m = commit(collection, "compact") { parent =>
+      val v = parent.map(_.version).getOrElse(0L) + 1
+      Entry(rel, "base", v) +:
+        parent.map(_.entries.filter(_.seq > snapV)).getOrElse(Seq.empty)
+    }
+    (before, liveDataFiles(collection, m.version).size.toLong)
+  }
+
+  /** The data files (relative paths) a version actually reads. */
+  def liveDataFiles(collection: String, version: Long): Seq[String] = {
+    val m = readManifestJson(collection, version)
+    val cdir = collectionPath(collection)
+    m.entries.flatMap { e =>
+      val f = fs(cdir)
+      val it = f.listFiles(
+        new org.apache.hadoop.fs.Path(s"$cdir/${e.path}"), true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += s"${e.path}/${st.getPath.getName}"
+      }
+      out
+    }
+  }
+
+  /** Age out history: keep the newest `retainLast` manifests (always
+    * at least the latest), delete older manifest files, then delete
+    * every `data/` dir no KEPT manifest references — including orphans
+    * from crashed writers (data written, manifest never published).
+    * `minAgeMs` is the in-flight-writer grace window: a dir younger
+    * than it is never collected, because an uncommitted writer's
+    * staged data is indistinguishable from an orphan until its commit
+    * lands or its crash ages. Returns (data dirs deleted, data dirs
+    * live). Live content is untouched by construction — every kept
+    * manifest's whole file set is retained, so reads at every retained
+    * version are byte-identical before and after.
+    */
+  def vacuum(collection: String, retainLast: Int = 2,
+      minAgeMs: Long = 0L): (Long, Long) = {
+    require(retainLast >= 1, "vacuum must retain at least the latest")
+    val all = versions(collection)
+    require(all.nonEmpty,
+      s"collection '$collection' has no committed snapshot")
+    val keep = all.takeRight(retainLast)
+    val referenced = keep
+      .flatMap(v => readManifestJson(collection, v).entries.map(_.path))
+      .toSet
+    val cdir = collectionPath(collection)
+    val f = fs(cdir)
+    // Drop aged-out manifests first: once a version is gone, readers
+    // can no longer pin its files, so the file sweep below is safe.
+    all.dropRight(retainLast).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"${snapshotsDir(collection)}/${manifestName(v)}"), false)
+    }
+    val dPath = new org.apache.hadoop.fs.Path(dataDir(collection))
+    val now = System.currentTimeMillis()
+    var deleted = 0L
+    var live = 0L
+    if (f.exists(dPath)) f.listStatus(dPath).foreach { st =>
+      val rel = s"data/${st.getPath.getName}"
+      if (referenced(rel)) live += 1
+      else if (now - st.getModificationTime >= minAgeMs) {
+        f.delete(st.getPath, true)
+        deleted += 1
+      }
+    }
+    // Staged-manifest leftovers from crashed publishers age out too.
+    val staged = new org.apache.hadoop.fs.Path(
+      s"${snapshotsDir(collection)}/_staged")
+    if (f.exists(staged)) f.listStatus(staged).foreach { st =>
+      if (now - st.getModificationTime >= minAgeMs) f.delete(st.getPath, false)
+    }
+    (deleted, live)
+  }
+
+  /** Index freshness tracks the MANIFEST, not raw file listings: a
+    * commit (new manifest) must invalidate, a vacuum (same live
+    * entries, fewer historical files) must not.
+    */
+  override protected def storeFingerprint(collection: String): String =
+    latestVersion(collection) match {
+      case None => "empty"
+      case Some(v) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(readManifestJson(collection, v).toJson.getBytes("UTF-8"))
+        md.digest().map("%02x".format(_)).mkString
+    }
+}
+
+object SnapshotStore {
+  private val ManifestName = """v(\d{8})\.json""".r
+
+  private def manifestName(v: Long): String = f"v$v%08d.json"
+
+  private def newDirName(tag: String): String =
+    s"$tag-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+
+  /** One manifest entry: a data directory (relative to the collection)
+    * plus how its rows participate in merge-on-read. `seq` is the
+    * version that committed it — the arbitration order.
+    */
+  final case class Entry(path: String, kind: String, seq: Long)
+
+  /** Version N of a collection IS this file's content: the entry list,
+    * its parent version, and the op that produced it (audit trail).
+    * Serialized by hand (sorted keys, no reflection) — the manifest is
+    * the store's durability contract, so its byte format must not
+    * depend on library serializer defaults.
+    */
+  final case class Manifest(version: Long, parent: Long, op: String,
+      entries: Seq[Entry]) {
+    def toJson: String = {
+      val es = entries.map(e =>
+        s"""{"kind":"${e.kind}","path":"${e.path}","seq":${e.seq}}""")
+        .mkString("[", ",", "]")
+      s"""{"entries":$es,"op":"$op","parent":$parent,"version":$version}"""
+    }
+  }
+
+  object Manifest {
+    def fromJson(s: String): Manifest = {
+      import org.json4s._
+      implicit val fmt: Formats = DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      Manifest(
+        (j \ "version").extract[Long],
+        (j \ "parent").extract[Long],
+        (j \ "op").extract[String],
+        (j \ "entries").extract[Seq[JValue]].map { e =>
+          Entry((e \ "path").extract[String], (e \ "kind").extract[String],
+            (e \ "seq").extract[Long])
+        })
+    }
+  }
+}

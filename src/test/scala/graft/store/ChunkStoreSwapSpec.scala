@@ -34,15 +34,23 @@ class ChunkStoreSwapSpec extends SparkSpec {
       Files.createTempDirectory("swap-vs").toString)
     val bucketed = new BucketedVectorStore(spark,
       Files.createTempDirectory("swap-bvs").toString, nBuckets = 8)
+    val snapshot = new SnapshotStore(spark,
+      Files.createTempDirectory("swap-snap").toString, nBuckets = 8)
     val r1 = IngestionPipeline.run(elems, perDoc, "docs").collect()
     val r2 = IngestionPipeline.run(elems, bucketed, "docs").collect()
+    val r3 = IngestionPipeline.run(elems, snapshot, "docs").collect()
     assert(r1.length == 10 && r1.forall(_.succeeded))
     assert(r2.map(r => (r.documentid, r.succeeded, r.n_chunks)).sorted.toSeq ==
       r1.map(r => (r.documentid, r.succeeded, r.n_chunks)).sorted.toSeq)
+    assert(r3.map(r => (r.documentid, r.succeeded, r.n_chunks)).sorted.toSeq ==
+      r1.map(r => (r.documentid, r.succeeded, r.n_chunks)).sorted.toSeq)
     val c1 = contents(perDoc)
     val c2 = contents(bucketed)
+    val c3 = contents(snapshot)
     assert(c1.nonEmpty && c1 == c2,
       s"layouts disagree: perDoc=${c1.size} rows, bucketed=${c2.size} rows")
+    assert(c1 == c3,
+      s"layouts disagree: perDoc=${c1.size} rows, snapshot=${c3.size} rows")
     // And the bucketed store's point read returns the same chunks the
     // per-document layout's partition holds.
     val doc = "black_holes.md"

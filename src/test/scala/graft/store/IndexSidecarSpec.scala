@@ -5,9 +5,10 @@ import graft.model.EmbeddedChunk
 import org.apache.spark.sql.functions._
 
 /** [[ChunkStore.buildIndex]] / [[ChunkStore.hasFreshIndex]] — the
-  * persisted ANN serving path, exercised on BOTH layouts (the sidecar
-  * machinery lives on the trait, so the 100 TB bucketed store indexes
-  * and serves exactly like the per-document one). Properties:
+  * persisted ANN serving path, exercised on ALL THREE layouts (the sidecar
+  * machinery lives on the trait, so the 100 TB bucketed and
+  * manifest-committed snapshot stores index and serve exactly like the
+  * per-document one). Properties:
   *
   *   - a fresh sidecar serves `search(mode=lsh|ivfsq)` with EXACTLY the
   *     rows the fit-at-search path returns (the fits are deterministic
@@ -35,6 +36,7 @@ class IndexSidecarSpec extends SparkSpec {
     val vs: ChunkStore = layout match {
       case "document" => new VectorStore(spark, root)
       case "bucketed" => new BucketedVectorStore(spark, root, nBuckets = 4)
+      case "snapshot" => new SnapshotStore(spark, root, nBuckets = 4)
     }
     import spark.implicits._
     val rows = for (d <- 0 until 8; i <- 0 until 8) yield
@@ -51,7 +53,7 @@ class IndexSidecarSpec extends SparkSpec {
       .select(col("key"), col("score")).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
-  for (layout <- Seq("document", "bucketed")) {
+  for (layout <- Seq("document", "bucketed", "snapshot")) {
 
   test(s"[$layout] sidecar-served ANN search returns the fit-at-search rows") {
     val (vs, root) = mkStore(layout)
