@@ -296,7 +296,17 @@ object Bench {
       "q242_index_refresh",
       // r16: two physical store builds + deletes on both layouts vs a
       // content-derivation replay.
-      "q243_document_delete")
+      "q243_document_delete",
+      // r16: four physical snapshot-store commits (ingest, replace,
+      // delete, copy-on-write compact) + manifest/time-travel claims
+      // vs a content-derivation replay.
+      "q244_snapshot_store",
+      // r16: three snapshot commits + two vacuum passes (physical
+      // history deletion) vs the same content-derivation replay.
+      "q245_snapshot_vacuum",
+      // r16: five snapshot commits from four RACING writer threads vs
+      // the same content-derivation replay.
+      "q246_concurrent_commits")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -877,6 +877,217 @@ object IngestQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Shared chunk derivation of the q202 family — n fixed-width slices
+    * per document, 'keyTag'-marked keys so a re-chunking is
+    * distinguishable from the original. One definition for the three
+    * snapshot-store certificates (q244/q245/q246), matching q202/q241/
+    * q243's local copies cell for cell.
+    */
+  private def sliceChunks(d: DataFrame, n: Int, width: Int,
+      keyTag: String) = d
+    .select(col("doc_id"), col("lang"),
+      posexplode(array((0 until n).map(i =>
+        substring(col("text"), i * width + 1, width)): _*))
+        .as(Seq("ci", "content")))
+    .filter(length(col("content")) > 0)
+    .select(
+      concat(lit("d"), col("doc_id"), lit(s":$keyTag"), col("ci")).as("key"),
+      typedLit(Array.empty[Float]).as("embedding"),
+      col("content"),
+      col("lang").as("context"),
+      concat(lit("d"), col("doc_id")).as("documentid"))
+    .repartition(8)
+    .as[graft.model.EmbeddedChunk](
+      org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+
+  /** The q202-family certified output: survivor content checksum,
+    * grouped by doc_id % 7.
+    */
+  private def contentChecksum(read: DataFrame): DataFrame = read
+    .select(col("key"), col("content"),
+      substring(col("documentid"), 2, 18).cast("long").as("did"))
+    .groupBy((col("did") % 7).as("bucket"))
+    .agg(count(lit(1)).as("n_chunks"),
+      countDistinct(col("did")).as("n_docs"),
+      sum(conv(substring(md5(concat_ws(":", col("key"), col("content"))),
+        1, 13), 16, 10).cast("long")).as("checksum"))
+    .orderBy(col("bucket"))
+
+  // q244: the MANIFEST-COMMITTED snapshot store's full lifecycle gated
+  // under the q202-family content oracle — the layout whose commit
+  // survives an OBJECT store (the other two layouts commit with
+  // directory renames: atomic O(1) on HDFS, copy+delete per object on
+  // S3). Four commits — v1 ingest (3x150 chunks), v2 replace-increment
+  // (doc_id % 20 == 0 re-chunked 2x200 under 'r' keys), v3 delete (the
+  // fixed 5-smallest-ids cohort), v4 copy-on-write compact — with the
+  // layout's four load-bearing claims REQUIREd in-run:
+  // (a) data files are IMMUTABLE: v1's physical (path, len, mtime)
+  //     stamps are byte-identical after three later commits — no
+  //     commit ever renamed, rewrote, or copied an existing file (the
+  //     object-store-safety claim; the ONLY mutation in the whole run
+  //     is one manifest-file creation per commit);
+  // (b) TIME TRAVEL: after all four commits, readAt(v1) returns
+  //     exactly the rows captured right after v1 — a training run can
+  //     pin the corpus version it read (provenance);
+  // (c) merge-on-read REPLACE/DELETE semantics: v2's arbitration drops
+  //     the replaced documents' 3x150 chunks, v3's tombstone drops the
+  //     victims (both certified by the content oracle);
+  // (d) the compacted live census is bounded by nBuckets=16 —
+  //     independent of document count, same claim as q202.
+  // Certified output: the survivor checksum over the FINAL state,
+  // replayed from `documents` (replace cohort re-chunked, delete
+  // cohort removed). Bench tier: exec (physical store writes; the
+  // denominator replays content derivation).
+  def q244(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q244-store").toString
+    val st = new graft.store.SnapshotStore(s, storeRoot, nBuckets = 16)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    st.upsert(sliceChunks(docs, 3, 150, ""), "docs") // v1
+    val v1Rows = st.readAt("docs", 1L)
+      .select(col("key"), md5(col("content")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeRoot), s.sparkContext.hadoopConfiguration)
+    def stamps(files: Seq[String]): Seq[String] = files.sorted.map { rel =>
+      val fst = fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$storeRoot/docs/$rel"))
+      s"$rel:${fst.getLen}:${fst.getModificationTime}"
+    }
+    val v1Files = st.liveDataFiles("docs", 1L)
+    val v1Stamps = stamps(v1Files)
+    // v2: the replace increment — re-chunked documents, fewer+wider.
+    st.upsert(sliceChunks(docs.filter(col("doc_id") % 20 === 0),
+      2, 200, "r"), "docs")
+    // v3: the takedown — fixed 5-smallest-ids cohort.
+    val victims = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(5).collect().map(r => s"d${r.getLong(0)}").toSeq
+    st.delete("docs", victims)
+    // v4: copy-on-write compact.
+    val (before, after) = st.compact("docs")
+    require(st.versions("docs") == Seq(1L, 2L, 3L, 4L),
+      s"q244: expected versions 1..4, got ${st.versions("docs")}")
+    require(after <= 16 && after < before,
+      s"q244: compacted live census $after (from $before) must be " +
+        "bounded by nBuckets=16")
+    // (a) immutability: v1's files untouched by the three later commits.
+    require(stamps(v1Files) == v1Stamps,
+      "q244: a later commit mutated v1's data files — the rename-free " +
+        "commit claim is broken")
+    // (b) time travel: v1 reads exactly as committed.
+    val v1Replay = st.readAt("docs", 1L)
+      .select(col("key"), md5(col("content")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    require(v1Replay == v1Rows,
+      "q244: readAt(v1) diverged after later commits — time travel broken")
+    contentChecksum(st.read("docs"))
+  }
+
+  // q245: VACUUM gated — the retention op that makes the snapshot
+  // store's history FINITE (without it, every commit's files live
+  // forever; a right-to-be-forgotten delete never physically erases).
+  // Build v1 ingest → v2 replace-increment → v3 compact, plant an
+  // ORPHAN data dir (a crashed writer: data written, manifest never
+  // published — invisible to every read), then vacuum(retainLast=1).
+  // REQUIREd in-run:
+  // (a) the grace window holds: a vacuum with minAgeMs=1h collects
+  //     NOTHING (every dir is seconds old — an in-flight writer's
+  //     staged data must never be swept);
+  // (b) the real vacuum deletes the two delta dirs AND the orphan,
+  //     leaving exactly the compacted base live;
+  // (c) live content is byte-identical before/after (the certified
+  //     output is computed AFTER the vacuum);
+  // (d) aged-out history refuses loudly: readAt(v1) now throws.
+  // Certified output: the survivor checksum (v1 content with the
+  // replace cohort re-chunked — no delete in this lifecycle), replayed
+  // from `documents`. Bench tier: exec.
+  def q245(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q245-store").toString
+    val st = new graft.store.SnapshotStore(s, storeRoot, nBuckets = 16)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    st.upsert(sliceChunks(docs, 3, 150, ""), "docs")               // v1
+    st.upsert(sliceChunks(docs.filter(col("doc_id") % 20 === 0),
+      2, 200, "r"), "docs")                                        // v2
+    st.compact("docs")                                             // v3
+    val orphan = java.nio.file.Paths.get(s"$storeRoot/docs/data/delta-orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
+      "crashed-writer".getBytes("UTF-8"))
+    val preRows = contentChecksum(st.read("docs")).collect().toSeq
+    val (del0, _) = st.vacuum("docs", retainLast = 3, minAgeMs = 3600000L)
+    require(del0 == 0L,
+      s"q245: the 1h grace window collected $del0 dirs of seconds-old data")
+    require(java.nio.file.Files.exists(orphan),
+      "q245: the grace window did not protect the in-flight-aged orphan")
+    val (deleted, live) = st.vacuum("docs", retainLast = 1, minAgeMs = 0L)
+    require(deleted >= 3L,
+      s"q245: expected the two delta dirs + the orphan swept, got $deleted")
+    require(live == 1L,
+      s"q245: expected exactly the compacted base live, got $live dirs")
+    require(!java.nio.file.Files.exists(orphan),
+      "q245: the crashed writer's orphan dir survived the vacuum")
+    val gone =
+      try { st.readAt("docs", 1L); false }
+      catch { case _: IllegalArgumentException => true }
+    require(gone, "q245: vacuumed v1 is still readable — retention is " +
+      "not enforced")
+    val post = contentChecksum(st.read("docs"))
+    require(post.collect().toSeq == preRows,
+      "q245: vacuum changed live content")
+    post
+  }
+
+  // q246: CONCURRENT COMMITTERS gated — the multi-writer safety claim
+  // under the content oracle. The snapshot commit is an optimistic CAS
+  // on the next manifest version slot; a loser REBASES (pure manifest
+  // arithmetic) and retries. Four writers upsert DISJOINT document
+  // cohorts (the doc_id % 20 == 0 replace set split 4 ways) from four
+  // threads against one collection; whatever the interleaving, every
+  // batch must land and replace-by-document must hold. REQUIREd
+  // in-run: (a) 1 seed + 4 writer commits land exactly versions 1..5 —
+  // contiguous, no slot skipped or double-claimed; (b) every writer's
+  // cohort is present under its 'r' re-chunking. Certified output: the
+  // survivor checksum over the final state — identical to q202's
+  // (the union of the four disjoint batches IS the full replace set),
+  // so the oracle is interleaving-independent by construction. Bench
+  // tier: exec (physical store writes from racing threads).
+  def q246(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q246-store").toString
+    val st = new graft.store.SnapshotStore(s, storeRoot, nBuckets = 16)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    st.upsert(sliceChunks(docs, 3, 150, ""), "docs") // v1, the seed
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        st.upsert(sliceChunks(docs.filter(col("doc_id") % 20 === 0 &&
+          (col("doc_id") / 20).cast("long") % 4 === w), 2, 200, "r"),
+          "docs")
+      }
+    }
+    Await.result(Future.sequence(writers), 10.minutes)
+    require(st.versions("docs") == (1L to 5L),
+      s"q246: 5 commits must land versions 1..5 whatever the " +
+        s"interleaving, got ${st.versions("docs")}")
+    // Every writer's cohort present under its re-chunking.
+    val rDocs = st.read("docs")
+      .filter(col("key").contains(":r"))
+      .select(substring(col("documentid"), 2, 18).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    require(rDocs == expected,
+      s"q246: replace cohorts lost in the race — ${expected.size} " +
+        s"expected, ${rDocs.size} landed")
+    contentChecksum(st.read("docs"))
+  }
+
   /** q162: hive-partitioned layout + PARTITION-PRUNING certificate —
     * writes the corpus partitioned by `lang`, reads it back with a
     * two-language predicate, and REQUIRES (a) the predicate reaches
@@ -966,6 +1177,9 @@ object IngestQueries {
     "q241_incremental_compaction" -> (q241 _),
     "q242_index_refresh" -> (q242 _),
     "q243_document_delete" -> (q243 _),
+    "q244_snapshot_store" -> (q244 _),
+    "q245_snapshot_vacuum" -> (q245 _),
+    "q246_concurrent_commits" -> (q246 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -1009,6 +1223,42 @@ object IngestQueries {
        |AS t(reader, documentid, succeeded, n_chunks, chunks_md5, emb_e6)
        |ORDER BY reader, documentid""".stripMargin
   }
+
+  /** The q202-family lifecycle content: v1 full ingest (3x150 chunks)
+    * + the doc_id % 20 == 0 replace increment (2x200 'r' chunks),
+    * checksummed by doc_id % 7 — the shared certificate of
+    * q202/q245/q246 (one lifecycle, three layouts/claims).
+    */
+  private lazy val q202ReplaceContentSql: String =
+    """WITH d AS (SELECT doc_id, lang, text FROM documents
+      |           WHERE doc_id % 10 = 0),
+      |c1 AS (SELECT doc_id, i.ci,
+      |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
+      |          AS content,
+      |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
+      |          CAST(i.ci AS VARCHAR) AS key
+      |      FROM d CROSS JOIN
+      |        (SELECT unnest(range(0, 3)) AS ci) i
+      |      WHERE doc_id % 20 <> 0),
+      |c2 AS (SELECT doc_id, i.ci,
+      |        substr(text, CAST(i.ci * 200 + 1 AS INTEGER), 200)
+      |          AS content,
+      |        'd' || CAST(doc_id AS VARCHAR) || ':r' ||
+      |          CAST(i.ci AS VARCHAR) AS key
+      |      FROM d CROSS JOIN
+      |        (SELECT unnest(range(0, 2)) AS ci) i
+      |      WHERE doc_id % 20 = 0),
+      |k AS (SELECT doc_id, key, content FROM c1
+      |        WHERE LENGTH(content) > 0
+      |      UNION ALL
+      |      SELECT doc_id, key, content FROM c2
+      |        WHERE LENGTH(content) > 0)
+      |SELECT doc_id % 7 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
+      |    AS BIGINT)) AS BIGINT) AS checksum
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q44_ingest_pipeline" -> q44GoldenSql,
@@ -1058,41 +1308,17 @@ object IngestQueries {
         |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
         |    AS BIGINT)) AS BIGINT) AS checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q202: the q148 content certificate over the bucketed layout's
+    // q202 / q245 / q246 share ONE oracle: the q148 content
+    // certificate over the v1-ingest + %20-replace lifecycle (no
+    // delete) — the bucketed compaction (q202), the snapshot vacuum
+    // (q245, output computed after the vacuum) and the four racing
+    // committers (q246, whose disjoint cohorts union to the full
+    // replace set) must all land exactly this content.
     // FINAL state — docs re-ingested by the second batch (doc_id % 20
     // = 0) carry ONLY their 2×200 re-chunking ('d<id>:r<ci>' keys);
     // everything else keeps the 3×150 chunks. A store that leaked the
     // obsolete chunks through the replace path would fail the checksum.
-    "q202_bucketed_compaction" ->
-      """WITH d AS (SELECT doc_id, lang, text FROM documents
-        |           WHERE doc_id % 10 = 0),
-        |c1 AS (SELECT doc_id, i.ci,
-        |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
-        |          AS content,
-        |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
-        |          CAST(i.ci AS VARCHAR) AS key
-        |      FROM d CROSS JOIN
-        |        (SELECT unnest(range(0, 3)) AS ci) i
-        |      WHERE doc_id % 20 <> 0),
-        |c2 AS (SELECT doc_id, i.ci,
-        |        substr(text, CAST(i.ci * 200 + 1 AS INTEGER), 200)
-        |          AS content,
-        |        'd' || CAST(doc_id AS VARCHAR) || ':r' ||
-        |          CAST(i.ci AS VARCHAR) AS key
-        |      FROM d CROSS JOIN
-        |        (SELECT unnest(range(0, 2)) AS ci) i
-        |      WHERE doc_id % 20 = 0),
-        |k AS (SELECT doc_id, key, content FROM c1
-        |        WHERE LENGTH(content) > 0
-        |      UNION ALL
-        |      SELECT doc_id, key, content FROM c2
-        |        WHERE LENGTH(content) > 0)
-        |SELECT doc_id % 7 AS bucket,
-        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
-        |    AS BIGINT)) AS BIGINT) AS checksum
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q202_bucketed_compaction" -> q202ReplaceContentSql,
     // q204: the exact-mode replay. list_dot_product over DOUBLE lists is
     // the same ascending index-order double fold as the codegen'd
     // CosineSimilarity loop (dot, self-norms, then dot/sqrt(nx*ny)),
@@ -1238,6 +1464,55 @@ object IngestQueries {
         |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
         |    AS BIGINT)) AS BIGINT) AS checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q244: the snapshot-store lifecycle's FINAL state — the q202
+    // replace content minus the q243 delete cohort (immutability, time
+    // travel, census and version claims are REQUIRED in-run; the
+    // merge-on-read replace/delete semantics are what this checksum
+    // certifies).
+    "q244_snapshot_store" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |rc AS (SELECT doc_id FROM d ORDER BY doc_id LIMIT 5),
+        |c1 AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 150 + 1 AS INTEGER), 150)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 3)) AS ci) i
+        |      WHERE doc_id % 20 <> 0),
+        |c2 AS (SELECT doc_id, i.ci,
+        |        substr(text, CAST(i.ci * 200 + 1 AS INTEGER), 200)
+        |          AS content,
+        |        'd' || CAST(doc_id AS VARCHAR) || ':r' ||
+        |          CAST(i.ci AS VARCHAR) AS key
+        |      FROM d CROSS JOIN
+        |        (SELECT unnest(range(0, 2)) AS ci) i
+        |      WHERE doc_id % 20 = 0),
+        |k AS (SELECT doc_id, key, content FROM c1
+        |        WHERE LENGTH(content) > 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM rc)
+        |      UNION ALL
+        |      SELECT doc_id, key, content FROM c2
+        |        WHERE LENGTH(content) > 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM rc))
+        |SELECT doc_id % 7 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5(key || ':' || content), 1, 13))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q245: the q202 replace content verbatim (this lifecycle has no
+    // delete; the vacuum's physical claims — grace window, orphan
+    // sweep, retention refusal, live-content invariance — are
+    // REQUIRED in-run, and the certified output is computed AFTER the
+    // vacuum).
+    "q245_snapshot_vacuum" -> q202ReplaceContentSql,
+    // q246: the union of the four racing writers' disjoint cohorts IS
+    // the full q202 replace set, so the oracle is interleaving-
+    // independent by construction (the CAS/version claims are
+    // REQUIRED in-run).
+    "q246_concurrent_commits" -> q202ReplaceContentSql,
     "q73_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
