@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.IngestionPipeline
 import graft.sources.{DatabaseSource, MarkdownSource, PdfSource, SqliteReader}
-import graft.store.{BucketedVectorStore, ChunkStore, VectorStore}
+import graft.store.{BucketedVectorStore, ChunkStore, SnapshotStore, VectorStore}
 import org.apache.spark.sql.SparkSession
 
 import scala.io.StdIn
@@ -11,14 +11,19 @@ import scala.io.StdIn
   * the reference's three subcommands (`Program.cs:22-53`) with the same
   * defaults (collection `documents`, reader-specific sources).
   *
-  * `--layout document|bucketed` selects the store layout behind the
-  * [[graft.store.ChunkStore]] seam: `document` is the reference's
-  * replace-unit layout (one parquet partition per documentid — right
-  * for REPL-scale collections), `bucketed` is the 100 TB layout
-  * (nBuckets hash partitions — file census independent of document
-  * count, O(buckets) commits; q202/q205's certified shape). The layout
-  * is invisible to results: ingest/search/list return the same answers
-  * through either (MainLayoutSpec drives both end-to-end).
+  * `--layout document|bucketed|snapshot` selects the store layout
+  * behind the [[graft.store.ChunkStore]] seam: `document` is the
+  * reference's replace-unit layout (one parquet partition per
+  * documentid — right for REPL-scale collections), `bucketed` is the
+  * 100 TB rename-commit layout (nBuckets hash partitions — file census
+  * independent of document count, O(buckets) commits; q202/q205's
+  * certified shape), `snapshot` is the manifest-committed layout for
+  * object stores (immutable data files, atomic versioned-manifest
+  * commits, time travel + vacuum; q244/q245/q246's certified shape —
+  * its `versions` and `vacuum` subcommands below exist only there).
+  * The layout is invisible to results: ingest/search/list return the
+  * same answers through any of them (MainLayoutSpec drives all three
+  * end-to-end).
   */
 object Main {
 
@@ -58,9 +63,11 @@ object Main {
       case "document" => new VectorStore(spark, storeRoot)
       case "bucketed" => new BucketedVectorStore(spark, storeRoot,
         nBuckets = opt(args, "buckets", "16").toInt)
+      case "snapshot" => new SnapshotStore(spark, storeRoot,
+        nBuckets = opt(args, "buckets", "16").toInt)
       case other =>
         System.err.println(s"unknown --layout '$other' " +
-          "(document|bucketed required)")
+          "(document|bucketed|snapshot required)")
         return 2
     }
 
@@ -191,6 +198,67 @@ object Main {
               "(build|refresh|status required)")
             2
         }
+      case "compact" =>
+        // Store maintenance on any layout: rewrite the collection to
+        // its canonical file layout (per-document: one file per doc;
+        // bucketed: one per bucket; snapshot: copy-on-write to
+        // nBuckets base files — old versions stay readable until
+        // vacuum).
+        val existing = store.listCollections()
+        if (!existing.contains(collection)) {
+          System.err.println(s"collection '$collection' not found in " +
+            s"this store; available: ${existing.mkString(", ")}")
+          return 2
+        }
+        val (before, after) = store.compact(collection)
+        println(s"compacted $collection: $before -> $after data file(s)")
+        0
+      case "versions" =>
+        // Snapshot history (snapshot layout only): one line per
+        // committed version — the time-travel/provenance surface.
+        store match {
+          case snap: SnapshotStore =>
+            val existing = store.listCollections()
+            if (!existing.contains(collection)) {
+              System.err.println(s"collection '$collection' not found " +
+                s"in this store; available: ${existing.mkString(", ")}")
+              return 2
+            }
+            snap.versions(collection).foreach { v =>
+              println(s"v$v: ${snap.liveDataFiles(collection, v).size} " +
+                "live data file(s)")
+            }
+            0
+          case _ =>
+            System.err.println(
+              "versions requires --layout snapshot (the rename-commit " +
+                "layouts keep no history)")
+            2
+        }
+      case "vacuum" =>
+        // Retention (snapshot layout only): age out history past
+        // --retain versions; --min-age-ms guards in-flight writers.
+        store match {
+          case snap: SnapshotStore =>
+            val existing = store.listCollections()
+            if (!existing.contains(collection)) {
+              System.err.println(s"collection '$collection' not found " +
+                s"in this store; available: ${existing.mkString(", ")}")
+              return 2
+            }
+            val (deleted, live) = snap.vacuum(collection,
+              retainLast = opt(args, "retain", "2").toInt,
+              minAgeMs = opt(args, "min-age-ms", "3600000").toLong)
+            println(s"vacuumed $collection: $deleted data dir(s) " +
+              s"deleted, $live live")
+            0
+          case _ =>
+            System.err.println(
+              "vacuum requires --layout snapshot (the rename-commit " +
+                "layouts keep no history; their maintenance op is " +
+                "compact)")
+            2
+        }
       case "sql" =>
         // Analytics REPL over the engine's full SQL surface: testdata
         // tables (--data <sfDir>) and every store collection (as
@@ -214,15 +282,20 @@ object Main {
   private def usage(): Unit = System.err.println(
     """usage: graft.Main <command> [options]
       |  ingest --reader markdown|pdf|database --source <path>
-      |         [--collection c] [--store dir] [--layout document|bucketed]
+      |         [--collection c] [--store dir] [--layout document|bucketed|snapshot]
       |         [--buckets n]
       |  search [--collection c] [--store dir] [--k n]
-      |         [--layout document|bucketed]
+      |         [--layout document|bucketed|snapshot]
       |         [--mode exact|lsh|ivfsq]   (default exact; ANN approximate)
-      |  list   [--store dir] [--layout document|bucketed]
+      |  list   [--store dir] [--layout document|bucketed|snapshot]
       |  delete --ids id1,id2,... [--collection c] [--store dir]
-      |         [--layout document|bucketed]
+      |         [--layout document|bucketed|snapshot]
       |  index  build|refresh|status [--mode lsh|ivfsq] [--ids id1,...]
-      |         [--collection c] [--store dir] [--layout document|bucketed]
+      |         [--collection c] [--store dir] [--layout document|bucketed|snapshot]
+      |  compact [--collection c] [--store dir]
+      |         [--layout document|bucketed|snapshot]
+      |  versions [--collection c] [--store dir] --layout snapshot
+      |  vacuum [--collection c] [--store dir] --layout snapshot
+      |         [--retain n] [--min-age-ms ms]
       |  sql    [--data sfDir] [--store dir]""".stripMargin)
 }

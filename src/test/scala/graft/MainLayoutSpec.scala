@@ -2,9 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** CLI e2e over BOTH store layouts (`--layout document|bucketed`):
-  * the full `ingest -> list -> search` path must produce identical
-  * user-visible output through either [[graft.store.ChunkStore]]
+/** CLI e2e over ALL THREE store layouts
+  * (`--layout document|bucketed|snapshot`): the full
+  * `ingest -> list -> search` path must produce identical
+  * user-visible output through every [[graft.store.ChunkStore]]
   * implementation — the layout is physical, never semantic. This is
   * ChunkStoreSwapSpec's invariant extended through `Main`'s own
   * argument parsing and store construction (the path a real user
@@ -42,19 +43,22 @@ class MainLayoutSpec extends SparkSpec {
       searchOut)
   }
 
-  test("ingest/list/search produce identical output on both layouts") {
+  test("ingest/list/search produce identical output on all layouts") {
     val (ingD, listD, schD) = driveLayout("document")
     val (ingB, listB, schB) = driveLayout("bucketed")
+    val (ingS, listS, schS) = driveLayout("snapshot")
     assert(ingD.contains("[SUCCESS]"), s"no successful ingest:\n$ingD")
     assert(ingB == ingD, "ingest reports differ between layouts")
-    assert(listD.trim == "documents" && listB == listD)
+    assert(ingS == ingD, "snapshot ingest report differs")
+    assert(listD.trim == "documents" && listB == listD && listS == listD)
     assert(schD.contains("score="), s"no search hits:\n$schD")
     assert(schB == schD, "search output differs between layouts")
+    assert(schS == schD, "snapshot search output differs")
   }
 
   test("delete + index build/refresh/status drive the maintenance " +
-      "surface end-to-end on both layouts") {
-    for (layout <- Seq("document", "bucketed")) {
+      "surface end-to-end on all three layouts") {
+    for (layout <- Seq("document", "bucketed", "snapshot")) {
       val root = java.nio.file.Files
         .createTempDirectory(s"main-maint-$layout").toString
       val md = resourcePath("content/markdown")
@@ -72,9 +76,11 @@ class MainLayoutSpec extends SparkSpec {
         st1.contains("ivfsq: fresh"), s"[$layout] status after build:\n$st1")
       // Delete one ingested document -> sidecars go stale.
       val victim = {
-        val store: graft.store.ChunkStore = if (layout == "document")
-          new graft.store.VectorStore(spark, root)
-        else new graft.store.BucketedVectorStore(spark, root, 16)
+        val store: graft.store.ChunkStore = layout match {
+          case "document" => new graft.store.VectorStore(spark, root)
+          case "bucketed" => new graft.store.BucketedVectorStore(spark, root, 16)
+          case _ => new graft.store.SnapshotStore(spark, root, 16)
+        }
         store.read("documents").select("documentid")
           .orderBy("documentid").head().getString(0)
       }
@@ -104,6 +110,50 @@ class MainLayoutSpec extends SparkSpec {
       // Guardrails: missing --ids and unknown action fail cleanly.
       assert(Main.run(Array("delete") ++ common, spark) == 2)
       assert(Main.run(Array("index", "frobnicate") ++ common, spark) == 2)
+    }
+  }
+
+  test("versions + vacuum: the snapshot layout's history surface via " +
+      "the CLI; the rename layouts refuse them cleanly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("main-snap-hist").toString
+    val md = resourcePath("content/markdown")
+    val common = Array("--store", root, "--layout", "snapshot")
+    assert(capture("") { Main.run(Array("ingest", "--reader", "markdown",
+      "--source", md) ++ common, spark) }._1 == 0)
+    assert(capture("") { Main.run(Array("delete", "--ids",
+      "black_holes.md") ++ common, spark) }._1 == 0)
+    // Compact (v3): copy-on-write — v1's ingest dir and v2's tombstone
+    // become unreferenced-by-latest, but stay readable at v1/v2.
+    val (cc, cmpOut) = capture("") {
+      Main.run(Array("compact") ++ common, spark) }
+    assert(cc == 0 && cmpOut.contains("compacted documents:"),
+      s"compact output:\n$cmpOut")
+    val (cv, verOut) = capture("") {
+      Main.run(Array("versions") ++ common, spark) }
+    assert(cv == 0 && verOut.contains("v1:") && verOut.contains("v3:"),
+      s"expected three committed versions:\n$verOut")
+    // Vacuum with the default 1h grace: nothing seconds-old is swept.
+    val (cg, graceOut) = capture("") {
+      Main.run(Array("vacuum", "--retain", "1") ++ common, spark) }
+    assert(cg == 0 && graceOut.contains("0 data dir(s) deleted"),
+      s"grace window breached:\n$graceOut")
+    // Forcing min-age 0 sweeps the pre-compact history's data.
+    val (cf, vacOut) = capture("") {
+      Main.run(Array("vacuum", "--retain", "1", "--min-age-ms", "0")
+        ++ common, spark) }
+    assert(cf == 0 && !vacOut.contains("0 data dir(s) deleted"),
+      s"expected a sweep:\n$vacOut")
+    val (cv2, verOut2) = capture("") {
+      Main.run(Array("versions") ++ common, spark) }
+    assert(cv2 == 0 && !verOut2.contains("v1:") &&
+      verOut2.contains("v3:"), s"v1 must be aged out:\n$verOut2")
+    // The rename-commit layouts have no history surface.
+    for (l <- Seq("document", "bucketed")) {
+      assert(Main.run(Array("versions", "--store", root,
+        "--layout", l), spark) == 2)
+      assert(Main.run(Array("vacuum", "--store", root,
+        "--layout", l), spark) == 2)
     }
   }
 
