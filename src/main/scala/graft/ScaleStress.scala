@@ -100,10 +100,10 @@ object ScaleStress {
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
         "corpusops", "analytics", "streaming", "warehouse",
-        "linkage", "store")(tier),
+        "linkage", "store", "snapshot")(tier),
       s"unknown tier '$tier' " +
         "(graph|substring|ingest|ann|multivec|corpusops|analytics|" +
-        "streaming|warehouse|linkage|store)")
+        "streaming|warehouse|linkage|store|snapshot)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -979,6 +979,97 @@ object ScaleStress {
           s""""point_read_rows":$pointRows,""" +
           s""""frag_buckets_rewritten":$rewritten,""" +
           s""""census_pre_frag":$fb,"census_post_frag":$fa}""")
+      }
+    }
+    if (tier == "snapshot") {
+      // The r16 SNAPSHOT-STORE commit-protocol tier: the manifest
+      // layout's lifecycle (bulk ingest, fixed increment, tombstone
+      // delete, merge-on-read read, copy-on-write compact, time
+      // travel, vacuum) at ×k document counts. The invariants that
+      // make this the object-store layout, each MEASURED:
+      //   - a fixed-size increment's commit ADDS a constant file set
+      //     (O(batch)) and MUTATES ZERO existing files — (path, len,
+      //     mtime) stamps of v1's whole file census byte-identical
+      //     through three later commits, at every scale;
+      //   - merge-on-read equals the post-compact plain scan row for
+      //     row (the read walls of both phases are recorded — the MOR
+      //     arbitration premium is delta-sized, not store-sized);
+      //   - the compacted live census is bounded by nBuckets, FLAT
+      //     across ×k; the manifest stays O(entries) bytes;
+      //   - vacuum(retain=1) leaves exactly the one base dir live;
+      //   - driver heap stays flat (the phase log prints it).
+      val nBuckets = 16
+      def chunksOf(d: DataFrame, n: Int, width: Int, tag: String) = d
+        .select(col("doc_id"),
+          posexplode(array((0 until n).map(i =>
+            substring(col("text"), i * width + 1, width)): _*))
+            .as(Seq("ci", "content")))
+        .filter(length(col("content")) > 0)
+        .select(
+          concat(lit("d"), col("doc_id"), lit(s":$tag"), col("ci"))
+            .as("key"),
+          typedLit(Array.empty[Float]).as("embedding"),
+          col("content"), lit("x").as("context"),
+          concat(lit("d"), col("doc_id")).as("documentid"))
+        .repartition(8)
+        .as[graft.model.EmbeddedChunk](
+          org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
+      val cohort = docs0.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit(5).collect().map(_.getLong(0))
+      for (k <- scales) {
+        val docs = replicate(k)
+        val nDocs = docs.count()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"scale-snap-x$k").toString
+        val store = new graft.store.SnapshotStore(spark, root, nBuckets)
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+        def stamps(files: Seq[String]): Seq[String] =
+          files.sorted.map { rel =>
+            val st = fsys.getFileStatus(
+              new org.apache.hadoop.fs.Path(s"$root/c/$rel"))
+            s"$rel:${st.getLen}:${st.getModificationTime}"
+          }
+        phase("upsert_base", k) {
+          store.upsert(chunksOf(docs, 3, 150, ""), "c")          // v1
+        }
+        val v1Files = store.liveDataFiles("c", 1L)
+        val v1Stamps = stamps(v1Files)
+        phase("upsert_increment", k) {                            // v2
+          store.upsert(chunksOf(docs.filter(col("doc_id").isin(
+            cohort.map(java.lang.Long.valueOf): _*)), 2, 200, "r"), "c")
+        }
+        val incFiles = store.liveDataFiles("c", 2L).size - v1Files.size
+        phase("delete", k) {                                      // v3
+          store.delete("c", cohort.take(2).map(d => s"d$d"))
+        }
+        val morRows = phase("read_mor", k) { store.read("c").count() }
+        val (cb, ca) = phase("compact", k) { store.compact("c") } // v4
+        require(ca <= nBuckets,
+          s"snapshot tier ×$k: compacted live census $ca exceeds nBuckets")
+        val baseRows = phase("read_base", k) { store.read("c").count() }
+        require(morRows == baseRows,
+          s"snapshot tier ×$k: MOR read $morRows rows, post-compact " +
+            s"scan $baseRows")
+        require(stamps(v1Files) == v1Stamps,
+          s"snapshot tier ×$k: a later commit mutated v1's files")
+        val v1Rows = phase("read_at_v1", k) {
+          store.readAt("c", 1L).count()
+        }
+        val manifestBytes = java.nio.file.Files.size(java.nio.file.Paths
+          .get(s"$root/c/_snapshots/v00000004.json"))
+        val (deleted, live) = phase("vacuum", k) {
+          store.vacuum("c", retainLast = 1, minAgeMs = 0L)
+        }
+        require(live == 1L,
+          s"snapshot tier ×$k: $live live data dirs after vacuum, " +
+            "expected the single compacted base")
+        println(s"""{"scale":$k,"tier":"snapshot","n_docs":$nDocs,""" +
+          s""""v1_files":${v1Files.size},"increment_files":$incFiles,""" +
+          s""""census_pre_compact":$cb,"census_post_compact":$ca,""" +
+          s""""mor_rows":$morRows,"v1_rows":$v1Rows,""" +
+          s""""manifest_bytes":$manifestBytes,""" +
+          s""""vacuum_deleted_dirs":$deleted,"vacuum_live_dirs":$live}""")
       }
     }
     spark.stop()
