@@ -306,7 +306,10 @@ object Bench {
       "q245_snapshot_vacuum",
       // r16: five snapshot commits from four RACING writer threads vs
       // the same content-derivation replay.
-      "q246_concurrent_commits")
+      "q246_concurrent_commits",
+      // r16: TWO real micro-batch ingest runs (the second a full
+      // redelivery) into the snapshot layout vs q89's content replay.
+      "q247_stream_ingest_snapshot")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

@@ -285,6 +285,54 @@ object IngestQueries {
       .orderBy(col("documentid").cast("long"))
   }
 
+  // q247: q89/q205's streaming ingest into the SNAPSHOT layout — the
+  // third point of the layout-swap claim at the streaming surface,
+  // plus the claim only this layout can make: AT-LEAST-ONCE DELIVERY
+  // IS AUDITABLE. The rename layouts get exactly-once by construction
+  // (deterministic keys + whole-document replacement rewrite identical
+  // bytes in place — the redelivery is invisible); the snapshot layout
+  // gets the same READ-side exactly-once through merge-on-read
+  // arbitration, while every delivery lands as its own immutable
+  // commit. The query runs the q205 stream, then REDELIVERS the same
+  // documents through a second stream (a fresh checkpoint — the
+  // at-least-once worst case), and REQUIREs in-run that (a) the
+  // read-back is row-identical before/after the redelivery (content
+  // exactly-once), (b) the version count INCREASED (the redelivery is
+  // recorded, not lost — the audit trail), and (c) readAt of the
+  // pre-redelivery version still serves (history intact). Same oracle
+  // as q89/q205: store content re-derived from documents. Bench tier:
+  // exec (two real micro-batch runs + store commits).
+  def q247(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    def stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parque*")
+      .filter(col("doc_id") < 100)
+    val tmp = Files.createTempDirectory("graft-q247").toString
+    val store = new graft.store.SnapshotStore(s, s"$tmp/store",
+      nBuckets = 8)
+    graft.streaming.StreamIngest.run(stream, store, "docs",
+      "doc_id", "text", "lang", s"$tmp/ckpt").awaitTermination()
+    def readBack = store.read("docs")
+      .select(col("documentid"), size(col("embedding")).as("dim"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("documentid").cast("long"))
+    val before = readBack.collect().toSeq
+    val vBefore = store.versions("docs").max
+    // The at-least-once worst case: the SAME batch redelivered (fresh
+    // checkpoint, so the runtime cannot dedupe it — the store must).
+    graft.streaming.StreamIngest.run(stream, store, "docs",
+      "doc_id", "text", "lang", s"$tmp/ckpt2").awaitTermination()
+    require(store.versions("docs").max > vBefore,
+      "q247: the redelivery left no commit — deliveries must be " +
+        "auditable on the snapshot layout")
+    require(readBack.collect().toSeq == before,
+      "q247: a redelivered micro-batch changed store content — " +
+        "merge-on-read exactly-once is broken")
+    require(store.readAt("docs", vBefore).count() == before.length,
+      "q247: the pre-redelivery version no longer serves")
+    readBack
+  }
+
   // q148: store COMPACTION — the maintenance pass a long-lived
   // per-document-partitioned store needs: every dynamic-overwrite
   // upsert adds files to its touched partitions, and one document's
@@ -1180,6 +1228,7 @@ object IngestQueries {
     "q244_snapshot_store" -> (q244 _),
     "q245_snapshot_vacuum" -> (q245 _),
     "q246_concurrent_commits" -> (q246 _),
+    "q247_stream_ingest_snapshot" -> (q247 _),
     "q69_bucketed_merge" -> (q69 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q95_csv_roundtrip" -> (q95 _),
@@ -1529,6 +1578,13 @@ object IngestQueries {
     // q205: same content certificate as q89 — the layout must be
     // invisible to the read-back.
     "q205_stream_ingest_bucketed" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS documentid,
+        |  CAST(384 AS INTEGER) AS dim, md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // q247: same content certificate again — the snapshot layout (and
+    // a full redelivery) must be invisible to the read-back; the
+    // version-audit claims are REQUIRED in-run.
+    "q247_stream_ingest_snapshot" ->
       """SELECT CAST(doc_id AS VARCHAR) AS documentid,
         |  CAST(384 AS INTEGER) AS dim, md5(text) AS content_md5
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
