@@ -896,7 +896,168 @@ object WarehouseQueries {
       .orderBy("col_x", "col_y")
   }
 
+  // q248: KAPLAN-MEIER survival — the time-to-event estimator every
+  // conversion/churn analysis runs (here: days from a user's first
+  // `signup` to their first subsequent `purchase`, administratively
+  // censored at a 2-day study horizon — users converting later are
+  // observed only as "still unconverted at day 2", the right-censoring
+  // KM exists to handle; the margins are healthy at every SF:
+  // 11/110/1008 events vs 4/40/492 censored). Estimator conventions
+  // pinned identically in both engines: events at t precede censoring
+  // at t (censored-at-t users are IN the t risk set), survival is the
+  // exact integer recurrence S_e6(i) = S_e6(i-1)·(n_i−d_i) div n_i
+  // from 10⁶ — a per-step floor both engines share (all terms
+  // positive), replayed in DuckDB as a RECURSIVE CTE over the
+  // row-numbered duration table. Scale shape: two keyed user-level
+  // aggregates cross the corpus; the KM table itself is CALENDAR-
+  // BOUNDED (≤ horizon+1 rows — durations are whole days), so the
+  // descending at-risk cumulation and the driver-side BigInt fold run
+  // on a ≤3-row table at any corpus size (the otsuThreshold
+  // discipline).
+  def q248(s: SparkSession, dir: String): DataFrame = {
+    val horizon = 2 // study cutoff, days
+    val e = ev(s, dir).filter(col("user_id").isNotNull)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") >= col("st"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    val durs = su.join(pu, Seq("user_id"), "left")
+      .select(
+        datediff(col("pt").cast("date"), col("st").cast("date"))
+          .as("rawdur"))
+      .select(
+        when(col("rawdur").isNotNull && col("rawdur") <= horizon,
+          col("rawdur")).otherwise(lit(horizon)).as("duration_days"),
+        (col("rawdur").isNotNull && col("rawdur") <= horizon)
+          .cast("long").as("d"),
+        (col("rawdur").isNull || col("rawdur") > horizon)
+          .cast("long").as("c"))
+      .groupBy(col("duration_days"))
+      .agg(sum(col("d")).as("n_churn"), sum(col("c")).as("n_censored"))
+    // ≤ horizon+1 rows from here on: the at-risk cumulation and the
+    // survival fold are value-histogram-bounded, never corpus-sized.
+    val rows = durs.orderBy(col("duration_days")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totalAtRisk = rows.map(r => r._2 + r._3).sum
+    var atRisk = totalAtRisk
+    var s6 = BigInt(1000000)
+    val km = rows.map { case (t, d, c) =>
+      val n = atRisk
+      s6 = s6 * (n - d) / n // positive: floor == truncate == DuckDB //
+      atRisk -= (d + c)
+      (t, n, d, c, s6.toLong)
+    }
+    import s.implicits._
+    km.toSeq
+      .toDF("duration_days", "n_risk", "n_churn", "n_censored", "surv_e6")
+      .orderBy(col("duration_days"))
+  }
+
+  // q249: T-CLOSENESS privacy audit — the third rung of the anonymity
+  // ladder (q129 k-anonymity: groups big enough; q208 l-diversity:
+  // enough distinct sensitive values; t-closeness: the group's
+  // SENSITIVE DISTRIBUTION must not diverge from the global one — a
+  // group can be 5-diverse yet consist almost entirely of one balance
+  // band, leaking by skew). Distance = the Earth Mover's Distance for
+  // ordered attributes (Li et al.'s t-closeness form): mean |cumulative
+  // difference| over the B ordered acctbal bands, computed EXACTLY on
+  // the common denominator N_g·M — the per-band cumulation A_j =
+  // Σ_{i≤j}(n_i·M − m_i·N_g) is integer, emd_e6 = 10⁶·Σ|A_j| div
+  // (N_g·M·(B−1)) in DECIMAL(38)/HUGEINT (exact past 10¹² rows).
+  // Groups are audited RELATIVELY (worst quartile by exact rank) —
+  // absolute-t flags are SF-degenerate on this synthetic table (every
+  // group violates t=0.15 at sf0.001, none at sf0.1). Scale shape: one
+  // (QI, band) aggregate crosses the corpus; the spine/cumulation run
+  // on the groups×bands grid (≤ 125×11).
+  def q249(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val grp = b.groupBy(col("nk"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val gt = grp.groupBy(col("nk"), col("seg"))
+      .agg(sum(col("c")).as("ng"))
+    val gl = b.groupBy(col("band")).agg(count(lit(1)).as("m"))
+    val tot = b.agg(count(lit(1)).as("mm"))
+    // Dense spine: every group × every GLOBAL band (a group missing a
+    // band contributes n_i = 0, not a missing row — omitting it biases
+    // the cumulation).
+    val spine = gt.crossJoin(broadcast(gl)).crossJoin(broadcast(tot))
+    val j = spine.join(grp, Seq("nk", "seg", "band"), "left")
+      .select(col("nk"), col("seg"), col("ng"), col("band"), col("mm"),
+        coalesce(col("c"), lit(0L)).as("c"), col("m"))
+    val w = Window.partitionBy(col("nk"), col("seg"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j.withColumn("a",
+      sum(col("c").cast("decimal(38,0)") * col("mm") -
+        col("m").cast("decimal(38,0)") * col("ng")).over(w))
+    val emd = cum.groupBy(col("nk"), col("seg"))
+      .agg(max(col("ng")).as("k_anon"), max(col("mm")).as("mm"),
+        sum(abs(col("a"))).as("sabs"), count(lit(1)).as("nb"))
+      .select(col("nk"), col("seg"), col("k_anon"),
+        expr("""cast((cast(sabs as decimal(38,0)) * 1000000) div
+          (cast(k_anon as decimal(38,0)) * mm * (nb - 1)) as bigint)""")
+          .as("emd_e6"))
+    // Worst quartile by exact rank (ties broken by the QI key — total
+    // and deterministic in both engines).
+    val wr = Window.orderBy(col("emd_e6").desc, col("nk"), col("seg"))
+    val n = emd.count()
+    emd.withColumn("r", row_number().over(wr))
+      .select(col("nk"), col("seg"), col("k_anon"), col("emd_e6"),
+        (col("r") * 4 <= n).as("worst_quartile"))
+      .orderBy(col("nk"), col("seg"))
+  }
+
+  // q250: MANN-WHITNEY U — the nonparametric two-sample location test
+  // (does `value` for event type X come from a shifted distribution
+  // vs `purchase`?), exact to the integer: tie-averaged DOUBLED ranks
+  // (the average rank of a tie run starting after w₀ rows with c
+  // members is (2w₀+c+1)/2 — its double is integer), U₂ = 2U =
+  // R₂ − n₁(n₁+1), and the rank-biserial effect size r = 2U/(n₁n₂) − 1
+  // as sign·(|U₂−n₁n₂|·10⁶ div n₁n₂) — truncation toward zero made
+  // explicit so both engines agree on negative effects. Purchase rows
+  // replicate once per comparison pair (map-side, ×|types|−1, bounded).
+  // Scale shape: one (pair, value) aggregate crosses the corpus; the
+  // rank cumulation is a pair-keyed window over the distinct-value
+  // table — per-pair cardinality is value-distinct-bounded, and the
+  // 100× path is the q87/q211 distributed-rank swap (range-partitioned
+  // sort + zipWithIndex), documented not needed at these SFs.
+  def q250(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"), col("value"))
+    val types = Seq("click", "error", "signup", "view")
+    val cohort1 = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("pair"), col("value"),
+        lit(1L).as("is1"))
+    val cohort2 = e.filter(col("event_type") === "purchase")
+      .select(explode(typedLit(types)).as("pair"), col("value"),
+        lit(0L).as("is1"))
+    val byVal = cohort1.unionByName(cohort2)
+      .groupBy(col("pair"), col("value"))
+      .agg(count(lit(1)).as("call"), sum(col("is1")).as("c1"))
+    val w = Window.partitionBy(col("pair")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal.withColumn("w0",
+      sum(col("call")).over(w) - col("call"))
+    ranked.groupBy(col("pair"))
+      .agg(sum(col("c1")).as("n1"),
+        sum(col("call") - col("c1")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("w0") + col("call") + 1L))
+          .as("r2"))
+      .select(col("pair"), col("n1"), col("n2"),
+        (col("r2") - col("n1") * (col("n1") + 1L)).as("u2"))
+      .select(col("pair"), col("n1"), col("n2"), col("u2"),
+        expr("""cast(sign(u2 - n1 * n2) as bigint) *
+          ((abs(u2 - n1 * n2) * 1000000) div (n1 * n2))""").as("rb_e6"))
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_kaplan_meier" -> (q248 _),
+    "q249_t_closeness" -> (q249 _),
+    "q250_mann_whitney" -> (q250 _),
     "q238_corr_matrix" -> (q238 _),
     "q235_ab_chisquare" -> (q235 _),
     "q234_abc_classification" -> (q234 _),
@@ -920,6 +1081,113 @@ object WarehouseQueries {
     "q219_vopt_histogram" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
+    // q248: the same duration table (identical censoring conventions)
+    // with the survival recurrence replayed as a RECURSIVE CTE — the
+    // same per-step integer floor (all terms positive, so DuckDB //
+    // == BigInt /).
+    "q248_kaplan_meier" ->
+      """WITH RECURSIVE
+        |su AS (SELECT user_id, min(ts) st FROM events
+        |       WHERE event_type = 'signup' AND user_id IS NOT NULL
+        |       GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.ts) pt FROM events e
+        |       JOIN su ON su.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= su.st
+        |       GROUP BY 1),
+        |d0 AS (SELECT su.user_id,
+        |         date_diff('day', CAST(su.st AS DATE), CAST(pu.pt AS DATE))
+        |           AS rawdur
+        |       FROM su LEFT JOIN pu ON pu.user_id = su.user_id),
+        |d AS (SELECT
+        |        CASE WHEN rawdur IS NOT NULL AND rawdur <= 2
+        |          THEN rawdur ELSE 2 END AS duration_days,
+        |        CASE WHEN rawdur IS NOT NULL AND rawdur <= 2
+        |          THEN 1 ELSE 0 END AS dd,
+        |        CASE WHEN rawdur IS NULL OR rawdur > 2
+        |          THEN 1 ELSE 0 END AS cc
+        |      FROM d0),
+        |g AS (SELECT duration_days, CAST(SUM(dd) AS BIGINT) AS n_churn,
+        |        CAST(SUM(cc) AS BIGINT) AS n_censored
+        |      FROM d GROUP BY 1),
+        |k AS (SELECT duration_days, n_churn, n_censored,
+        |        CAST(SUM(n_churn + n_censored)
+        |          OVER (ORDER BY duration_days DESC) AS BIGINT) AS n_risk,
+        |        row_number() OVER (ORDER BY duration_days) AS rn
+        |      FROM g),
+        |rec AS (
+        |  SELECT rn, duration_days, n_risk, n_churn, n_censored,
+        |    (1000000 * (n_risk - n_churn)) // n_risk AS s
+        |  FROM k WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.rn, k.duration_days, k.n_risk, k.n_churn,
+        |    k.n_censored, (r.s * (k.n_risk - k.n_churn)) // k.n_risk
+        |  FROM k JOIN rec r ON k.rn = r.rn + 1)
+        |SELECT CAST(duration_days AS INTEGER) AS duration_days, n_risk,
+        |  n_churn, n_censored, CAST(s AS BIGINT) AS surv_e6
+        |FROM rec ORDER BY 1""".stripMargin,
+    // q249: the same dense groups×bands spine, HUGEINT cumulation on
+    // the common denominator, and the same exact-rank quartile flag.
+    "q249_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |        CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |      FROM customer),
+        |grp AS (SELECT nk, seg, band, count(*) AS c FROM b
+        |        GROUP BY 1, 2, 3),
+        |gt AS (SELECT nk, seg, CAST(SUM(c) AS BIGINT) AS k_anon
+        |       FROM grp GROUP BY 1, 2),
+        |gl AS (SELECT band, count(*) AS m FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS mm FROM b),
+        |spine AS (SELECT gt.nk, gt.seg, gt.k_anon, gl.band, gl.m, tot.mm
+        |          FROM gt CROSS JOIN gl CROSS JOIN tot),
+        |j AS (SELECT s.nk, s.seg, s.k_anon, s.band, s.mm, s.m,
+        |        COALESCE(grp.c, 0) AS c
+        |      FROM spine s LEFT JOIN grp ON grp.nk = s.nk
+        |        AND grp.seg = s.seg AND grp.band = s.band),
+        |cum AS (SELECT nk, seg, k_anon, mm,
+        |        SUM(CAST(c AS HUGEINT) * mm - CAST(m AS HUGEINT) * k_anon)
+        |          OVER (PARTITION BY nk, seg ORDER BY band) AS a,
+        |        COUNT(*) OVER (PARTITION BY nk, seg) AS nb
+        |      FROM j),
+        |emd AS (SELECT nk, seg, MAX(k_anon) AS k_anon,
+        |        CAST((SUM(ABS(a)) * 1000000) //
+        |          (CAST(MAX(k_anon) AS HUGEINT) * MAX(mm) * (MAX(nb) - 1))
+        |          AS BIGINT) AS emd_e6
+        |      FROM cum GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS cnt FROM emd),
+        |r AS (SELECT emd.*, row_number()
+        |        OVER (ORDER BY emd_e6 DESC, nk, seg) AS rk FROM emd)
+        |SELECT r.nk, r.seg, r.k_anon, r.emd_e6,
+        |  (rk * 4 <= n.cnt) AS worst_quartile
+        |FROM r, n ORDER BY nk, seg""".stripMargin,
+    // q250: the same doubled tie-averaged ranks (one row per
+    // (pair, value), so the RANGE-default window frame equals ROWS)
+    // and the same explicit sign × truncated-magnitude effect size.
+    "q250_mann_whitney" ->
+      """WITH t AS (SELECT event_type, value FROM events),
+        |c1 AS (SELECT event_type AS pair, value, 1 AS is1 FROM t
+        |       WHERE event_type <> 'purchase'),
+        |c2 AS (SELECT p.pair, t.value, 0 AS is1 FROM t,
+        |        (SELECT UNNEST(['click','error','signup','view'])
+        |           AS pair) p
+        |       WHERE t.event_type = 'purchase'),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+        |bv AS (SELECT pair, value, count(*) AS call,
+        |        CAST(SUM(is1) AS BIGINT) AS c1
+        |       FROM u GROUP BY 1, 2),
+        |rk AS (SELECT pair, value, call, c1,
+        |        CAST(SUM(call) OVER (PARTITION BY pair ORDER BY value)
+        |          - call AS BIGINT) AS w0
+        |       FROM bv),
+        |agg AS (SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(call - c1) AS BIGINT) AS n2,
+        |        CAST(SUM(c1 * (2 * w0 + call + 1)) AS BIGINT) AS r2
+        |       FROM rk GROUP BY 1),
+        |uu AS (SELECT pair, n1, n2, r2 - n1 * (n1 + 1) AS u2 FROM agg)
+        |SELECT pair, n1, n2, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(CAST(sign(u2 - n1 * n2) AS BIGINT) *
+        |    ((ABS(u2 - n1 * n2) * 1000000) // (n1 * n2)) AS BIGINT)
+        |    AS rb_e6
+        |FROM uu ORDER BY pair""".stripMargin,
     // q238: the same moment cells in HUGEINT and the same two-step
     // slope-product algebra (each slope truncated at e6, the product
     // truncated at the final e4 — toward zero in both engines).
