@@ -198,6 +198,40 @@ object Main {
               "(build|refresh|status required)")
             2
         }
+      case "migrate" =>
+        // Move a collection between layouts through the ChunkStore
+        // seam (one scan, one replace-by-document upsert = one commit
+        // on the target). Re-runnable: deterministic keys make the
+        // upsert idempotent.
+        val toRoot = opt(args, "to-store", "")
+        val toLayout = opt(args, "to-layout", "")
+        if (toRoot.isEmpty || toLayout.isEmpty) {
+          System.err.println(
+            "migrate requires --to-store <dir> --to-layout " +
+              "document|bucketed|snapshot")
+          return 2
+        }
+        val target: ChunkStore = toLayout match {
+          case "document" => new VectorStore(spark, toRoot)
+          case "bucketed" => new BucketedVectorStore(spark, toRoot,
+            nBuckets = opt(args, "to-buckets", "16").toInt)
+          case "snapshot" => new SnapshotStore(spark, toRoot,
+            nBuckets = opt(args, "to-buckets", "16").toInt)
+          case other =>
+            System.err.println(s"unknown --to-layout '$other' " +
+              "(document|bucketed|snapshot required)")
+            return 2
+        }
+        val existing = store.listCollections()
+        if (!existing.contains(collection)) {
+          System.err.println(s"collection '$collection' not found in " +
+            s"this store; available: ${existing.mkString(", ")}")
+          return 2
+        }
+        val n = ChunkStore.migrate(store, target, collection)
+        println(s"migrated $collection: $n chunk(s) now in $toLayout " +
+          s"layout at $toRoot")
+        0
       case "compact" =>
         // Store maintenance on any layout: rewrite the collection to
         // its canonical file layout (per-document: one file per doc;
@@ -292,6 +326,9 @@ object Main {
       |         [--layout document|bucketed|snapshot]
       |  index  build|refresh|status [--mode lsh|ivfsq] [--ids id1,...]
       |         [--collection c] [--store dir] [--layout document|bucketed|snapshot]
+      |  migrate --to-store dir --to-layout document|bucketed|snapshot
+      |         [--to-buckets n] [--collection c] [--store dir]
+      |         [--layout document|bucketed|snapshot]
       |  compact [--collection c] [--store dir]
       |         [--layout document|bucketed|snapshot]
       |  versions [--collection c] [--store dir] --layout snapshot

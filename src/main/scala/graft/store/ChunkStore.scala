@@ -393,6 +393,32 @@ trait ChunkStore {
 }
 
 object ChunkStore {
+  /** MIGRATE a collection between layouts through the seam — the
+    * operational path from the REPL-scale per-document store to the
+    * 100 TB layouts (and between them): one schema-on-read scan of the
+    * source, one replace-by-document upsert into the target (= ONE
+    * commit there: a single atomic manifest version on the snapshot
+    * layout, one bucket merge on the bucketed one). Deterministic keys
+    * make a re-run idempotent, so a crashed migration is safely
+    * re-runnable. At very large collections, shard the migration by
+    * documentid ranges (several upserts — each still a consistent
+    * replace unit) rather than one giant batch. Returns the migrated
+    * row count, read back from the TARGET (the number a verifier
+    * wants).
+    */
+  def migrate(from: ChunkStore, to: ChunkStore,
+      collection: String): Long = {
+    val src = from.read(collection).select(
+      org.apache.spark.sql.functions.col("key"),
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("content"),
+      org.apache.spark.sql.functions.col("context"),
+      org.apache.spark.sql.functions.col("documentid"))
+    to.upsert(src.as[EmbeddedChunk](
+      org.apache.spark.sql.Encoders.product[EmbeddedChunk]), collection)
+    to.read(collection).count()
+  }
+
   /** `_index/ivfsq_meta` row: build fingerprint + the fitted model
     * (IVF centroids at e6, SQ residual bounds) — everything a search
     * needs to serve without refitting.

@@ -157,6 +157,55 @@ class MainLayoutSpec extends SparkSpec {
     }
   }
 
+  test("migrate moves a collection between all layout pairs with " +
+      "byte-identical contents and identical search results") {
+    val md = resourcePath("content/markdown")
+    val srcRoot = java.nio.file.Files
+      .createTempDirectory("main-mig-src").toString
+    assert(capture("") { Main.run(Array("ingest", "--reader", "markdown",
+      "--source", md, "--store", srcRoot, "--layout", "document"),
+      spark) }._1 == 0)
+    def contents(root: String, layout: String): Seq[(String, String)] = {
+      val st: graft.store.ChunkStore = layout match {
+        case "document" => new graft.store.VectorStore(spark, root)
+        case "bucketed" => new graft.store.BucketedVectorStore(spark, root, 8)
+        case _ => new graft.store.SnapshotStore(spark, root, 8)
+      }
+      st.read("documents")
+        .select("key", "documentid").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    }
+    val src = contents(srcRoot, "document")
+    assert(src.nonEmpty)
+    for (toLayout <- Seq("bucketed", "snapshot")) {
+      val dst = java.nio.file.Files
+        .createTempDirectory(s"main-mig-$toLayout").toString
+      val (c, out) = capture("") {
+        Main.run(Array("migrate", "--store", srcRoot, "--layout",
+          "document", "--to-store", dst, "--to-layout", toLayout,
+          "--to-buckets", "8"), spark) }
+      assert(c == 0 && out.contains(s"${src.size} chunk(s)"),
+        s"migrate to $toLayout:\n$out")
+      assert(contents(dst, toLayout) == src,
+        s"$toLayout migration changed contents")
+      // Re-running the migration is idempotent (deterministic keys +
+      // replace-by-document).
+      assert(capture("") { Main.run(Array("migrate", "--store", srcRoot,
+        "--layout", "document", "--to-store", dst, "--to-layout",
+        toLayout, "--to-buckets", "8"), spark) }._1 == 0)
+      assert(contents(dst, toLayout) == src, "re-migration not idempotent")
+      // And the migrated store serves the same search hits.
+      val (cs, hits) = capture("how do plants convert sunlight\n\n") {
+        Main.run(Array("search", "--store", dst, "--layout", toLayout,
+          "--k", "2"), spark) }
+      assert(cs == 0 && hits.contains("score="))
+    }
+    // Guardrails: missing target args fail cleanly.
+    assert(Main.run(Array("migrate", "--store", srcRoot), spark) == 2)
+    assert(Main.run(Array("migrate", "--store", srcRoot, "--to-store",
+      "/tmp/x", "--to-layout", "exotic"), spark) == 2)
+  }
+
   test("unknown --layout fails with a usage message, not a stack trace") {
     val err = new java.io.ByteArrayOutputStream()
     val code = Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {
