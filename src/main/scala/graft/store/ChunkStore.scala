@@ -58,6 +58,87 @@ trait ChunkStore {
   protected def storeFingerprint(collection: String): String =
     ChunkStore.dataFingerprint(spark, collectionPath(collection))
 
+  /** SERVING MEMO — load the index once, serve many. Profiling the
+    * q240/q242 serving path showed ~75% of a sidecar search's wall was
+    * DRIVER time: every search re-read the 1-row meta parquet (a job +
+    * an analysis pass), re-listed the collection's files, and
+    * re-planned the codes read. A serving layer amortizes all three:
+    * the meta row, the codes DataFrame and the collection read are
+    * memoized per (collection, mode) KEYED BY THE FINGERPRINT they
+    * were loaded under, and every search revalidates with ONE
+    * driver-side listing ([[storeFingerprint]] — no job). Any
+    * upsert/delete/compact changes the fingerprint, so a stale entry
+    * can never serve: it is reloaded (or, if the sidecar itself is
+    * stale, the search falls back to fit-at-search exactly as before).
+    * Correctness is untouched — these are the same rows read through
+    * the same plans, constructed once instead of per search.
+    */
+  private val servingMeta = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, org.apache.spark.sql.Row)]()
+  private val servingDf = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, DataFrame)]()
+
+  /** The fresh meta row for `mode`'s sidecar, or None when the sidecar
+    * is absent or stale — ONE fingerprint listing per call, one meta
+    * parquet read per (re)load.
+    */
+  protected final def freshMeta(collection: String,
+      mode: String): Option[org.apache.spark.sql.Row] = {
+    val fp = storeFingerprint(collection)
+    val key = (collection, mode)
+    val cached = servingMeta.get(key)
+    if (cached != null && cached._1 == fp) return Some(cached._2)
+    val metaDir = indexDir(collection, s"${mode}_meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) return None
+    val meta = spark.read.parquet(metaDir).head()
+    if (meta.getAs[String]("fingerprint") != fp) return None
+    servingMeta.put(key, (fp, meta))
+    Some(meta)
+  }
+
+  /** Memoized codes-table read (part = "lsh" | "ivfsq") under `fp`. */
+  private def servingCodes(collection: String, part: String,
+      fp: String): DataFrame = {
+    val key = (collection, s"codes_$part")
+    val cached = servingDf.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val df = spark.read.parquet(indexDir(collection, part))
+      servingDf.put(key, (fp, df))
+      df
+    }
+  }
+
+  /** Drop a collection's serving memo — called by [[buildIndex]] and
+    * [[refreshIndex]], whose sidecar OVERWRITES are invisible to the
+    * data fingerprint (sidecars are excluded from it by design): a
+    * same-fingerprint rebuild replaces the codes files on disk, and a
+    * cached DataFrame would otherwise keep pointing at the deleted
+    * ones. Data-path mutations (upsert/delete/compact) need no hook —
+    * they change the fingerprint, which every lookup revalidates.
+    */
+  private def invalidateServing(collection: String): Unit = {
+    Seq("lsh", "ivfsq").foreach(m => servingMeta.remove((collection, m)))
+    Seq("codes_lsh", "codes_ivfsq", "chunks").foreach(k =>
+      servingDf.remove((collection, k)))
+  }
+
+  /** Memoized collection read under `fp` (serving path only — the
+    * maintenance paths keep their direct [[read]] calls).
+    */
+  private def servingChunks(collection: String, fp: String): DataFrame = {
+    val key = (collection, "chunks")
+    val cached = servingDf.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val df = read(collection)
+      servingDf.put(key, (fp, df))
+      df
+    }
+  }
+
   def upsert(chunks: Dataset[EmbeddedChunk], collection: String): Unit
   def read(collection: String): DataFrame
 
@@ -155,9 +236,11 @@ trait ChunkStore {
     */
   protected final def searchLsh(collection: String, qv: Array[Float],
       k: Int): DataFrame = {
-    if (!hasFreshIndex(collection, "lsh"))
-      return searchLshFit(collection, qv, k)
-    val meta = spark.read.parquet(indexDir(collection, "lsh_meta")).head()
+    val meta = freshMeta(collection, "lsh") match {
+      case None => return searchLshFit(collection, qv, k)
+      case Some(m) => m
+    }
+    val fp = meta.getAs[String]("fingerprint")
     val nBits = meta.getAs[Int]("nbits")
     val dim = meta.getAs[Int]("dim")
     require(dim == qv.length,
@@ -165,10 +248,10 @@ trait ChunkStore {
     val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
       nBits = nBits, dim = dim, seed = meta.getAs[Long]("seed"))
     val probes = lsh.probeBuckets(qv, probes = 2)
-    val cand = spark.read.parquet(indexDir(collection, "lsh"))
+    val cand = servingCodes(collection, "lsh", fp)
       .filter(col("bucket").isin(probes: _*))
       .select(col("key"))
-    read(collection).join(cand, Seq("key"))
+    servingChunks(collection, fp).join(cand, Seq("key"))
       .withColumn("score",
         round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6))
       .orderBy(col("score").desc, col("key"))
@@ -208,9 +291,11 @@ trait ChunkStore {
     */
   protected final def searchIvfsq(collection: String, qv: Array[Float],
       k: Int): DataFrame = {
-    if (!hasFreshIndex(collection, "ivfsq"))
-      return searchIvfsqFit(collection, qv, k)
-    val meta = spark.read.parquet(indexDir(collection, "ivfsq_meta")).head()
+    val meta = freshMeta(collection, "ivfsq") match {
+      case None => return searchIvfsqFit(collection, qv, k)
+      case Some(m) => m
+    }
+    val fp = meta.getAs[String]("fingerprint")
     val dim = meta.getAs[Int]("dim")
     require(dim == qv.length,
       s"ivfsq index dim $dim != query dim ${qv.length}")
@@ -221,9 +306,9 @@ trait ChunkStore {
       new graft.operators.Sq.Model(
         meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
         meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
-    val chunks = read(collection)
+    val chunks = servingChunks(collection, fp)
     val ids = graft.operators.IvfSq.searchCodes(
-        spark.read.parquet(indexDir(collection, "ivfsq")), chunks,
+        servingCodes(collection, "ivfsq", fp), chunks,
         "key", "embedding", "ivf_cid", "sq_code", m, qv,
         k = k, nprobe = 3, pool = math.max(200, 20 * k))
       .select(col("key"))
@@ -266,7 +351,13 @@ trait ChunkStore {
     * [[read]], so the bucketed store indexes exactly like the
     * per-document one.
     */
-  def buildIndex(collection: String, mode: String): Unit = mode match {
+  def buildIndex(collection: String, mode: String): Unit = {
+    invalidateServing(collection)
+    buildIndexImpl(collection, mode)
+    invalidateServing(collection)
+  }
+
+  private def buildIndexImpl(collection: String, mode: String): Unit = mode match {
     case "ivfsq" =>
       val fp = storeFingerprint(collection)
       val chunks = read(collection)
@@ -309,15 +400,8 @@ trait ChunkStore {
     * [[search]] acts on conservatively (serve fit-at-search instead of
     * a stale index — never silently missing the newest documents).
     */
-  def hasFreshIndex(collection: String, mode: String): Boolean = {
-    val metaDir = indexDir(collection, s"${mode}_meta")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) return false
-    val stamped = spark.read.parquet(metaDir)
-      .select("fingerprint").head().getString(0)
-    stamped == storeFingerprint(collection)
-  }
+  def hasFreshIndex(collection: String, mode: String): Boolean =
+    freshMeta(collection, mode).isDefined
 
   /** INCREMENTAL index maintenance — the production refresh pattern:
     * the fitted MODEL stays FROZEN (refitting is rare and deliberate —
@@ -340,6 +424,7 @@ trait ChunkStore {
       docIds: Seq[String]): Unit = {
     require(Set("lsh", "ivfsq")(mode),
       s"unknown index mode '$mode' (lsh|ivfsq)")
+    invalidateServing(collection)
     val codesDir = indexDir(collection, mode)
     val metaDir = indexDir(collection, s"${mode}_meta")
     val meta = spark.read.parquet(metaDir).head()
@@ -389,6 +474,7 @@ trait ChunkStore {
             org.apache.spark.sql.Encoders.product[ChunkStore.LshMeta])
           .coalesce(1).write.mode("overwrite").parquet(metaDir)
     }
+    invalidateServing(collection)
   }
 }
 
