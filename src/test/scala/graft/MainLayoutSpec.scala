@@ -204,6 +204,22 @@ class MainLayoutSpec extends SparkSpec {
     assert(Main.run(Array("migrate", "--store", srcRoot), spark) == 2)
     assert(Main.run(Array("migrate", "--store", srcRoot, "--to-store",
       "/tmp/x", "--to-layout", "exotic"), spark) == 2)
+    // Close the matrix: a chained bucketed -> snapshot -> document
+    // round trip ends byte-identical to the original.
+    val b = java.nio.file.Files.createTempDirectory("mig-b").toString
+    val sn = java.nio.file.Files.createTempDirectory("mig-s").toString
+    val d2 = java.nio.file.Files.createTempDirectory("mig-d").toString
+    assert(capture("") { Main.run(Array("migrate", "--store", srcRoot,
+      "--layout", "document", "--to-store", b, "--to-layout",
+      "bucketed", "--to-buckets", "8"), spark) }._1 == 0)
+    assert(capture("") { Main.run(Array("migrate", "--store", b,
+      "--layout", "bucketed", "--buckets", "8", "--to-store", sn,
+      "--to-layout", "snapshot", "--to-buckets", "8"), spark) }._1 == 0)
+    assert(capture("") { Main.run(Array("migrate", "--store", sn,
+      "--layout", "snapshot", "--buckets", "8", "--to-store", d2,
+      "--to-layout", "document"), spark) }._1 == 0)
+    assert(contents(d2, "document") == src,
+      "the three-layout migration round trip changed contents")
   }
 
   test("unknown --layout fails with a usage message, not a stack trace") {
