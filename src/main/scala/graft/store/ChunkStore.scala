@@ -78,35 +78,69 @@ trait ChunkStore {
   private val servingDf = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (String, DataFrame)]()
 
-  /** The fresh meta row for `mode`'s sidecar, or None when the sidecar
-    * is absent or stale — ONE fingerprint listing per call, one meta
-    * parquet read per (re)load.
+  /** SIDECAR identity for the serving memo: the (name, length, mtime)
+    * census of `mode`'s codes + meta dirs — one driver-side listing, no
+    * job. The data fingerprint alone cannot key the memo safely:
+    * sidecar rebuilds don't change it (sidecars are excluded from the
+    * census by design), so a rebuild by ANOTHER process over the same
+    * store root would leave this process's cached codes DataFrames
+    * pointing at overwritten/deleted parquet files — searches would
+    * then fail with FileNotFoundException or serve stale candidates
+    * despite a "fresh" fingerprint. Keying the memo by (fingerprint,
+    * sidecar stamp) makes any cross-process rebuild a cache miss
+    * (ServingMemoSpec pins it); in-process rebuilds additionally drop
+    * the memo eagerly via [[buildIndex]]/[[refreshIndex]].
+    */
+  private def sidecarStamp(collection: String, mode: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq(indexDir(collection, mode), indexDir(collection, s"${mode}_meta"))
+      .foreach { d =>
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (fsys.exists(p))
+          fsys.listStatus(p).map(st => s"${st.getPath.getName}:" +
+              s"${st.getLen}:${st.getModificationTime}")
+            .sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The fresh meta row for `mode`'s sidecar plus the serving token the
+    * codes memo is keyed under, or None when the sidecar is absent or
+    * stale — ONE fingerprint listing + one sidecar listing per call,
+    * one meta parquet read per (re)load.
     */
   protected final def freshMeta(collection: String,
-      mode: String): Option[org.apache.spark.sql.Row] = {
+      mode: String): Option[(org.apache.spark.sql.Row, String)] = {
     val fp = storeFingerprint(collection)
+    val token = s"$fp|${sidecarStamp(collection, mode)}"
     val key = (collection, mode)
     val cached = servingMeta.get(key)
-    if (cached != null && cached._1 == fp) return Some(cached._2)
+    if (cached != null && cached._1 == token)
+      return Some((cached._2, token))
     val metaDir = indexDir(collection, s"${mode}_meta")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(metaDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) return None
     val meta = spark.read.parquet(metaDir).head()
     if (meta.getAs[String]("fingerprint") != fp) return None
-    servingMeta.put(key, (fp, meta))
-    Some(meta)
+    servingMeta.put(key, (token, meta))
+    Some((meta, token))
   }
 
-  /** Memoized codes-table read (part = "lsh" | "ivfsq") under `fp`. */
+  /** Memoized codes-table read (part = "lsh" | "ivfsq") under the
+    * serving `token` (fingerprint + sidecar stamp — see
+    * [[sidecarStamp]] for why the fingerprint alone is not enough).
+    */
   private def servingCodes(collection: String, part: String,
-      fp: String): DataFrame = {
+      token: String): DataFrame = {
     val key = (collection, s"codes_$part")
     val cached = servingDf.get(key)
-    if (cached != null && cached._1 == fp) cached._2
+    if (cached != null && cached._1 == token) cached._2
     else {
       val df = spark.read.parquet(indexDir(collection, part))
-      servingDf.put(key, (fp, df))
+      servingDf.put(key, (token, df))
       df
     }
   }
@@ -236,7 +270,7 @@ trait ChunkStore {
     */
   protected final def searchLsh(collection: String, qv: Array[Float],
       k: Int): DataFrame = {
-    val meta = freshMeta(collection, "lsh") match {
+    val (meta, token) = freshMeta(collection, "lsh") match {
       case None => return searchLshFit(collection, qv, k)
       case Some(m) => m
     }
@@ -248,7 +282,7 @@ trait ChunkStore {
     val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
       nBits = nBits, dim = dim, seed = meta.getAs[Long]("seed"))
     val probes = lsh.probeBuckets(qv, probes = 2)
-    val cand = servingCodes(collection, "lsh", fp)
+    val cand = servingCodes(collection, "lsh", token)
       .filter(col("bucket").isin(probes: _*))
       .select(col("key"))
     servingChunks(collection, fp).join(cand, Seq("key"))
@@ -291,7 +325,7 @@ trait ChunkStore {
     */
   protected final def searchIvfsq(collection: String, qv: Array[Float],
       k: Int): DataFrame = {
-    val meta = freshMeta(collection, "ivfsq") match {
+    val (meta, token) = freshMeta(collection, "ivfsq") match {
       case None => return searchIvfsqFit(collection, qv, k)
       case Some(m) => m
     }
@@ -308,7 +342,7 @@ trait ChunkStore {
         meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
     val chunks = servingChunks(collection, fp)
     val ids = graft.operators.IvfSq.searchCodes(
-        servingCodes(collection, "ivfsq", fp), chunks,
+        servingCodes(collection, "ivfsq", token), chunks,
         "key", "embedding", "ivf_cid", "sq_code", m, qv,
         k = k, nprobe = 3, pool = math.max(200, 20 * k))
       .select(col("key"))

@@ -92,7 +92,7 @@ final class SnapshotStore(protected val spark: SparkSession,
   private def latestVersion(collection: String): Option[Long] =
     versions(collection).lastOption
 
-  private def readManifestJson(collection: String, v: Long): Manifest = {
+  private[store] def readManifestJson(collection: String, v: Long): Manifest = {
     val p = new org.apache.hadoop.fs.Path(
       s"${snapshotsDir(collection)}/${manifestName(v)}")
     val f = fs(p.toString)
@@ -108,20 +108,48 @@ final class SnapshotStore(protected val spark: SparkSession,
     Manifest.fromJson(new String(bytes, "UTF-8"))
   }
 
-  /** Publish `m` as version `m.version` — atomic create-if-absent.
-    * The manifest is fully written to a staged temp first, then moved
-    * into the version slot with `FileContext.rename(Rename.NONE)`
-    * (fails when the slot is taken — the CAS; readers never observe a
-    * partially-written manifest because the slot's bytes appear in one
-    * metadata op). Returns false on a lost race. On an object store,
-    * implement this one method as a conditional PUT; nothing else in
-    * the store changes.
+  /** Publish `m` as version `m.version` — atomic create-if-absent,
+    * with a per-filesystem-class CAS primitive (returns false on a
+    * lost race; readers never observe a partially-written manifest):
+    *
+    *   - `file`: hard-link CAS (one inode op, EEXIST = lost race);
+    *   - object-store schemes ([[SnapshotStore.CasCreateSchemesKey]],
+    *     default `s3a,objfs`): conditional CREATE — `create(slot,
+    *     overwrite = false)` whose bytes materialize atomically at
+    *     close and whose close fails when the slot is taken (S3's
+    *     `If-None-Match: *` conditional PUT; the `objfs` test shim
+    *     models exactly those semantics). RENAME IS NEVER ON THIS
+    *     COMMIT PATH: an object-store "rename" is a non-atomic
+    *     copy+delete, so any protocol renaming into the slot could be
+    *     observed torn — SnapshotObjectStoreSpec asserts zero slot
+    *     renames under racing writers;
+    *   - everything else (HDFS-like): stage fully, then
+    *     `FileContext.rename(Rename.NONE)` — an atomic metadata op
+    *     there, and the right choice because HDFS readers CAN observe
+    *     a file mid-write (bytes are visible before close), which
+    *     rules the conditional-create shape out.
     */
   private def tryPublish(collection: String, m: Manifest): Boolean = {
     val snapDir = snapshotsDir(collection)
     val bytes = m.toJson.getBytes("UTF-8")
     val scheme = Option(new java.net.URI(snapDir).getScheme)
-    if (scheme.forall(_ == "file")) {
+    val casCreate = spark.sparkContext.hadoopConfiguration
+      .get(SnapshotStore.CasCreateSchemesKey, "s3a,objfs")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    if (scheme.exists(casCreate)) {
+      val f = fs(snapDir)
+      f.mkdirs(new org.apache.hadoop.fs.Path(snapDir))
+      val slot = new org.apache.hadoop.fs.Path(
+        s"$snapDir/${manifestName(m.version)}")
+      try {
+        val out = f.create(slot, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else if (scheme.forall(_ == "file")) {
       // Local filesystem: hard-link CAS. Hadoop's local FileContext is
       // a ChecksumFs whose rename moves the `.crc` sidecar in a second
       // non-atomic step — a losing racer can overwrite the winner's
@@ -324,7 +352,16 @@ final class SnapshotStore(protected val spark: SparkSession,
     * commits ever happened — same census independence as the bucketed
     * layout, with a rename-free commit.
     */
-  def compact(collection: String): (Long, Long) = {
+  def compact(collection: String): (Long, Long) =
+    compact(collection, () => ())
+
+  /** Test seam: `beforeCommit` runs after the rewrite lands on disk
+    * and before the manifest CAS — the window a concurrent compaction
+    * races in (SnapshotStoreSpec drives a full second compact through
+    * it).
+    */
+  private[store] def compact(collection: String,
+      beforeCommit: () => Unit): (Long, Long) = {
     val snapV = latestVersion(collection).getOrElse(
       throw new IllegalArgumentException(
         s"collection '$collection' has no committed snapshot"))
@@ -334,12 +371,32 @@ final class SnapshotStore(protected val spark: SparkSession,
       .repartition(nBuckets, col("documentid"))
       .sortWithinPartitions(col("documentid"), col("key"))
       .write.parquet(s"${collectionPath(collection)}/$rel")
-    val m = commit(collection, "compact") { parent =>
-      val v = parent.map(_.version).getOrElse(0L) + 1
-      Entry(rel, "base", v) +:
-        parent.map(_.entries.filter(_.seq > snapV)).getOrElse(Seq.empty)
+    beforeCommit()
+    // CONCURRENT-COMPACTION guard: base entries do not participate in
+    // MOR arbitration (they are plain scans), so two racing compactions
+    // must never BOTH commit a base — the loser's manifest would carry
+    // two overlapping full bases and every live row would read twice.
+    // The rebase detects a base committed past this compaction's
+    // snapshot (the other compaction won the manifest race) and YIELDS:
+    // the committed state already has a single fresh base plus the
+    // post-snapshot deltas, so this rewrite is redundant — its staged
+    // dir becomes an orphan vacuum sweeps. Content is identical either
+    // way; only which writer's files serve it differs.
+    try {
+      val m = commit(collection, "compact") { parent =>
+        if (parent.exists(_.entries.exists(e =>
+            e.kind == "base" && e.seq > snapV)))
+          throw SnapshotStore.CompactionSuperseded
+        val v = parent.map(_.version).getOrElse(0L) + 1
+        Entry(rel, "base", v) +:
+          parent.map(_.entries.filter(_.seq > snapV)).getOrElse(Seq.empty)
+      }
+      (before, liveDataFiles(collection, m.version).size.toLong)
+    } catch {
+      case SnapshotStore.CompactionSuperseded =>
+        val winner = latestVersion(collection).getOrElse(snapV)
+        (before, liveDataFiles(collection, winner).size.toLong)
     }
-    (before, liveDataFiles(collection, m.version).size.toLong)
   }
 
   /** The data files (relative paths) a version actually reads. */
@@ -367,13 +424,27 @@ final class SnapshotStore(protected val spark: SparkSession,
     * `minAgeMs` is the in-flight-writer grace window: a dir younger
     * than it is never collected, because an uncommitted writer's
     * staged data is indistinguishable from an orphan until its commit
-    * lands or its crash ages. Returns (data dirs deleted, data dirs
-    * live). Live content is untouched by construction — every kept
-    * manifest's whole file set is retained, so reads at every retained
-    * version are byte-identical before and after.
+    * lands or its crash ages. The LIBRARY default is the CLI's 1-hour
+    * grace — `minAgeMs = 0` is an explicit test-only opt-in, because a
+    * zero default would let an API caller's vacuum race an upsert that
+    * has written its data dir but not yet published its manifest: the
+    * staged dir would be swept as an "orphan" and the upsert's commit
+    * would land a manifest referencing deleted files. Returns (data
+    * dirs deleted, data dirs live). Live content is untouched by
+    * construction — every kept manifest's whole file set is retained,
+    * so reads at every retained version are byte-identical before and
+    * after.
+    *
+    * READER contract: a reader still holding a [[readAt]] plan for an
+    * AGED-OUT version fails LOUDLY at materialization (Spark's scan
+    * surfaces the missing files as an error; `ignoreMissingFiles`
+    * stays false) — it never silently returns partial rows. Readers of
+    * RETAINED versions are unaffected. Size `retainLast`/`minAgeMs` to
+    * cover the longest-running query (SnapshotStoreSpec pins the
+    * fail-loudly outcome).
     */
   def vacuum(collection: String, retainLast: Int = 2,
-      minAgeMs: Long = 0L): (Long, Long) = {
+      minAgeMs: Long = 3600000L): (Long, Long) = {
     require(retainLast >= 1, "vacuum must retain at least the latest")
     val all = versions(collection)
     require(all.nonEmpty,
@@ -426,7 +497,27 @@ final class SnapshotStore(protected val spark: SparkSession,
 }
 
 object SnapshotStore {
-  private val ManifestName = """v(\d{8})\.json""".r
+  /** Hadoop-conf key listing the URI schemes whose manifest CAS uses
+    * atomic-at-close conditional CREATE instead of staged rename —
+    * object stores, where rename is copy+delete and must never be on
+    * the commit path. Comma-separated; default `s3a,objfs`.
+    */
+  val CasCreateSchemesKey = "graft.snapshot.cas.create.schemes"
+
+  /** Control-flow signal inside [[SnapshotStore.compact]]'s commit
+    * loop: a concurrent compaction committed its base first; ours must
+    * yield, not stack a second base. Stackless — it only unwinds to
+    * the enclosing catch.
+    */
+  private object CompactionSuperseded
+    extends scala.util.control.ControlThrowable
+
+  // One-or-more digits with an 8 floor, NOT exactly 8: %08d is a
+  // MINIMUM width, so version 100,000,000 writes a 9-digit name; an
+  // exact-8 pattern would make it invisible to versions()/latestVersion
+  // and silently reset the store to "empty" (theoretical at realistic
+  // commit rates, but the failure mode is silent).
+  private val ManifestName = """v(\d{8,})\.json""".r
 
   private def manifestName(v: Long): String = f"v$v%08d.json"
 

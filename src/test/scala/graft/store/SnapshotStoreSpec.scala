@@ -136,6 +136,37 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(keys.filter(_.startsWith("d2")) == Seq("d2:b0"))
   }
 
+  test("two racing compactions commit exactly ONE base: the loser " +
+      "detects the winner's base and yields instead of stacking a second") {
+    val st = newStore()
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c") // v1
+    st.upsert(chunksOf("b", "d2" -> 1), "c")            // v2
+    val expected = keysOf(st.read("c"))
+    // Compaction A stages its rewrite, then (in its pre-commit window)
+    // compaction B runs START TO FINISH — the worst-case interleaving:
+    // B's base commits first, so A's commit MUST detect it and yield.
+    st.compact("c", beforeCommit = () => st.compact("c"))
+    val latest = st.versions("c").last
+    val m = st.readManifestJson("c", latest)
+    assert(m.entries.count(_.kind == "base") == 1,
+      s"exactly one base may survive racing compactions, got ${m.entries}")
+    assert(keysOf(st.read("c")) == expected,
+      "content must be unchanged — and in particular never DOUBLED")
+    // The same guard under a real thread race: whatever the
+    // interleaving, no version's manifest ever carries two bases.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    st.upsert(chunksOf("c", "d3" -> 1), "c")
+    val racers = (1 to 3).map(_ => Future(st.compact("c")))
+    Await.result(Future.sequence(racers), 120.seconds)
+    st.versions("c").foreach { v =>
+      assert(st.readManifestJson("c", v).entries.count(_.kind == "base") <= 1,
+        s"manifest v$v carries more than one base entry")
+    }
+    assert(keysOf(st.read("c")) == (expected :+ "d3:c0").sorted)
+  }
+
   test("copy-on-write compact: content byte-identical, live census " +
       "bounded by nBuckets, old versions still readable") {
     val st = newStore(nBuckets = 4)
@@ -179,6 +210,45 @@ class SnapshotStoreSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](st.readAt("c", 1L))
     assert(e.getMessage.contains("vacuumed") ||
       e.getMessage.contains("does not exist"))
+  }
+
+  test("a reader holding a vacuumed version fails LOUDLY at " +
+      "materialization — never a silent partial result") {
+    val st = newStore()
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c") // v1
+    st.upsert(chunksOf("b", "d2" -> 1), "c")            // v2
+    st.compact("c")                                     // v3
+    // The in-flight reader: its plan is built (manifest read, file set
+    // pinned) BEFORE the vacuum sweeps v1's files.
+    val inFlight = st.readAt("c", 1L)
+    val retainedInFlight = st.readAt("c", 3L)
+    st.vacuum("c", retainLast = 1, minAgeMs = 0L)
+    val e = intercept[Throwable](inFlight.collect())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString(" | ")
+      .toLowerCase
+    assert(Seq("filenotfound", "file_not_exist", "does not exist",
+        "no such file").exists(chain.contains),
+      s"the vacuumed-version read must surface missing files, got: $chain")
+    // A reader of a RETAINED version is untouched by the same vacuum.
+    assert(retainedInFlight.count() == 3L)
+  }
+
+  test("vacuum's library default keeps the 1h in-flight grace window " +
+      "(sweeping staged-but-uncommitted data is an explicit opt-in)") {
+    val root = Files.createTempDirectory("graft-snap-grace").toString
+    val st = new SnapshotStore(spark, root, 4)
+    st.upsert(chunksOf("a", "d1" -> 2), "c")
+    st.upsert(chunksOf("b", "d1" -> 1), "c")
+    // An in-flight writer: data dir written, manifest not yet published.
+    val staged = java.nio.file.Paths.get(s"$root/c/data/delta-inflight")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val (deleted, _) = st.vacuum("c", retainLast = 1) // default minAgeMs
+    assert(deleted == 0L,
+      "the DEFAULT grace window must protect the in-flight writer's dir")
+    assert(java.nio.file.Files.exists(staged))
   }
 
   test("the snapshot layout lands identical contents to the rename " +
