@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed per-group rank/cumulation — the documented "distributed-
+  * rank swap" for the rank-window statistics (q211 Spearman, q250
+  * Mann-Whitney).
+  *
+  * The keyed window `sum(w) OVER (PARTITION BY g ORDER BY o ROWS
+  * UNBOUNDED PRECEDING)` is the right plan while every group fits one
+  * task: parallelism = |groups|, per-task state = the group's rows.
+  * Past that (one source holding most of a 100 TB corpus; a value-
+  * distinct table with billions of rows per pair) the window serializes
+  * a whole group onto one core. [[groupedPrefixSum]] keeps ONE code
+  * path for both regimes:
+  *
+  *   - **bounded fast path**: when `max rows per group ≤ windowBudget`
+  *     (ONE partial-aggregable count pass over just the group column —
+  *     column pruning keeps it cheap), emit the keyed window exactly as
+  *     before;
+  *   - **distributed fallback** (automatic, same rows): range-partition
+  *     by (group, order...), sort within partitions, then the two-pass
+  *     prefix shape shared with [[Packing.prefixSums]] /
+  *     [[graft.operators.Stats]]' rank-join — pass one computes each
+  *     (partition, group) run's weight total (a bounded O(partitions +
+  *     groups) collect: groups are contiguous under the range sort),
+  *     pass two streams each partition adding its broadcast offset.
+  *     No group ever lands on one core; the only driver state is the
+  *     run-length table.
+  *
+  * The fallback requires (group, orderCols...) to be a TOTAL order for
+  * deterministic output — the same requirement the window form already
+  * had, so callers pass a tiebreak column. Both paths return the input
+  * columns plus `outCol` = the EXCLUSIVE running sum of `weightCol`
+  * (sum over rows strictly before, 0 for a group's first row):
+  * row_number = exclusive-count + 1; a tie run's start offset = the
+  * exclusive sum of counts. RanksSpec pins fast == fallback equality
+  * and drives q211/q250 past the budget.
+  */
+object Ranks {
+
+  /** Max rows a single group may hold before the keyed window is
+    * swapped for the distributed two-pass prefix. The default keeps
+    * the window while a group fits comfortably in one task (~4M rows
+    * × ~32B of rank state well under executor memory) — far above the
+    * per-source/per-pair cardinality at the test SFs, so the bench
+    * plan is unchanged; a spec (and a 100× corpus) crosses it.
+    */
+  val DefaultWindowBudget: Long = 4L * 1000 * 1000
+
+  def groupedPrefixSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], weightCol: String, outCol: String,
+      windowBudget: Long = DefaultWindowBudget): DataFrame = {
+    require(orderCols.nonEmpty, "groupedPrefixSum needs an order")
+    val maxPerGroup = df.select(col(groupCol))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (maxPerGroup <= windowBudget) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      df.withColumn(outCol,
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+    } else distributedPrefixSum(df, groupCol, orderCols, weightCol, outCol)
+  }
+
+  /** The fallback, callable directly (RanksSpec equality-checks it
+    * against the window on small data).
+    */
+  private[graft] def distributedPrefixSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], weightCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val keyCols: Seq[Column] = (groupCol +: orderCols).map(col)
+    // Eager local checkpoint: both passes must see the identical range
+    // partitioning (the Packing.prefixSums discipline; same documented
+    // executor-loss tradeoff).
+    val sorted = df.withColumn("__w", col(weightCol).cast("long"))
+      .repartitionByRange(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .localCheckpoint(true)
+    val schema = sorted.schema
+    val gi = schema.fieldIndex(groupCol)
+    val wi = schema.fieldIndex("__w")
+    // Pass 1: per-(partition, group-run) weight totals. Groups are
+    // contiguous under the range sort, so this is a run-length pass and
+    // the collect is O(partitions + groups) rows, not partitions×groups.
+    val runTotals: Array[(Int, String, Long)] = sorted.queryExecution
+      .toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Long]
+        it.foreach { ir =>
+          val g = if (ir.isNullAt(gi)) null
+            else ir.getString(gi)
+          acc(g) = acc.getOrElse(g, 0L) +
+            (if (ir.isNullAt(wi)) 0L else ir.getLong(wi))
+        }
+        acc.iterator.map { case (g, s) => (pid, g, s) }
+      }.collect()
+    // offset(pid, g) = Σ of g's totals in EARLIER partitions (range
+    // partitioning splits a large group across adjacent partitions).
+    val offsets: Map[(Int, String), Long] = {
+      val byGroup = runTotals.groupBy(_._2)
+      byGroup.iterator.flatMap { case (g, runs) =>
+        val sorted = runs.sortBy(_._1)
+        sorted.map(_._1).zip(
+          sorted.map(_._3).scanLeft(0L)(_ + _)).map { case (pid, off) =>
+          (pid, g) -> off
+        }
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(_.name == "__w") :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val keep = schema.fields.zipWithIndex
+      .filterNot(_._1.name == "__w").map(_._2)
+    // Pass 2: stream each partition, running total seeded per group
+    // from the broadcast offsets; emit the row + its EXCLUSIVE sum.
+    val rows = sorted.queryExecution.toRdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val off = bc.value
+        var curG: String = null
+        var started = false
+        var running = 0L
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
+        it.map { ir =>
+          val g = if (ir.isNullAt(gi)) null else ir.getString(gi)
+          if (!started || g != curG) {
+            started = true; curG = g
+            running = off.getOrElse((pid, g), 0L)
+          }
+          val w = if (ir.isNullAt(wi)) 0L else ir.getLong(wi)
+          val before = running
+          running += w
+          val full = conv(ir.copy()).asInstanceOf[Row]
+          Row.fromSeq(keep.toSeq.map(full.get) :+ before)
+        }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

@@ -232,28 +232,34 @@ object WarehouseQueries {
   // thing" audit complementing q144's κ on binary labels. Ranks are
   // row_numbers with doc_id tiebreak (deterministic in both engines;
   // documented as tiebroken-Spearman, not midrank), ρ_e4 = 10⁴ −
-  // 6·10⁴·Σd² // (n(n²−1)) exact in DECIMAL(38). Windows are keyed by
-  // source; the 100× path swaps them for the range-partitioned
-  // distributed rank (Indexing.vocab's shape) without changing the
-  // rank rule.
-  def q211(s: SparkSession, dir: String): DataFrame = {
+  // 6·10⁴·Σd² // (n(n²−1)) exact in DECIMAL(38). Ranks come from
+  // [[graft.operators.Ranks.groupedPrefixSum]]: the keyed window while
+  // every source fits one task, the range-partitioned two-pass
+  // distributed rank automatically past the budget — same rank rule,
+  // same rows either way (RanksSpec drives this plan across the swap).
+  def q211(s: SparkSession, dir: String): DataFrame =
+    q211Plan(s, dir, graft.operators.Ranks.DefaultWindowBudget)
+
+  private[graft] def q211Plan(s: SparkSession, dir: String,
+      windowBudget: Long): DataFrame = {
     val sig = docs(s, dir).select(col("source"), col("doc_id"),
       col("n_chars").as("x"),
       size(array_distinct(filter(split(lower(col("text")), " "),
         t => length(t) > 0))).cast("long").as("y"))
-    val rx = Window.partitionBy(col("source"))
-      .orderBy(col("x"), col("doc_id"))
-    val ry = Window.partitionBy(col("source"))
-      .orderBy(col("y"), col("doc_id"))
-    sig
-      .withColumn("rx", row_number().over(rx).cast("long"))
-      .withColumn("ry", row_number().over(ry).cast("long"))
+      .withColumn("__one", lit(1L))
+    val rankedX = graft.operators.Ranks.groupedPrefixSum(sig, "source",
+      Seq("x", "doc_id"), "__one", "__rx0", windowBudget)
+    val ranked = graft.operators.Ranks.groupedPrefixSum(rankedX, "source",
+      Seq("y", "doc_id"), "__one", "__ry0", windowBudget)
+    ranked
+      .withColumn("rx", col("__rx0") + lit(1L))
+      .withColumn("ry", col("__ry0") + lit(1L))
       .groupBy(col("source"))
       // Σd² summed in DECIMAL(38) (it approaches n³/3 under
-      // anti-correlation; long wraps silently past n/source ≈ 3·10⁶),
-      // then emitted as BIGINT — past that budget run the audit on a
-      // per-source sample or swap the keyed windows for the
-      // range-partitioned distributed rank (Indexing.vocab's shape).
+      // anti-correlation; long wraps silently past n/source ≈ 3·10⁶ —
+      // and DECIMAL(38) holds to n/source ≈ 10¹² before this audit
+      // needs per-source sampling). The rank swap past the window
+      // budget is automatic (Ranks.groupedPrefixSum above).
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry)) " +
           "AS BIGINT)").as("sum_d2"))
@@ -1021,11 +1027,17 @@ object WarehouseQueries {
   // explicit so both engines agree on negative effects. Purchase rows
   // replicate once per comparison pair (map-side, ×|types|−1, bounded).
   // Scale shape: one (pair, value) aggregate crosses the corpus; the
-  // rank cumulation is a pair-keyed window over the distinct-value
-  // table — per-pair cardinality is value-distinct-bounded, and the
-  // 100× path is the q87/q211 distributed-rank swap (range-partitioned
-  // sort + zipWithIndex), documented not needed at these SFs.
-  def q250(s: SparkSession, dir: String): DataFrame = {
+  // rank cumulation runs through
+  // [[graft.operators.Ranks.groupedPrefixSum]] — the pair-keyed window
+  // over the distinct-value table while a pair's value-distinct
+  // cardinality fits the budget, the range-partitioned two-pass
+  // distributed cumulation automatically past it (same rows either
+  // way; RanksSpec drives this plan across the swap).
+  def q250(s: SparkSession, dir: String): DataFrame =
+    q250Plan(s, dir, graft.operators.Ranks.DefaultWindowBudget)
+
+  private[graft] def q250Plan(s: SparkSession, dir: String,
+      windowBudget: Long): DataFrame = {
     val e = ev(s, dir).select(col("event_type"), col("value"))
     val types = Seq("click", "error", "signup", "view")
     val cohort1 = e.filter(col("event_type") =!= "purchase")
@@ -1037,10 +1049,11 @@ object WarehouseQueries {
     val byVal = cohort1.unionByName(cohort2)
       .groupBy(col("pair"), col("value"))
       .agg(count(lit(1)).as("call"), sum(col("is1")).as("c1"))
-    val w = Window.partitionBy(col("pair")).orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byVal.withColumn("w0",
-      sum(col("call")).over(w) - col("call"))
+    // w0 = rows strictly before this value in its pair = the EXCLUSIVE
+    // prefix sum of the per-value counts (values are distinct within a
+    // pair after the aggregate, so the order is total).
+    val ranked = graft.operators.Ranks.groupedPrefixSum(byVal, "pair",
+      Seq("value"), "call", "w0", windowBudget)
     ranked.groupBy(col("pair"))
       .agg(sum(col("c1")).as("n1"),
         sum(col("call") - col("c1")).as("n2"),
