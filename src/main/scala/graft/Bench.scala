@@ -309,7 +309,11 @@ object Bench {
       "q246_concurrent_commits",
       // r16: TWO real micro-batch ingest runs (the second a full
       // redelivery) into the snapshot layout vs q89's content replay.
-      "q247_stream_ingest_snapshot")
+      "q247_stream_ingest_snapshot",
+      // r17: physical snapshot-store + index writes, two refreshes, a
+      // compact, a vacuum and two rebuilds vs a replay of only the
+      // exact-mode scoring (q242's oracle verbatim).
+      "q251_snapshot_index_serving")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

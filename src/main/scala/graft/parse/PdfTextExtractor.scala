@@ -122,6 +122,40 @@ object PdfTextExtractor {
       if (dict.contains("/FlateDecode")) inflate(trimmed) else trimmed
     }
 
+    // --- PDF 1.5 COMPRESSED OBJECTS: expand /ObjStm streams so their
+    // member dicts (catalog/pages/page/fonts) join the object map like
+    // top-level ones. An object stream's payload is `/N` pairs of
+    // "objnum offset" followed by the bodies at `/First`+offset
+    // (PDF 32000-1:2008 §7.5.7). Streams themselves may NOT live inside
+    // an ObjStm, so content/ToUnicode streams are always found by the
+    // top-level scan above — and the /Type /XRef compressed
+    // cross-reference needs no parsing at all, because this extractor
+    // resolves objects by scanning, not by xref offsets. A malformed
+    // ObjStm leaves its members unresolved → the page scan below fails
+    // loudly → an `error` element row upstream, never a task abort.
+    val objStmN = """/N\s+(\d+)""".r
+    val objStmFirst = """/First\s+(\d+)""".r
+    for (num <- objects.keys.toSeq.sorted
+        if objects(num)._2 != null && objects(num)._1.contains("/ObjStm")) {
+      val dict = objects(num)._1
+      (objStmN.findFirstMatchIn(dict), objStmFirst.findFirstMatchIn(dict))
+        match {
+        case (Some(nm), Some(fm)) =>
+          val n = nm.group(1).toInt
+          val first = fm.group(1).toInt
+          val text = new String(streamData(num), "ISO-8859-1")
+          val pairs = text.take(first).trim.split("\\s+")
+            .filter(_.nonEmpty).grouped(2).take(n)
+            .collect { case Array(o, off) => (o.toInt, off.toInt) }.toSeq
+          pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
+            val end = if (i + 1 < pairs.length) first + pairs(i + 1)._2
+              else text.length
+            objects(objNum) = (text.substring(first + off, end).trim, null)
+          }
+        case _ => // malformed: see the fail-loudly note above
+      }
+    }
+
     // --- ToUnicode CMaps per font object; resource name → code map.
     // Font objects carry /ToUnicode N 0 R; page /Resources /Font dicts map
     // names (/F1) to font objects.
@@ -141,6 +175,14 @@ object PdfTextExtractor {
       .filter { case (_, (d, s)) => s == null && d.contains("/Type /Page") &&
         !d.contains("/Type /Pages") }
       .sortBy(_._1)
+    // FAIL LOUDLY, never a silent empty document: a structure this
+    // extractor can't see (encryption, an exotic layout, a compression
+    // scheme beyond FlateDecode/ObjStm) yields no page objects; the
+    // honest outcome is an exception the source layer turns into an
+    // `error` element row — not zero rows masquerading as an empty PDF.
+    require(pageObjs.nonEmpty,
+      "no /Type /Page objects found (encrypted, unsupported structure, " +
+        "or not a document PDF)")
     // /Contents may be a single ref or an array of refs.
     val contentsRefRe = """/Contents\s*\[?\s*((?:\d+ 0 R\s*)+)\]?""".r
     val resourcesRefRe = """/Resources (\d+) 0 R""".r

@@ -834,6 +834,139 @@ object IngestQueries {
       .orderBy(col("query_id"), col("score").desc, col("key"))
   }
 
+  // q251: the PERSISTED-index serving path on the MANIFEST-COMMITTED
+  // snapshot layout — q240/q242 certify the sidecar on the per-document
+  // rename layout; this closes the matrix on the layout a 100 TB
+  // deployment actually serves from, where index freshness must track
+  // the MANIFEST (SnapshotStore.storeFingerprint hashes the latest
+  // manifest, not a file census). The lifecycle, each claim REQUIREd
+  // in-run:
+  // (a) build both sidecars at v1 → fresh; sidecar-served searches;
+  // (b) a MOR delta (8 new 'h' documents as a delta entry + the g31
+  //     tombstone — q242's exact delta) stales both WITHOUT any
+  //     existing data file changing — staleness rides the manifest
+  //     commit;
+  // (c) frozen-model refreshIndex(Δ) restores freshness, and the
+  //     refreshed IVF-SQ code table is SET-EQUAL to a frozen-model
+  //     re-encode of the whole MOR read (refresh over merge-on-read
+  //     arbitration == full re-encode);
+  // (d) COMPACT rewrites every data file but changes NO content — it
+  //     must still stale (a manifest commit), and a rebuild restores;
+  // (e) VACUUM deletes historical manifests + files but commits NO
+  //     manifest — the index must STAY FRESH (the snapshot-specific
+  //     half: on the rename layouts this same sweep would flip the
+  //     census fingerprint), and sidecar-served searches must hold
+  //     post-vacuum with the q204 recall floors.
+  // Certified output: the exact-mode rows over the post-delta
+  // collection — identical to q242's, so its oracle replays verbatim.
+  // Bench tier: exec (physical store + index writes; the denominator
+  // replays only the exact-mode scoring).
+  def q251(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q251-store").toString
+    val vs = new graft.store.SnapshotStore(s, storeRoot, nBuckets = 8)
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val n2 = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val keyCol = when(col("vec_id") < 1000000000000L,
+        lpad(col("vec_id").cast("string"), 12, "0"))
+      .otherwise(raise_error(concat(lit("q251: vec_id "),
+        col("vec_id").cast("string"),
+        lit(" overflows the 12-char key pad"))))
+    val normCol = when(n2 > 0, transform(col("embedding"),
+        x => (x.cast("double") / sqrt(n2)).cast("float")))
+      .otherwise(col("embedding"))
+    val enc = org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk]
+    vs.upsert(emb.select(keyCol.as("key"), normCol.as("embedding"),
+      concat(lit("v"), col("vec_id")).as("content"), lit("").as("context"),
+      concat(lit("g"), pmod(col("vec_id"), lit(32L))).as("documentid"))
+      .as[graft.model.EmbeddedChunk](enc), "vecs")              // v1
+    vs.buildIndex("vecs", "lsh")
+    vs.buildIndex("vecs", "ivfsq")
+    require(vs.hasFreshIndex("vecs", "lsh") &&
+      vs.hasFreshIndex("vecs", "ivfsq"),
+      "q251: sidecars not fresh after buildIndex on the snapshot layout")
+    // (b) the MOR delta: a delta entry + a tombstone — no existing
+    // data file changes, only two manifest commits.
+    vs.upsert(emb.filter(col("vec_id") < 50)
+      .select(concat(lit("n"), keyCol).as("key"), normCol.as("embedding"),
+        concat(lit("vn"), col("vec_id")).as("content"),
+        lit("").as("context"),
+        concat(lit("h"), pmod(col("vec_id"), lit(8L))).as("documentid"))
+      .as[graft.model.EmbeddedChunk](enc), "vecs")              // v2
+    vs.delete("vecs", Seq("g31"))                               // v3
+    require(!vs.hasFreshIndex("vecs", "lsh") &&
+      !vs.hasFreshIndex("vecs", "ivfsq"),
+      "q251: a manifest commit (MOR delta) must stale the sidecars")
+    val delta = (0 until 8).map(b => s"h$b") :+ "g31"
+    vs.refreshIndex("vecs", "lsh", delta)
+    vs.refreshIndex("vecs", "ivfsq", delta)
+    require(vs.hasFreshIndex("vecs", "lsh") &&
+      vs.hasFreshIndex("vecs", "ivfsq"),
+      "q251: refresh did not restore freshness on the snapshot layout")
+    // (c) refresh over merge-on-read == frozen-model full re-encode.
+    val meta = s.read.parquet(s"$storeRoot/vecs/_index/ivfsq_meta").head()
+    val frozen = new graft.operators.IvfSq.Model(
+      new graft.operators.Ann.Ivf(
+        meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+          "cents").map(_.toArray).toArray),
+      new graft.operators.Sq.Model(
+        meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
+        meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
+    val expectCodes = graft.operators.IvfSq
+      .index(vs.read("vecs"), "embedding", frozen)
+      .select(col("key"), col("ivf_cid"), col("sq_code"))
+    val gotCodes = s.read.parquet(s"$storeRoot/vecs/_index/ivfsq")
+      .select(col("key"), col("ivf_cid"), col("sq_code"))
+    require(gotCodes.exceptAll(expectCodes).isEmpty &&
+      expectCodes.exceptAll(gotCodes).isEmpty,
+      "q251: refreshed codes over MOR differ from a frozen-model " +
+        "full re-encode")
+    // (d) compact: every data file is rewritten, content identical —
+    // the manifest commit must stale the index anyway.
+    vs.compact("vecs")                                          // v4
+    require(!vs.hasFreshIndex("vecs", "lsh") &&
+      !vs.hasFreshIndex("vecs", "ivfsq"),
+      "q251: compact committed a manifest but the sidecars stayed fresh")
+    vs.buildIndex("vecs", "lsh")
+    vs.buildIndex("vecs", "ivfsq")
+    // (e) vacuum: history's manifests + files go away, the LATEST
+    // manifest is untouched — freshness must survive (this is exactly
+    // where a census fingerprint would go stale for no reason).
+    vs.vacuum("vecs", retainLast = 1, minAgeMs = 0L)
+    require(vs.hasFreshIndex("vecs", "lsh") &&
+      vs.hasFreshIndex("vecs", "ivfsq"),
+      "q251: vacuum changed no live content but staled the sidecars")
+    val provider = new graft.functions.VectorLiteralProvider(dim)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val k = 10
+    val exactRows = queryVecs.map { case (qid, qv) =>
+      val text = graft.functions.VectorLiteralProvider.render(qv)
+      val exact = vs.search("vecs", text, k = k, provider = provider,
+        mode = "exact").select(col("key"), col("score")).collect()
+      val exactKeys = exact.map(_.getString(0)).toSet
+      def recallOf(mode: String): Double = {
+        val keys = vs.search("vecs", text, k = k, provider = provider,
+          mode = mode).select(col("key")).collect().map(_.getString(0))
+        keys.count(exactKeys).toDouble / k
+      }
+      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
+    }
+    val meanLsh = exactRows.map(_._3).sum / exactRows.length
+    val meanIvf = exactRows.map(_._4).sum / exactRows.length
+    require(meanLsh >= 0.3,
+      s"q251: mean lsh recall@$k $meanLsh is below the 0.3 floor")
+    require(meanIvf >= 0.4,
+      s"q251: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    import s.implicits._
+    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
+      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
+    }.toDF("query_id", "key", "score")
+      .orderBy(col("query_id"), col("score").desc, col("key"))
+  }
+
   // q243: DOCUMENT DELETION gated on BOTH layouts — the takedown /
   // right-to-be-forgotten primitive (the replace-by-document upsert
   // can only replace, never remove; a 100 TB store without a delete
@@ -1224,6 +1357,7 @@ object IngestQueries {
     "q240_index_sidecar_search" -> (q240 _),
     "q241_incremental_compaction" -> (q241 _),
     "q242_index_refresh" -> (q242 _),
+    "q251_snapshot_index_serving" -> (q251 _),
     "q243_document_delete" -> (q243 _),
     "q244_snapshot_store" -> (q244 _),
     "q245_snapshot_vacuum" -> (q245 _),
@@ -1464,6 +1598,40 @@ object IngestQueries {
     // copies of vec_id < 50 (same normalized vectors, new keys). The
     // refresh/freshness/code-equality machinery is REQUIRED in-run.
     "q242_index_refresh" ->
+      """WITH v0 AS (SELECT vec_id,
+        |    lpad(CAST(vec_id AS VARCHAR), 12, '0') AS key,
+        |    CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |vr AS (SELECT vec_id, key, de,
+        |    sqrt(list_dot_product(de, de)) AS nrm FROM v0),
+        |n AS (SELECT vec_id, key, list_dot_product(e, e) AS n2, e FROM (
+        |    SELECT vec_id, key, CASE WHEN nrm > 0 THEN
+        |        list_transform(de, x -> CAST(CAST(x / nrm AS REAL)
+        |          AS DOUBLE))
+        |      ELSE de END AS e FROM vr)),
+        |fin AS (SELECT key, n2, e FROM n WHERE vec_id % 32 <> 31
+        |      UNION ALL
+        |      SELECT 'n' || key AS key, n2, e FROM n WHERE vec_id < 50),
+        |q AS (SELECT vec_id AS query_id, de AS qe,
+        |      list_dot_product(de, de) AS qn2
+        |      FROM v0 WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, fin.key,
+        |        CASE WHEN fin.n2 = 0 OR q.qn2 = 0 THEN 0.0
+        |          ELSE round(list_dot_product(fin.e, q.qe)
+        |            / sqrt(fin.n2 * q.qn2), 6) END AS score
+        |      FROM fin CROSS JOIN q),
+        |r AS (SELECT query_id, key, score, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, key) AS rk
+        |      FROM p)
+        |SELECT query_id, key, score FROM r WHERE rk <= 10
+        |ORDER BY query_id, score DESC, key""".stripMargin,
+    // q251: q242's oracle VERBATIM — the snapshot layout's final
+    // collection after delta + tombstone + compact + vacuum is the
+    // same post-delta content (originals minus the g31 cohort plus the
+    // 'n' copies), and the layout must be invisible to exact-mode
+    // results. The manifest-tracked freshness lifecycle (stale on MOR
+    // delta and on compact, fresh through vacuum, refresh==re-encode
+    // over merge-on-read) is REQUIRED in-run.
+    "q251_snapshot_index_serving" ->
       """WITH v0 AS (SELECT vec_id,
         |    lpad(CAST(vec_id AS VARCHAR), 12, '0') AS key,
         |    CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
