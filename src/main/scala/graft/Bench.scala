@@ -102,6 +102,69 @@ object Bench {
         skipDenominators(s"${t.getClass.getSimpleName}: ${t.getMessage}")
     }
   }
+  /** PINNED box-calibration subset (r17): 15 batch-tier queries whose
+    * implementations are stable across rounds, spanning plan shapes
+    * (scan/agg, join, window, minhash, regex text, graph CC, sketches,
+    * exact rank, leakage report, n-gram, span-strip, CDC, KN LM, PCA,
+    * HLL) and ~15 s of r15-window wall. Their per-query medians are
+    * embedded in EVERY artifact as `calib_subset`, so two rounds'
+    * committed artifacts can be compared on frozen code — and the
+    * optional child-JVM A/B below runs EXACTLY this subset against the
+    * previous round's compiled classes in the same session, making a
+    * box-weather gate miss machine-checkable instead of a BASELINE.md
+    * essay. DO NOT add new or recently-changed queries here: the
+    * subset's value is that its code does not move.
+    */
+  private val CalibSubset = Seq(
+    "q01_scan_filter", "q06_join_agg_topk", "q11_window_frame",
+    "q27_minhash_lsh", "q30_regex_tokens", "q54_neardup_components",
+    "q79_profile_approx", "q86_approx_percentiles", "q97_leakage_report",
+    "q100_ngram_novelty", "q101_span_strip", "q130_cdc_dedup",
+    "q158_kneser_ney", "q178_pca_power", "q184_hll_rollup")
+
+  /** Same-code A/B: run `graft.Bench` in a CHILD JVM restricted to
+    * [[CalibSubset]] with the given classpath (a FILE holding the
+    * classpath string, as `sbt export Runtime/fullClasspath` emits),
+    * returning the child's reported `batch_value`. The child inherits
+    * this JVM's --add-opens and runs the same sfDir/cpus, so the only
+    * variable between a prev-round child and a cur-round child is the
+    * code — alternating them cancels box drift.
+    */
+  private def childSubsetBatch(cpFile: String, sfDir: String,
+      cpus: String): Option[Double] = {
+    try {
+      val cp = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cpFile)), "UTF-8").trim
+      if (cp.isEmpty) return None
+      val out = java.nio.file.Files.createTempFile("ab_bench", ".json")
+      import scala.jdk.CollectionConverters._
+      val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter(_.startsWith("--add-opens"))
+      val cmd = (Seq("java") ++ opens ++ Seq("-Xmx8g",
+        "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_ONLY", CalibSubset.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().remove("SPARK_GRAFT_AB_PREV_CP")
+      pb.environment().remove("SPARK_GRAFT_AB_CUR_CP")
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); return None
+      }
+      if (p.exitValue() != 0) return None
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(java.nio.file.Files.readAllBytes(out), "UTF-8"))
+      val bv = root.path("batch_value")
+      val failed = root.path("failed")
+      if (bv.isNumber && failed.isArray && failed.size() == 0)
+        Some(bv.asDouble()) else None
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -356,7 +419,41 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val extraJson = extraRepCounts.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"spread":$spreadJson,"stall_attrib":$stallJson,"extra_reps":$extraJson}"""
+    // ---- In-artifact box calibration (r17): the full floor series,
+    // the pinned frozen-code subset's medians, and (when the wrapper
+    // supplies both classpaths — tools/bench_ab.sh) an alternating
+    // same-code A/B against the PREVIOUS round's build. A reader can
+    // now check a gate miss against the box without any prose: compare
+    // calib_subset across rounds' artifacts, or read ab.cur_over_prev
+    // directly (≈1.0 ⇒ same-code parity ⇒ any ratio_batch drift is the
+    // box or the denominator, not the plans).
+    val floorSeries = floorReps.map(r3).mkString("[", ",", "]")
+    val calib = CalibSubset.flatMap(n => results.get(n).map(n -> _))
+    val calibJson = if (calib.size == CalibSubset.size)
+      s""""calib_subset_total":${r3(calib.map(_._2).sum)},"calib_subset":${
+        calib.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")}"""
+    else """"calib_subset_total":null,"calib_subset":null"""
+    val abJson = (sys.env.get("SPARK_GRAFT_AB_PREV_CP"),
+        sys.env.get("SPARK_GRAFT_AB_CUR_CP")) match {
+      case (Some(prevCp), Some(curCp)) if !partial =>
+        System.err.println("[bench] running same-code A/B (prev,cur) x2 " +
+          s"on the ${CalibSubset.length}-query calibration subset")
+        val reps = Seq(("prev", prevCp), ("cur", curCp),
+          ("prev", prevCp), ("cur", curCp))
+          .map { case (side, cp) =>
+            side -> childSubsetBatch(cp, sfDir, cpus)
+          }
+        val prev = reps.collect { case ("prev", Some(v)) => r3(v) }
+        val cur = reps.collect { case ("cur", Some(v)) => r3(v) }
+        if (prev.nonEmpty && cur.nonEmpty) {
+          val ratio = r3(cur.min / prev.min)
+          s""""ab":{"subset_n":${CalibSubset.length},"prev_batch_sec":[${
+            prev.mkString(",")}],"cur_batch_sec":[${cur.mkString(",")}],"cur_over_prev":$ratio}"""
+        } else """"ab":null"""
+      case _ => """"ab":null"""
+    }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],"floor_series":$floorSeries,$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"spread":$spreadJson,"stall_attrib":$stallJson,"extra_reps":$extraJson}"""
     // The driver archives only a bounded TAIL of stdout, which has
     // truncated the per-query map (alphabetically-early q100-q123 keys)
     // two rounds running. The complete artifact therefore also goes to a
@@ -379,7 +476,7 @@ object Bench {
     // newest, the compact line survives any tail-bounded capture even
     // when the window is too small to hold the full line; BENCH_FULL
     // .json on disk stays authoritative for the spreads.
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     // The artifact only counts if it lands in the repo; a cwd outside
     // the project would quietly leave the committed copy stale.
