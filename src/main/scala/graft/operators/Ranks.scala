@@ -49,25 +49,49 @@ object Ranks {
     */
   val DefaultWindowBudget: Long = 4L * 1000 * 1000
 
+  /** One ranked/cumulated column: (order columns, weight column, output
+    * column). Several specs over the same frame share ONE budget
+    * trigger through [[groupedPrefixSums]] — q211 ranks by two
+    * different orders but must not pay two trigger aggregates.
+    */
+  final case class PrefixSpec(orderCols: Seq[String], weightCol: String,
+      outCol: String)
+
   def groupedPrefixSum(df: DataFrame, groupCol: String,
       orderCols: Seq[String], weightCol: String, outCol: String,
+      windowBudget: Long = DefaultWindowBudget): DataFrame =
+    groupedPrefixSums(df, groupCol,
+      Seq(PrefixSpec(orderCols, weightCol, outCol)), windowBudget)
+
+  def groupedPrefixSums(df: DataFrame, groupCol: String,
+      specs: Seq[PrefixSpec],
       windowBudget: Long = DefaultWindowBudget): DataFrame = {
-    require(orderCols.nonEmpty, "groupedPrefixSum needs an order")
+    require(specs.nonEmpty && specs.forall(_.orderCols.nonEmpty),
+      "groupedPrefixSums needs at least one spec with an order")
+    // The ONE trigger: max rows per group, over just the group column —
+    // column pruning keeps the pass cheap whatever else the input
+    // computes, and every spec shares the decision.
     val maxPerGroup = df.select(col(groupCol))
       .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    if (maxPerGroup <= windowBudget) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(groupCol))
-        .orderBy(orderCols.map(col): _*)
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, -1)
-      df.withColumn(outCol,
-        coalesce(sum(col(weightCol)).over(w), lit(0L)))
-    } else distributedPrefixSum(df, groupCol, orderCols, weightCol, outCol)
+    if (maxPerGroup <= windowBudget)
+      specs.foldLeft(df) { (acc, sp) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(sp.orderCols.map(col): _*)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        acc.withColumn(sp.outCol,
+          coalesce(sum(col(sp.weightCol)).over(w), lit(0L)))
+      }
+    else
+      specs.foldLeft(df) { (acc, sp) =>
+        distributedPrefixSum(acc, groupCol, sp.orderCols, sp.weightCol,
+          sp.outCol)
+      }
   }
 
   /** The fallback, callable directly (RanksSpec equality-checks it

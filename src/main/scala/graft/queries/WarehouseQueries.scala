@@ -247,10 +247,14 @@ object WarehouseQueries {
       size(array_distinct(filter(split(lower(col("text")), " "),
         t => length(t) > 0))).cast("long").as("y"))
       .withColumn("__one", lit(1L))
-    val rankedX = graft.operators.Ranks.groupedPrefixSum(sig, "source",
-      Seq("x", "doc_id"), "__one", "__rx0", windowBudget)
-    val ranked = graft.operators.Ranks.groupedPrefixSum(rankedX, "source",
-      Seq("y", "doc_id"), "__one", "__ry0", windowBudget)
+    // BOTH ranks through one call — one shared budget trigger (over the
+    // pruned group column only), and in the fast path the same stacked
+    // two-window single-pass plan the keyed form always had.
+    val ranked = graft.operators.Ranks.groupedPrefixSums(sig, "source",
+      Seq(graft.operators.Ranks.PrefixSpec(Seq("x", "doc_id"), "__one",
+          "__rx0"),
+        graft.operators.Ranks.PrefixSpec(Seq("y", "doc_id"), "__one",
+          "__ry0")), windowBudget)
     ranked
       .withColumn("rx", col("__rx0") + lit(1L))
       .withColumn("ry", col("__ry0") + lit(1L))
@@ -1046,9 +1050,16 @@ object WarehouseQueries {
     val cohort2 = e.filter(col("event_type") === "purchase")
       .select(explode(typedLit(types)).as("pair"), col("value"),
         lit(0L).as("is1"))
+    // Eager local checkpoint: the budget trigger AND the cumulation both
+    // consume this table; without it each would re-run the full events
+    // aggregate (Catalyst shares no subtrees). Bounded state: one row
+    // per (pair, distinct value) — the same arbitration-sized bound the
+    // windowed form already relied on. (Not fault-tolerant on executor
+    // loss — the Packing.prefixSums tradeoff, documented there.)
     val byVal = cohort1.unionByName(cohort2)
       .groupBy(col("pair"), col("value"))
       .agg(count(lit(1)).as("call"), sum(col("is1")).as("c1"))
+      .localCheckpoint(true)
     // w0 = rows strictly before this value in its pair = the EXCLUSIVE
     // prefix sum of the per-value counts (values are distinct within a
     // pair after the aggregate, so the order is total).
