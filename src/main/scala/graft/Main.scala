@@ -59,6 +59,24 @@ object Main {
     val storeRoot = opt(args, "store", "/tmp/graft-store")
     val collection = opt(args, "collection", "documents")
     val layout = opt(args, "layout", "document")
+    // --embedder selects the EmbeddingProvider for BOTH ingest and
+    // search — one generator for both, as in the reference
+    // (`Program.cs:64-79`); pass the SAME flag to both commands or
+    // queries embed into a different space than the stored chunks.
+    // A real ONNX MiniLM provider registers as one more case here when
+    // an ONNX runtime jar is available offline; any new case must pass
+    // EmbeddingContractSpec's 7-clause battery first.
+    val embedderName = opt(args, "embedder", "hashing")
+    val provider: graft.functions.EmbeddingProvider = embedderName match {
+      case "hashing" => graft.functions.Embedding.default
+      case "randproj" => new graft.functions.RandomProjectionEmbedder(
+        dim = opt(args, "embedder-dim", "256").toInt,
+        seed = opt(args, "embedder-seed", "2025").toLong)
+      case other =>
+        System.err.println(s"unknown --embedder '$other' " +
+          "(hashing|randproj required)")
+        return 2
+    }
     val store: ChunkStore = layout match {
       case "document" => new VectorStore(spark, storeRoot)
       case "bucketed" => new BucketedVectorStore(spark, storeRoot,
@@ -88,7 +106,9 @@ object Main {
               "(markdown|pdf|database required)") // validated, Program.cs:24-25
             return 2
         }
-        val results = IngestionPipeline.run(elements, store, collection)
+        val results = IngestionPipeline.run(elements, store, collection,
+          chunker = new graft.operators.SemanticChunker(embedder = provider),
+          provider = provider)
         results.collect().foreach { r =>
           val status = if (r.succeeded) "SUCCESS" else "FAILURE"
           println(s"[$status] ${r.documentid} chunks=${r.n_chunks}" +
@@ -118,7 +138,7 @@ object Main {
         while ({ print("query> "); line = Option(StdIn.readLine()).getOrElse("");
             line.trim.nonEmpty }) {
           val hits = store.search(collection, line.trim, k = k,
-            mode = mode).collect()
+            provider = provider, mode = mode).collect()
           hits.foreach { row =>
             println(s"score=${row.getAs[Any]("score")}")
             row.schema.fieldNames.filterNot(_ == "score")
@@ -317,10 +337,11 @@ object Main {
     """usage: graft.Main <command> [options]
       |  ingest --reader markdown|pdf|database --source <path>
       |         [--collection c] [--store dir] [--layout document|bucketed|snapshot]
-      |         [--buckets n]
+      |         [--buckets n] [--embedder hashing|randproj]
       |  search [--collection c] [--store dir] [--k n]
       |         [--layout document|bucketed|snapshot]
       |         [--mode exact|lsh|ivfsq]   (default exact; ANN approximate)
+      |         [--embedder hashing|randproj]  (MUST match the ingest flag)
       |  list   [--store dir] [--layout document|bucketed|snapshot]
       |  delete --ids id1,id2,... [--collection c] [--store dir]
       |         [--layout document|bucketed|snapshot]

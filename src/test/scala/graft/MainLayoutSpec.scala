@@ -222,6 +222,34 @@ class MainLayoutSpec extends SparkSpec {
       "the three-layout migration round trip changed contents")
   }
 
+  test("--embedder swaps the provider end-to-end: randproj ingest + " +
+      "randproj search retrieve on-topic; the flag gates both commands") {
+    val root = java.nio.file.Files
+      .createTempDirectory("main-embedder").toString
+    val md = resourcePath("content/markdown")
+    val (c1, _) = capture("") {
+      Main.run(Array("ingest", "--reader", "markdown", "--source", md,
+        "--store", root, "--embedder", "randproj"), spark)
+    }
+    assert(c1 == 0)
+    // The query ProvidersSpec already certifies as on-topic top-1 in
+    // the random-projection space (token overlap is the signal there).
+    val (c2, out) = capture(
+        "gravity so strong that light cannot escape the event horizon\n\n") {
+      Main.run(Array("search", "--store", root, "--k", "1",
+        "--embedder", "randproj"), spark)
+    }
+    assert(c2 == 0)
+    assert(out.contains("black_holes"),
+      s"randproj space must retrieve the on-topic doc, got: $out")
+    // An unknown embedder is a usage error on both commands.
+    val (c3, _) = capture("") {
+      Main.run(Array("search", "--store", root, "--embedder", "minilm"),
+        spark)
+    }
+    assert(c3 == 2)
+  }
+
   test("unknown --layout fails with a usage message, not a stack trace") {
     val err = new java.io.ByteArrayOutputStream()
     val code = Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {
