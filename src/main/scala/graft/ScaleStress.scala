@@ -100,10 +100,10 @@ object ScaleStress {
     require(
       Set("graph", "substring", "ingest", "ann", "multivec",
         "corpusops", "analytics", "streaming", "warehouse",
-        "linkage", "store", "snapshot")(tier),
+        "linkage", "store", "snapshot", "ranks")(tier),
       s"unknown tier '$tier' " +
         "(graph|substring|ingest|ann|multivec|corpusops|analytics|" +
-        "streaming|warehouse|linkage|store|snapshot)")
+        "streaming|warehouse|linkage|store|snapshot|ranks)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1071,6 +1071,44 @@ object ScaleStress {
           s""""manifest_bytes":$manifestBytes,""" +
           s""""vacuum_deleted_dirs":$deleted,"vacuum_live_dirs":$live}""")
       }
+    }
+
+    // RANKS tier: the distributed-rank swap (Ranks.groupedPrefixSum's
+    // fallback) vs the keyed window it replaces, on the ADVERSARIAL
+    // shape — 5 groups, so per-group cardinality is nRows/5 and the
+    // window's parallelism is capped at 5 tasks while the two-pass
+    // fallback spreads every shard across all cores. Claims measured:
+    // (a) identical results at every scale (checksum equality),
+    // (b) the fallback's wall tracks data volume, not group count,
+    // (c) the only driver state is the O(partitions + groups)
+    //     run-length table (heap flat at ×10).
+    if (tier == "ranks") for (k <- scales) {
+      val docs = replicate(k)
+      val sig = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(5L)).cast("string").as("g"),
+          length(col("text")).cast("long").as("v"))
+        .localCheckpoint(true)
+      val nRows = sig.count()
+      def checksum(df: DataFrame): Long = df
+        .agg(sum(pmod(col("cum") * pmod(col("doc_id"), lit(1000003L)),
+          lit(2147483647L)))).head().getLong(0)
+      val wWin = phase("window", k) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        checksum(sig.withColumn("cum",
+          coalesce(sum(lit(1L)).over(w), lit(0L))))
+      }
+      val wDist = phase("distributed", k) {
+        checksum(graft.operators.Ranks.distributedPrefixSum(
+          sig.withColumn("__one", lit(1L)), "g",
+          Seq("v", "doc_id"), "__one", "cum"))
+      }
+      require(wWin == wDist,
+        s"ranks tier ×$k: window checksum $wWin != distributed $wDist")
+      println(s"""{"scale":$k,"tier":"ranks","n_rows":$nRows,""" +
+        s""""n_groups":5,"checksum":$wWin}""")
     }
     spark.stop()
   }
