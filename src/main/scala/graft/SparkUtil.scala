@@ -17,6 +17,35 @@ object SparkUtil {
     * projection pushdown is unaffected (Catalyst pushes both through the
     * repartition to the scan).
     */
+  /** Materialization point for the two-pass primitives whose SECOND
+    * pass must observe the FIRST pass's exact partitioning
+    * (Dedup.lshCandidatePairs' self-join sides, Packing.prefixSums,
+    * Ranks.distributedPrefixSum).
+    *
+    * Default: eager `localCheckpoint` — executor-memory blocks, zero
+    * disk, freed by the ContextCleaner, and NOT fault-tolerant: on
+    * executor loss the blocks are gone and the JOB FAILS (it never
+    * silently recomputes into a different partitioning — fail-stop,
+    * but a rerun on a lossy cluster). For long 100×-scale runs where a
+    * rerun is unaffordable, the DURABLE mode is an explicit opt-in:
+    * set a SparkContext checkpoint directory (a distributed FS path)
+    * AND `spark.graft.checkpoint.reliable=true` — the same
+    * materialization then goes through reliable
+    * `Dataset.checkpoint(eager = true)`, which preserves partitioning
+    * and survives executor loss at the cost of one distributed-FS
+    * write per materialization. Both modes return the identical rows
+    * (SparkUtilSpec pins it); only the failure semantics differ.
+    */
+  def stableCheckpoint[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val spark = ds.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)
+    if (reliable && spark.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint(eager = true)
+    else ds.localCheckpoint(true)
+  }
+
   def ensureParallelism(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // no partition introspection on streams
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -143,7 +143,11 @@ object Dedup {
     */
   def lshCandidatePairs(buckets: DataFrame, saltBlocks: Int = 1): DataFrame = {
     require(saltBlocks >= 1, s"saltBlocks must be >= 1, got $saltBlocks")
-    val b = buckets.localCheckpoint(true)
+    // Both self-join sides must read the SAME materialized bucket table.
+    // Default eager localCheckpoint (fail-stop on executor loss); set
+    // spark.graft.checkpoint.reliable=true + a checkpoint dir for the
+    // durable form on lossy clusters (SparkUtil.stableCheckpoint).
+    val b = graft.SparkUtil.stableCheckpoint(buckets)
     val (x, y, extraKeys) =
       if (saltBlocks == 1) (b.as("x"), b.as("y"), lit(true))
       else {

@@ -37,16 +37,17 @@ object Packing {
       shards: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Eager local checkpoint: BOTH passes must see the identical range
-    // partitioning, and the blocks are freed by the ContextCleaner when
-    // the result plan is dropped (not fault-tolerant on executor loss —
-    // same documented tradeoff as Dedup.lshCandidatePairs; write to
-    // parquet between passes if that matters).
-    val sorted = df.select(col(idCol).cast("long"), col(nTokensCol).cast("long"))
-      .as[(Long, Long)]
-      .repartitionByRange(shards, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .localCheckpoint(true)
+    // Eager checkpoint: BOTH passes must see the identical range
+    // partitioning. Default localCheckpoint (blocks freed by the
+    // ContextCleaner; fail-stop on executor loss); set
+    // spark.graft.checkpoint.reliable=true + a checkpoint dir for the
+    // durable, partitioning-preserving form on lossy clusters
+    // (SparkUtil.stableCheckpoint).
+    val sorted = graft.SparkUtil.stableCheckpoint(
+      df.select(col(idCol).cast("long"), col(nTokensCol).cast("long"))
+        .as[(Long, Long)]
+        .repartitionByRange(shards, col(idCol))
+        .sortWithinPartitions(col(idCol)))
     val partTotals = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var s = 0L

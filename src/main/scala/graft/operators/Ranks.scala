@@ -103,13 +103,13 @@ object Ranks {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val keyCols: Seq[Column] = (groupCol +: orderCols).map(col)
-    // Eager local checkpoint: both passes must see the identical range
-    // partitioning (the Packing.prefixSums discipline; same documented
-    // executor-loss tradeoff).
-    val sorted = df.withColumn("__w", col(weightCol).cast("long"))
-      .repartitionByRange(parts, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-      .localCheckpoint(true)
+    // Eager checkpoint: both passes must see the identical range
+    // partitioning (the Packing.prefixSums discipline; durable opt-in
+    // via SparkUtil.stableCheckpoint's reliable mode).
+    val sorted = graft.SparkUtil.stableCheckpoint(
+      df.withColumn("__w", col(weightCol).cast("long"))
+        .repartitionByRange(parts, keyCols: _*)
+        .sortWithinPartitions(keyCols: _*))
     val schema = sorted.schema
     val gi = schema.fieldIndex(groupCol)
     val wi = schema.fieldIndex("__w")
