@@ -62,6 +62,30 @@ class SnapshotObjectStoreSpec extends SparkSpec {
         "object store — rename there is copy+delete and can be seen torn")
   }
 
+  test("racing compactions and upserts on object-store semantics: one " +
+      "base per manifest, no torn state, all batches survive") {
+    val st = new SnapshotStore(spark, objRoot(), 4)
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c")
+    st.upsert(chunksOf("b", "d2" -> 1), "c")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = Seq(
+      Future(st.compact("c")).map(_ => ()),
+      Future(st.compact("c")).map(_ => ()),
+      Future(st.upsert(chunksOf("r", "d9" -> 1), "c")))
+    Await.result(Future.sequence(racers), 180.seconds)
+    st.versions("c").foreach { v =>
+      assert(st.readManifestJson("c", v).entries
+          .count(_.kind == "base") <= 1,
+        s"manifest v$v carries two bases on object-store semantics")
+    }
+    val keys = keysOf(st.read("c"))
+    assert(keys.contains("d9:r0"), s"racing upsert lost: $keys")
+    assert(keys.filter(_.startsWith("d2")) == Seq("d2:b0"),
+      s"replace semantics broke under the race: $keys")
+  }
+
   test("delete, compact and time travel hold on object-store semantics") {
     val st = new SnapshotStore(spark, objRoot(), 4)
     st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c") // v1
