@@ -100,6 +100,11 @@ object Ranks {
   private[graft] def distributedPrefixSum(df: DataFrame, groupCol: String,
       orderCols: Seq[String], weightCol: String,
       outCol: String): DataFrame = {
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"distributedPrefixSum groups on a STRING column; '$groupCol' is " +
+        s"${df.schema(groupCol).dataType.simpleString} — cast it first " +
+        "(the run-length offsets key on the group's string value)")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val keyCols: Seq[Column] = (groupCol +: orderCols).map(col)
