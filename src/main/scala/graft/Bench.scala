@@ -376,7 +376,10 @@ object Bench {
       // r17: physical snapshot-store + index writes, two refreshes, a
       // compact, a vacuum and two rebuilds vs a replay of only the
       // exact-mode scoring (q242's oracle verbatim).
-      "q251_snapshot_index_serving")
+      "q251_snapshot_index_serving",
+      // r17: five physical snapshot commits + two content diffs vs a
+      // replay of the class derivation.
+      "q252_snapshot_diff")
     // Self-check the split on a full run: a renamed stream query would
     // otherwise silently land in (and inflate) the gated batch tier.
     if (only.isEmpty)

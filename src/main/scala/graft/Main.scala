@@ -313,6 +313,45 @@ object Main {
                 "compact)")
             2
         }
+      case "diff" =>
+        // Version diff (snapshot layout only): per-document
+        // added/removed/changed between two committed versions — the
+        // provenance question on top of time travel (q252's operator;
+        // manifest-pruned when no compaction sits in the window).
+        store match {
+          case snap: SnapshotStore =>
+            val existing = store.listCollections()
+            if (!existing.contains(collection)) {
+              System.err.println(s"collection '$collection' not found " +
+                s"in this store; available: ${existing.mkString(", ")}")
+              return 2
+            }
+            val vs = snap.versions(collection)
+            val from = opt(args, "from", "").toLongOption
+            val to = opt(args, "to",
+              vs.lastOption.map(_.toString).getOrElse("")).toLongOption
+            (from, to) match {
+              case (Some(a), Some(b)) if vs.contains(a) && vs.contains(b)
+                  && a < b =>
+                val rows = snap.changedDocuments(collection, a, b)
+                  .orderBy("change", "documentid").collect()
+                rows.foreach(r =>
+                  println(s"${r.getString(1)}: ${r.getString(0)}"))
+                println(s"${rows.length} document(s) differ " +
+                  s"between v$a and v$b")
+                0
+              case _ =>
+                System.err.println("diff requires --from v --to v with " +
+                  s"from < to among committed versions " +
+                  s"(${vs.mkString(", ")})")
+                2
+            }
+          case _ =>
+            System.err.println(
+              "diff requires --layout snapshot (the rename-commit " +
+                "layouts keep no history to diff against)")
+            2
+        }
       case "sql" =>
         // Analytics REPL over the engine's full SQL surface: testdata
         // tables (--data <sfDir>) and every store collection (as
@@ -352,6 +391,8 @@ object Main {
       |         [--layout document|bucketed|snapshot]
       |  compact [--collection c] [--store dir]
       |         [--layout document|bucketed|snapshot]
+      |  diff   --from v [--to v] [--collection c] [--store dir]
+      |         --layout snapshot   (per-document added/removed/changed)
       |  versions [--collection c] [--store dir] --layout snapshot
       |  vacuum [--collection c] [--store dir] --layout snapshot
       |         [--retain n] [--min-age-ms ms]

@@ -967,6 +967,60 @@ object IngestQueries {
       .orderBy(col("query_id"), col("score").desc, col("key"))
   }
 
+  // q252: SNAPSHOT VERSION DIFF gated — the provenance operator on top
+  // of time travel: "what changed between the corpus version run A
+  // read and the one run B read?" `SnapshotStore.changedDocuments`
+  // classifies per documentid (added / removed / changed, by the
+  // q202-family order-free content checksum) with a MANIFEST-PRUNED
+  // fast path: when no compaction happened in the window, immutable
+  // files + monotone MOR arbitration prove only window-mentioned
+  // documents can differ, so the touched set comes from the window's
+  // delta/tombstone files alone (column-pruned, O(window) — never
+  // O(store)); a compaction in the window falls back to the full
+  // two-scan content diff. The query builds v1 ingest → v2 %20
+  // re-chunk → v3 new-document cohort → v4 delete → v5 compact and
+  // REQUIREs in-run: (a) the fast diff(1,4) row-equals the full
+  // diff(1,5) — the compaction is content-invisible to the diff and
+  // the two tiers agree on the same window; (b) diff(4,5) is EMPTY
+  // (compact alone changes nothing). Certified output: per-class
+  // document counts + documentid checksums, replayed from `documents`.
+  // Bench tier: exec (physical store commits; the denominator replays
+  // the class derivation).
+  def q252(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = Files.createTempDirectory("graft-q252-store").toString
+    val st = new graft.store.SnapshotStore(s, storeRoot, nBuckets = 8)
+    val base = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val fresh = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), col("lang"), col("text"))
+    st.upsert(sliceChunks(base, 3, 150, ""), "docs")               // v1
+    st.upsert(sliceChunks(base.filter(col("doc_id") % 20 === 0),
+      2, 200, "r"), "docs")                                        // v2
+    st.upsert(sliceChunks(fresh, 3, 150, ""), "docs")              // v3
+    val victims = base.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(5).collect().map(r => s"d${r.getLong(0)}").toSeq
+    st.delete("docs", victims)                                     // v4
+    val fast = st.changedDocuments("docs", 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    st.compact("docs")                                             // v5
+    val full = st.changedDocuments("docs", 1L, 5L)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    require(fast == full,
+      "q252: the manifest-pruned fast diff and the full content diff " +
+        "disagree on the same logical window")
+    require(st.changedDocuments("docs", 4L, 5L).isEmpty,
+      "q252: a copy-on-write compact must be invisible to the diff")
+    import s.implicits._
+    fast.toDF("documentid", "change")
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(col("documentid")), 1, 13), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy(col("change"))
+  }
+
   // q243: DOCUMENT DELETION gated on BOTH layouts — the takedown /
   // right-to-be-forgotten primitive (the replace-by-document upsert
   // can only replace, never remove; a 100 TB store without a delete
@@ -1358,6 +1412,7 @@ object IngestQueries {
     "q241_incremental_compaction" -> (q241 _),
     "q242_index_refresh" -> (q242 _),
     "q251_snapshot_index_serving" -> (q251 _),
+    "q252_snapshot_diff" -> (q252 _),
     "q243_document_delete" -> (q243 _),
     "q244_snapshot_store" -> (q244 _),
     "q245_snapshot_vacuum" -> (q245 _),
@@ -1658,6 +1713,39 @@ object IngestQueries {
         |      FROM p)
         |SELECT query_id, key, score FROM r WHERE rk <= 10
         |ORDER BY query_id, score DESC, key""".stripMargin,
+    // q252: the diff classes replayed from `documents` — removed = the
+    // 5-smallest victims (of those present at v1), changed = the %20
+    // re-chunk cohort minus victims (key-space change ⇒ checksum
+    // change), added = the %10==5 cohort with ≥1 non-empty slice. The
+    // fast==full equality and compact-invisibility claims are REQUIRED
+    // in-run.
+    "q252_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |             WHERE doc_id % 10 = 0),
+        |add0 AS (SELECT doc_id, text FROM documents
+        |         WHERE doc_id % 10 = 5),
+        |vict AS (SELECT doc_id FROM base ORDER BY doc_id LIMIT 5),
+        |r AS (SELECT unnest(range(0, 3)) AS ci),
+        |b1 AS (SELECT DISTINCT doc_id FROM base CROSS JOIN r
+        |       WHERE LENGTH(substr(text,
+        |         CAST(ci * 150 + 1 AS INTEGER), 150)) > 0),
+        |a1 AS (SELECT DISTINCT doc_id FROM add0 CROSS JOIN r
+        |       WHERE LENGTH(substr(text,
+        |         CAST(ci * 150 + 1 AS INTEGER), 150)) > 0),
+        |cls AS (
+        |  SELECT doc_id, 'removed' AS change FROM b1
+        |    WHERE doc_id IN (SELECT doc_id FROM vict)
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM b1
+        |    WHERE doc_id % 20 = 0
+        |      AND doc_id NOT IN (SELECT doc_id FROM vict)
+        |  UNION ALL
+        |  SELECT doc_id, 'added' FROM a1)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5('d' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)) AS BIGINT)
+        |    AS checksum
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     // q243: the q202-style survivor checksum — documents minus the
     // deleted 5-smallest-ids cohort; both layouts' agreement and the
     // physical delete claims are REQUIRED in-run.

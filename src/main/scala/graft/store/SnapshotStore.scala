@@ -399,6 +399,77 @@ final class SnapshotStore(protected val spark: SparkSession,
     }
   }
 
+  /** VERSION DIFF — the provenance question between two pinned corpus
+    * states ("what changed between the corpus run A read and the one
+    * run B read?"): per documentid, `added` / `removed` / `changed` /
+    * `unchanged`, where content identity is the q202-family checksum
+    * (order-free sum of md5(key:content) prefixes over the document's
+    * chunks — replace semantics make the chunk multiset the document's
+    * identity). Only DIFFERING documents are returned (the result is
+    * change-sized; a re-upsert with identical content is content-
+    * unchanged and does not appear).
+    *
+    * Scale shape — two tiers, chosen by the manifests alone:
+    *   - **manifest-pruned fast path** (no compaction in (fromV, toV]):
+    *     data files are immutable and MOR arbitration is monotone in
+    *     seq, so ONLY documents mentioned by entries committed in the
+    *     window can differ. The touched set comes from the new delta/
+    *     tombstone files' documentid columns (column-pruned scans of
+    *     the WINDOW's data only), and both versions are read
+    *     semi-joined to it — cost O(window), never O(store).
+    *   - **full diff** (a base entry in the window — compaction rewrote
+    *     the file set): both versions' MOR reads aggregate to one
+    *     checksum row per documentid and full-outer-join on the id —
+    *     two scans + one co-partitioned shuffle, the exact price of a
+    *     content-honest diff across a rewrite. SnapshotStoreSpec pins
+    *     fast == full on the same window.
+    */
+  def changedDocuments(collection: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV < toV, s"changedDocuments needs fromV < toV " +
+      s"(got $fromV, $toV)")
+    val m2 = readManifestJson(collection, toV)
+    readManifestJson(collection, fromV) // existence check — fail early
+    val newEntries = m2.entries.filter(_.seq > fromV)
+    val cdir = collectionPath(collection)
+    def checksums(df: DataFrame, as: String) = df
+      .groupBy(col("documentid"))
+      .agg(sum(conv(substring(md5(concat_ws(":", col("key"),
+          col("content"))), 1, 13), 16, 10).cast("long")).as(as))
+    val (v1c, v2c) =
+      if (newEntries.exists(_.kind == "base")) {
+        (checksums(readAt(collection, fromV), "__ck1"),
+          checksums(readAt(collection, toV), "__ck2"))
+      } else if (newEntries.isEmpty) {
+        // Same entry list ⇒ provably no change; empty diff, zero scans.
+        val sch = StructType(Seq(
+          StructField("documentid", StringType),
+          StructField("change", StringType)))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else {
+        val tombSchema = StructType(Seq(
+          StructField("documentid", StringType)))
+        val touched = newEntries.map { e =>
+          if (e.kind == "tombstone")
+            spark.read.schema(tombSchema).parquet(s"$cdir/${e.path}")
+          else spark.read.schema(tableSchema(collection))
+            .parquet(s"$cdir/${e.path}").select(col("documentid"))
+        }.reduce(_ unionByName _).distinct()
+        (checksums(readAt(collection, fromV)
+            .join(touched, Seq("documentid"), "left_semi"), "__ck1"),
+          checksums(readAt(collection, toV)
+            .join(touched, Seq("documentid"), "left_semi"), "__ck2"))
+      }
+    v1c.join(v2c, Seq("documentid"), "full_outer")
+      .select(col("documentid"),
+        when(col("__ck1").isNull, lit("added"))
+          .when(col("__ck2").isNull, lit("removed"))
+          .when(col("__ck1") =!= col("__ck2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** The data files (relative paths) a version actually reads. */
   def liveDataFiles(collection: String, version: Long): Seq[String] = {
     val m = readManifestJson(collection, version)

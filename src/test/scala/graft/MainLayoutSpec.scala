@@ -157,6 +157,29 @@ class MainLayoutSpec extends SparkSpec {
     }
   }
 
+  test("diff: the snapshot layout's version-diff surface via the CLI; " +
+      "rename layouts and bad windows refuse cleanly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("main-snap-diff").toString
+    val md = resourcePath("content/markdown")
+    val common = Array("--store", root, "--layout", "snapshot")
+    assert(capture("") { Main.run(Array("ingest", "--reader", "markdown",
+      "--source", md) ++ common, spark) }._1 == 0)
+    assert(capture("") { Main.run(Array("delete", "--ids",
+      "black_holes.md") ++ common, spark) }._1 == 0)
+    val (c, out) = capture("") {
+      Main.run(Array("diff", "--from", "1") ++ common, spark) }
+    assert(c == 0, s"diff exit $c:\n$out")
+    assert(out.contains("removed: black_holes.md") &&
+      out.contains("1 document(s) differ between v1 and v2"),
+      s"diff output:\n$out")
+    // Bad window (from >= to) and rename layouts refuse with usage.
+    assert(Main.run(Array("diff", "--from", "2", "--to", "1")
+      ++ common, spark) == 2)
+    assert(Main.run(Array("diff", "--from", "1", "--store", root,
+      "--layout", "document"), spark) == 2)
+  }
+
   test("migrate moves a collection between all layout pairs with " +
       "byte-identical contents and identical search results") {
     val md = resourcePath("content/markdown")

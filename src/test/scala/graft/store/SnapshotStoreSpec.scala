@@ -212,6 +212,32 @@ class SnapshotStoreSpec extends SparkSpec {
       e.getMessage.contains("does not exist"))
   }
 
+  test("changedDocuments: added/removed/changed classes; an identical " +
+      "re-upsert is NO change; fast == full across a compaction") {
+    val st = newStore()
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c") // v1
+    st.upsert(chunksOf("a", "d1" -> 2), "c") // v2: IDENTICAL re-upsert
+    st.upsert(chunksOf("b", "d2" -> 1), "c") // v3: d2 changes
+    st.upsert(chunksOf("n", "d3" -> 1), "c") // v4: d3 added
+    st.delete("c", Seq("d1"))                // v5: d1 removed
+    def diff(a: Long, b: Long): Seq[(String, String)] =
+      st.changedDocuments("c", a, b).collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(diff(1L, 2L) == Seq.empty,
+      "a content-identical re-upsert must not appear in the diff")
+    val expect = Seq("d1" -> "removed", "d2" -> "changed", "d3" -> "added")
+    assert(diff(1L, 5L) == expect)
+    st.compact("c")                          // v6: full-path trigger
+    assert(diff(1L, 6L) == expect,
+      "the full content diff across the compaction must agree with " +
+        "the manifest-pruned fast diff on the same logical window")
+    assert(diff(5L, 6L) == Seq.empty,
+      "a copy-on-write compact is invisible to the diff")
+    val e = intercept[IllegalArgumentException](
+      st.changedDocuments("c", 3L, 3L))
+    assert(e.getMessage.contains("fromV < toV"))
+  }
+
   test("a reader holding a vacuumed version fails LOUDLY at " +
       "materialization — never a silent partial result") {
     val st = newStore()
