@@ -38,6 +38,26 @@ class SparkUtilSpec extends SparkSpec {
         df.withColumn("w", lit(1L)), "g", Seq("id"), "w", "cum")
         .collect().map(_.toSeq).sortBy(_.toString).toSeq
       assert(viaDurable == viaLocal)
+      // And the other named consumer: the LSH pair self-join emits the
+      // identical candidate set under the durable materialization.
+      import spark.implicits._
+      val docs = (0 until 40)
+        .map(i => (i.toLong, s"w${i % 4} x y z common tail tokens"))
+        .toDF("doc_id", "text")
+      def pairs(): Seq[(Long, Long)] = {
+        val sh = graft.operators.Dedup.shingles(docs, "doc_id", "text", 3)
+        graft.operators.Dedup.lshCandidatePairs(
+            graft.operators.Dedup.lshBuckets(
+              graft.operators.Dedup.minhashSignatures(sh, k = 8),
+              bands = 2, rowsPerBand = 4))
+          .select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      spark.conf.set("spark.graft.checkpoint.reliable", "true")
+      val durablePairs = pairs()
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+      assert(durablePairs == pairs(),
+        "lshCandidatePairs must emit the same pairs in both modes")
     } finally spark.conf.set("spark.graft.checkpoint.reliable", "false")
   }
 
