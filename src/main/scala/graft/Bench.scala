@@ -130,13 +130,21 @@ object Bench {
     * variable between a prev-round child and a cur-round child is the
     * code — alternating them cancels box drift.
     */
-  private def childSubsetBatch(cpFile: String, sfDir: String,
-      cpus: String): Option[Double] = {
+  private def childSubsetBatch(side: String, cpFile: String,
+      sfDir: String, cpus: String): Option[Double] = {
+    // Every failure path NAMES itself on stderr: an ab:null in the
+    // artifact must be distinguishable from "the wrapper was never
+    // used" — a silent None here would bury a broken harness.
+    def fail(why: String): Option[Double] = {
+      System.err.println(s"[bench] A/B child ($side) FAILED: $why")
+      None
+    }
     try {
       val cp = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(cpFile)), "UTF-8").trim
-      if (cp.isEmpty) return None
+      if (cp.isEmpty) return fail(s"empty classpath file $cpFile")
       val out = java.nio.file.Files.createTempFile("ab_bench", ".json")
+      val errLog = java.nio.file.Files.createTempFile("ab_bench", ".err")
       import scala.jdk.CollectionConverters._
       val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.filter(_.startsWith("--add-opens"))
@@ -150,19 +158,25 @@ object Bench {
       pb.environment().remove("SPARK_GRAFT_AB_PREV_CP")
       pb.environment().remove("SPARK_GRAFT_AB_CUR_CP")
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(errLog.toFile)
       val p = pb.start()
       if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); return None
+        p.destroyForcibly()
+        return fail(s"timed out after 900s (stderr: $errLog)")
       }
-      if (p.exitValue() != 0) return None
+      if (p.exitValue() != 0)
+        return fail(s"exit ${p.exitValue()} (stderr: $errLog)")
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new String(java.nio.file.Files.readAllBytes(out), "UTF-8"))
       val bv = root.path("batch_value")
       val failed = root.path("failed")
       if (bv.isNumber && failed.isArray && failed.size() == 0)
-        Some(bv.asDouble()) else None
-    } catch { case _: Throwable => None }
+        Some(bv.asDouble())
+      else fail(s"child artifact has failed=$failed or no batch_value " +
+        s"(artifact: $out)")
+    } catch { case t: Throwable =>
+      fail(s"${t.getClass.getSimpleName}: ${t.getMessage}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -445,7 +459,7 @@ object Bench {
         val reps = Seq(("prev", prevCp), ("cur", curCp),
           ("prev", prevCp), ("cur", curCp))
           .map { case (side, cp) =>
-            side -> childSubsetBatch(cp, sfDir, cpus)
+            side -> childSubsetBatch(side, cp, sfDir, cpus)
           }
         val prev = reps.collect { case ("prev", Some(v)) => r3(v) }
         val cur = reps.collect { case ("cur", Some(v)) => r3(v) }

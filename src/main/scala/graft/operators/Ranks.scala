@@ -68,6 +68,27 @@ object Ranks {
       windowBudget: Long = DefaultWindowBudget): DataFrame = {
     require(specs.nonEmpty && specs.forall(_.orderCols.nonEmpty),
       "groupedPrefixSums needs at least one spec with an order")
+    // Validate the WHOLE contract at the entry point, not inside the
+    // fallback: a caller must never pass every small-scale test on the
+    // window path and then die (or silently change semantics) the
+    // first time a group crosses the budget in production.
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"groupedPrefixSums groups on a STRING column; '$groupCol' is " +
+        s"${df.schema(groupCol).dataType.simpleString} — cast it first")
+    specs.foreach { sp =>
+      require(!df.columns.contains(sp.outCol),
+        s"output column '${sp.outCol}' already exists in the input")
+      val wt = df.schema(sp.weightCol).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(wt),
+        s"weight column '${sp.weightCol}' must be integral (got " +
+          s"${wt.simpleString}): both paths sum in LONG, and a " +
+          "fractional weight would silently truncate in the " +
+          "distributed path only")
+    }
     // The ONE trigger: max rows per group, over just the group column —
     // column pruning keeps the pass cheap whatever else the input
     // computes, and every spec shares the decision.
@@ -85,7 +106,7 @@ object Ranks {
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, -1)
         acc.withColumn(sp.outCol,
-          coalesce(sum(col(sp.weightCol)).over(w), lit(0L)))
+          coalesce(sum(col(sp.weightCol).cast("long")).over(w), lit(0L)))
       }
     else
       specs.foldLeft(df) { (acc, sp) =>
@@ -105,19 +126,25 @@ object Ranks {
       s"distributedPrefixSum groups on a STRING column; '$groupCol' is " +
         s"${df.schema(groupCol).dataType.simpleString} — cast it first " +
         "(the run-length offsets key on the group's string value)")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val keyCols: Seq[Column] = (groupCol +: orderCols).map(col)
+    // Collision-proof staging name: a caller's own "__w" column must
+    // survive into the output exactly as the window path keeps it.
+    val wTmp = Iterator.from(0).map(i => s"__graft_w$i")
+      .find(n => !df.columns.contains(n)).get
     // Eager checkpoint: both passes must see the identical range
     // partitioning (the Packing.prefixSums discipline; durable opt-in
     // via SparkUtil.stableCheckpoint's reliable mode).
     val sorted = graft.SparkUtil.stableCheckpoint(
-      df.withColumn("__w", col(weightCol).cast("long"))
+      df.withColumn(wTmp, col(weightCol).cast("long"))
         .repartitionByRange(parts, keyCols: _*)
         .sortWithinPartitions(keyCols: _*))
     val schema = sorted.schema
     val gi = schema.fieldIndex(groupCol)
-    val wi = schema.fieldIndex("__w")
+    val wi = schema.fieldIndex(wTmp)
     // Pass 1: per-(partition, group-run) weight totals. Groups are
     // contiguous under the range sort, so this is a run-length pass and
     // the collect is O(partitions + groups) rows, not partitions×groups.
@@ -147,11 +174,11 @@ object Ranks {
     }
     val bc = spark.sparkContext.broadcast(offsets)
     val outSchema = org.apache.spark.sql.types.StructType(
-      schema.filterNot(_.name == "__w") :+
+      schema.filterNot(_.name == wTmp) :+
         org.apache.spark.sql.types.StructField(outCol,
           org.apache.spark.sql.types.LongType, nullable = false))
     val keep = schema.fields.zipWithIndex
-      .filterNot(_._1.name == "__w").map(_._2)
+      .filterNot(_._1.name == wTmp).map(_._2)
     // Pass 2: stream each partition, running total seeded per group
     // from the broadcast offsets; emit the row + its EXCLUSIVE sum.
     val rows = sorted.queryExecution.toRdd.mapPartitionsWithIndex {

@@ -150,7 +150,17 @@ object PdfTextExtractor {
           pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
             val end = if (i + 1 < pairs.length) first + pairs(i + 1)._2
               else text.length
-            objects(objNum) = (text.substring(first + off, end).trim, null)
+            // NEVER overwrite a top-level object: in an incrementally
+            // updated PDF a later top-level revision supersedes an
+            // ObjStm member of the same number, and the top-level scan
+            // already recorded the newest body (file order). The
+            // converse (an incremental update whose ObjStm supersedes
+            // a top-level object) needs real xref-revision ordering
+            // and is outside this extractor's envelope — such a file
+            // reads its older top-level body, or fails the no-pages
+            // check loudly.
+            if (!objects.contains(objNum))
+              objects(objNum) = (text.substring(first + off, end).trim, null)
           }
         case _ => // malformed: see the fail-loudly note above
       }

@@ -113,16 +113,18 @@ final class SnapshotStore(protected val spark: SparkSession,
     * lost race; readers never observe a partially-written manifest):
     *
     *   - `file`: hard-link CAS (one inode op, EEXIST = lost race);
-    *   - object-store schemes ([[SnapshotStore.CasCreateSchemesKey]],
-    *     default `s3a,objfs`): conditional CREATE — `create(slot,
+    *   - conditional-create schemes ([[SnapshotStore.CasCreateSchemesKey]],
+    *     default `objfs` only): conditional CREATE — `create(slot,
     *     overwrite = false)` whose bytes materialize atomically at
-    *     close and whose close fails when the slot is taken (S3's
-    *     `If-None-Match: *` conditional PUT; the `objfs` test shim
-    *     models exactly those semantics). RENAME IS NEVER ON THIS
-    *     COMMIT PATH: an object-store "rename" is a non-atomic
-    *     copy+delete, so any protocol renaming into the slot could be
-    *     observed torn — SnapshotObjectStoreSpec asserts zero slot
-    *     renames under racing writers;
+    *     close and whose close fails when the slot is taken (the
+    *     `objfs` test shim models exactly those semantics; an S3
+    *     client qualifies ONLY when it issues a true
+    *     `If-None-Match: *` conditional PUT — see the key's scaladoc
+    *     for why stock S3A's plain create does not). RENAME IS NEVER
+    *     ON THIS COMMIT PATH: an object-store "rename" is a
+    *     non-atomic copy+delete, so any protocol renaming into the
+    *     slot could be observed torn — SnapshotObjectStoreSpec asserts
+    *     zero slot renames under racing writers;
     *   - everything else (HDFS-like): stage fully, then
     *     `FileContext.rename(Rename.NONE)` — an atomic metadata op
     *     there, and the right choice because HDFS readers CAN observe
@@ -134,7 +136,7 @@ final class SnapshotStore(protected val spark: SparkSession,
     val bytes = m.toJson.getBytes("UTF-8")
     val scheme = Option(new java.net.URI(snapDir).getScheme)
     val casCreate = spark.sparkContext.hadoopConfiguration
-      .get(SnapshotStore.CasCreateSchemesKey, "s3a,objfs")
+      .get(SnapshotStore.CasCreateSchemesKey, "objfs")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
     if (scheme.exists(casCreate)) {
       val f = fs(snapDir)
@@ -571,7 +573,19 @@ object SnapshotStore {
   /** Hadoop-conf key listing the URI schemes whose manifest CAS uses
     * atomic-at-close conditional CREATE instead of staged rename —
     * object stores, where rename is copy+delete and must never be on
-    * the commit path. Comma-separated; default `s3a,objfs`.
+    * the commit path. Comma-separated; default `objfs` ONLY (the test
+    * shim, whose create genuinely publishes-or-fails atomically at
+    * close). `s3a` is deliberately NOT in the default: stock Hadoop
+    * S3A's plain `create(path, overwrite = false)` is a HEAD existence
+    * check at create time followed by an UNCONDITIONAL PUT at close —
+    * a TOCTOU window, not a CAS. Add `s3a` here only when the
+    * deployment's client performs a true conditional PUT
+    * (`If-None-Match: *`) for create-if-absent — e.g. Hadoop ≥ 3.4.1
+    * with S3A conditional create enabled — at which point the slot
+    * write is the atomic commit this branch assumes. Without that, an
+    * S3 deployment must front manifest publication with an external
+    * CAS (a DynamoDB-style lock or a catalog service), exactly as
+    * Iceberg/Delta do on S3.
     */
   val CasCreateSchemesKey = "graft.snapshot.cas.create.schemes"
 

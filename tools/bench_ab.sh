@@ -14,19 +14,35 @@
 #
 # Run this on a QUIET box and serialize it with everything else (the
 # repo's bench-contamination rule applies to the A/B children too).
-set -e
+set -e -o pipefail
 PREV=${1:?usage: tools/bench_ab.sh <prev-round-commit> [sfDir]}
 SF=${2:-/root/testdata/sf0.1}
 cd "$(dirname "$0")/.."
 
+# Cache validity = marker matches AND the cached classpath still resolves
+# to a real directory (a /tmp sweep of the worktree invalidates it). A
+# FAILED build must never be cached: the marker is written only after the
+# classpath file is verified non-empty.
 WT=/tmp/graft_ab_prev
-if [ ! -f /tmp/graft_prev_cp.txt ] || [ "$(cat /tmp/graft_prev_cp_commit.txt 2>/dev/null)" != "$PREV" ]; then
+cache_ok=false
+if [ "$(cat /tmp/graft_prev_cp_commit.txt 2>/dev/null)" = "$PREV" ] \
+   && [ -s /tmp/graft_prev_cp.txt ] \
+   && [ -d "$WT/target/scala-2.13/classes" ]; then
+  cache_ok=true
+fi
+if [ "$cache_ok" != "true" ]; then
+  rm -f /tmp/graft_prev_cp_commit.txt
   rm -rf "$WT"
   git worktree add --detach "$WT" "$PREV" >/dev/null
   # The worktree must OUTLIVE this script: the exported classpath points
   # into $WT/target. It is /tmp scratch; `git worktree prune` reclaims it.
   (cd "$WT" && sbt -batch compile 'export Runtime/fullClasspath' 2>/dev/null \
     | grep -E '^/' | tail -1 > /tmp/graft_prev_cp.txt)
+  if [ ! -s /tmp/graft_prev_cp.txt ]; then
+    echo "bench_ab: building $PREV in $WT produced no classpath — fix the" \
+         "build before benching (the A/B would silently read ab:null)" >&2
+    exit 1
+  fi
   echo "$PREV" > /tmp/graft_prev_cp_commit.txt
 fi
 
