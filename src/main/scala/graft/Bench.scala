@@ -102,6 +102,39 @@ object Bench {
         skipDenominators(s"${t.getClass.getSimpleName}: ${t.getMessage}")
     }
   }
+  /** The committed conservative DuckDB denominators (BASELINE_QUERIES
+    * .json, regenerated under the "commit the FASTER total" rule). The
+    * r17 verdict found the same-session denominator drifts green in bad
+    * box weather — a slow session inflates DuckDB more than Spark, whose
+    * fixed floors dominate — so the gate must ALSO hold against this
+    * pinned, weather-independent denominator. Returns the per-query
+    * medians, or None when the file is absent (a checkout without the
+    * committed baseline must degrade to the same-session ratio only).
+    */
+  private def loadPinnedBaseline(): Option[Map[String, Double]] = {
+    val p = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PINNED_BASELINE", "BASELINE_QUERIES.json"))
+    if (!java.nio.file.Files.exists(p)) {
+      System.err.println(s"[bench] pinned baseline $p not found; " +
+        "ratio_batch_pinned will be null")
+      return None
+    }
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      val qNode = root.path("queries")
+      if (!qNode.isObject) return None
+      val entries = scala.collection.mutable.Map.empty[String, Double]
+      qNode.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber) entries(e.getKey) = e.getValue.asDouble()
+      }
+      if (entries.isEmpty) None else Some(entries.toMap)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] pinned baseline unreadable: ${t.getMessage}")
+      None
+    }
+  }
+
   /** PINNED box-calibration subset (r17): 15 batch-tier queries whose
     * implementations are stable across rounds, spanning plan shapes
     * (scan/agg, join, window, minhash, regex text, graph CC, sketches,
@@ -148,7 +181,14 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.filter(_.startsWith("--add-opens"))
-      val cmd = (Seq("java") ++ opens ++ Seq("-Xmx8g",
+      // The child must run the EXACT JVM the parent runs: a bare "java"
+      // resolves via PATH, which can differ from the launching JVM
+      // (JAVA_HOME vs PATH mismatch) and silently skew the same-code
+      // calibration ratio with a different JIT/GC. java.home is the
+      // running JVM's own installation directory.
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx8g",
         "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
@@ -418,7 +458,7 @@ object Bench {
     // BASELINE_QUERIES.json remains the fallback denominator.
     val duck = timeDuckdbDenominators(sfDir, results.keySet)
     val duckBatch = duck.map(_.filterNot(d => streamExec(d._1)))
-    val ratioJson = duckBatch match {
+    val sameSessionRatio = duckBatch match {
       case Some(d) if d.nonEmpty =>
         // Ratio strictly over the intersection of measured numerators and
         // same-session denominators — BOTH sides restricted, or a partial
@@ -426,11 +466,42 @@ object Bench {
         val common = d.keySet.intersect(results.keySet)
         val num = results.filter(r => common(r._1)).values.sum
         val den = d.filter(x => common(x._1)).values.sum
-        val ratio = if (den > 0) r3(num / den).toString else "null"
-        s""""duckdb_batch_total":${r3(den)},"duckdb_total":${r3(duck.get.filter(x => results.contains(x._1)).values.sum)},"ratio_batch":$ratio"""
+        val ratio = if (den > 0) Some(r3(num / den)) else None
+        (ratio,
+          s""""duckdb_batch_total":${r3(den)},"duckdb_total":${r3(duck.get.filter(x => results.contains(x._1)).values.sum)},"ratio_batch":${ratio.map(_.toString).getOrElse("null")}""")
       case _ =>
-        s""""duckdb_batch_total":null,"duckdb_total":null,"ratio_batch":null"""
+        (None,
+          s""""duckdb_batch_total":null,"duckdb_total":null,"ratio_batch":null""")
     }
+    // Dual-denominator gate (r18, verdict item 1): the same numerator is
+    // ALSO divided by the committed conservative BASELINE_QUERIES.json
+    // totals over the same batch-tier intersection, and the gate reads
+    // max(ratio_batch, ratio_batch_pinned) < 2.0. Same-session catches a
+    // genuinely slow box (both sides slow together); pinned catches the
+    // slow-box asymmetry where the DuckDB denominator inflates faster
+    // than the floor-dominated Spark numerator and the same-session
+    // ratio drifts green in bad weather.
+    val pinned = loadPinnedBaseline().map(_.filterNot(d => streamExec(d._1)))
+    val pinnedRatio = pinned match {
+      case Some(d) if d.nonEmpty =>
+        val common = d.keySet.intersect(results.keySet)
+          .filterNot(streamExec)
+        val num = results.filter(r => common(r._1)).values.sum
+        val den = d.filter(x => common(x._1)).values.sum
+        val ratio = if (den > 0) Some(r3(num / den)) else None
+        (ratio,
+          s""""pinned_batch_total":${r3(den)},"ratio_batch_pinned":${ratio.map(_.toString).getOrElse("null")}""")
+      case _ =>
+        (None, s""""pinned_batch_total":null,"ratio_batch_pinned":null""")
+    }
+    val gateRatios = Seq(sameSessionRatio._1, pinnedRatio._1).flatten
+    val gateJson = if (gateRatios.isEmpty)
+      """"ratio_batch_max":null,"gate_2x":null"""
+    else {
+      val mx = gateRatios.max
+      s""""ratio_batch_max":$mx,"gate_2x":${if (mx < 2.0) "true" else "false"}"""
+    }
+    val ratioJson = s"${sameSessionRatio._2},${pinnedRatio._2},$gateJson"
     val partial = only.nonEmpty
     val stallJson = stallAttrib.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -502,6 +573,19 @@ object Bench {
         "root (no build.sbt beside it) — the committed BENCH_FULL.json " +
         "was NOT updated")
     println(compact)
+    // Pinned driver-handoff path (r18, verdict item 2): BENCH_r17.json
+    // closed with parsed:null because the driver had to fish the JSON out
+    // of a truncated sbt tail. The compact artifact also lands at a fixed
+    // path the driver (or anyone) can read directly, independent of any
+    // stdout capture window.
+    try {
+      val pinnedOut = out.getParent.resolve("target")
+      java.nio.file.Files.createDirectories(pinnedOut)
+      java.nio.file.Files.write(pinnedOut.resolve("bench_last.json"),
+        (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

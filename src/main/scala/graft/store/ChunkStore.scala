@@ -91,7 +91,23 @@ trait ChunkStore {
     * (ServingMemoSpec pins it); in-process rebuilds additionally drop
     * the memo eagerly via [[buildIndex]]/[[refreshIndex]].
     */
-  private def sidecarStamp(collection: String, mode: String): String = {
+  private[store] def sidecarStamp(collection: String, mode: String): String = {
+    // Opt-in stamp TTL (`spark.graft.serving.stampTtlMs`, default 0 =
+    // revalidate every search, the local-fs-safe behavior the specs
+    // pin). On a real object store the stamp is two LIST requests per
+    // search on the serving hot path; the cross-process-rebuild safety
+    // it buys only needs eventual (per-window) detection there, so a
+    // deployment can trade "a cross-process rebuild is invisible for up
+    // to TTL (a search in that window fails loudly on the overwritten
+    // files, never serves silently wrong rows)" for LIST-free repeat
+    // searches. In-process rebuilds stay exact: buildIndex/refreshIndex
+    // drop this cache eagerly via [[invalidateServing]].
+    val ttlMs = spark.conf.get("spark.graft.serving.stampTtlMs", "0").toLong
+    val key = (collection, mode)
+    if (ttlMs > 0) {
+      val hit = stampCache.get(key)
+      if (hit != null && System.nanoTime() < hit._1) return hit._2
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq(indexDir(collection, mode), indexDir(collection, s"${mode}_meta"))
       .foreach { d =>
@@ -103,8 +119,14 @@ trait ChunkStore {
               s"${st.getLen}:${st.getModificationTime}")
             .sorted.foreach(e => md.update(e.getBytes("UTF-8")))
       }
-    md.digest().map("%02x".format(_)).mkString
+    val stamp = md.digest().map("%02x".format(_)).mkString
+    if (ttlMs > 0)
+      stampCache.put(key, (System.nanoTime() + ttlMs * 1000000L, stamp))
+    stamp
   }
+
+  private val stampCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, String)]()
 
   /** The fresh meta row for `mode`'s sidecar plus the serving token the
     * codes memo is keyed under, or None when the sidecar is absent or
@@ -154,7 +176,10 @@ trait ChunkStore {
     * they change the fingerprint, which every lookup revalidates.
     */
   private def invalidateServing(collection: String): Unit = {
-    Seq("lsh", "ivfsq").foreach(m => servingMeta.remove((collection, m)))
+    Seq("lsh", "ivfsq").foreach { m =>
+      servingMeta.remove((collection, m))
+      stampCache.remove((collection, m))
+    }
     Seq("codes_lsh", "codes_ivfsq", "chunks").foreach(k =>
       servingDf.remove((collection, k)))
   }

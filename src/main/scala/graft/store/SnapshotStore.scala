@@ -404,10 +404,13 @@ final class SnapshotStore(protected val spark: SparkSession,
   /** VERSION DIFF — the provenance question between two pinned corpus
     * states ("what changed between the corpus run A read and the one
     * run B read?"): per documentid, `added` / `removed` / `changed` /
-    * `unchanged`, where content identity is the q202-family checksum
-    * (order-free sum of md5(key:content) prefixes over the document's
-    * chunks — replace semantics make the chunk multiset the document's
-    * identity). Only DIFFERING documents are returned (the result is
+    * `unchanged`, where content identity is an order-free sum of two
+    * independently-seeded 64-bit xxhash64(key, content) digests over
+    * the document's chunks (two decimal half-sums — replace semantics
+    * make the chunk multiset the document's identity; 128 independent
+    * bits make sum-cancellation collisions negligible, unlike the q202
+    * bucket certificates' 52-bit prefixes which certify against an
+    * oracle rather than classify). Only DIFFERING documents are returned (the result is
     * change-sized; a re-upsert with identical content is content-
     * unchanged and does not appear).
     *
@@ -434,14 +437,26 @@ final class SnapshotStore(protected val spark: SparkSession,
     readManifestJson(collection, fromV) // existence check — fail early
     val newEntries = m2.entries.filter(_.seq > fromV)
     val cdir = collectionPath(collection)
-    def checksums(df: DataFrame, as: String) = df
-      .groupBy(col("documentid"))
-      .agg(sum(conv(substring(md5(concat_ws(":", col("key"),
-          col("content"))), 1, 13), 16, 10).cast("long")).as(as))
+    // Content identity = order-free SUM of TWO independently-seeded
+    // 64-bit chunk hashes (r18, advisor): the r17 classifier summed
+    // 52-bit md5 prefixes, where distinct chunk multisets can cancel to
+    // the same sum and a changed document would silently drop from the
+    // diff. Summing two independent 64-bit spaces makes that collision
+    // ~2^-128; decimal(38,0) sums keep multiplicity semantics (a
+    // multiset, not a set) without ANSI long-overflow risk; xxhash64
+    // (codegen'd, long-native) replaces md5+conv+substring string work
+    // on what is a full-corpus scan in the compaction-window tier.
+    def checksums(df: DataFrame, as: String) = {
+      def half(seed: Int) =
+        xxhash64(lit(seed), col("key"), col("content"))
+          .cast("decimal(38,0)")
+      df.groupBy(col("documentid"))
+        .agg(sum(half(1)).as(s"${as}_hi"), sum(half(2)).as(s"${as}_lo"))
+    }
     val (v1c, v2c) =
       if (newEntries.exists(_.kind == "base")) {
-        (checksums(readAt(collection, fromV), "__ck1"),
-          checksums(readAt(collection, toV), "__ck2"))
+        (checksums(readAt(collection, fromV), "__c1"),
+          checksums(readAt(collection, toV), "__c2"))
       } else if (newEntries.isEmpty) {
         // Same entry list ⇒ provably no change; empty diff, zero scans.
         val sch = StructType(Seq(
@@ -459,15 +474,16 @@ final class SnapshotStore(protected val spark: SparkSession,
             .parquet(s"$cdir/${e.path}").select(col("documentid"))
         }.reduce(_ unionByName _).distinct()
         (checksums(readAt(collection, fromV)
-            .join(touched, Seq("documentid"), "left_semi"), "__ck1"),
+            .join(touched, Seq("documentid"), "left_semi"), "__c1"),
           checksums(readAt(collection, toV)
-            .join(touched, Seq("documentid"), "left_semi"), "__ck2"))
+            .join(touched, Seq("documentid"), "left_semi"), "__c2"))
       }
     v1c.join(v2c, Seq("documentid"), "full_outer")
       .select(col("documentid"),
-        when(col("__ck1").isNull, lit("added"))
-          .when(col("__ck2").isNull, lit("removed"))
-          .when(col("__ck1") =!= col("__ck2"), lit("changed"))
+        when(col("__c1_hi").isNull, lit("added"))
+          .when(col("__c2_hi").isNull, lit("removed"))
+          .when(col("__c1_hi") =!= col("__c2_hi") ||
+            col("__c1_lo") =!= col("__c2_lo"), lit("changed"))
           .otherwise(lit("unchanged")).as("change"))
       .filter(col("change") =!= "unchanged")
   }
