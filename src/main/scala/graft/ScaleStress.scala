@@ -1058,17 +1058,50 @@ object ScaleStress {
         }
         val manifestBytes = java.nio.file.Files.size(java.nio.file.Paths
           .get(s"$root/c/_snapshots/v00000004.json"))
+        // VERSION-DIFF walls (r18): a fixed 2-commit window diffed over
+        // the ×k store. The fast path runs on the steady-state shape —
+        // the window sits ON TOP of v4's compacted base (hash-bucketed
+        // by documentid, sorted within files), so the pushed-down IN
+        // probe of the 5 touched ids prunes the base to ~5 row groups
+        // and the wall must track the WINDOW, not the store. The full
+        // path (compaction inside the window) is the honest fallback:
+        // two store-sized MOR scans + one shuffle — its wall GROWS with
+        // ×k, which is the measured price of a content diff across a
+        // rewrite.
+        phase("upsert_post_compact", k) {                         // v5
+          store.upsert(chunksOf(docs.filter(col("doc_id").isin(
+            cohort.map(java.lang.Long.valueOf): _*)), 2, 180, "s"), "c")
+        }
+        phase("delete_post_compact", k) {                         // v6
+          store.delete("c", cohort.slice(2, 4).map(d => s"d$d"))
+        }
+        val diffFast = phase("diff_fast_window", k) {
+          store.changedDocuments("c", 4L, 6L).count()
+        }
+        // v3 deleted cohort(0,1); v5 re-added all 5; v6 removed
+        // cohort(2,3): 2 added + 2 removed + 1 changed = 5 rows, all
+        // three classes exercised at every scale.
+        require(diffFast == 5L,
+          s"snapshot tier ×$k: window diff returned $diffFast rows, " +
+            "expected 5 (2 added, 2 removed, 1 changed)")
+        val diffFull = phase("diff_full_compaction", k) {
+          store.changedDocuments("c", 3L, 4L).count()
+        }
+        require(diffFull == 0L,
+          s"snapshot tier ×$k: compaction must be content-invisible " +
+            s"to the diff, got $diffFull rows")
         val (deleted, live) = phase("vacuum", k) {
           store.vacuum("c", retainLast = 1, minAgeMs = 0L)
         }
-        require(live == 1L,
+        require(live == 3L,
           s"snapshot tier ×$k: $live live data dirs after vacuum, " +
-            "expected the single compacted base")
+            "expected the compacted base + post-compact delta + tombstone")
         println(s"""{"scale":$k,"tier":"snapshot","n_docs":$nDocs,""" +
           s""""v1_files":${v1Files.size},"increment_files":$incFiles,""" +
           s""""census_pre_compact":$cb,"census_post_compact":$ca,""" +
           s""""mor_rows":$morRows,"v1_rows":$v1Rows,""" +
           s""""manifest_bytes":$manifestBytes,""" +
+          s""""diff_fast_rows":$diffFast,"diff_full_rows":$diffFull,""" +
           s""""vacuum_deleted_dirs":$deleted,"vacuum_live_dirs":$live}""")
       }
     }

@@ -77,11 +77,16 @@ object Ranks {
     * two paths are rowwise-equal by RanksSpec). Bounded size: evicts
     * oldest beyond 256 entries.
     */
+  // Value type MUST be the boxed java.lang.Long: with a Scala Long the
+  // compiler unboxes get()'s null-on-miss to 0L, the null check below
+  // becomes vacuously true, and every call would "hit" a memoized max
+  // of 0 — silently pinning the window path forever.
   private val triggerMemo =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(Int, String), Long](64, 0.75f, false) {
+      new java.util.LinkedHashMap[(Int, String), java.lang.Long](
+          64, 0.75f, false) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(Int, String), Long]): Boolean =
+            e: java.util.Map.Entry[(Int, String), java.lang.Long]): Boolean =
           size() > 256
       })
 
@@ -130,7 +135,7 @@ object Ranks {
             case r if r.isNullAt(0) => 0L
             case r => r.getLong(0)
           }
-        triggerMemo.put(memoKey, measured)
+        triggerMemo.put(memoKey, java.lang.Long.valueOf(measured))
         measured
       }
     }

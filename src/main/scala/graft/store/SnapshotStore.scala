@@ -302,11 +302,20 @@ final class SnapshotStore(protected val spark: SparkSession,
     * tombstone winner drops the document everywhere. With no deltas
     * (post-compact) the arbitration disappears entirely.
     */
-  private def readManifest(collection: String, m: Manifest): DataFrame = {
+  private def readManifest(collection: String, m: Manifest,
+      docIds: Option[Seq[String]] = None): DataFrame = {
     val cdir = collectionPath(collection)
     val sch = tableSchema(collection)
+    // MOR arbitration is per-documentid, so restricting every entry scan
+    // to a documentid set commutes with the arbitration: filtered-then-
+    // merged == merged-then-filtered. Applying the filter AT THE SCAN
+    // (not after the joins) is what lets parquet prune row groups — on a
+    // compacted base (hash-bucketed by documentid, sorted within files)
+    // an IN probe of d ids touches ~d row groups, not the store.
+    def prune(df: DataFrame): DataFrame =
+      docIds.fold(df)(ids => df.filter(col("documentid").isin(ids: _*)))
     def dataDf(paths: Seq[String]) =
-      spark.read.schema(sch).parquet(paths.map(p => s"$cdir/$p"): _*)
+      prune(spark.read.schema(sch).parquet(paths.map(p => s"$cdir/$p"): _*))
     val bases = m.entries.filter(_.kind == "base")
     val deltas = m.entries.filter(_.kind == "delta")
     val tombs = m.entries.filter(_.kind == "tombstone")
@@ -321,7 +330,7 @@ final class SnapshotStore(protected val spark: SparkSession,
           .withColumn("__seq", lit(e.seq))
           .withColumn("__tomb", lit(false))) ++
       tombs.map(e =>
-        spark.read.schema(tombSchema).parquet(s"$cdir/${e.path}")
+        prune(spark.read.schema(tombSchema).parquet(s"$cdir/${e.path}"))
           .withColumn("__seq", lit(e.seq))
           .withColumn("__tomb", lit(true))))
       .reduce(_ unionByName _)
@@ -420,8 +429,11 @@ final class SnapshotStore(protected val spark: SparkSession,
     *     seq, so ONLY documents mentioned by entries committed in the
     *     window can differ. The touched set comes from the new delta/
     *     tombstone files' documentid columns (column-pruned scans of
-    *     the WINDOW's data only), and both versions are read
-    *     semi-joined to it — cost O(window), never O(store).
+    *     the WINDOW's data only), and both versions are read restricted
+    *     to it — a literal IN filter pushed into every data-file scan
+    *     when the set is small ([[SnapshotStore.DiffPushdownCapKey]],
+    *     row-group-pruned on a compacted base), else a semi-join —
+    *     cost O(window), never O(store).
     *   - **full diff** (a base entry in the window — compaction rewrote
     *     the file set): both versions' MOR reads aggregate to one
     *     checksum row per documentid and full-outer-join on the id —
@@ -473,10 +485,30 @@ final class SnapshotStore(protected val spark: SparkSession,
           else spark.read.schema(tableSchema(collection))
             .parquet(s"$cdir/${e.path}").select(col("documentid"))
         }.reduce(_ unionByName _).distinct()
-        (checksums(readAt(collection, fromV)
-            .join(touched, Seq("documentid"), "left_semi"), "__c1"),
-          checksums(readAt(collection, toV)
-            .join(touched, Seq("documentid"), "left_semi"), "__c2"))
+        // SCAN pruning on top of the manifest pruning (r18): when the
+        // touched set is small enough to ship as a literal IN filter,
+        // push it into every data-file scan of BOTH versions
+        // ([[readManifest]]'s docIds) instead of semi-joining against a
+        // full store scan. On the steady-state layout (a compacted base
+        // is hash-bucketed by documentid and sorted within each file)
+        // parquet's row-group stats prune the base to ~|window| row
+        // groups, so the diff's wall tracks the WINDOW, not the store —
+        // the ScaleStress snapshot tier measures exactly this. Past the
+        // cap (a bulk window) the semi-join plan is the right one: a
+        // driver-side IN list that size would bloat the plan, and the
+        // scan is store-sized either way.
+        val cap = spark.conf.get(DiffPushdownCapKey, "1000").toInt
+        val probe = touched.limit(cap + 1).collect().map(_.getString(0))
+        if (probe.length <= cap) {
+          val ids = probe.toSeq
+          (checksums(readManifest(collection,
+              readManifestJson(collection, fromV), Some(ids)), "__c1"),
+            checksums(readManifest(collection, m2, Some(ids)), "__c2"))
+        } else
+          (checksums(readAt(collection, fromV)
+              .join(touched, Seq("documentid"), "left_semi"), "__c1"),
+            checksums(readAt(collection, toV)
+              .join(touched, Seq("documentid"), "left_semi"), "__c2"))
       }
     v1c.join(v2c, Seq("documentid"), "full_outer")
       .select(col("documentid"),
@@ -604,6 +636,13 @@ object SnapshotStore {
     * Iceberg/Delta do on S3.
     */
   val CasCreateSchemesKey = "graft.snapshot.cas.create.schemes"
+
+  /** Spark-conf key: max touched-documentid count [[SnapshotStore.changedDocuments]]
+    * ships as a literal IN filter into both versions' scans (the
+    * row-group-pruned fast path); windows touching more ids fall back
+    * to the semi-join plan. Default 1000.
+    */
+  val DiffPushdownCapKey = "graft.snapshot.diff.pushdown.cap"
 
   /** Control-flow signal inside [[SnapshotStore.compact]]'s commit
     * loop: a concurrent compaction committed its base first; ours must

@@ -50,6 +50,30 @@ class RanksSpec extends SparkSpec {
     assert(auto == expected)
   }
 
+  test("the budget trigger actually MEASURES and routes: overflowed " +
+      "budget plans without a Window, default budget plans with one") {
+    import spark.implicits._
+    // Regression (r18): the memoized trigger's map briefly used a Scala
+    // Long value, whose null-on-miss unboxed to 0 — every call "hit" a
+    // memoized max of 0 and the window path was pinned forever. Rows
+    // stayed correct (the two paths are row-identical, the test above
+    // can't see it), so this pins the ROUTE via the physical plan.
+    val df = (0 until 100).map(i => (s"g${i % 3}", i, i.toLong))
+      .toDF("g", "v", "w")
+    def hasWindow(out: org.apache.spark.sql.DataFrame): Boolean =
+      out.queryExecution.executedPlan.toString.contains("Window")
+    assert(!hasWindow(Ranks.groupedPrefixSum(df, "g", Seq("v"), "w",
+        "cum", windowBudget = 1L)),
+      "a measured max-per-group of ~34 must overflow budget 1 and " +
+        "take the distributed fallback (no Window operator)")
+    assert(hasWindow(Ranks.groupedPrefixSum(df, "g", Seq("v"), "w",
+        "cum")),
+      "under the default budget the keyed window is the right plan")
+    // And the memo serves the repeat call the same route.
+    assert(!hasWindow(Ranks.groupedPrefixSum(df, "g", Seq("v"), "w",
+        "cum", windowBudget = 1L)))
+  }
+
   test("q211's Spearman plan returns identical rows across the swap " +
       "(budget forced below every source's cardinality)") {
     val dir = tmpDir()

@@ -86,6 +86,75 @@ class SnapshotObjectStoreSpec extends SparkSpec {
       s"replace semantics broke under the race: $keys")
   }
 
+  test("vacuum on object-store semantics: aged-out and mid-sweep-torn " +
+      "versions fail LOUDLY (manifests go first, so no fresh reader can " +
+      "pin torn data); retained readers racing the sweep get full rows") {
+    val root = objRoot()
+    val st = new SnapshotStore(spark, root, 4)
+    import org.apache.spark.sql.Encoders
+    // ≥2 parquet objects in v1's base dir, so a mid-sweep state can be
+    // a STRICT subset of the version's files — the torn shape a
+    // per-object, non-atomic object-store sweep actually leaves.
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2).repartition(2)
+      .as[EmbeddedChunk](Encoders.product[EmbeddedChunk]), "c")  // v1
+    st.upsert(chunksOf("b", "d2" -> 1), "c")                     // v2
+    st.compact("c")                                              // v3
+    val v1Files = st.liveDataFiles("c", 1L)
+    assert(v1Files.size >= 2, s"need ≥2 v1 objects, got $v1Files")
+    // In-flight readers: plans built (manifest read, file set pinned)
+    // BEFORE anything is deleted.
+    val inFlightV1 = st.readAt("c", 1L)
+    val inFlightV2 = st.readAt("c", 2L)
+    val retainedInFlight = st.readAt("c", 3L)
+    // Model a vacuum(retain=1) CRASHED MID-SWEEP, exactly in protocol
+    // order: both aged manifests deleted first (each a single-object
+    // delete), then the data sweep dies after removing ONE of v1's
+    // base objects. Deletes go through the raw local dir backing the
+    // objfs shim — per-object, like S3.
+    val local = root.stripPrefix("objfs://")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$local/c/_snapshots/v00000001.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$local/c/_snapshots/v00000002.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$local/c/${v1Files.head}"))
+    // Fresh readers of the torn versions CANNOT pin the surviving
+    // subset: the manifest is gone, so the read refuses up front —
+    // manifests-before-data is what makes the non-atomic sweep safe.
+    Seq(1L, 2L).foreach { v =>
+      val e = intercept[IllegalArgumentException](st.readAt("c", v))
+      assert(e.getMessage.contains("vacuumed") ||
+        e.getMessage.contains("does not exist"),
+        s"fresh readAt($v) of a torn version must refuse loudly")
+    }
+    // In-flight readers fail LOUDLY at materialization — the pinned
+    // file set surfaces the missing object; never the surviving rows.
+    Seq(inFlightV1, inFlightV2).foreach { df =>
+      val e = intercept[Throwable](df.collect())
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => s"${t.getClass.getName}: ${t.getMessage}")
+        .mkString(" | ").toLowerCase
+      assert(Seq("filenotfound", "file_not_exist", "does not exist",
+          "no such file").exists(chain.contains),
+        s"a torn-version read must surface the missing object, got: $chain")
+    }
+    // Retained readers RACING the real (completing) sweep: vacuum only
+    // deletes dirs no kept manifest references, so every concurrent
+    // read of the retained version returns the full 3 rows — defined
+    // read-through, never partial.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val readers = (1 to 4).map(_ => Future(st.read("c").count()))
+    val sweep = Future(st.vacuum("c", retainLast = 1, minAgeMs = 0L))
+    val counts = Await.result(Future.sequence(readers), 120.seconds)
+    Await.result(sweep, 120.seconds)
+    assert(counts.forall(_ == 3L),
+      s"retained readers racing the sweep saw partial rows: $counts")
+    assert(retainedInFlight.count() == 3L,
+      "the pre-sweep retained plan reads full rows after the sweep")
+  }
+
   test("delete, compact and time travel hold on object-store semantics") {
     val st = new SnapshotStore(spark, objRoot(), 4)
     st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c") // v1
