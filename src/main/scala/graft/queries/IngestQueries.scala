@@ -19,6 +19,21 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object IngestQueries {
 
+  /** ANN-mode recall floor shared by the gated search queries
+    * (q204/q240/q242/q251) — a measured OPERATING POINT, not a
+    * liveness value (the r17 verdict's ask): the serving knobs
+    * ([[graft.store.ChunkStore.LshProbeRadius]] = 3,
+    * [[graft.store.ChunkStore.IvfsqNprobe]] = 4) were chosen from the
+    * `graft.RecallSweep` recall-vs-scan curve (committed in SCALE.md
+    * "ANN recall operating point", r18) so the WORST-SF mean recall@10
+    * clears this floor on both modes: lsh 0.90/0.86/0.64 and ivfsq
+    * 0.74/0.72/0.80 across sf0.001/0.01/0.1 on the weakly-clustered
+    * synthetic embeddings (the honest hard case — recall there costs
+    * scan fraction almost linearly). The fits are deterministic, so
+    * the margin above the floor covers testdata drift only.
+    */
+  private[queries] val AnnRecallFloor = 0.6
+
   private val corpusFiles = Seq("ancient_egypt.md", "black_holes.md",
     "coral_reefs.md", "human_brain.md", "machine_learning.md",
     "photosynthesis.md", "plate_tectonics.md", "renewable_energy.md",
@@ -470,8 +485,8 @@ object IngestQueries {
   // [[graft.functions.VectorLiteralProvider]] (Float round-trips its
   // string form exactly), and for each query runs all three modes,
   // REQUIRING inside the gated run that each ANN mode's MEAN top-10
-  // overlap with the exact top-10 meets a recall floor (lsh >= 0.3,
-  // ivfsq >= 0.4 — under the worst measured SF with drift margin). The certified OUTPUT is the exact
+  // overlap with the exact top-10 meets [[AnnRecallFloor]] (0.6 — the
+  // measured operating point; see the constant). The certified OUTPUT is the exact
   // mode's (query_id, key, score) rows — replayed in DuckDB via
   // list_dot_product over DOUBLE lists, the same ascending index-order
   // fold as the codegen'd CosineSimilarity loop. Bench tier: exec
@@ -524,19 +539,19 @@ object IngestQueries {
       }
       (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
     }
-    // Floors under the worst measured SF with margin (r15 sweep:
-    // mean lsh 0.42-0.68, mean ivfsq 0.58-0.76 across sf0.001/0.01/0.1
-    // — deterministic, so the margin covers testdata drift only). On
+    // [[AnnRecallFloor]] = 0.6, the r18 measured operating point (the
+    // r15 floors 0.3/0.4 certified liveness; the RecallSweep curve in
+    // SCALE.md pins where radius-3 / nprobe-4 recall actually sits). On
     // this synthetic table true neighbors are weakly clustered, which
     // is the honest hard case for probe-pruned ANN; the certificate is
     // "the REPL ANN modes return a large, floored fraction of the
     // exact answer while scanning a pruned fraction of the store".
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= 0.3,
-      s"q204: mean lsh recall@$k $meanLsh is below the 0.3 floor")
-    require(meanIvf >= 0.4,
-      s"q204: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    require(meanLsh >= AnnRecallFloor,
+      s"q204: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
+    require(meanIvf >= AnnRecallFloor,
+      s"q204: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
     import s.implicits._
     exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
       rows.map(r => (qid, r.getString(0), r.getDouble(1)))
@@ -615,10 +630,10 @@ object IngestQueries {
     // for its speed — it serves the very answer the fit would.
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= 0.3,
-      s"q240: mean lsh recall@$k $meanLsh is below the 0.3 floor")
-    require(meanIvf >= 0.4,
-      s"q240: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    require(meanLsh >= AnnRecallFloor,
+      s"q240: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
+    require(meanIvf >= AnnRecallFloor,
+      s"q240: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
     // Staleness contract: one more document and the sidecar must stop
     // being trusted (fingerprint mismatch), not silently serve an
     // index that has no codes for the newest data.
@@ -823,10 +838,10 @@ object IngestQueries {
     }
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= 0.3,
-      s"q242: mean lsh recall@$k $meanLsh is below the 0.3 floor")
-    require(meanIvf >= 0.4,
-      s"q242: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    require(meanLsh >= AnnRecallFloor,
+      s"q242: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
+    require(meanIvf >= AnnRecallFloor,
+      s"q242: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
     import s.implicits._
     exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
       rows.map(r => (qid, r.getString(0), r.getDouble(1)))
@@ -956,10 +971,10 @@ object IngestQueries {
     }
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= 0.3,
-      s"q251: mean lsh recall@$k $meanLsh is below the 0.3 floor")
-    require(meanIvf >= 0.4,
-      s"q251: mean ivfsq recall@$k $meanIvf is below the 0.4 floor")
+    require(meanLsh >= AnnRecallFloor,
+      s"q251: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
+    require(meanIvf >= AnnRecallFloor,
+      s"q251: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
     import s.implicits._
     exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
       rows.map(r => (qid, r.getString(0), r.getDouble(1)))

@@ -237,9 +237,9 @@ trait ChunkStore {
     * `VectorStoreCommands.cs:113`). The ANN modes are opt-in and
     * APPROXIMATE (sub-linear scan, recall < 1):
     *
-    *   - `lsh`: random-hyperplane bucket probe (radius-2 multiprobe —
-    *     1 + nBits + C(nBits,2) buckets) — only the probe buckets are
-    *     scanned, candidates re-scored with exact cosine.
+    *   - `lsh`: random-hyperplane bucket probe (radius-
+    *     [[ChunkStore.LshProbeRadius]] multiprobe) — only the probe
+    *     buckets are scanned, candidates re-scored with exact cosine.
     *   - `ivfsq`: the composed IVF-SQ tier (q138's operator) — coarse
     *     k-means probe pruning + SQ8 residual codes rank the
     *     candidates in integer space; the returned rows carry exact
@@ -306,7 +306,7 @@ trait ChunkStore {
       s"lsh index dim $dim != query dim ${qv.length}")
     val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
       nBits = nBits, dim = dim, seed = meta.getAs[Long]("seed"))
-    val probes = lsh.probeBuckets(qv, probes = 2)
+    val probes = lsh.probeBuckets(qv, ChunkStore.LshProbeRadius)
     val cand = servingCodes(collection, "lsh", token)
       .filter(col("bucket").isin(probes: _*))
       .select(col("key"))
@@ -327,11 +327,11 @@ trait ChunkStore {
     val nBits = lshBitsFor(chunks.count())
     val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
       nBits = nBits, dim = qv.length)
-    // Radius-2 multiprobe: the REPL path favors recall over scan
-    // fraction (C(nBits,2) extra buckets of a REPL-sized collection);
-    // the production scan-budget knob is the stored-code index tier
+    // Radius-[[ChunkStore.LshProbeRadius]] multiprobe — the measured
+    // operating point (SCALE.md "ANN recall operating point"); the
+    // production scan-budget knob is the stored-code index tier
     // (q128/q138), not this convenience path.
-    val probes = lsh.probeBuckets(qv, probes = 2)
+    val probes = lsh.probeBuckets(qv, ChunkStore.LshProbeRadius)
     lsh.index(chunks, "embedding")
       .filter(col("bucket").isin(probes: _*))
       .drop("bucket")
@@ -369,7 +369,8 @@ trait ChunkStore {
     val ids = graft.operators.IvfSq.searchCodes(
         servingCodes(collection, "ivfsq", token), chunks,
         "key", "embedding", "ivf_cid", "sq_code", m, qv,
-        k = k, nprobe = 3, pool = math.max(200, 20 * k))
+        k = k, nprobe = ChunkStore.IvfsqNprobe,
+        pool = math.max(200, 20 * k))
       .select(col("key"))
     chunks.join(broadcast(ids), Seq("key"))
       .withColumn("score",
@@ -385,7 +386,8 @@ trait ChunkStore {
     val m = graft.operators.IvfSq.fit(chunks, "key", "embedding",
       kCentroids = 8, dim = qv.length)
     val ids = graft.operators.IvfSq.search(chunks, "key", "embedding",
-        m, qv, k = k, nprobe = 3, pool = math.max(200, 20 * k))
+        m, qv, k = k, nprobe = ChunkStore.IvfsqNprobe,
+        pool = math.max(200, 20 * k))
       .select(col("key"))
     chunks.join(broadcast(ids), Seq("key"))
       .withColumn("score",
@@ -538,6 +540,28 @@ trait ChunkStore {
 }
 
 object ChunkStore {
+  /** The ANN serving operating point, measured not guessed —
+    * `graft.RecallSweep` over the embeddings table at sf0.001/0.01/0.1
+    * (the weakly-clustered hard case; full curve in SCALE.md "ANN
+    * recall operating point", r18). Radius-3 multiprobe reads
+    * 1 + nBits + C(nBits,2) + C(nBits,3) buckets and measures mean
+    * recall@10 of 0.90 / 0.86 / 0.64 across the three SFs (radius 2
+    * read 0.66 / 0.68 / 0.42 — under the q-gate floor at sf0.1). At
+    * store scale nBits grows as log2(n/8), so the radius-3 ball is a
+    * VANISHING scan fraction (nBits=16 ⇒ 697 of 65536 buckets ≈ 1%)
+    * — the scan cost of the recall floor shrinks as the store grows.
+    */
+  val LshProbeRadius = 3
+
+  /** nprobe=4 of the 8 coarse lists: measured mean recall@10
+    * 0.74 / 0.72 / 0.80 across sf0.001/0.01/0.1 (nprobe=3 read
+    * 0.60 / 0.62 / 0.72 — floor-grazing at the small SFs). Same
+    * SCALE.md curve; on production embeddings (actually clustered)
+    * the same nprobe scans a far smaller fraction than the uniform
+    * synthetic table's 50%.
+    */
+  val IvfsqNprobe = 4
+
   /** MIGRATE a collection between layouts through the seam — the
     * operational path from the REPL-scale per-document store to the
     * 100 TB layouts (and between them): one schema-on-read scan of the
