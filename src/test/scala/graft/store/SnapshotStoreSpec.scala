@@ -238,6 +238,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fromV < toV"))
   }
 
+  test("changedDocuments: the IN-pushdown fast route and the semi-join " +
+      "route return identical rows (cap override forces each)") {
+    val st = newStore()
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2, "d3" -> 1), "c") // v1
+    st.compact("c")                                                // v2
+    st.upsert(chunksOf("b", "d2" -> 1), "c")                       // v3
+    st.delete("c", Seq("d3"))                                      // v4
+    def diff(): Seq[(String, String)] =
+      st.changedDocuments("c", 2L, 4L).collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val expect = Seq("d2" -> "changed", "d3" -> "removed")
+    val capKey = graft.store.SnapshotStore.DiffPushdownCapKey
+    spark.conf.set(capKey, "1000")
+    try assert(diff() == expect, "IN-pushdown route")
+    finally spark.conf.set(capKey, "0")
+    // cap 0: every window overflows the literal-IN budget — the
+    // semi-join plan must return the same rows.
+    try assert(diff() == expect, "semi-join route")
+    finally spark.conf.unset(capKey)
+  }
+
   test("a reader holding a vacuumed version fails LOUDLY at " +
       "materialization — never a silent partial result") {
     val st = newStore()
