@@ -45,3 +45,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 
 run / connectInput := true
+
+// The driver parses the LAST stdout line of the bench step as JSON.
+// sbt normally appends "[success] Total time: ..." after the forked
+// main's output, which has left BENCH_r{17,18}.json with parsed:null.
+// Suppress the trailer so graft.Bench's compact JSON line is literally
+// the last thing on stdout under any `sbt ... run/runMain` invocation.
+// (target/bench_last.json remains the capture-independent pickup path.)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint so the suppression stays warn-free.
+Global / excludeLintKeys += showSuccess
