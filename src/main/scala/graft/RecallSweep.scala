@@ -64,46 +64,54 @@ object RecallSweep {
     }
 
     if (what == "lsh" || what == "all") {
-      for (perBucket <- Seq(8, 16, 32, 64); radius <- Seq(1, 2, 3)) {
+      // The index depends only on perBucket (via nBits) — build it once
+      // per bucket setting and sweep the probe radius over the same
+      // checkpointed index (advisor r18: the in-loop refit tripled
+      // index builds for identical results).
+      for (perBucket <- Seq(8, 16, 32, 64)) {
         val nBits = math.max(2, math.min(16,
           (math.log(math.max(n, perBucket.toLong).toDouble / perBucket) /
             math.log(2.0)).round.toInt))
         val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
           nBits = nBits, dim = dim)
         val indexed = lsh.index(vecs, "embedding").localCheckpoint(true)
-        val per = queries.toSeq.map { case (qid, qv) =>
-          val probes = lsh.probeBuckets(qv, radius)
-          val cand = indexed.filter(col("bucket").isin(probes: _*))
-          val scanned = cand.count().toDouble / n
-          val got = cand.select(col("key"),
-              round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6)
-                .as("score"))
-            .orderBy(col("score").desc, col("key")).limit(k)
-            .collect().map(_.getString(0))
-          (got.count(exact(qid)).toDouble / k, scanned)
+        for (radius <- Seq(1, 2, 3)) {
+          val per = queries.toSeq.map { case (qid, qv) =>
+            val probes = lsh.probeBuckets(qv, radius)
+            val cand = indexed.filter(col("bucket").isin(probes: _*))
+            val scanned = cand.count().toDouble / n
+            val got = cand.select(col("key"),
+                round(graft.operators.Ann.cosineCol(col("embedding"), qv), 6)
+                  .as("score"))
+              .orderBy(col("score").desc, col("key")).limit(k)
+              .collect().map(_.getString(0))
+            (got.count(exact(qid)).toDouble / k, scanned)
+          }
+          report("lsh",
+            s""""per_bucket":$perBucket,"nbits":$nBits,"radius":$radius""",
+            per)
         }
-        report("lsh",
-          s""""per_bucket":$perBucket,"nbits":$nBits,"radius":$radius""",
-          per)
       }
     }
 
     if (what == "ivfsq" || what == "all") {
-      for (kc <- Seq(8, 16, 32); nprobe <- Seq(2, 3, 4, 5)
-          if nprobe < kc) {
+      // Same hoist: the fit + index depend only on kCentroids.
+      for (kc <- Seq(8, 16, 32)) {
         val m = graft.operators.IvfSq.fit(vecs, "key", "embedding",
           kCentroids = kc, dim = dim)
         val indexed = m.ivf.index(vecs, "embedding").localCheckpoint(true)
-        val per = queries.toSeq.map { case (qid, qv) =>
-          val probe = m.ivf.probeCentroids(qv, nprobe)
-          val scanned = indexed.filter(col("centroid").isin(probe: _*))
-            .count().toDouble / n
-          val got = graft.operators.IvfSq.search(vecs, "key", "embedding",
-              m, qv, k = k, nprobe = nprobe, pool = math.max(200, 20 * k))
-            .select("key").collect().map(_.getString(0))
-          (got.count(exact(qid)).toDouble / k, scanned)
+        for (nprobe <- Seq(2, 3, 4, 5) if nprobe < kc) {
+          val per = queries.toSeq.map { case (qid, qv) =>
+            val probe = m.ivf.probeCentroids(qv, nprobe)
+            val scanned = indexed.filter(col("centroid").isin(probe: _*))
+              .count().toDouble / n
+            val got = graft.operators.IvfSq.search(vecs, "key", "embedding",
+                m, qv, k = k, nprobe = nprobe, pool = math.max(200, 20 * k))
+              .select("key").collect().map(_.getString(0))
+            (got.count(exact(qid)).toDouble / k, scanned)
+          }
+          report("ivfsq", s""""k_centroids":$kc,"nprobe":$nprobe""", per)
         }
-        report("ivfsq", s""""k_centroids":$kc,"nprobe":$nprobe""", per)
       }
     }
   }

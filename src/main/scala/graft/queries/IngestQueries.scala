@@ -19,20 +19,28 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object IngestQueries {
 
-  /** ANN-mode recall floor shared by the gated search queries
-    * (q204/q240/q242/q251) — a measured OPERATING POINT, not a
-    * liveness value (the r17 verdict's ask): the serving knobs
+  /** PER-MODE ANN recall floors for the gated search queries
+    * (q204/q240/q242/q251) — measured OPERATING POINTS, not liveness
+    * values (the r17 verdict's ask): the serving knobs
     * ([[graft.store.ChunkStore.LshProbeRadius]] = 3,
     * [[graft.store.ChunkStore.IvfsqNprobe]] = 4) were chosen from the
     * `graft.RecallSweep` recall-vs-scan curve (committed in SCALE.md
-    * "ANN recall operating point", r18) so the WORST-SF mean recall@10
-    * clears this floor on both modes: lsh 0.90/0.86/0.64 and ivfsq
-    * 0.74/0.72/0.80 across sf0.001/0.01/0.1 on the weakly-clustered
-    * synthetic embeddings (the honest hard case — recall there costs
-    * scan fraction almost linearly). The fits are deterministic, so
-    * the margin above the floor covers testdata drift only.
+    * "ANN recall operating point", r18; re-derivable with
+    * `tools/run.sh graft.RecallSweep <sfDir>`) with WORST-SF mean
+    * recall@10 of lsh 0.90/0.86/0.64 and ivfsq 0.74/0.72/0.80 across
+    * sf0.001/0.01/0.1 on the weakly-clustered synthetic embeddings
+    * (the honest hard case — recall there costs scan fraction almost
+    * linearly). The floors are per mode (advisor r18) so each sits a
+    * comparable margin under ITS worst measured point: the old shared
+    * 0.6 floor left lsh only 0.04 of drift headroom while
+    * floor-checking ivfsq 0.12 below its worst reading. The fits are
+    * deterministic, so the margin covers testdata regeneration /
+    * tie-break drift only — and a q-gate failure here should first be
+    * triaged against a fresh sweep (did the curve move?) before being
+    * read as a serving regression.
     */
-  private[queries] val AnnRecallFloor = 0.6
+  private[queries] val AnnRecallFloorLsh = 0.6
+  private[queries] val AnnRecallFloorIvfsq = 0.65
 
   private val corpusFiles = Seq("ancient_egypt.md", "black_holes.md",
     "coral_reefs.md", "human_brain.md", "machine_learning.md",
@@ -485,8 +493,9 @@ object IngestQueries {
   // [[graft.functions.VectorLiteralProvider]] (Float round-trips its
   // string form exactly), and for each query runs all three modes,
   // REQUIRING inside the gated run that each ANN mode's MEAN top-10
-  // overlap with the exact top-10 meets [[AnnRecallFloor]] (0.6 — the
-  // measured operating point; see the constant). The certified OUTPUT is the exact
+  // overlap with the exact top-10 meets its per-mode floor
+  // ([[AnnRecallFloorLsh]]/[[AnnRecallFloorIvfsq]] — measured
+  // operating points; see the constants). The certified OUTPUT is the exact
   // mode's (query_id, key, score) rows — replayed in DuckDB via
   // list_dot_product over DOUBLE lists, the same ascending index-order
   // fold as the codegen'd CosineSimilarity loop. Bench tier: exec
@@ -539,7 +548,8 @@ object IngestQueries {
       }
       (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
     }
-    // [[AnnRecallFloor]] = 0.6, the r18 measured operating point (the
+    // [[AnnRecallFloorLsh]]/[[AnnRecallFloorIvfsq]], the r18 measured
+    // operating points, made per-mode in r19 (the
     // r15 floors 0.3/0.4 certified liveness; the RecallSweep curve in
     // SCALE.md pins where radius-3 / nprobe-4 recall actually sits). On
     // this synthetic table true neighbors are weakly clustered, which
@@ -548,10 +558,10 @@ object IngestQueries {
     // exact answer while scanning a pruned fraction of the store".
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloor,
-      s"q204: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
-    require(meanIvf >= AnnRecallFloor,
-      s"q204: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
+    require(meanLsh >= AnnRecallFloorLsh,
+      s"q204: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
+    require(meanIvf >= AnnRecallFloorIvfsq,
+      s"q204: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
     import s.implicits._
     exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
       rows.map(r => (qid, r.getString(0), r.getDouble(1)))
@@ -630,10 +640,10 @@ object IngestQueries {
     // for its speed — it serves the very answer the fit would.
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloor,
-      s"q240: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
-    require(meanIvf >= AnnRecallFloor,
-      s"q240: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
+    require(meanLsh >= AnnRecallFloorLsh,
+      s"q240: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
+    require(meanIvf >= AnnRecallFloorIvfsq,
+      s"q240: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
     // Staleness contract: one more document and the sidecar must stop
     // being trusted (fingerprint mismatch), not silently serve an
     // index that has no codes for the newest data.
@@ -838,10 +848,10 @@ object IngestQueries {
     }
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloor,
-      s"q242: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
-    require(meanIvf >= AnnRecallFloor,
-      s"q242: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
+    require(meanLsh >= AnnRecallFloorLsh,
+      s"q242: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
+    require(meanIvf >= AnnRecallFloorIvfsq,
+      s"q242: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
     import s.implicits._
     exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
       rows.map(r => (qid, r.getString(0), r.getDouble(1)))
@@ -971,10 +981,10 @@ object IngestQueries {
     }
     val meanLsh = exactRows.map(_._3).sum / exactRows.length
     val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloor,
-      s"q251: mean lsh recall@$k $meanLsh is below the $AnnRecallFloor floor")
-    require(meanIvf >= AnnRecallFloor,
-      s"q251: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloor floor")
+    require(meanLsh >= AnnRecallFloorLsh,
+      s"q251: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
+    require(meanIvf >= AnnRecallFloorIvfsq,
+      s"q251: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
     import s.implicits._
     exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
       rows.map(r => (qid, r.getString(0), r.getDouble(1)))

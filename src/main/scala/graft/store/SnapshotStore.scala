@@ -446,9 +446,16 @@ final class SnapshotStore(protected val spark: SparkSession,
     require(fromV < toV, s"changedDocuments needs fromV < toV " +
       s"(got $fromV, $toV)")
     val m2 = readManifestJson(collection, toV)
-    readManifestJson(collection, fromV) // existence check — fail early
+    val m1 = readManifestJson(collection, fromV) // fail early; reused below
     val newEntries = m2.entries.filter(_.seq > fromV)
     val cdir = collectionPath(collection)
+    def emptyDiff(): DataFrame = {
+      val sch = StructType(Seq(
+        StructField("documentid", StringType),
+        StructField("change", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
     // Content identity = order-free SUM of TWO independently-seeded
     // 64-bit chunk hashes (r18, advisor): the r17 classifier summed
     // 52-bit md5 prefixes, where distinct chunk multisets can cancel to
@@ -471,11 +478,7 @@ final class SnapshotStore(protected val spark: SparkSession,
           checksums(readAt(collection, toV), "__c2"))
       } else if (newEntries.isEmpty) {
         // Same entry list ⇒ provably no change; empty diff, zero scans.
-        val sch = StructType(Seq(
-          StructField("documentid", StringType),
-          StructField("change", StringType)))
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        return emptyDiff()
       } else {
         val tombSchema = StructType(Seq(
           StructField("documentid", StringType)))
@@ -499,10 +502,13 @@ final class SnapshotStore(protected val spark: SparkSession,
         // scan is store-sized either way.
         val cap = spark.conf.get(DiffPushdownCapKey, "1000").toInt
         val probe = touched.limit(cap + 1).collect().map(_.getString(0))
+        // New delta files that mention zero documentids (e.g. an empty
+        // write) ⇒ provably no change — don't lean on isin()'s
+        // empty-list-evaluates-false behavior to get there implicitly.
+        if (probe.isEmpty) return emptyDiff()
         if (probe.length <= cap) {
           val ids = probe.toSeq
-          (checksums(readManifest(collection,
-              readManifestJson(collection, fromV), Some(ids)), "__c1"),
+          (checksums(readManifest(collection, m1, Some(ids)), "__c1"),
             checksums(readManifest(collection, m2, Some(ids)), "__c2"))
         } else
           (checksums(readAt(collection, fromV)
