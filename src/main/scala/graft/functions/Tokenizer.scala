@@ -83,8 +83,31 @@ object WordPieceTokenizer {
   /** Load a BERT-style vocab.txt: one token per line, blank lines skipped. */
   def fromVocabFile(path: String): WordPieceTokenizer = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try new WordPieceTokenizer(
-      src.getLines().map(_.trim).filter(_.nonEmpty).toSet)
+    try new WordPieceTokenizer(vocabLines(src))
     finally src.close()
   }
+
+  /** Same loader over a classpath resource — the committed frozen vocab
+    * (`src/main/resources/wordpiece_vocab.txt`) ships on the classpath so
+    * the gated q253 replay and the specs read ONE source of truth.
+    */
+  def fromResource(name: String): WordPieceTokenizer = {
+    val in = getClass.getClassLoader.getResourceAsStream(name)
+    require(in != null, s"vocab resource $name missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try new WordPieceTokenizer(vocabLines(src))
+    finally src.close()
+  }
+
+  /** The vocab as ordered lines (for oracle-side VALUES generation). */
+  def vocabTokens(name: String): Seq[String] = {
+    val in = getClass.getClassLoader.getResourceAsStream(name)
+    require(in != null, s"vocab resource $name missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally src.close()
+  }
+
+  private def vocabLines(src: scala.io.Source): Set[String] =
+    src.getLines().map(_.trim).filter(_.nonEmpty).toSet
 }

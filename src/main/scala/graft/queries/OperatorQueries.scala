@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Embedding
+import graft.functions.{Embedding, WordPieceTokenizer}
 import graft.operators.{Ann, LateInteraction, SemanticChunker, TextAnalysis}
 import graft.sources.DatabaseSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -145,6 +145,38 @@ object OperatorQueries {
       .toDF()
       .select(col("documentid"), col("chunk_index"), length(col("content"))
         .as("content_len"), md5(col("content")).as("content_md5"))
+      .orderBy(col("documentid"), col("chunk_index"))
+  }
+
+  // q253: C1 under the REAL WordPiece tokenizer (r18 verdict item 5) —
+  // the SAME chunker pipeline as q34, but the token budget counts
+  // greedy longest-match-first WordPiece pieces over the committed
+  // frozen vocab (`src/main/resources/wordpiece_vocab.txt`, the fixture
+  // WordPieceChunkerSpec hand-derives counts for). The embedder (and so
+  // the semantic boundaries + tau) is unchanged; only the token-cut arm
+  // of the assembly loop moves, so a wrong WordPiece count shifts chunk
+  // boundaries and fails the content md5s. Oracle: the q34 replay with
+  // the count CTEs swapped for a recursive greedy-match over a VALUES
+  // render of the SAME vocab resource.
+  def q253(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val wp = WordPieceTokenizer.fromResource("wordpiece_vocab.txt")
+    // maxTokens = 48 (not q34's 64) so the cut pattern is decorrelated
+    // from the regex-token run; chunk_tokens re-counts each assembled
+    // chunk with the SAME tokenizer (content = segments joined by \n, and
+    // the pre-tokenizer never merges across whitespace, so the count
+    // equals the per-segment sum the oracle replays) — the gate certifies
+    // every WordPiece count directly, not only via boundary coincidence.
+    val chunker = new SemanticChunker(tokenizer = wp, maxTokens = 48)
+    chunker.chunks(DatabaseSource.fromDocumentsTableWindows(
+        docs(s, dir).filter(col("doc_id") < 100)))
+      .map(c => (c.documentid, c.chunk_index, c.content,
+        wp.countTokens(c.content).toLong))
+      .toDF("documentid", "chunk_index", "content", "chunk_tokens")
+      .select(col("documentid"), col("chunk_index"), length(col("content"))
+        .as("content_len"), md5(col("content")).as("content_md5"),
+        col("chunk_tokens"))
       .orderBy(col("documentid"), col("chunk_index"))
   }
 
@@ -813,6 +845,7 @@ object OperatorQueries {
     "q33_ann_lsh" -> (q33 _),
     "q189_ann_multiprobe" -> (q189 _),
     "q34_chunker" -> (q34 _),
+    "q253_wordpiece_chunker" -> (q253 _),
     "q35_embed_knn" -> (q35 _),
     "q49_ann_ivf" -> (q49 _),
     "q50_embed_neardup_lsh" -> (q50 _),
@@ -1684,33 +1717,20 @@ object OperatorQueries {
        |FROM ($union) ORDER BY qid, step""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
-    "q157_mmr_context" -> q157OracleSql,
-    "q152_dim_truncation" -> q152OracleSql,
-    "q151_index_refresh" -> q151OracleSql,
-    "q149_late_interaction" -> q149OracleSql,
-    "q143_semantic_decontam" -> q143OracleSql,
-    "q145_ann_rank_quality" -> q145OracleSql,
-    "q49_ann_ivf" -> q49OracleSql,
-    "q138_ann_ivfsq" -> q138OracleSql,
-    "q72_ann_pq" -> q72OracleSql,
-    "q128_ann_sq8" -> q128OracleSql,
-    // ASCII PRECONDITION (q34 + q35): this replay tokenizes with ASCII
-    // classes ([a-z]+|[0-9]+|[^a-z0-9\s], BETWEEN 'a' AND 'z') and
-    // hashes unicode() codepoints, while the engine uses \p{L}/\p{N},
-    // isLetter, and FNV over UTF-16 units — bit-equal ONLY on ASCII
-    // text. FixtureAsciiSpec pins the documents fixture ASCII-only so
-    // a future non-ASCII fixture fails loudly there, not as a silent
-    // hash mismatch here.
-    // Full semantic-chunker replay: 12-word windows → per-segment
-    // RegexTokenizer pieces (q35's machinery, keyed by segment) →
-    // FNV-1a ×2-integer bucket sums → EXACT boundary cosines
-    // (dot/√(na·nb) over BIGINTs — bit-equal to
-    // HashingEmbedder.neighborSims) → tau = sims[round(0.25·(n−1))] →
-    // the sequential cut/flush loop as a recursive CTE carrying
-    // (chunk, running-token-count) state per document.
-    "q34_chunker" ->
-      s"""WITH RECURSIVE segs0 AS MATERIALIZED (
+  /** Shared full semantic-chunker DuckDB replay (q34 + q253): 12-word
+    * window segmentation, per-segment hashing-embedder features, exact
+    * integer-space boundary cosines, the 25th-percentile tau, and the
+    * sequential semantic/token-cut assembly loop as a recursive CTE.
+    * The TOKEN COUNTER is the injected `ntokCtes` fragment — it must
+    * define an `ntok(doc_id, seq, toks)` CTE (and any helpers), ending
+    * with a trailing comma. Fragment lines are margin-free on purpose:
+    * the outer stripMargin leaves lines without a leading pipe intact
+    * (and a fragment line starting with `||` would lose a pipe to it —
+    * the r8 double-strip bite).
+    */
+  private def chunkerReplaySql(ntokCtes: String, maxTokens: Int,
+      outExtra: String): String =
+    s"""WITH RECURSIVE segs0 AS MATERIALIZED (
          |  SELECT doc_id, CAST(i - 1 AS INT) AS seq,
          |    array_to_string(ws[(i-1)*12+1 : (i-1)*12+12], ' ') AS seg
          |  FROM (SELECT doc_id,
@@ -1739,11 +1759,7 @@ object OperatorQueries {
          |  SELECT doc_id, seq, row_number() OVER (PARTITION BY doc_id, seq
          |    ORDER BY i1, i2) AS pseq, piece
          |  FROM pieces),
-         |ntok AS MATERIALIZED (
-         |  SELECT s.doc_id, s.seq, COALESCE(t.n, 0) AS toks
-         |  FROM segs0 s LEFT JOIN (SELECT doc_id, seq, count(*) AS n
-         |    FROM seqd GROUP BY 1, 2) t
-         |    ON s.doc_id = t.doc_id AND s.seq = t.seq),
+         |$ntokCtes
          |feats AS (
          |  SELECT doc_id, seq, piece AS f, 2 AS w2 FROM seqd
          |  UNION ALL
@@ -1802,23 +1818,112 @@ object OperatorQueries {
          |  FROM ntok n WHERE n.seq = 0
          |  UNION ALL
          |  SELECT st.doc_id, st.seq + 1,
-         |    CASE WHEN COALESCE(c.semcut, FALSE) OR st.cur + nt.toks > 64
+         |    CASE WHEN COALESCE(c.semcut, FALSE) OR st.cur + nt.toks > $maxTokens
          |      THEN st.chunk + 1 ELSE st.chunk END,
-         |    CASE WHEN COALESCE(c.semcut, FALSE) OR st.cur + nt.toks > 64
+         |    CASE WHEN COALESCE(c.semcut, FALSE) OR st.cur + nt.toks > $maxTokens
          |      THEN nt.toks ELSE st.cur + nt.toks END
          |  FROM st
          |  JOIN ntok nt ON nt.doc_id = st.doc_id AND nt.seq = st.seq + 1
          |  LEFT JOIN cutf c ON c.doc_id = st.doc_id AND c.seq = st.seq + 1),
          |ch AS (
          |  SELECT st.doc_id, st.chunk,
-         |    string_agg(s.seg, chr(10) ORDER BY st.seq) AS content
+         |    string_agg(s.seg, chr(10) ORDER BY st.seq) AS content,
+         |    SUM(nt.toks) AS ctoks
          |  FROM st JOIN segs0 s ON s.doc_id = st.doc_id AND s.seq = st.seq
+         |    JOIN ntok nt ON nt.doc_id = st.doc_id AND nt.seq = st.seq
          |  GROUP BY 1, 2)
          |SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS documentid,
          |  chunk AS chunk_index,
          |  CAST(LENGTH(content) AS INT) AS content_len,
-         |  md5(content) AS content_md5
-         |FROM ch ORDER BY documentid, chunk_index""".stripMargin,
+         |  md5(content) AS content_md5$outExtra
+         |FROM ch ORDER BY documentid, chunk_index""".stripMargin
+
+  /** q34's counter: the 8-char-piece RegexTokenizer count (one row per
+    * piece in `seqd`, already built for the embedder replay).
+    */
+  private val RegexNtokCtes: String =
+    """ntok AS MATERIALIZED (
+  SELECT s.doc_id, s.seq, COALESCE(t.n, 0) AS toks
+  FROM segs0 s LEFT JOIN (SELECT doc_id, seq, count(*) AS n
+    FROM seqd GROUP BY 1, 2) t
+    ON s.doc_id = t.doc_id AND s.seq = t.seq),"""
+
+  /** q253's counter: WordPiece greedy longest-match-first over the
+    * committed frozen vocab (`src/main/resources/wordpiece_vocab.txt`,
+    * rendered as a VALUES relation from the SAME resource the Spark side
+    * loads — one source of truth). `wpstep` advances one matched piece
+    * per recursion step, taking the LONGEST vocab entry matching at the
+    * current position (max over matching lengths = greedy
+    * longest-match-first); a position with no match fails the whole word
+    * to [UNK] (count 1), as does a word past the 100-char cap — exactly
+    * [[graft.functions.WordPieceTokenizer.pieces]].
+    */
+  private def wordpieceNtokCtes: String = {
+    val values = graft.functions.WordPieceTokenizer
+      .vocabTokens("wordpiece_vocab.txt")
+      .map(t => "('" + t.replace("'", "''") + "')").mkString(",")
+    s"""wpvocab(t) AS (VALUES $values),
+wpstep AS (
+  SELECT doc_id, seq, i1, tok, 0 AS pos, 0 AS cnt, FALSE AS failed
+  FROM tok0
+  UNION ALL
+  SELECT doc_id, seq, i1, tok,
+    CASE WHEN b IS NULL THEN pos ELSE pos + b END,
+    cnt + 1, b IS NULL
+  FROM (
+    SELECT w.*, (SELECT max(CASE WHEN w.pos = 0 THEN length(v.t)
+                    ELSE length(v.t) - 2 END)
+                 FROM wpvocab v
+                 WHERE CASE WHEN w.pos = 0 THEN v.t NOT LIKE '##%'
+                     AND v.t = substring(w.tok, 1, length(v.t))
+                   ELSE v.t LIKE '##%' AND substring(v.t, 3) =
+                     substring(w.tok, w.pos + 1, length(v.t) - 2) END) AS b
+    FROM wpstep w
+    WHERE w.pos < length(w.tok) AND NOT w.failed)),
+wpcnt AS MATERIALIZED (
+  SELECT doc_id, seq, i1,
+    CASE WHEN failed OR length(tok) > 100 THEN 1 ELSE cnt END AS n
+  FROM wpstep WHERE failed OR pos = length(tok)),
+ntok AS MATERIALIZED (
+  SELECT s.doc_id, s.seq, CAST(COALESCE(t.n, 0) AS BIGINT) AS toks
+  FROM segs0 s LEFT JOIN (SELECT doc_id, seq, SUM(n) AS n
+    FROM wpcnt GROUP BY 1, 2) t
+    ON s.doc_id = t.doc_id AND s.seq = t.seq),"""
+  }
+
+
+  val oracle: Map[String, String] = Map(
+    "q157_mmr_context" -> q157OracleSql,
+    "q152_dim_truncation" -> q152OracleSql,
+    "q151_index_refresh" -> q151OracleSql,
+    "q149_late_interaction" -> q149OracleSql,
+    "q143_semantic_decontam" -> q143OracleSql,
+    "q145_ann_rank_quality" -> q145OracleSql,
+    "q49_ann_ivf" -> q49OracleSql,
+    "q138_ann_ivfsq" -> q138OracleSql,
+    "q72_ann_pq" -> q72OracleSql,
+    "q128_ann_sq8" -> q128OracleSql,
+    // ASCII PRECONDITION (q34 + q35): this replay tokenizes with ASCII
+    // classes ([a-z]+|[0-9]+|[^a-z0-9\s], BETWEEN 'a' AND 'z') and
+    // hashes unicode() codepoints, while the engine uses \p{L}/\p{N},
+    // isLetter, and FNV over UTF-16 units — bit-equal ONLY on ASCII
+    // text. FixtureAsciiSpec pins the documents fixture ASCII-only so
+    // a future non-ASCII fixture fails loudly there, not as a silent
+    // hash mismatch here.
+    // Full semantic-chunker replay: 12-word windows → per-segment
+    // RegexTokenizer pieces (q35's machinery, keyed by segment) →
+    // FNV-1a ×2-integer bucket sums → EXACT boundary cosines
+    // (dot/√(na·nb) over BIGINTs — bit-equal to
+    // HashingEmbedder.neighborSims) → tau = sims[round(0.25·(n−1))] →
+    // the sequential cut/flush loop as a recursive CTE carrying
+    // (chunk, running-token-count) state per document.
+    "q34_chunker" -> chunkerReplaySql(RegexNtokCtes, 64, ""),
+    // q253: the SAME end-to-end chunker replay under the REAL WordPiece
+    // token counter — only the token-count CTEs differ (greedy
+    // longest-match-first over the committed frozen vocab, replayed as a
+    // recursive CTE; see [[wordpieceNtokCtes]]).
+    "q253_wordpiece_chunker" -> chunkerReplaySql(wordpieceNtokCtes, 48,
+      ",\n  CAST(ctoks AS BIGINT) AS chunk_tokens"),
     "q35_embed_knn" ->
       s"""WITH tok0 AS (
          |  SELECT doc_id, i1, toks[i1] AS tok
