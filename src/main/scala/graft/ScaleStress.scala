@@ -1090,18 +1090,48 @@ object ScaleStress {
         require(diffFull == 0L,
           s"snapshot tier ×$k: compaction must be content-invisible " +
             s"to the diff, got $diffFull rows")
+        // SEMI-JOIN FALLBACK (r19, verdict item 6): a BULK window — one
+        // commit replacing half the store's documents, past
+        // DiffPushdownCapKey at ×10+ — must take the left-semi route (a
+        // driver-side IN literal that size would bloat the plan). Its
+        // wall is store-sized by design (two MOR scans + the checksum
+        // shuffle — the same class as diff_full_compaction); what stays
+        // WINDOW-sized is the touched-id probe, which reads only the
+        // window's manifest-pruned delta files. Every touched document
+        // must surface (the v7 chunk keys carry a new tag, so each is
+        // added-or-changed) — a dropped id here would be the silent-miss
+        // failure mode the fallback exists to avoid.
+        phase("upsert_bulk", k) {                                 // v7
+          store.upsert(chunksOf(docs.filter(col("doc_id") % 2 === 0),
+            2, 160, "b"), "c")
+        }
+        val nBulk = docs.filter(col("doc_id") % 2 === 0).count()
+        val cap = spark.conf.getOption(
+          graft.store.SnapshotStore.DiffPushdownCapKey)
+          .getOrElse("1000").toInt
+        require(k < 10 || nBulk > cap,
+          s"snapshot tier ×$k: bulk window touches $nBulk ids — raise " +
+            s"the bulk fraction; the fallback case needs > cap ($cap)")
+        val diffBulk = phase("diff_bulk_semijoin", k) {
+          store.changedDocuments("c", 6L, 7L).count()
+        }
+        require(diffBulk == nBulk,
+          s"snapshot tier ×$k: bulk diff returned $diffBulk rows, " +
+            s"expected every touched document ($nBulk)")
         val (deleted, live) = phase("vacuum", k) {
           store.vacuum("c", retainLast = 1, minAgeMs = 0L)
         }
-        require(live == 3L,
+        require(live == 4L,
           s"snapshot tier ×$k: $live live data dirs after vacuum, " +
-            "expected the compacted base + post-compact delta + tombstone")
+            "expected compacted base + post-compact delta + tombstone " +
+            "+ bulk delta")
         println(s"""{"scale":$k,"tier":"snapshot","n_docs":$nDocs,""" +
           s""""v1_files":${v1Files.size},"increment_files":$incFiles,""" +
           s""""census_pre_compact":$cb,"census_post_compact":$ca,""" +
           s""""mor_rows":$morRows,"v1_rows":$v1Rows,""" +
           s""""manifest_bytes":$manifestBytes,""" +
           s""""diff_fast_rows":$diffFast,"diff_full_rows":$diffFull,""" +
+          s""""diff_bulk_rows":$diffBulk,"bulk_touched":$nBulk,""" +
           s""""vacuum_deleted_dirs":$deleted,"vacuum_live_dirs":$live}""")
       }
     }
