@@ -238,6 +238,18 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fromV < toV"))
   }
 
+  test("changedDocuments: a window holding only an EMPTY upsert commit " +
+      "short-circuits to the empty diff (no scans, no empty-IN plan)") {
+    val st = newStore()
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 1), "c") // v1
+    st.upsert(chunksOf("z"), "c")                       // v2: zero rows
+    val d = st.changedDocuments("c", 1L, 2L)
+    assert(d.collect().isEmpty,
+      "an empty delta must provably change nothing")
+    assert(d.schema.fieldNames.toSeq == Seq("documentid", "change"),
+      "the short-circuit must keep the diff schema")
+  }
+
   test("changedDocuments: the IN-pushdown fast route and the semi-join " +
       "route return identical rows (cap override forces each)") {
     val st = newStore()
