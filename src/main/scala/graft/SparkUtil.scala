@@ -51,4 +51,38 @@ object SparkUtil {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Multiset-equality certificate in ONE aggregate per side.
+    *
+    * The in-run REQUIREs of the store queries (q242/q243/q251) used
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` — two wide
+    * hash-distinct plans, each reading BOTH inputs, so each side was
+    * scanned (and, for q242/q251, the frozen-model re-encode was
+    * re-executed) twice. This replaces that with the snapshot diff's
+    * discipline (SnapshotStore.changedDocuments, r18): per side, one
+    * map-side-combinable aggregate of row count + order-free sums of
+    * TWO independently-seeded 64-bit xxhash64 row digests in
+    * decimal(38,0). Equal triples ⇒ multiset-equal up to ~2^-128
+    * collision odds — the certificate goes from exact to
+    * cryptographically-improbable-to-miss, and the cost from four
+    * scans + two shuffles to two scans + two tiny collects.
+    *
+    * Column ORDER matters (the row digest hashes columns in order):
+    * select both sides into the same column order, as an exceptAll
+    * call site already had to.
+    */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions._
+    def sig(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val cols = df.columns.toSeq.map(col)
+      def h(seed: Int) =
+        sum(xxhash64((lit(seed) +: cols): _*).cast("decimal(38,0)"))
+      val r = df.agg(count(lit(1)).as("n"), h(1).as("h1"), h(2).as("h2"))
+        .head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).orNull,
+        Option(r.getDecimal(2)).map(BigDecimal(_)).orNull)
+    }
+    sig(a) == sig(b)
+  }
 }

@@ -826,8 +826,7 @@ object IngestQueries {
       .select(col("key"), col("ivf_cid"), col("sq_code"))
     val gotCodes = s.read.parquet(s"$storeRoot/vecs/_index/ivfsq")
       .select(col("key"), col("ivf_cid"), col("sq_code"))
-    require(gotCodes.exceptAll(expectCodes).isEmpty &&
-      expectCodes.exceptAll(gotCodes).isEmpty,
+    require(graft.SparkUtil.multisetEqual(gotCodes, expectCodes),
       "q242: refreshed codes differ from a frozen-model full re-encode")
     val provider = new graft.functions.VectorLiteralProvider(dim)
     val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
@@ -943,8 +942,7 @@ object IngestQueries {
       .select(col("key"), col("ivf_cid"), col("sq_code"))
     val gotCodes = s.read.parquet(s"$storeRoot/vecs/_index/ivfsq")
       .select(col("key"), col("ivf_cid"), col("sq_code"))
-    require(gotCodes.exceptAll(expectCodes).isEmpty &&
-      expectCodes.exceptAll(gotCodes).isEmpty,
+    require(graft.SparkUtil.multisetEqual(gotCodes, expectCodes),
       "q251: refreshed codes over MOR differ from a frozen-model " +
         "full re-encode")
     // (d) compact: every data file is rewritten, content identical —
@@ -1123,8 +1121,7 @@ object IngestQueries {
       .select(col("key"), col("content"), col("documentid"))
     val bRead = bktStore.read("docs")
       .select(col("key"), col("content"), col("documentid"))
-    require(dRead.exceptAll(bRead).isEmpty &&
-      bRead.exceptAll(dRead).isEmpty,
+    require(graft.SparkUtil.multisetEqual(dRead, bRead),
       "q243: layouts disagree after the delete")
     bktStore.read("docs")
       .select(col("key"), col("content"),

@@ -78,4 +78,27 @@ class SparkUtilSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString ==
       wide.toDF().queryExecution.executedPlan.toString)
   }
+
+  test("multisetEqual: equal multisets (any order/partitioning) agree; " +
+      "multiplicity, value, and empty/non-empty differences are caught") {
+    import spark.implicits._
+    val a = Seq(("k1", 1), ("k2", 2), ("k2", 2)).toDF("k", "v")
+    val shuffled = Seq(("k2", 2), ("k1", 1), ("k2", 2)).toDF("k", "v")
+      .repartition(7)
+    assert(SparkUtil.multisetEqual(a, shuffled),
+      "order and partitioning must not matter")
+    val multiplicity = Seq(("k1", 1), ("k2", 2)).toDF("k", "v")
+    assert(!SparkUtil.multisetEqual(a, multiplicity),
+      "a dropped duplicate must be caught (multiset, not set)")
+    val value = Seq(("k1", 1), ("k2", 2), ("k2", 3)).toDF("k", "v")
+    assert(!SparkUtil.multisetEqual(a, value))
+    val empty = a.limit(0)
+    assert(SparkUtil.multisetEqual(empty, a.limit(0)))
+    assert(!SparkUtil.multisetEqual(empty, a))
+    // Cancellation hardening: two rows swapped between columns hash
+    // differently per row, and the TWO independent seeds make a sum
+    // collision on one seed insufficient.
+    val swapped = Seq(("1", 0), ("k2", 2), ("k2", 2)).toDF("k", "v")
+    assert(!SparkUtil.multisetEqual(a, swapped))
+  }
 }
