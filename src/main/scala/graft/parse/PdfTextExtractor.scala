@@ -29,13 +29,20 @@ import scala.util.matching.Regex
   * Lines group into blocks by |vertical gap|: a gap > 1.5× the dominant
   * line pitch (median |gap|) starts a new block; columns emit
   * left-to-right. Single-column pages take the exact pre-split path.
+  * ROTATED text (r19): the full text matrix is tracked — Td/TD
+  * translate in text space, and each run carries its rotation quadrant
+  * from (a, b); 90°/180°/270° text assembles in its own reading frame
+  * (PdfLayoutSpec pins a rotated-margin page). Remaining envelope
+  * limits: arbitrary-angle skew, the graphics-state CTM (`cm`), and
+  * true Docstrum nearest-neighbour geometry.
   * Unsupported structure throws — callers turn that into error rows.
   */
 object PdfTextExtractor {
 
   final case class Block(page: Int, text: String)
 
-  private final case class Run(x: Double, y: Double, text: String)
+  private final case class Run(x: Double, y: Double, text: String,
+    quad: Int = 0)
 
   /** Minimum starting-x gutter (points) that can separate two columns. */
   private val GutterPt = 90.0
@@ -258,8 +265,21 @@ object PdfTextExtractor {
     // TJ (array), Tj (string).
     val runs = ArrayBuffer.empty[Run]
     var curFont: Map[Int, String] = fallback
+    // Full text matrix [a b c d e f] (r19): rotation/scale components
+    // were previously dropped (only e/f tracked), which mis-positioned
+    // any Tm carrying rotation or scale and applied Td translations
+    // unscaled. a/b/c/d now participate: Td/TD translate in TEXT space
+    // (tx·a + ty·c, tx·b + ty·d — PDF 32000-1 §9.4.2), and each run
+    // carries its rotation QUADRANT from (a, b) so 90°/180°/270°
+    // rotated text assembles in its own reading frame below. Arbitrary
+    // (non-quadrant) skew and the graphics-state CTM (cm) remain
+    // outside the envelope, documented above.
+    var ta = 1.0; var tb = 0.0; var tc = 0.0; var td = 1.0
     var x = 0.0
     var y = 0.0
+    def quadrant: Int =
+      if (math.abs(ta) >= math.abs(tb)) { if (ta >= 0) 0 else 2 }
+      else { if (tb > 0) 1 else 3 }
 
     def decodeHex(hex: String): String =
       hex.grouped(4).filter(_.length == 4)
@@ -296,12 +316,13 @@ object PdfTextExtractor {
         curFont = fonts.getOrElse(m.group(4), fallback)
       } else if (m.group(5) != null) { // Tm
         val nums = m.group(5).trim.split("\\s+").map(_.toDouble)
+        ta = nums(0); tb = nums(1); tc = nums(2); td = nums(3)
         x = nums(4)
         y = nums(5)
-      } else if (m.group(6) != null) { // Td/TD: relative line move
+      } else if (m.group(6) != null) { // Td/TD: text-space line move
         val nums = m.group(6).trim.split("\\s+").map(_.toDouble)
-        x += nums(0)
-        y += nums(1)
+        x += nums(0) * ta + nums(1) * tc
+        y += nums(0) * tb + nums(1) * td
       } else if (m.group(1) != null) { // TJ array
         val sb = new StringBuilder
         val itemRe = """<([0-9A-Fa-f]*)>|\(((?:[^()\\]|\\.)*)\)""".r
@@ -309,17 +330,30 @@ object PdfTextExtractor {
           if (im.group(1) != null) sb ++= decodeHex(im.group(1))
           else sb ++= decodeLiteral(im.group(2))
         }
-        runs += Run(x, y, sb.toString)
+        runs += Run(x, y, sb.toString, quadrant)
       } else if (m.group(2) != null) { // hex Tj
-        runs += Run(x, y, decodeHex(m.group(2)))
+        runs += Run(x, y, decodeHex(m.group(2)), quadrant)
       } else if (m.group(3) != null) { // literal Tj
-        runs += Run(x, y, decodeLiteral(m.group(3)))
+        runs += Run(x, y, decodeLiteral(m.group(3)), quadrant)
       }
     }
     if (runs.isEmpty) return Seq.empty
 
     val out = ArrayBuffer.empty[Block]
-    for (colRuns <- splitColumns(runs.toIndexedSeq)) {
+    // Each rotation quadrant assembles in ITS reading frame: map page
+    // coords to (along-baseline, line-stacking) axes, then run the
+    // unchanged column/line/block machinery. Quadrant order (0°, 90°,
+    // 180°, 270°) is the deterministic output order; unrotated pages
+    // are a single quad-0 group and behave exactly as before.
+    val byQuad = runs.groupBy(_.quad).toSeq.sortBy(_._1).map(_._2)
+    for (quadRuns <- byQuad;
+         oriented = quadRuns.map { r => r.quad match {
+           case 0 => r
+           case 1 => r.copy(x = r.y, y = -r.x)
+           case 2 => r.copy(x = -r.x, y = -r.y)
+           case _ => r.copy(x = -r.y, y = r.x)
+         }};
+         colRuns <- splitColumns(oriented.toIndexedSeq)) {
       // Line assembly within a column: stream order, y tolerance 0.5 —
       // the exact pre-column behavior when the page is one column.
       final case class Line(y: Double, sb: StringBuilder)

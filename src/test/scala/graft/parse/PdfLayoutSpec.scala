@@ -67,4 +67,35 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(blocks(0).text == "Title line Body one Body two")
     assert(blocks(1).text == "Footer after wide gap")
   }
+
+  test("90-degree rotated margin note assembles in its own reading " +
+      "frame, after the unrotated body (r19 quadrant envelope)") {
+    // Body: plain y-up text. Margin: Tm = [0 1 -1 0 e f] (90 deg CCW) —
+    // characters advance along page +y, successive lines stack along
+    // page +x. The second margin line arrives via a TEXT-SPACE Td of
+    // (0, -20): with c = -1 that must move the pen +20 in page x.
+    val content =
+      """BT 1 0 0 1 72 720 Tm (Body one) Tj ET
+        |BT 1 0 0 1 72 700 Tm (Body two) Tj ET
+        |BT 0 1 -1 0 30 200 Tm (Margin one) Tj 0 -20 Td (Margin two) Tj ET""".stripMargin
+    val blocks = PdfTextExtractor.extract(minimalPdf(content))
+    assert(blocks.map(_.text) ==
+      Seq("Body one Body two", "Margin one Margin two"), blocks)
+  }
+
+  test("scaled text matrix applies Td in text space (glyph-space line " +
+      "moves scale by the matrix)") {
+    val content =
+      """BT 12 0 0 12 72 720 Tm (Line one) Tj 0 -1.5 Td (Line two) Tj 0 -1.5 Td (Line three) Tj ET""".stripMargin
+    val blocks = PdfTextExtractor.extract(minimalPdf(content))
+    assert(blocks.length == 1, blocks.map(_.text))
+    assert(blocks(0).text == "Line one Line two Line three")
+  }
+
+  test("fully inverted (180-degree) page reads in its own frame") {
+    val content =
+      """BT -1 0 0 -1 540 100 Tm (Upside one) Tj 0 -20 Td (Upside two) Tj ET""".stripMargin
+    val blocks = PdfTextExtractor.extract(minimalPdf(content))
+    assert(blocks.map(_.text) == Seq("Upside one Upside two"), blocks)
+  }
 }
