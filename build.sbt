@@ -50,9 +50,12 @@ run / connectInput := true
 // sbt normally appends "[success] Total time: ..." after the forked
 // main's output, which has left BENCH_r{17,18}.json with parsed:null.
 // Suppress the trailer so graft.Bench's compact JSON line is literally
-// the last thing on stdout under any `sbt ... run/runMain` invocation.
+// the last thing on stdout under any `sbt ... run/runMain` invocation,
+// and forward the forked JVM's stdout RAW (no "[info] " logger prefix)
+// so that line is bare JSON, parseable without stripping.
 // (target/bench_last.json remains the capture-independent pickup path.)
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command layer, not another setting —
 // exclude it from the unused-key lint so the suppression stays warn-free.
 Global / excludeLintKeys += showSuccess
