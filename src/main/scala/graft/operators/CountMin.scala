@@ -46,6 +46,25 @@ object CountMin {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** The same d×w register table built from an ALREADY-AGGREGATED
+    * (key, count) table: registers are per-bucket sums of row counts,
+    * so summing per-key counts per bucket is cell-identical to
+    * [[sketch]] over the raw stream — and when a query needs the exact
+    * per-key counts anyway (q102's report, q181's calibration), the
+    * stream is scanned ONCE for the aggregate and the sketch derives
+    * from |keys| rows instead of a second full-stream pass.
+    */
+  def sketchFromCounts(counts: DataFrame, keyCol: String,
+      countCol: String, d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, s"need d,w > 0, got d=$d w=$w")
+    val key = col(keyCol).cast("string")
+    counts.select(col(countCol),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), bucket(r, key, w).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col(countCol)).as("c"))
+  }
+
   /** Point estimates for `probes` (a DataFrame with `keyCol`): the
     * count-min rule `est(k) = min over r of reg[r][bucket_r(k)]`.
     * The register table is tiny by construction, so it broadcasts; the

@@ -317,29 +317,51 @@ object Curation {
       .select(col("g")).distinct()
       .join(evalG, Seq("g"), "left_anti").localCheckpoint(true)
     val nKeys = evalG.count()
-    val nNeg = negG.count()
     def bitOf(p: Column): Column = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.ShiftLeft(
         org.apache.spark.sql.GraftBridge.expression(lit(1L)),
         org.apache.spark.sql.GraftBridge.expression(
           p.cast("int").bitwiseAND(lit(31)))))
-    val rows = bitSizes.map { m =>
-      def pos(i: Int): Column =
-        conv(substring(md5(concat(col("g"), lit(s"#$i"))), 1, 15), 16, 10)
-          .cast("long") % m
-      val built = evalG
-        .select(explode(array((0 until numHashes).map(pos): _*)).as("p"))
-        .select(shiftright(col("p"), 5).cast("int").as("w"),
-          bitOf(col("p")).as("b"))
-        .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def pos(i: Int, m: Int): Column =
+      conv(substring(md5(concat(col("g"), lit(s"#$i"))), 1, 15), 16, 10)
+        .cast("long") % m
+    // FUSED audit (r19): the per-m loop paid one build-collect + one
+    // negative-scan count PER bit size (the q180 profile showed 26
+    // Spark jobs for three sizes). All sizes' filter words build in ONE
+    // (m, w)-keyed aggregate over the eval keys, and all sizes' false-
+    // positive counts reduce in ONE conditional aggregate over the
+    // negative set — per-size register contents and hit predicates are
+    // unchanged (same md5-derived positions, mod per size), so the
+    // reported rows are bit-identical; the eval and negative streams
+    // are each scanned once for the whole sweep.
+    val builtAll = evalG.select(explode(array(
+        bitSizes.flatMap(m => (0 until numHashes).map { i =>
+          val p = pos(i, m)
+          struct(lit(m).as("m"), shiftright(p, 5).cast("int").as("w"),
+            bitOf(p).as("b"))
+        }): _*)).as("x"))
+      .groupBy(col("x.m").as("m"), col("x.w").as("w"))
+      .agg(bit_or(col("x.b")).as("word"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (m, rs) =>
+        m -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    def hitFor(m: Int): Column = {
+      val built = builtAll.getOrElse(m, Map.empty[Int, Long])
       val words = lit(Array.tabulate(m / 32)(built.getOrElse(_, 0L)))
-      val hit = (0 until numHashes).map { i =>
-        val p = pos(i)
+      (0 until numHashes).map { i =>
+        val p = pos(i, m)
         element_at(words, shiftright(p, 5).cast("int") + 1)
           .bitwiseAND(bitOf(p)) =!= 0L
       }.reduce(_ && _)
-      val fp = negG.filter(hit).count()
+    }
+    // coalesce: sum over an EMPTY negative set is null, not 0.
+    val fpRow = negG.agg(count(lit(1)).as("__n"),
+      bitSizes.map(m => coalesce(sum(when(hitFor(m), 1L).otherwise(0L)),
+        lit(0L)).as(s"__fp$m")): _*).head()
+    val nNeg = fpRow.getLong(0) // negative census rides the same pass
+    val rows = bitSizes.zipWithIndex.map { case (m, ix) =>
+      val fp = fpRow.getLong(ix + 1)
       // nNeg == 0 (every train n-gram appears in eval) means there is
       // nothing to false-positive on: report fpr 0, don't divide.
       (m.toLong, numHashes.toLong, nKeys, nNeg, fp,

@@ -60,27 +60,61 @@ object DedupQueries {
     val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
     val sigs = Dedup.minhashSignatures(sh, k = SweepK)
       .localCheckpoint(true)
-    SweepCfgs.map { case (b, r) =>
-      val k = b * r
-      val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, b, r))
-        .localCheckpoint(true)
-      val nPairs = pairs.count()
-      val nFlagged = pairs
-        .select(explode(array(col("a"), col("b"))).as("id"))
-        .distinct().count()
-      val nEst = pairs
-        .join(sigs.select(col("id").as("a"), col("sig").as("__sa")),
-          Seq("a"))
-        .join(sigs.select(col("id").as("b"), col("sig").as("__sb")),
-          Seq("b"))
-        .select(size(filter(zip_with(slice(col("__sa"), 1, k),
-          slice(col("__sb"), 1, k), (x, y) => x === y), e => e))
-          .cast("long").as("__eq"))
-        .filter(expr(s"__eq * 10000 div $k >= $SweepTauE4"))
-        .count()
-      (b, r, k, nPairs, nFlagged, nEst)
-    }.toDF("bands", "rows_per_band", "k_sig", "n_cand_pairs",
-        "n_flagged_docs", "n_est_dup_pairs")
+    // FUSED config sweep (r19): the per-config loop paid a checkpoint
+    // + three actions per (bands, rowsPerBand) — 42 Spark jobs at three
+    // configs (profile row in BASELINE.md). One cfg-tagged bucket table
+    // feeds ONE self-join (the join keys carry the tag, so candidate
+    // sets stay per-config), one signature join scores every config's
+    // pairs, and the three counters reduce to two grouped aggregates +
+    // a left join back to the literal config list (a config with zero
+    // pairs still reports its zeros). Same rows, ~10 jobs, and the
+    // bucket/pair materializations happen once instead of per config.
+    val buckets = SweepCfgs.map { case (b, r) =>
+      Dedup.lshBuckets(sigs, b, r)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("id"), col("band"), col("band_hash"))
+    }.reduce(_ unionByName _)
+    val bk = graft.SparkUtil.stableCheckpoint(buckets)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.bands") === col("y.bands") &&
+          col("x.rows_per_band") === col("y.rows_per_band") &&
+          col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.bands").as("bands"),
+        col("x.rows_per_band").as("rows_per_band"),
+        col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds the pair stats AND the flag census
+    val kSig = (col("bands") * col("rows_per_band")).cast("int")
+    val stats = pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("__sa")),
+        Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("__sb")),
+        Seq("b"))
+      .select(col("bands"), col("rows_per_band"),
+        size(filter(zip_with(slice(col("__sa"), lit(1), kSig),
+          slice(col("__sb"), lit(1), kSig), (x, y) => x === y), e => e))
+          .cast("long").as("__eq"),
+        kSig.cast("long").as("__k"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(when(expr(s"__eq * 10000 div __k >= $SweepTauE4"), 1L)
+          .otherwise(0L)).as("n_est_dup_pairs"))
+    val flagged = pairs
+      .select(col("bands"), col("rows_per_band"),
+        explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_flagged_docs"))
+    SweepCfgs.toDF("bands", "rows_per_band")
+      .join(stats, Seq("bands", "rows_per_band"), "left")
+      .join(flagged, Seq("bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        (col("bands") * col("rows_per_band")).as("k_sig"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_flagged_docs"), lit(0L)).as("n_flagged_docs"),
+        coalesce(col("n_est_dup_pairs"), lit(0L)).as("n_est_dup_pairs"))
       .orderBy(col("bands"), col("rows_per_band"))
   }
 

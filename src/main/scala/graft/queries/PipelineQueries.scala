@@ -35,9 +35,15 @@ object PipelineQueries {
   // against the exact counts with the (provably non-negative) overcount.
   def q102(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val regs = CountMin.sketch(ev, "user_id", CmD, CmW)
-    val exact = ev.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_exact"))
+    // ONE stream scan (r19): the exact per-key counts are needed for
+    // the report anyway, and the registers are cell-identical whether
+    // summed from the raw stream or from the (key, count) table —
+    // sketch the checkpointed counts instead of re-scanning events.
+    val counts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact")).localCheckpoint(true)
+    val regs = CountMin.sketchFromCounts(counts, "user_id", "n_exact",
+      CmD, CmW)
+    val exact = counts
       .orderBy(col("n_exact").desc, col("user_id")).limit(20)
     CountMin.estimate(exact, regs, "user_id", CmD, CmW)
       .join(exact, Seq("user_id"))
@@ -55,26 +61,47 @@ object PipelineQueries {
   // All-integer; completes the sketch-audit family (q140 MinHash,
   // q141 LSH, q180 Bloom).
   def q181(s: SparkSession, dir: String): DataFrame = {
-    val sess = s
-    import sess.implicits._
     val ev = Tables.load(s, dir, "events")
     val exact = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_exact")).localCheckpoint(true)
-    val rows = Seq(64, 256, 1024).map { w =>
-      val regs = CountMin.sketch(ev, "user_id", CmD, w)
-      val r = CountMin.estimate(exact, regs, "user_id", CmD, w)
-        .join(exact, Seq("user_id"))
-        .agg(count(lit(1)).as("nk"),
-          sum(col("est") - col("n_exact")).as("so"),
-          max(col("est") - col("n_exact")).as("mo"),
-          sum(when(col("est") === col("n_exact"), 1L).otherwise(0L))
-            .as("nx"))
-        .head()
-      (w.toLong, CmD.toLong, r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))
-    }
-    rows.toDF("w", "d", "n_keys", "sum_overcount", "max_overcount",
-      "n_exact_match")
+    // FUSED sweep (r19): the three widths' register tables build in ONE
+    // pass keyed by (w, r, b) — the per-w loop scanned the event stream
+    // three times and paid a broadcast + collect per config (21 Spark
+    // actions; profile row in BASELINE.md). Register contents per w are
+    // identical (same [[CountMin.bucket]] per hash row), the pooled
+    // table is still tiny ((64+256+1024)·d cells → one broadcast), and
+    // the per-key minima + per-w stats reduce in one aggregate pair —
+    // at 100 TB the sweep costs one stream read, not |configs|.
+    val ws = Seq(64, 256, 1024)
+    def wrb(w: Int, r: Int, b: Column) =
+      struct(lit(w).as("w"), lit(r).as("r"), b.as("b"))
+    val key = col("user_id").cast("string")
+    // Registers from the checkpointed (key, count) table — the event
+    // stream is scanned once in this whole query (for `exact`); see
+    // [[CountMin.sketchFromCounts]] for the cell-identity argument.
+    val regs = exact.select(col("n_exact"),
+        explode(array(ws.flatMap(w => (0 until CmD).map(
+          r => wrb(w, r, CountMin.bucket(r, key, w)))): _*)).as("x"))
+      .groupBy(col("x.w").as("w"), col("x.r").as("r"), col("x.b").as("b"))
+      .agg(sum(col("n_exact")).as("c"))
+    exact.select(col("user_id"), col("n_exact"),
+        explode(array(ws.flatMap(w => (0 until CmD).map(
+          r => wrb(w, r, CountMin.bucket(r, key, w)))): _*)).as("x"))
+      .select(col("user_id"), col("n_exact"), col("x.w").as("w"),
+        col("x.r").as("r"), col("x.b").as("b"))
+      .join(broadcast(regs), Seq("w", "r", "b"), "left")
+      .groupBy(col("user_id"), col("n_exact"), col("w"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("est") - col("n_exact")).as("sum_overcount"),
+        max(col("est") - col("n_exact")).as("max_overcount"),
+        sum(when(col("est") === col("n_exact"), 1L).otherwise(0L))
+          .as("n_exact_match"))
+      .select(col("w").cast("long").as("w"), lit(CmD.toLong).as("d"),
+        col("n_keys"), col("sum_overcount"), col("max_overcount"),
+        col("n_exact_match"))
+      .orderBy(col("w"))
   }
 
   // q103: exact seeded 10-sample per language in one bounded-state
