@@ -391,7 +391,7 @@ object Bench {
       // r15: q199's bounded-state (watermarked) form — same real
       // micro-batch runtime vs the same single-statement DISTINCT replay.
       "q203_stream_url_dedup_wm",
-      // r15: physical store write + 15 REPL-path searches (5 queries x
+      // r15: physical store write + REPL-path searches (5 queries x
       // 3 modes, ANN indexes built at search time per the REPL
       // semantics) vs a replay of only the exact-mode scoring.
       "q204_search_mode_recall",
@@ -494,6 +494,21 @@ object Bench {
       case _ =>
         (None, s""""pinned_batch_total":null,"ratio_batch_pinned":null""")
     }
+    // Per-query pinned ratios (r19 verdict item 5): suite-level ratios
+    // say WHETHER the gate passed; these say WHERE the numerator is.
+    // Sorting this column descending finds the next optimization target
+    // without re-deriving walls/denominators from two files. Only
+    // batch-tier queries with a pinned denominator appear (the stream/
+    // exec tier's denominators are batch replays — BASELINE.md fairness
+    // notes — so a per-query ratio there would be noise, not signal).
+    val ratioPinnedJson = pinned match {
+      case Some(d) =>
+        val per = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          d.get(k).filter(_ > 0).map(den => "\"" + k + "\":" + r3(v / den))
+        }
+        s""""ratio_pinned":${per.mkString("{", ",", "}")}"""
+      case None => """"ratio_pinned":null"""
+    }
     val gateRatios = Seq(sameSessionRatio._1, pinnedRatio._1).flatten
     val gateJson = if (gateRatios.isEmpty)
       """"ratio_batch_max":null,"gate_2x":null"""
@@ -541,7 +556,7 @@ object Bench {
         } else """"ab":null"""
       case _ => """"ab":null"""
     }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],"floor_series":$floorSeries,$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"spread":$spreadJson,"stall_attrib":$stallJson,"extra_reps":$extraJson}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],"floor_series":$floorSeries,$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,$ratioPinnedJson,"spread":$spreadJson,"stall_attrib":$stallJson,"extra_reps":$extraJson}"""
     // The driver archives only a bounded TAIL of stdout, which has
     // truncated the per-query map (alphabetically-early q100-q123 keys)
     // two rounds running. The complete artifact therefore also goes to a
@@ -553,23 +568,51 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         if (partial) "BENCH_PARTIAL.json" else "BENCH_FULL.json"))
       .toAbsolutePath
-    java.nio.file.Files.write(out,
+    // Degraded-box overwrite guard (r19 verdict item 3): the r19
+    // artifact-of-record was clobbered by a reading taken on a box whose
+    // empty-job floor was ~6× the quiet window's. If THIS run's floor
+    // median exceeds 2× the floor recorded in the existing artifact, the
+    // reading measures the weather, not the code — divert it to
+    // <out>.rejected so it stays inspectable without replacing the
+    // committed best. SPARK_GRAFT_BENCH_FORCE=1 overrides (e.g. after a
+    // deliberate re-baseline on a permanently different box).
+    val priorFloor: Option[Double] =
+      if (!java.nio.file.Files.exists(out)) None
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(java.nio.file.Files.readAllBytes(out), "UTF-8"))
+          .path("floor_sec")
+        if (node.isNumber) Some(node.asDouble()) else None
+      } catch { case _: Throwable => None }
+    val floorMedian = floorReps(5)
+    val degraded = priorFloor.exists(pf => pf > 0 && floorMedian > 2.0 * pf)
+    val target =
+      if (degraded && !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")) {
+        val alt = out.resolveSibling(out.getFileName.toString + ".rejected")
+        System.err.println(f"[bench] REFUSING to overwrite $out: this " +
+          f"run's empty-job floor ${floorMedian}%.3f s is > 2x the " +
+          f"committed artifact's ${priorFloor.get}%.3f s (degraded box); " +
+          s"writing $alt instead. Set SPARK_GRAFT_BENCH_FORCE=1 to override.")
+        alt
+      } else out
+    java.nio.file.Files.write(target,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver's stdout capture has clipped the full line (queries +
-    // spread maps ≈ 10 KB) two rounds running, leaving BENCH_r{N}.json
-    // unparseable — and the capture is a bounded TAIL, so the newest
-    // output survives. Print the big full line FIRST, then a COMPACT
-    // line LAST — every headline scalar, the ratio fields, failures,
-    // and the per-query medians, but no spread map. Being small and
-    // newest, the compact line survives any tail-bounded capture even
-    // when the window is too small to hold the full line; BENCH_FULL
-    // .json on disk stays authoritative for the spreads.
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
+    // spread maps ≈ 10 KB) THREE rounds running, leaving BENCH_r{N}.json
+    // unparseable — and the capture is a bounded TAIL, so only the
+    // newest bytes survive. Print the big full line FIRST, then a
+    // COMPACT line LAST. r19 verdict item 2: the compact line must NOT
+    // carry the 253-entry queries map (~8-10 KB) — with it, the tail
+    // window clips the HEAD of the line and loses every headline
+    // scalar. Scalars only (~400 bytes): value, tiers, floor, calib,
+    // ab, ratios, gate, failures. BENCH_FULL.json on disk stays
+    // authoritative for the per-query medians and spreads.
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The artifact only counts if it lands in the repo; a cwd outside
     // the project would quietly leave the committed copy stale.
-    if (!java.nio.file.Files.exists(out.getParent.resolve("build.sbt")))
-      System.err.println(s"[bench] WARNING: wrote $out outside a repo " +
+    if (!java.nio.file.Files.exists(target.getParent.resolve("build.sbt")))
+      System.err.println(s"[bench] WARNING: wrote $target outside a repo " +
         "root (no build.sbt beside it) — the committed BENCH_FULL.json " +
         "was NOT updated")
     println(compact)

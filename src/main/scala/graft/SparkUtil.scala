@@ -70,13 +70,22 @@ object SparkUtil {
     * Column ORDER matters (the row digest hashes columns in order):
     * select both sides into the same column order, as an exceptAll
     * call site already had to.
+    *
+    * NULL safety: xxhash64 SKIPS null inputs (a null column leaves the
+    * running hash unchanged), so without a marker the rows ('x', null)
+    * and (null, 'x') would digest identically under BOTH seeds — a
+    * class the exceptAll this replaced caught. Each column is
+    * therefore preceded by its isnull flag: the flag column is never
+    * null, so column positions stay aligned in the hashed sequence and
+    * a value shifting across a null column changes the digest.
     */
   def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
     import org.apache.spark.sql.functions._
     def sig(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
       val cols = df.columns.toSeq.map(col)
+      val marked = cols.flatMap(c => Seq(isnull(c).cast("int"), c))
       def h(seed: Int) =
-        sum(xxhash64((lit(seed) +: cols): _*).cast("decimal(38,0)"))
+        sum(xxhash64((lit(seed) +: marked): _*).cast("decimal(38,0)"))
       val r = df.agg(count(lit(1)).as("n"), h(1).as("h1"), h(2).as("h2"))
         .head()
       (r.getLong(0),

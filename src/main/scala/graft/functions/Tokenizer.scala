@@ -104,10 +104,25 @@ object WordPieceTokenizer {
     val in = getClass.getClassLoader.getResourceAsStream(name)
     require(in != null, s"vocab resource $name missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+    try guardVocab(src.getLines().map(_.trim).filter(_.nonEmpty).toList)
     finally src.close()
   }
 
   private def vocabLines(src: scala.io.Source): Set[String] =
-    src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+    guardVocab(src.getLines().map(_.trim).filter(_.nonEmpty).toList).toSet
+
+  /** A bare "##" entry is an EMPTY continuation suffix: the greedy
+    * matcher here can never select it (the substring is non-empty), but
+    * the q253 oracle's recursive CTE would match it at every position
+    * with advance 0 — an infinite recursion. No real WordPiece vocab
+    * carries it; fail loud on a bad vocab revision rather than letting
+    * the two sides diverge.
+    */
+  private def guardVocab(tokens: List[String]): List[String] = {
+    require(!tokens.contains("##"),
+      "vocab contains a bare '##' (empty continuation) entry — " +
+        "unmatchable by the tokenizer and an infinite loop in the " +
+        "oracle's recursive replay")
+    tokens
+  }
 }

@@ -110,6 +110,58 @@ object IvfSq {
       .limit(k)
   }
 
+  /** SET-ORIENTED [[searchCodes]]: ALL queries of a batch answered in
+    * ONE plan — one probe join over the codes table, one pool rank, one
+    * exact re-score — instead of a driver action per query. Per query
+    * the candidate set, ranking, tie-breaks and output rows are EXACTLY
+    * [[searchCodes]]'s (the per-query `limit` becomes a row_number
+    * window over the same (distance, id) order; the probe prune becomes
+    * a broadcast equality join on the same driver-computed probe list),
+    * so `searchCodesAll(qs)` row-equals `qs.map(searchCodes)` — the
+    * batched-serving contract BatchedSearchSpec pins. This is the
+    * 100 TB serving shape: a query BATCH amortizes the codes scan, and
+    * the only per-query state shipped to executors is (id, probe cids,
+    * e6 query vector) — a broadcast of the batch itself.
+    *
+    * Returns (query_id, idCol, d2q_e12, d2_e12), per-query top-`k` by
+    * (d2_e12, idCol), ordered (query_id, d2_e12, idCol).
+    */
+  def searchCodesAll(codes: DataFrame, chunks: DataFrame, idCol: String,
+      vecCol: String, cidCol: String, codeCol: String, m: Model,
+      queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int = 2,
+      pool: Int = 50): DataFrame = {
+    require(queries.nonEmpty, "searchCodesAll needs at least one query")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val probesDf = broadcast(queries.flatMap { case (qid, q) =>
+      m.ivf.probeCentroids(q, nprobe).map(c => (qid, c))
+    }.toDF("query_id", cidCol))
+    val qE6Df = broadcast(queries.map { case (qid, q) =>
+      (qid, q.map(x => math.floor(x.toDouble * 1e6).toLong))
+    }.toDF("query_id", "__qe6"))
+    val approx = zip_with(element_at(centsLit(m.ivf), col(cidCol) + 1),
+      Sq.dequantCol(col(codeCol), m.sq), (c, r) => c + r)
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    val poolIds = codes.join(probesDf, Seq(cidCol))
+      .join(qE6Df, Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        Sq.sqDistCols(approx, col("__qe6")).as("d2q_e12"))
+      .withColumn("__rn", row_number().over(
+        wq.orderBy(col("d2q_e12"), col(idCol))))
+      .filter(col("__rn") <= pool)
+      .select(col("query_id"), col(idCol), col("d2q_e12"))
+    chunks.select(col(idCol), col(vecCol))
+      .join(broadcast(poolIds), Seq(idCol))
+      .join(qE6Df, Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("d2q_e12"),
+        Sq.sqDistCols(Sq.e6(col(vecCol)), col("__qe6")).as("d2_e12"))
+      .withColumn("__rn", row_number().over(
+        wq.orderBy(col("d2_e12"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("d2q_e12"), col("d2_e12"))
+      .orderBy(col("query_id"), col("d2_e12"), col(idCol))
+  }
+
   /** Probe-pruned asymmetric search over an [[index]]ed table: scan only
     * the `nprobe` nearest inverted lists, rank by integer squared L2 of
     * (centroid + dequantized residual) vs the exact query, then exact

@@ -94,6 +94,15 @@ object Sq {
     aggregate(zip_with(vecE6, litArr(q), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
+  /** [[sqDistToLit]] with the query as a COLUMN (array<long>) — the
+    * set-oriented search path carries one query vector per row (joined
+    * from a broadcast query batch) instead of folding a literal into
+    * the plan. Identical integer arithmetic, same element-order fold.
+    */
+  private[operators] def sqDistCols(vecE6: Column, qE6: Column): Column =
+    aggregate(zip_with(vecE6, qE6, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Asymmetric SQ8 search: rank the whole corpus by exact-query ×
     * dequantized-corpus squared L2 (integer), TakeOrdered the best
     * `pool`, re-score those exactly in e6, return the top `k`.

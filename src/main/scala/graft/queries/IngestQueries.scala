@@ -480,6 +480,66 @@ object IngestQueries {
       .orderBy(col("bucket"))
   }
 
+  /** The recall certificate shared by q204/q240/q242/q251: route the
+    * pre-embedded audit queries through the text-search surface
+    * ([[graft.functions.VectorLiteralProvider]]) in ONE
+    * [[graft.store.ChunkStore.searchAll]] action per mode — the r19
+    * profile showed ~75% of each certificate's search wall was
+    * driver-side planning/collect paid per (query, mode); the batched
+    * path pays it per mode (3 actions, not 15) and scans the
+    * collection once per mode for the whole batch. Per-query rows are
+    * EXACTLY the per-query path's (BatchedSearchSpec) so the
+    * certified exact-mode output and the recall arithmetic are
+    * unchanged. REQUIREs the per-mode mean recall@k floors in-run;
+    * returns per query (qid, exact (key, score) rows, lsh recall,
+    * ivfsq recall).
+    */
+  private def recallCertificate(vs: graft.store.ChunkStore,
+      collection: String, queryVecs: Array[(Long, Array[Float])], k: Int,
+      dim: Int, tag: String)
+      : Seq[(Long, Seq[(String, Double)], Double, Double)] = {
+    val provider = new graft.functions.VectorLiteralProvider(dim)
+    val batch = queryVecs.map { case (qid, qv) =>
+      (qid, graft.functions.VectorLiteralProvider.render(qv))
+    }.toSeq
+    def byQuery(mode: String): Map[Long, Seq[(String, Double)]] =
+      vs.searchAll(collection, batch, k = k, provider = provider,
+          mode = mode)
+        .collect().toSeq
+        .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val exactBy = byQuery("exact")
+    val lshBy = byQuery("lsh")
+    val ivfBy = byQuery("ivfsq")
+    val rows = queryVecs.toSeq.map { case (qid, _) =>
+      val exact = exactBy.getOrElse(qid, Seq.empty)
+      val exactKeys = exact.map(_._1).toSet
+      def recallOf(m: Map[Long, Seq[(String, Double)]]): Double =
+        m.getOrElse(qid, Seq.empty).map(_._1).count(exactKeys).toDouble / k
+      (qid, exact, recallOf(lshBy), recallOf(ivfBy))
+    }
+    val meanLsh = rows.map(_._3).sum / rows.length
+    val meanIvf = rows.map(_._4).sum / rows.length
+    require(meanLsh >= AnnRecallFloorLsh,
+      s"$tag: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
+    require(meanIvf >= AnnRecallFloorIvfsq,
+      s"$tag: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
+    rows
+  }
+
+  /** The certified output of a [[recallCertificate]]: the exact-mode
+    * (query_id, key, score) rows, ordered — identical to the rows the
+    * per-query loop emitted, so the committed oracles replay verbatim.
+    */
+  private def certificateDf(s: SparkSession,
+      rows: Seq[(Long, Seq[(String, Double)], Double, Double)]): DataFrame = {
+    import s.implicits._
+    rows.flatMap { case (qid, exact, _, _) =>
+      exact.map { case (key, score) => (qid, key, score) }
+    }.toDF("query_id", "key", "score")
+      .orderBy(col("query_id"), col("score").desc, col("key"))
+  }
+
   // q204: the REPL surface's ANN modes gated end-to-end — the reference
   // analogue is `VectorStoreCommands.cs:113` (brute-force search is the
   // only mode there; `--mode lsh|ivfsq` are this engine's opt-in
@@ -499,7 +559,8 @@ object IngestQueries {
   // mode's (query_id, key, score) rows — replayed in DuckDB via
   // list_dot_product over DOUBLE lists, the same ascending index-order
   // fold as the codegen'd CosineSimilarity loop. Bench tier: exec
-  // (physical store write + 15 search executions; the denominator
+  // (physical store write + the 5-query × 3-mode search certificate,
+  // batched to one action per mode since r20; the denominator
   // replays only the exact-mode scoring).
   def q204(s: SparkSession, dir: String): DataFrame = {
     val storeRoot = Files.createTempDirectory("graft-q204-store").toString
@@ -531,23 +592,9 @@ object IngestQueries {
       .as[graft.model.EmbeddedChunk](
         org.apache.spark.sql.Encoders.product[graft.model.EmbeddedChunk])
     vs.upsert(chunks, "vecs")
-    val provider = new graft.functions.VectorLiteralProvider(dim)
     val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val k = 10
-    val exactRows = queryVecs.map { case (qid, qv) =>
-      val text = graft.functions.VectorLiteralProvider.render(qv)
-      val exact = vs.search("vecs", text, k = k, provider = provider,
-        mode = "exact").select(col("key"), col("score")).collect()
-      val exactKeys = exact.map(_.getString(0)).toSet
-      def recallOf(mode: String): Double = {
-        val keys = vs.search("vecs", text, k = k, provider = provider,
-          mode = mode).select(col("key")).collect().map(_.getString(0))
-        keys.count(exactKeys).toDouble / k
-      }
-      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
-    }
     // [[AnnRecallFloorLsh]]/[[AnnRecallFloorIvfsq]], the r18 measured
     // operating points, made per-mode in r19 (the
     // r15 floors 0.3/0.4 certified liveness; the RecallSweep curve in
@@ -556,17 +603,8 @@ object IngestQueries {
     // is the honest hard case for probe-pruned ANN; the certificate is
     // "the REPL ANN modes return a large, floored fraction of the
     // exact answer while scanning a pruned fraction of the store".
-    val meanLsh = exactRows.map(_._3).sum / exactRows.length
-    val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloorLsh,
-      s"q204: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
-    require(meanIvf >= AnnRecallFloorIvfsq,
-      s"q204: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
-    import s.implicits._
-    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
-      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
-    }.toDF("query_id", "key", "score")
-      .orderBy(col("query_id"), col("score").desc, col("key"))
+    certificateDf(s,
+      recallCertificate(vs, "vecs", queryVecs, k = 10, dim = dim, "q204"))
   }
 
   // q240: the PERSISTED-index serving path gated end-to-end — the
@@ -619,31 +657,15 @@ object IngestQueries {
       "q240: lsh sidecar not fresh after buildIndex")
     require(vs.hasFreshIndex("vecs", "ivfsq"),
       "q240: ivfsq sidecar not fresh after buildIndex")
-    val provider = new graft.functions.VectorLiteralProvider(dim)
     val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val k = 10
-    val exactRows = queryVecs.map { case (qid, qv) =>
-      val text = graft.functions.VectorLiteralProvider.render(qv)
-      val exact = vs.search("vecs", text, k = k, provider = provider,
-        mode = "exact").select(col("key"), col("score")).collect()
-      val exactKeys = exact.map(_.getString(0)).toSet
-      def recallOf(mode: String): Double = {
-        val keys = vs.search("vecs", text, k = k, provider = provider,
-          mode = mode).select(col("key")).collect().map(_.getString(0))
-        keys.count(exactKeys).toDouble / k
-      }
-      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
-    }
     // Same floors as q204: the persisted index must not trade recall
-    // for its speed — it serves the very answer the fit would.
-    val meanLsh = exactRows.map(_._3).sum / exactRows.length
-    val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloorLsh,
-      s"q240: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
-    require(meanIvf >= AnnRecallFloorIvfsq,
-      s"q240: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
+    // for its speed — it serves the very answer the fit would. The
+    // certificate collects eagerly, so the searches run against the
+    // FRESH sidecars, before the staleness upsert below.
+    val certRows =
+      recallCertificate(vs, "vecs", queryVecs, k = 10, dim = dim, "q240")
     // Staleness contract: one more document and the sidecar must stop
     // being trusted (fingerprint mismatch), not silently serve an
     // index that has no codes for the newest data.
@@ -654,10 +676,7 @@ object IngestQueries {
       "q240: lsh sidecar still fresh after an upsert")
     require(!vs.hasFreshIndex("vecs", "ivfsq"),
       "q240: ivfsq sidecar still fresh after an upsert")
-    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
-      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
-    }.toDF("query_id", "key", "score")
-      .orderBy(col("query_id"), col("score").desc, col("key"))
+    certificateDf(s, certRows)
   }
 
   // q241: INCREMENTAL compaction gated — at 100 TB the whole-collection
@@ -828,34 +847,11 @@ object IngestQueries {
       .select(col("key"), col("ivf_cid"), col("sq_code"))
     require(graft.SparkUtil.multisetEqual(gotCodes, expectCodes),
       "q242: refreshed codes differ from a frozen-model full re-encode")
-    val provider = new graft.functions.VectorLiteralProvider(dim)
     val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val k = 10
-    val exactRows = queryVecs.map { case (qid, qv) =>
-      val text = graft.functions.VectorLiteralProvider.render(qv)
-      val exact = vs.search("vecs", text, k = k, provider = provider,
-        mode = "exact").select(col("key"), col("score")).collect()
-      val exactKeys = exact.map(_.getString(0)).toSet
-      def recallOf(mode: String): Double = {
-        val keys = vs.search("vecs", text, k = k, provider = provider,
-          mode = mode).select(col("key")).collect().map(_.getString(0))
-        keys.count(exactKeys).toDouble / k
-      }
-      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
-    }
-    val meanLsh = exactRows.map(_._3).sum / exactRows.length
-    val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloorLsh,
-      s"q242: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
-    require(meanIvf >= AnnRecallFloorIvfsq,
-      s"q242: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
-    import s.implicits._
-    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
-      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
-    }.toDF("query_id", "key", "score")
-      .orderBy(col("query_id"), col("score").desc, col("key"))
+    certificateDf(s,
+      recallCertificate(vs, "vecs", queryVecs, k = 10, dim = dim, "q242"))
   }
 
   // q251: the PERSISTED-index serving path on the MANIFEST-COMMITTED
@@ -960,34 +956,11 @@ object IngestQueries {
     require(vs.hasFreshIndex("vecs", "lsh") &&
       vs.hasFreshIndex("vecs", "ivfsq"),
       "q251: vacuum changed no live content but staled the sidecars")
-    val provider = new graft.functions.VectorLiteralProvider(dim)
     val queryVecs = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val k = 10
-    val exactRows = queryVecs.map { case (qid, qv) =>
-      val text = graft.functions.VectorLiteralProvider.render(qv)
-      val exact = vs.search("vecs", text, k = k, provider = provider,
-        mode = "exact").select(col("key"), col("score")).collect()
-      val exactKeys = exact.map(_.getString(0)).toSet
-      def recallOf(mode: String): Double = {
-        val keys = vs.search("vecs", text, k = k, provider = provider,
-          mode = mode).select(col("key")).collect().map(_.getString(0))
-        keys.count(exactKeys).toDouble / k
-      }
-      (qid, exact, recallOf("lsh"), recallOf("ivfsq"))
-    }
-    val meanLsh = exactRows.map(_._3).sum / exactRows.length
-    val meanIvf = exactRows.map(_._4).sum / exactRows.length
-    require(meanLsh >= AnnRecallFloorLsh,
-      s"q251: mean lsh recall@$k $meanLsh is below the $AnnRecallFloorLsh floor")
-    require(meanIvf >= AnnRecallFloorIvfsq,
-      s"q251: mean ivfsq recall@$k $meanIvf is below the $AnnRecallFloorIvfsq floor")
-    import s.implicits._
-    exactRows.toSeq.flatMap { case (qid, rows, _, _) =>
-      rows.map(r => (qid, r.getString(0), r.getDouble(1)))
-    }.toDF("query_id", "key", "score")
-      .orderBy(col("query_id"), col("score").desc, col("key"))
+    certificateDf(s,
+      recallCertificate(vs, "vecs", queryVecs, k = 10, dim = dim, "q251"))
   }
 
   // q252: SNAPSHOT VERSION DIFF gated — the provenance operator on top

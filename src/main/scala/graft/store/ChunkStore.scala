@@ -270,6 +270,157 @@ trait ChunkStore {
       s"unknown search mode '$other' (exact|lsh|ivfsq)")
   }
 
+  /** SET-ORIENTED Q1: answer a query BATCH in ONE plan per mode — the
+    * serving shape a production search tier runs (and the r19 profile
+    * demanded: ~75% of a per-query search's wall was driver-side
+    * planning/collect, paid once per query; a batch pays it once per
+    * MODE). Per query the returned (key, score) rows, ranking and
+    * tie-breaks are EXACTLY [[search]]'s — the per-query `limit(k)`
+    * becomes a row_number window over the same (score desc, key) order,
+    * the probe prunes become broadcast equality joins on the same
+    * driver-computed probe lists, and the scoring expression is the
+    * same codegen'd [[graft.functions.CosineSimilarity]] with the query
+    * vector as a joined column instead of a folded literal
+    * (BatchedSearchSpec pins `searchAll ≡ queries.map(search)` rowwise
+    * on all three modes, serving and fit-at-search paths). The corpus
+    * is scanned ONCE for the whole batch; the only per-query state
+    * shipped is the broadcast batch itself — at 100 TB this is the
+    * difference between q queries × one scan each and one scan.
+    *
+    * Returns (query_id, key, score), per-query top-`k`, ordered
+    * (query_id, score desc, key).
+    */
+  def searchAll(collection: String, queries: Seq[(Long, String)],
+      k: Int = 1, provider: EmbeddingProvider = Embedding.default,
+      mode: String = "exact"): DataFrame = {
+    require(queries.nonEmpty, "searchAll needs at least one query")
+    val qvs = queries.map { case (qid, text) => (qid, provider.embed(text)) }
+    require(qvs.map(_._2.length).distinct.size == 1,
+      "searchAll query batch mixes embedding dimensions")
+    mode match {
+      case "exact" =>
+        rescoreTopK(read(collection).select(col("key"), col("embedding")),
+          qvs, k)
+      case "lsh" => searchAllLsh(collection, qvs, k)
+      case "ivfsq" => searchAllIvfsq(collection, qvs, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown search mode '$other' (exact|lsh|ivfsq)")
+    }
+  }
+
+  /** The batch as a broadcast (query_id, __qv float vector) frame. */
+  private def queryBatchDf(qvs: Seq[(Long, Array[Float])]): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    broadcast(qvs.toDF("query_id", "__qv"))
+  }
+
+  /** Exact cosine + per-query top-k over (key, embedding[, query_id])
+    * rows: when `cand` already carries a query_id the scoring join is
+    * keyed on it (each candidate scores against ITS query); otherwise
+    * every key scores against every query of the batch (the exact-mode
+    * full scan).
+    */
+  private def rescoreTopK(cand: DataFrame, qvs: Seq[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    val q = queryBatchDf(qvs)
+    val joined =
+      if (cand.columns.contains("query_id")) cand.join(q, Seq("query_id"))
+      else cand.crossJoin(q)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("key"))
+    joined
+      .select(col("query_id"), col("key"),
+        round(graft.functions.CosineSimilarity(col("embedding"),
+          col("__qv")), 6).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("key"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("key"))
+  }
+
+  /** Batched [[searchLsh]]: ONE probe join for the whole batch against
+    * the persisted bucket table when fresh, else one fit-at-search
+    * index over one collection read. Candidate sets per query are
+    * exactly the per-query path's (a bucket-equality broadcast join
+    * replays the `isin` probe filter).
+    */
+  private def searchAllLsh(collection: String,
+      qvs: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    freshMeta(collection, "lsh") match {
+      case Some((meta, token)) =>
+        val fp = meta.getAs[String]("fingerprint")
+        val dim = meta.getAs[Int]("dim")
+        require(dim == qvs.head._2.length,
+          s"lsh index dim $dim != query dim ${qvs.head._2.length}")
+        val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
+          nBits = meta.getAs[Int]("nbits"), dim = dim,
+          seed = meta.getAs[Long]("seed"))
+        val probesDf = broadcast(qvs.flatMap { case (qid, qv) =>
+          lsh.probeBuckets(qv, ChunkStore.LshProbeRadius).map(b => (qid, b))
+        }.toDF("query_id", "bucket"))
+        val cand = servingCodes(collection, "lsh", token)
+          .join(probesDf, Seq("bucket"))
+          .select(col("query_id"), col("key"))
+        rescoreTopK(servingChunks(collection, fp)
+          .select(col("key"), col("embedding")).join(cand, Seq("key")),
+          qvs, k)
+      case None =>
+        val chunks = read(collection)
+        val lsh = new graft.operators.Ann.RandomHyperplaneLsh(
+          nBits = lshBitsFor(chunks.count()), dim = qvs.head._2.length)
+        val probesDf = broadcast(qvs.flatMap { case (qid, qv) =>
+          lsh.probeBuckets(qv, ChunkStore.LshProbeRadius).map(b => (qid, b))
+        }.toDF("query_id", "bucket"))
+        rescoreTopK(lsh.index(chunks, "embedding")
+          .select(col("key"), col("embedding"), col("bucket"))
+          .join(probesDf, Seq("bucket"))
+          .select(col("query_id"), col("key"), col("embedding")),
+          qvs, k)
+    }
+  }
+
+  /** Batched [[searchIvfsq]]: the whole batch through ONE
+    * [[graft.operators.IvfSq.searchCodesAll]] pass (persisted codes
+    * when fresh, a one-shot fit + encode when not), then one exact
+    * cosine re-score of the per-query survivors.
+    */
+  private def searchAllIvfsq(collection: String,
+      qvs: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    val dim = qvs.head._2.length
+    val pool = math.max(200, 20 * k)
+    val (codes, chunks, m) = freshMeta(collection, "ivfsq") match {
+      case Some((meta, token)) =>
+        require(meta.getAs[Int]("dim") == dim,
+          s"ivfsq index dim ${meta.getAs[Int]("dim")} != query dim $dim")
+        val model = new graft.operators.IvfSq.Model(
+          new graft.operators.Ann.Ivf(
+            meta.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+              "cents").map(_.toArray).toArray),
+          new graft.operators.Sq.Model(
+            meta.getAs[scala.collection.Seq[Long]]("mn").toArray,
+            meta.getAs[scala.collection.Seq[Long]]("mx").toArray))
+        (servingCodes(collection, "ivfsq", token),
+          servingChunks(collection, meta.getAs[String]("fingerprint")),
+          model)
+      case None =>
+        val chunks = read(collection)
+        val model = graft.operators.IvfSq.fit(chunks, "key", "embedding",
+          kCentroids = 8, dim = dim)
+        (graft.operators.IvfSq.index(chunks, "embedding", model)
+          .select(col("key"), col("ivf_cid"), col("sq_code")),
+          chunks, model)
+    }
+    val ids = graft.operators.IvfSq.searchCodesAll(codes, chunks,
+        "key", "embedding", "ivf_cid", "sq_code", m, qvs,
+        k = k, nprobe = ChunkStore.IvfsqNprobe, pool = pool)
+      .select(col("query_id"), col("key"))
+    rescoreTopK(chunks.select(col("key"), col("embedding"))
+      .join(broadcast(ids), Seq("key")), qvs, k)
+  }
+
   /** LSH bucket count sized to the collection (~8 vectors/bucket): a
     * fixed high nBits over a small collection scatters neighbors into
     * unprobed buckets (recall collapses), a fixed low one over a large

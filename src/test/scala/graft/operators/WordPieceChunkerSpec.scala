@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * counts tokens with a BERT tokenizer loaded from `vocab.txt`
   * (`Program.cs:64-65,70`), so the budget that decides chunk boundaries
   * is a vocab-driven count, not a regex approximation. This spec loads
-  * the committed frozen fixture (`src/test/resources/wordpiece_vocab
+  * the committed frozen fixture (`src/main/resources/wordpiece_vocab
   * .txt`), derives the counts BY HAND from the vocab, and pins that the
   * chunker's cut points actually move with the tokenizer: the same
   * document under the same `maxTokens` budget chunks differently under

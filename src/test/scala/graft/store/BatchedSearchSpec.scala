@@ -1,0 +1,104 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.model.EmbeddedChunk
+import org.apache.spark.sql.functions._
+
+/** [[ChunkStore.searchAll]] — the set-oriented serving path: a query
+  * BATCH answered in one plan per mode must return, per query, EXACTLY
+  * the rows the per-query [[ChunkStore.search]] returns (same keys,
+  * same 6dp scores, same (score desc, key) order). Pinned on all three
+  * modes, on BOTH the fit-at-search path (no sidecar) and the
+  * persisted-sidecar serving path, and on the per-document and
+  * bucketed layouts — the batched plan may only change HOW MANY
+  * actions/scans are paid, never what a query receives.
+  */
+class BatchedSearchSpec extends SparkSpec {
+
+  private val dim = 16
+
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    val raw = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+    raw.map(x => (x / n).toFloat)
+  }
+
+  private def mkStore(layout: String): ChunkStore = {
+    val root = java.nio.file.Files
+      .createTempDirectory("batched-search-spec").toString
+    val vs: ChunkStore = layout match {
+      case "document" => new VectorStore(spark, root)
+      case "bucketed" => new BucketedVectorStore(spark, root, nBuckets = 4)
+    }
+    import spark.implicits._
+    val rows = for (d <- 0 until 8; i <- 0 until 8) yield
+      EmbeddedChunk(f"d$d%02d:$i", vec(d * 100 + i), s"c$d$i", "",
+        f"d$d%02d")
+    vs.upsert(rows.toDS().repartition(4), "c")
+    vs
+  }
+
+  private val provider = new graft.functions.VectorLiteralProvider(dim)
+
+  private def batch: Seq[(Long, String)] = (0 until 4).map(i =>
+    (i.toLong, graft.functions.VectorLiteralProvider.render(vec(7000 + i))))
+
+  /** Per-query reference answer through [[ChunkStore.search]]. */
+  private def oneByOne(vs: ChunkStore, mode: String,
+      k: Int): Seq[(Long, String, Double)] =
+    batch.flatMap { case (qid, text) =>
+      vs.search("c", text, k = k, provider = provider, mode = mode)
+        .select(col("key"), col("score")).collect()
+        .map(r => (qid, r.getString(0), r.getDouble(1)))
+    }
+
+  private def batched(vs: ChunkStore, mode: String,
+      k: Int): Seq[(Long, String, Double)] =
+    vs.searchAll("c", batch, k = k, provider = provider, mode = mode)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  for (layout <- Seq("document", "bucketed")) {
+
+    test(s"[$layout] searchAll == per-query search, fit-at-search path") {
+      val vs = mkStore(layout)
+      for (mode <- Seq("exact", "lsh", "ivfsq")) {
+        assert(batched(vs, mode, k = 5) == oneByOne(vs, mode, k = 5),
+          s"mode=$mode: batched rows differ from per-query rows")
+      }
+    }
+
+    test(s"[$layout] searchAll == per-query search, sidecar serving path") {
+      val vs = mkStore(layout)
+      vs.buildIndex("c", "lsh")
+      vs.buildIndex("c", "ivfsq")
+      assert(vs.hasFreshIndex("c", "lsh") && vs.hasFreshIndex("c", "ivfsq"))
+      for (mode <- Seq("exact", "lsh", "ivfsq")) {
+        assert(batched(vs, mode, k = 5) == oneByOne(vs, mode, k = 5),
+          s"mode=$mode: batched sidecar rows differ from per-query rows")
+      }
+    }
+  }
+
+  test("searchAll output is ordered (query_id, score desc, key) with k rows per query") {
+    val vs = mkStore("document")
+    val rows = batched(vs, "exact", k = 3)
+    assert(rows.size == batch.size * 3)
+    assert(rows == rows.sortBy { case (qid, key, score) => (qid, -score, key) })
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.size == 3, s"query $qid returned ${rs.size} rows, wanted 3")
+    }
+  }
+
+  test("searchAll rejects an empty batch and mixed dimensions") {
+    val vs = mkStore("document")
+    intercept[IllegalArgumentException] {
+      vs.searchAll("c", Seq.empty, k = 1, provider = provider)
+    }
+    intercept[IllegalArgumentException] {
+      vs.searchAll("c", Seq((0L, "bad")), k = 1,
+        provider = provider, mode = "nope")
+    }
+  }
+}
