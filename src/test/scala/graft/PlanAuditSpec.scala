@@ -903,4 +903,85 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans <= 1, s"$scans corpus scans:\n$p")
   }
+
+  test("partition-less WindowExec only over value-bounded domains " +
+      "(SURVEY §5.4 discipline, asserted)") {
+    // WindowExec with an empty partition spec runs as ONE task — the
+    // "No Partition Defined ... serious performance degradation"
+    // warning the test log shows. SURVEY §5.4's discipline is that
+    // every such window in a gated plan sits on a VALUE-BOUNDED domain
+    // (per-language totals, histogram bins, checkpoint grids, top-k
+    // survivors) whose cardinality is independent of corpus size. This
+    // audit makes the discipline mechanical: for every gated query
+    // whose source carries a partition-less Window (the static-grep
+    // census below), plan it and REQUIRE each partition-less WindowExec
+    // input subtree to bound cardinality before any parquet scan — an
+    // aggregate, a TakeOrdered/limit, or a local relation must sit
+    // between the window and every file scan. A partition-less window
+    // DIRECTLY over a corpus scan/join (the 100 TB single-task sort
+    // incident) fails this test. AQE is disabled while planning so
+    // WindowExec is structurally visible (not wrapped in lazy query
+    // stages); production keeps AQE.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: aggregate.HashAggregateExec => true
+      case _: aggregate.SortAggregateExec => true
+      case _: aggregate.ObjectHashAggregateExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec => true
+      case _: LocalLimitExec => true
+      case _: LocalTableScanExec => true
+      // A checkpointed table (Scan ExistingRDD): every one feeding the
+      // audited windows materializes an already-aggregated or top-k
+      // table; the hazard this audit hunts is a window directly over a
+      // parquet corpus scan, which a checkpoint leaf is not.
+      case _: RDDScanExec => true
+      case _: FileSourceScanExec => false
+      case other => other.children.forall(bounded)
+    }
+    // The census: every gated query whose implementation (or operator
+    // it delegates to) builds a Window.partitionBy() / bare
+    // Window.orderBy spec. Regenerate with:
+    //   grep -rn 'Window\.orderBy|partitionBy()' src/main/scala/graft
+    val audited = Seq(
+      "q68_temperature_sample",    // stratum-mass table (≤ |langs|)
+      "q76_hybrid_rrf",            // two top-20 TakeOrdered survivors
+      "q131_unimax_budget",        // per-language token totals
+      "q153_heaps_fit",            // 10-row checkpoint grid
+      "q171_quota_apportionment",  // per-language totals
+      "q172_mutual_information",   // (lang × source) cell table
+      "q179_quota_sample",         // per-language totals
+      "q182_dataset_card",         // token-count histogram bins
+      "q230_neyman_allocation",    // per-language scale table
+      "q233_rfm_segments",         // day/count value histograms
+      // q234's dollar-histogram windows evaluate EAGERLY inside the
+      // query builder (the cuts collapse to a collected aggregate), so
+      // the returned plan carries no WindowExec to audit.
+      "q249_t_closeness")          // (QI key × segment) cell table
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val missing = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (q <- audited) {
+        val exec = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan
+        val bare = exec.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bare.isEmpty) missing += q
+        bare.foreach { w =>
+          assert(bounded(w.child),
+            s"$q: partition-less WindowExec over an UNBOUNDED input — " +
+              s"no aggregate/limit between the window and a file scan:\n$w")
+        }
+      }
+      // The census must stay honest: a query listed here without a
+      // partition-less window means the code moved and the list is
+      // stale (update it with the grep above).
+      assert(missing.isEmpty,
+        s"stale census — no partition-less WindowExec found in: " +
+          missing.mkString(", "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
