@@ -100,5 +100,16 @@ class SparkUtilSpec extends SparkSpec {
     // collision on one seed insufficient.
     val swapped = Seq(("1", 0), ("k2", 2), ("k2", 2)).toDF("k", "v")
     assert(!SparkUtil.multisetEqual(a, swapped))
+    // Null-shift hardening (advisor r19): xxhash64 SKIPS null inputs,
+    // so without the per-column isnull markers ('x', null) and
+    // (null, 'x') digest identically under both seeds.
+    val xn = Seq((Some("x"), None: Option[String])).toDF("k", "v")
+    val nx = Seq((None: Option[String], Some("x"))).toDF("k", "v")
+    assert(!SparkUtil.multisetEqual(xn, nx),
+      "a value shifting across a null column must change the digest")
+    val xn2 = Seq((Some("x"), None: Option[String])).toDF("k", "v")
+      .repartition(3)
+    assert(SparkUtil.multisetEqual(xn, xn2),
+      "null-bearing rows must still compare equal to themselves")
   }
 }
