@@ -1,6 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Overwrite-guard decision (pure, spec-pinned). The committed
+    * BENCH_FULL.json is the artifact-of-record; a new reading replaces it
+    * only when it does not measure a worse box or a worse gate:
+    *
+    *  - floor rule (r19 verdict item 3): refuse when this run's empty-job
+    *    floor median exceeds 2x the committed artifact's — the reading
+    *    measures the weather, not the code;
+    *  - ratio rule (r20 verdict item 2): refuse when this run's
+    *    `ratio_batch_max` exceeds the committed artifact's — the r20
+    *    driver run passed the floor check (1.35x) yet replaced a
+    *    1.702/2.035 reading with 1.929/2.724. A strictly-worse gate
+    *    reading must never become the artifact of record.
+    *
+    * Returns Some(reason) to divert the reading to `<out>.rejected`,
+    * None to accept. Either side missing a field degrades to the rules
+    * that remain comparable.
+    */
+  private[graft] def guardVerdict(
+      priorFloor: Option[Double], priorRatioMax: Option[Double],
+      floorMedian: Double, ratioMax: Option[Double]): Option[String] = {
+    val floorBad = priorFloor.filter(pf => pf > 0 && floorMedian > 2.0 * pf)
+      .map(pf => f"empty-job floor $floorMedian%.3f s > 2x the committed " +
+        f"artifact's $pf%.3f s (degraded box)")
+    val ratioBad = (priorRatioMax, ratioMax) match {
+      case (Some(pr), Some(r)) if r > pr =>
+        Some(f"ratio_batch_max $r%.3f is WORSE than the committed " +
+          f"artifact's $pr%.3f")
+      case _ => None
+    }
+    floorBad.orElse(ratioBad)
+  }
+
+  /** Mid-run weather-watchdog rule (pure, spec-pinned): a rolling
+    * empty-job floor probe counts as degraded when it exceeds 2x the
+    * run's OPENING floor median AND an absolute 0.1 s — the absolute
+    * term keeps a 0.03 -> 0.07 s blip on a very fast box from pausing a
+    * healthy run. r13c/r20 showed bursts arriving mid-run and poisoning
+    * one side of the same-session ratio while the single up-front probe
+    * read quiet.
+    */
+  private[graft] def watchdogDegraded(
+      openingFloor: Double, probeMedian: Double): Boolean =
+    probeMedian > 2.0 * openingFloor && probeMedian > 0.1
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -269,7 +313,47 @@ object Bench {
     val extraRepCounts =
       scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     val r3j = (v: Double) => math.rint(v * 1000) / 1000
-    val allWalls = selected.map { case (name, fn) =>
+    // ---- Mid-run weather watchdog (r20 verdict item 4). The floor is
+    // probed once up front, but r13c/r20 bursts arrived MID-run and
+    // poisoned one side of the same-session ratio. Every `wdEvery`
+    // queries, re-probe the empty-job floor (3 noop jobs, median,
+    // between queries so no query's wall absorbs it). If the probe is
+    // degraded (rule above), pause and re-probe up to 2 times (15 s
+    // each) so a short burst passes by instead of inflating the next
+    // window of floor-bound queries; if still degraded, continue and
+    // record it — the final floor/ratio overwrite guard remains the
+    // arbiter of whether the reading can become the artifact of record.
+    val wdEvery = 32
+    val openingFloor = floorReps(5)
+    val wdProbes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var wdPausedSec = 0.0
+    var wdDegradedWindows = 0
+    def wdProbe(): Double = {
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      reps(1)
+    }
+    def watchdogCheck(queryIdx: Int): Unit = {
+      var probe = wdProbe()
+      wdProbes += queryIdx -> r3j(probe)
+      var retries = 0
+      while (watchdogDegraded(openingFloor, probe) && retries < 2) {
+        retries += 1
+        System.err.println(f"[bench] watchdog: floor probe $probe%.3f s " +
+          f"after query $queryIdx is > 2x the opening $openingFloor%.3f s " +
+          s"— pausing 15 s and re-probing (retry $retries/2)")
+        Thread.sleep(15000)
+        wdPausedSec += 15.0
+        probe = wdProbe()
+        wdProbes += queryIdx -> r3j(probe)
+      }
+      if (watchdogDegraded(openingFloor, probe)) wdDegradedWindows += 1
+    }
+    val allWalls = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx > 0 && qIdx % wdEvery == 0) watchdogCheck(qIdx)
       // Three reps, report the MEDIAN of the last three measured walls:
       // the DuckDB denominator (BASELINE_QUERIES.json) is a median of 3
       // warm reps, so the apples-to-apples Spark number is a warm median
@@ -338,6 +422,11 @@ object Bench {
         }
       }
       name -> walls.toSeq.sorted
+    }
+    val watchdogJson = {
+      val probes = wdProbes
+        .map { case (i, v) => s"[$i,$v]" }.mkString("[", ",", "]")
+      s""""watchdog":{"every":$wdEvery,"opening_floor":${r3j(openingFloor)},"probes":$probes,"paused_sec":${r3j(wdPausedSec)},"degraded_windows":$wdDegradedWindows}"""
     }
     // Headline per-query number: the median over all reps — EXCEPT when
     // the stall trigger fired and extra reps were taken: then the stalled
@@ -556,7 +645,7 @@ object Bench {
         } else """"ab":null"""
       case _ => """"ab":null"""
     }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],"floor_series":$floorSeries,$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,$ratioPinnedJson,"spread":$spreadJson,"stall_attrib":$stallJson,"extra_reps":$extraJson}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","batch_value":${r3(batchTotal)},"stream_exec_value":${r3(total - batchTotal)},"partial":$partial,"floor_sec":${r3(floorReps(5))},"floor_minmax":[${r3(floorReps.head)},${r3(floorReps.last)}],"floor_series":$floorSeries,$watchdogJson,$calibJson,$abJson,$ratioJson,"failed":$failedJson,"sf":"$sfDir","queries":$qs,$ratioPinnedJson,"spread":$spreadJson,"stall_attrib":$stallJson,"extra_reps":$extraJson}"""
     // The driver archives only a bounded TAIL of stdout, which has
     // truncated the per-query map (alphabetically-early q100-q123 keys)
     // two rounds running. The complete artifact therefore also goes to a
@@ -568,33 +657,45 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         if (partial) "BENCH_PARTIAL.json" else "BENCH_FULL.json"))
       .toAbsolutePath
-    // Degraded-box overwrite guard (r19 verdict item 3): the r19
-    // artifact-of-record was clobbered by a reading taken on a box whose
-    // empty-job floor was ~6× the quiet window's. If THIS run's floor
-    // median exceeds 2× the floor recorded in the existing artifact, the
-    // reading measures the weather, not the code — divert it to
-    // <out>.rejected so it stays inspectable without replacing the
-    // committed best. SPARK_GRAFT_BENCH_FORCE=1 overrides (e.g. after a
-    // deliberate re-baseline on a permanently different box).
-    val priorFloor: Option[Double] =
-      if (!java.nio.file.Files.exists(out)) None
+    // Degraded-reading overwrite guard (r19 verdict item 3 + r20 item 2):
+    // the artifact-of-record was clobbered twice — once by a reading on a
+    // box whose empty-job floor was ~6x the quiet window's, once by a
+    // 1.35x-floor run whose gate ratio was strictly WORSE (1.929/2.724
+    // over 1.702/2.035). The guard refuses both classes: a floor > 2x
+    // the committed artifact's, or a ratio_batch_max above it. Refused
+    // readings go to <out>.rejected so they stay inspectable without
+    // replacing the committed best. SPARK_GRAFT_BENCH_FORCE=1 overrides
+    // (e.g. after a deliberate re-baseline on a permanently different
+    // box). Parse failures of the existing artifact are LOUD (ADVICE
+    // r20): a corrupt committed file silently disabling the guard is the
+    // exact failure the guard exists to stop.
+    val (priorFloor, priorRatioMax): (Option[Double], Option[Double]) =
+      if (!java.nio.file.Files.exists(out)) (None, None)
       else try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new String(java.nio.file.Files.readAllBytes(out), "UTF-8"))
-          .path("floor_sec")
-        if (node.isNumber) Some(node.asDouble()) else None
-      } catch { case _: Throwable => None }
+        val f = root.path("floor_sec")
+        val r = root.path("ratio_batch_max")
+        (if (f.isNumber) Some(f.asDouble()) else None,
+          if (r.isNumber) Some(r.asDouble()) else None)
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] WARNING: existing artifact $out " +
+          s"unparseable (${t.getMessage}) — degraded-box overwrite guard " +
+          "INACTIVE for this run")
+        (None, None)
+      }
     val floorMedian = floorReps(5)
-    val degraded = priorFloor.exists(pf => pf > 0 && floorMedian > 2.0 * pf)
-    val target =
-      if (degraded && !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")) {
+    val verdict = guardVerdict(priorFloor, priorRatioMax, floorMedian,
+      gateRatios.reduceOption(_ max _))
+    val target = verdict match {
+      case Some(reason)
+          if !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1") =>
         val alt = out.resolveSibling(out.getFileName.toString + ".rejected")
-        System.err.println(f"[bench] REFUSING to overwrite $out: this " +
-          f"run's empty-job floor ${floorMedian}%.3f s is > 2x the " +
-          f"committed artifact's ${priorFloor.get}%.3f s (degraded box); " +
+        System.err.println(s"[bench] REFUSING to overwrite $out: $reason; " +
           s"writing $alt instead. Set SPARK_GRAFT_BENCH_FORCE=1 to override.")
         alt
-      } else out
+      case _ => out
+    }
     java.nio.file.Files.write(target,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver's stdout capture has clipped the full line (queries +

@@ -142,10 +142,23 @@ object IvfSq {
     val approx = zip_with(element_at(centsLit(m.ivf), col(cidCol) + 1),
       Sq.dequantCol(col(codeCol), m.sq), (c, r) => c + r)
     val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    // 100 TB shape (r21): the probe prune bounds WHICH lists are read,
+    // but an inverted list is still O(corpus / kCentroids) rows, so a
+    // bare per-query row_number would funnel every candidate row of a
+    // query into one task (a full per-list sort per query). Bound the
+    // window input first with a per-(scan partition, query) local
+    // top-pool — ≤ pool × partitions rows per query reach the global
+    // ranking; any partitioning yields the same global pool.
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "__p")
     val poolIds = codes.join(probesDf, Seq(cidCol))
       .join(qE6Df, Seq("query_id"))
       .select(col("query_id"), col(idCol),
         Sq.sqDistCols(approx, col("__qe6")).as("d2q_e12"))
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        wl.orderBy(col("d2q_e12"), col(idCol))))
+      .filter(col("__lrn") <= pool)
       .withColumn("__rn", row_number().over(
         wq.orderBy(col("d2q_e12"), col(idCol))))
       .filter(col("__rn") <= pool)

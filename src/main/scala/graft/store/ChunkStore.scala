@@ -288,7 +288,10 @@ trait ChunkStore {
     * difference between q queries × one scan each and one scan.
     *
     * Returns (query_id, key, score), per-query top-`k`, ordered
-    * (query_id, score desc, key).
+    * (query_id, score desc, key) — in EVERY mode, including exact:
+    * unlike [[search]], which in exact mode returns the full chunk
+    * columns plus score, the batch path ships only the id/score pair
+    * (callers needing chunk columns join them back on `key`).
     */
   def searchAll(collection: String, queries: Seq[(Long, String)],
       k: Int = 1, provider: EmbeddingProvider = Embedding.default,
@@ -324,15 +327,35 @@ trait ChunkStore {
   private def rescoreTopK(cand: DataFrame, qvs: Seq[(Long, Array[Float])],
       k: Int): DataFrame = {
     val q = queryBatchDf(qvs)
-    val joined =
-      if (cand.columns.contains("query_id")) cand.join(q, Seq("query_id"))
+    val hasQid = cand.columns.contains("query_id")
+    val joined = if (hasQid) cand.join(q, Seq("query_id"))
       else cand.crossJoin(q)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("key"))
-    joined
+    val scored = joined
       .select(col("query_id"), col("key"),
         round(graft.functions.CosineSimilarity(col("embedding"),
           col("__qv")), 6).as("score"))
+    // 100 TB shape (r21): in exact mode the window input is the whole
+    // corpus × batch, and a bare per-query row_number would funnel every
+    // scored row into |batch| tasks — one full per-query corpus sort per
+    // task (the same single-task-window class PlanAuditSpec hunts, at
+    // low instead of empty partition cardinality). Bound it first: a
+    // per-(scan partition, query) local top-k leaves ≤ k × partitions
+    // rows per query for the global ranking, and any partitioning of
+    // the scan yields the same global top-k. The ANN modes skip the
+    // extra exchange — their candidate sets are already pool-bounded
+    // per query by the probe/pool prune.
+    val bounded = if (hasQid) scored else {
+      val lw = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "__p")
+        .orderBy(col("score").desc, col("key"))
+      scored.withColumn("__p", spark_partition_id())
+        .withColumn("__lrn", row_number().over(lw))
+        .filter(col("__lrn") <= k)
+        .drop("__p", "__lrn")
+    }
+    bounded
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("key"), col("score"))

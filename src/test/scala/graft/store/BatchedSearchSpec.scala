@@ -100,5 +100,24 @@ class BatchedSearchSpec extends SparkSpec {
       vs.searchAll("c", Seq((0L, "bad")), k = 1,
         provider = provider, mode = "nope")
     }
+    // An actual mixed-dimension batch (r20 ADVICE: the dim-mix require
+    // was unpinned — this test's name promised it without building one).
+    // VectorLiteralProvider itself rejects off-dim literals, so pin the
+    // BATCH-level require with a literal provider that embeds whatever
+    // length each literal renders: a dim-16 and a dim-8 vector in one
+    // batch must trip searchAll's own mix check before any plan exists.
+    val freeLiteral = new graft.functions.EmbeddingProvider {
+      def dim: Int = 16
+      def embed(text: String): Array[Float] =
+        text.trim.split("\\s+").map(java.lang.Float.parseFloat)
+    }
+    val mixed = Seq(
+      (0L, graft.functions.VectorLiteralProvider.render(vec(1))),
+      (1L, graft.functions.VectorLiteralProvider.render(
+        vec(2).take(dim / 2))))
+    val e = intercept[IllegalArgumentException] {
+      vs.searchAll("c", mixed, k = 1, provider = freeLiteral)
+    }
+    assert(e.getMessage.contains("dimension"))
   }
 }
