@@ -32,8 +32,18 @@ object Ranking {
       dampingE2: Int = 85): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingE2 >= 0 && dampingE2 <= 100, "dampingE2 in [0,100]")
+    // Co-partition the LOOP STATE once (r21, guide §2.4): every
+    // iteration joins the edge list and the rank/deg tables on the
+    // vertex id, so hash-partition all of them on that key BEFORE the
+    // checkpoint and the per-round joins run exchange-free — the only
+    // shuffle an iteration pays is the contribution sum by dst. The
+    // explicit partition count pins the co-partitioning against AQE
+    // coalescing one side to a different count (scale-adaptive: it is
+    // the session's shuffle parallelism, not a constant).
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(np, col("src"))
       .localCheckpoint(true)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -99,20 +109,36 @@ object Ranking {
       rounds: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, "need at least one round")
+    // Same co-partitioning discipline as [[pageRank]] (r21, guide
+    // §2.4): edge list hashed on src and the label table on id before
+    // their checkpoints, so the per-round edge⋈label join and the
+    // label update join are exchange-free — each round shuffles only
+    // the (dst, lbl) vote counts, never the edge list again. At 100 TB
+    // that is the difference between `rounds` full edge-table shuffles
+    // and zero.
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(np, col("src"))
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("lbl"))
+      .repartition(np, col("id"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val counts = und.join(labels, col("src") === col("id"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("__c"))
+      // Argmax as a map-side-combinable aggregate instead of a
+      // row_number window (r21, guide §2.3): max over the
+      // (count, −label) struct picks the most frequent label with
+      // ties to the SMALLEST label — bit-identical to the former
+      // `row_number over (order by __c desc, lbl)` pick — without a
+      // full sort of the vote table, and partials combine before the
+      // exchange. (Labels are nonneg vertex ids, so −lbl is safe.)
       val best = counts
-        .withColumn("__rk", row_number().over(Window.partitionBy(col("dst"))
-          .orderBy(col("__c").desc, col("lbl"))))
-        .filter(col("__rk") === 1)
-        .select(col("dst"), col("lbl").as("__new"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
+        .select(col("dst"), (-col("__m.__nl")).as("__new"))
       labels = labels.join(best, col("id") === col("dst"), "left")
         .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
         .localCheckpoint(true)

@@ -731,38 +731,81 @@ object Stats {
         col(yCol).cast("long").as("__y"))
       .localCheckpoint(true)
     val grp = Window.partitionBy(col("__g"))
-    val byV = (v: String) => Window.partitionBy(col("__g")).orderBy(col(v))
-    // Exact rank selection over a value histogram: value at rank r =
-    // min value whose cumulative count reaches r.
-    def histPick(src: DataFrame, v: String, rankOf: Column,
-        out: String): DataFrame =
-      src.groupBy(col("__g"), col(v)).agg(count(lit(1)).as("__c"))
-        .withColumn("__cum", sum(col("__c")).over(byV(v)))
-        .withColumn("__n", sum(col("__c")).over(grp))
-        .filter(col("__cum") >= rankOf)
-        .groupBy(col("__g")).agg(min(col(v)).as(out))
-    // integer ranks (trunc div — `div`, never Column `/` which is
-    // double division and would corrupt the >= rank comparison)
-    val r13 = expr("(__n + 2) div 3") // ceil(n/3)
-    val rUp = expr("__n - ((__n + 2) div 3) + 1")
-    val med = expr("(__n + 1) div 2") // lower median rank
-    val xl = histPick(base, "__x", r13, "xl")
-    val xu = histPick(base, "__x", rUp, "xu")
-    val bounds = xl.join(xu, Seq("__g"))
-    val marked = base.join(broadcast(bounds), Seq("__g"))
+    // r21 fusion (guide §1.2-1: remove passes): the r19 shape ran EIGHT
+    // independent histogram-rank chains (each its own groupBy + two
+    // windows + filter + groupBy) plus a corpus-sized `marked`
+    // checkpoint and a 7-join assembly. Every x-side pick — the
+    // tercile bounds xl/xu, the overall median, and the lo/hi tercile
+    // x-medians — is answerable from ONE (group, x) histogram: with
+    // the cumulative count column in hand, "value at rank r" is
+    // `min(x | cum ≥ r)`, and the lo subset's size is just the
+    // cumulative count AT xl (resp. above xu), so the subset medians
+    // are rank picks on the SAME cumulative column. The y side needs
+    // actual subset histograms (y within an x-tercile is not derivable
+    // from the full y histogram), but one tagged pass builds all three
+    // at once. Two passes over the checkpointed base, zero extra
+    // checkpoints, one final join — same exact integer rank algebra,
+    // bit-identical picks.
+    val byX = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val hx = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(byX))
+      .withColumn("__n", sum(col("__c")).over(grp))
+      // integer ranks (trunc div — `div`, never Column `/` which is
+      // double division and would corrupt the >= rank comparison)
+      .withColumn("xl",
+        min(when(col("__cum") >= expr("(__n + 2) div 3"), col("__x")))
+          .over(grp))
+      .withColumn("xu",
+        min(when(col("__cum") >=
+          expr("__n - ((__n + 2) div 3) + 1"), col("__x"))).over(grp))
+      // |lo| = cumulative count at xl; |hi| = n − cumulative count
+      // just below xu. Any x whose cum reaches a rank inside the lo
+      // (resp. hi) range is inside that tercile by construction, so
+      // the subset medians need no explicit x-bound filter.
+      .withColumn("__nlo",
+        max(when(col("__x") === col("xl"), col("__cum"))).over(grp))
+      .withColumn("__below",
+        max(when(col("__x") === col("xu"), col("__cum") - col("__c")))
+          .over(grp))
+    val xs = hx.groupBy(col("__g")).agg(
+      max(col("__n")).as("n"),
+      max(col("xl")).as("xl"),
+      max(col("xu")).as("xu"),
+      min(when(col("__cum") >= expr("(__nlo + 1) div 2"), col("__x")))
+        .as("mx_lo"),
+      min(when(col("__cum") >=
+        expr("__below + ((__n - __below + 1) div 2)"), col("__x")))
+        .as("mx_hi"),
+      min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__x")))
+        .as("mx_all"))
+      // groups-sized; consumed by the tagged pass AND the final join —
+      // an un-materialized xs would re-run the whole x-histogram chain
+      // (a corpus pass at scale) once per consumer.
       .localCheckpoint(true)
-    val lo = marked.filter(col("__x") <= col("xl"))
-    val hi = marked.filter(col("__x") >= col("xu"))
-    val mxLo = histPick(lo, "__x", med, "mx_lo")
-    val myLo = histPick(lo, "__y", med, "my_lo")
-    val mxHi = histPick(hi, "__x", med, "mx_hi")
-    val myHi = histPick(hi, "__y", med, "my_hi")
-    val mxAll = histPick(base, "__x", med, "mx_all")
-    val myAll = histPick(base, "__y", med, "my_all")
-    val n = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
-    n.join(mxLo, Seq("__g")).join(myLo, Seq("__g"))
-      .join(mxHi, Seq("__g")).join(myHi, Seq("__g"))
-      .join(mxAll, Seq("__g")).join(myAll, Seq("__g"))
+    // One tagged y pass: every row votes into the overall histogram,
+    // plus the lo (x ≤ xl) and hi (x ≥ xu) ones it belongs to.
+    val tagged = base.join(broadcast(xs.select(col("__g"), col("xl"),
+        col("xu"))), Seq("__g"))
+      .select(col("__g"), col("__y"), explode(filter(array(
+        lit("a"),
+        when(col("__x") <= col("xl"), "l"),
+        when(col("__x") >= col("xu"), "h")), t => t.isNotNull))
+        .as("__t"))
+    val byY = Window.partitionBy(col("__g"), col("__t")).orderBy(col("__y"))
+    val grpT = Window.partitionBy(col("__g"), col("__t"))
+    val ys = tagged.groupBy(col("__g"), col("__t"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(byY))
+      .withColumn("__n", sum(col("__c")).over(grpT))
+      .withColumn("__m",
+        min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__y")))
+          .over(grpT))
+      .groupBy(col("__g")).agg(
+        max(when(col("__t") === "a", col("__m"))).as("my_all"),
+        max(when(col("__t") === "l", col("__m"))).as("my_lo"),
+        max(when(col("__t") === "h", col("__m"))).as("my_hi"))
+    xs.join(ys, Seq("__g"))
       .withColumn("slope_e4",
         when(col("mx_hi") =!= col("mx_lo"),
           expr("(my_hi - my_lo) * 10000 div (mx_hi - mx_lo)")))

@@ -547,7 +547,6 @@ object DedupQueries {
         docs(s, dir).select(col("doc_id").as("id")), rounds = 4)
       .select(col("id"), col("community"))
       .localCheckpoint(true) // degree join + two intra-edge sides
-    val m = edges.count()
     val intra = edges
       .join(labels.select(col("id").as("a"), col("community").as("ca")),
         "a")
@@ -555,6 +554,10 @@ object DedupQueries {
         "b")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    // m rides the same 1-row moment collect as Σe/Σd² (r21): every
+    // vertex carries a label, so Σ_c d_c counts each edge's two
+    // endpoints exactly once each — m = Σd/2. The separate
+    // edges.count() action (one more scheduled job per run) is gone.
     val sums = edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -563,10 +566,12 @@ object DedupQueries {
       .join(intra, Seq("community"), "left")
       .agg(sum(coalesce(col("e_c"), lit(0L))).as("se"),
         sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("sd2"),
-        count(lit(1)).as("ncomm"))
+        count(lit(1)).as("ncomm"),
+        sum(col("d_c")).as("sdeg"))
       .head()
     val (se, sd2, ncomm) = (sums.getLong(0),
       BigInt(sums.getDecimal(1).toBigInteger), sums.getLong(2))
+    val m = sums.getLong(3) / 2
     val qE4 = ((BigInt(se) * 4 * m - sd2) * 10000 /
       (BigInt(4) * m * m)).toLong
     Seq((m, ncomm, se, qE4))
@@ -596,6 +601,10 @@ object DedupQueries {
     val e = lshPairs(s, dir)
     val und = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
+      // hash on src once, so BOTH frontier joins read the checkpointed
+      // edge list exchange-free (guide §2.4; the frontier side is the
+      // small one).
+      .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
       .localCheckpoint(true) // two frontier joins
     val hop1 = und.join(seeds.select(col("id").as("src")), "src")
       .select(col("dst").as("id")).distinct()
@@ -609,13 +618,25 @@ object DedupQueries {
       .join(hop1, Seq("id"), "left_anti")
     val toks = d.select(col("doc_id").as("id"),
       size(split(col("text"), " ")).cast("long").as("ntok"))
-    def hopRow(hop: Long, ids: DataFrame): DataFrame =
-      ids.join(toks, "id")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("ntok")), lit(0L)).as("tok_mass"))
-        .select(lit(hop).as("hop"), col("n_docs"), col("tok_mass"))
-    hopRow(0L, seeds).unionByName(hopRow(1L, hop1))
-      .unionByName(hopRow(2L, hop2))
+    // ONE token-mass pass for all three hops (r21): the r19 shape ran
+    // one ids⋈toks join + one global aggregate PER hop — three corpus
+    // text scans and three aggregate actions for three output rows.
+    // The hop sets are disjoint by construction (each hop anti-joins
+    // the previous tiers), so tagging and unioning them lets a single
+    // join + one grouped aggregate produce every row; the static hop
+    // spine keeps the empty-hop zero rows the per-hop global
+    // aggregates used to emit.
+    import s.implicits._
+    val tagged = seeds.select(lit(0L).as("hop"), col("id"))
+      .unionByName(hop1.select(lit(1L).as("hop"), col("id")))
+      .unionByName(hop2.select(lit(2L).as("hop"), col("id")))
+    val perHop = tagged.join(toks, "id")
+      .groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_mass"))
+    Seq(0L, 1L, 2L).toDF("hop")
+      .join(perHop, Seq("hop"), "left")
+      .select(col("hop"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tok_mass"), lit(0L)).as("tok_mass"))
       .orderBy("hop")
   }
 
