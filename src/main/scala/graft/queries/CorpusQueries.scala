@@ -117,27 +117,44 @@ object CorpusQueries {
       df.groupBy(col("doc_id"))
         .agg(collect_list(struct(col("s"), col("e"))).as(name))
     val noSpans = array().cast("array<struct<s:int,e:int>>")
-    def covers(lists: org.apache.spark.sql.Column)(
-        j: org.apache.spark.sql.Column) =
-      exists(lists, sp => j + 1 >= sp.getField("s") &&
-        j + 1 <= sp.getField("e"))
+    // Covered-position count as UNION-OF-INTERVALS length (r21): the
+    // r19 shape evaluated `exists(spans, ...)` for EVERY token position
+    // of every doc, four times — O(tokens × spans × 4) interpreted
+    // lambda calls per row (HOFs don't codegen), which the profile
+    // showed as ~3 s of jobsum for a counting projection. Sorting the
+    // span list and folding a (covered-end, total) pair counts the same
+    // positions in O(spans log spans) per row: clamp each [s, e] to
+    // [1, n], add the part past the running end, advance the end.
+    // Overlaps, nesting and out-of-range spans contribute exactly what
+    // the per-position scan counted.
+    def covCount(lists: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      aggregate(array_sort(lists),
+        struct(lit(0).as("end"), lit(0L).as("tot")),
+        (acc, sp) => {
+          val hi = least(sp.getField("e"), n)
+          val lo = greatest(sp.getField("s"), lit(1),
+            acc.getField("end") + 1)
+          struct(
+            greatest(acc.getField("end"), hi).as("end"),
+            (acc.getField("tot") +
+              when(hi >= lo, (hi - lo + 1).cast("long"))
+                .otherwise(lit(0L))).as("tot"))
+        },
+        acc => acc.getField("tot"))
     tok.join(spanList(grid, "__g"), Seq("doc_id"), "left")
       .join(spanList(cdc, "__c"), Seq("doc_id"), "left")
       .join(spanList(span, "__s"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("__t"),
+      .select(col("doc_id"), size(col("__t")).as("__n"),
         coalesce(col("__g"), noSpans).as("__g"),
         coalesce(col("__c"), noSpans).as("__c"),
         coalesce(col("__s"), noSpans).as("__s"))
-      .select(col("doc_id"), size(col("__t")).cast("long").as("n_words"),
-        size(filter(col("__t"), (_, j) => covers(col("__g"))(j)))
-          .cast("long").as("cov_grid"),
-        size(filter(col("__t"), (_, j) => covers(col("__c"))(j)))
-          .cast("long").as("cov_cdc"),
-        size(filter(col("__t"), (_, j) => covers(col("__s"))(j)))
-          .cast("long").as("cov_span"),
-        size(filter(col("__t"), (_, j) => covers(col("__g"))(j) ||
-          covers(col("__c"))(j) || covers(col("__s"))(j)))
-          .cast("long").as("cov_any"))
+      .select(col("doc_id"), col("__n").cast("long").as("n_words"),
+        covCount(col("__g"), col("__n")).as("cov_grid"),
+        covCount(col("__c"), col("__n")).as("cov_cdc"),
+        covCount(col("__s"), col("__n")).as("cov_span"),
+        covCount(concat(col("__g"), col("__c"), col("__s")), col("__n"))
+          .as("cov_any"))
       .filter(col("cov_any") > 0)
       .orderBy(col("doc_id"))
   }

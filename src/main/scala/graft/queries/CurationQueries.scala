@@ -466,13 +466,18 @@ object CurationQueries {
   // percent_rank semantics (below/(N−1)) as exact integer div.
   def q176(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
-    val n = d.count()
+    // Corpus census as an in-plan broadcast scalar (r21): the separate
+    // d.count() action existed only to bake N into a literal — the
+    // histogram is tiny, so N rides it as a cross-joined column
+    // instead, and the query is ONE action.
+    val nDf = d.agg(count(lit(1)).as("__n"))
     val h = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
       .withColumn("below",
         sum(col("c")).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n_chars"))) - col("c"))
+      .crossJoin(broadcast(nDf))
       .withColumn("pct_e4",
-        expr(s"CAST(below * 10000 div (${n}L - 1) AS BIGINT)"))
+        expr("CAST(below * 10000 div (__n - 1) AS BIGINT)"))
     d.join(broadcast(h.select(col("n_chars"), col("pct_e4"))),
         Seq("n_chars"))
       .select(col("doc_id"), col("n_chars"), col("pct_e4"))

@@ -190,9 +190,19 @@ object DedupQueries {
       .join(cnt.select(col("id").as("b"), col("n").as("__nb")), Seq("b"))
       .filter(expr(s"__i * 10000 div (__na + __nb - __i) >= $tau"))
       .select(col("a"), col("b")).localCheckpoint(true)
-    val tp = truth.join(pred, Seq("a", "b"), "left_semi").count()
-    val nT = truth.count()
-    val nP = pred.count()
+    // ONE action for all three counts (r21): the r19 shape ran three
+    // sequential count jobs (semi-join tp, truth census, pred census)
+    // over the two checkpoints. A full-outer join of marker columns
+    // reduces the same three numbers in a single aggregate pass.
+    val stats = truth.select(col("a"), col("b"), lit(1L).as("__t"))
+      .join(pred.select(col("a"), col("b"), lit(1L).as("__p")),
+        Seq("a", "b"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("nT"),
+        coalesce(sum(col("__p")), lit(0L)).as("nP"),
+        coalesce(sum(col("__t") * col("__p")), lit(0L)).as("tp"))
+      .head()
+    val (nT, nP, tp) = (stats.getLong(0), stats.getLong(1),
+      stats.getLong(2))
     val (fp, fn) = (nP - tp, nT - tp)
     val prec = if (nP == 0) -1L else tp * 10000L / nP
     val rec = if (nT == 0) -1L else tp * 10000L / nT

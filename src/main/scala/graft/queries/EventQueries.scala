@@ -125,9 +125,8 @@ object EventQueries {
   // exact integers (10^6 >> half-life buckets), every sum order-free.
   def q196(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val asOf = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
-    graft.operators.Decay.timeDecayed(ev, "event_type", col("ts"),
-        col("value"), asOf, halflifeSec = 7L * 86400L)
+    graft.operators.Decay.timeDecayedAtStreamMax(ev, "event_type",
+        col("ts"), col("value"), halflifeSec = 7L * 86400L)
       .orderBy(col("event_type"))
   }
 
@@ -181,14 +180,20 @@ object EventQueries {
   def q233(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.load(s, dir, "events")
-    val anchor = ev
-      .agg(max(expr("unix_timestamp(ts) div 86400"))).head().getLong(0)
+    // Anchor day as an in-plan broadcast scalar (r21): the separate
+    // max(day) collect action existed only to bake the anchor into a
+    // literal; the same one-row aggregate now rides the checkpointed
+    // per-user plan — two events scans either way, one action fewer.
+    val anchorDf = ev
+      .agg(max(expr("unix_timestamp(ts) div 86400")).as("__anchor"))
     val u = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
-      .agg((lit(anchor) - max(expr("unix_timestamp(ts) div 86400")))
-        .as("r_days"),
+      .agg(max(expr("unix_timestamp(ts) div 86400")).as("__last"),
         count(lit(1)).as("f"),
         sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("m_cents"))
+      .crossJoin(broadcast(anchorDf))
+      .select(col("user_id"), (col("__anchor") - col("__last"))
+        .as("r_days"), col("f"), col("m_cents"))
       .localCheckpoint(true) // two histogram consumers + the final join
     // quartile code from the bounded value histogram: code 1 = the
     // smallest values (for R that means MOST recent)

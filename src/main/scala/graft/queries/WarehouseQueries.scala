@@ -745,7 +745,14 @@ object WarehouseQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint(true) // consumers: basket count, item counts, prune
-    val n = li.select("o").distinct().count()
+    // Basket census N as an in-plan broadcast scalar (r21): the r19
+    // shape ran `li.select("o").distinct().count()` as a SEPARATE
+    // action — one more sequential driver round-trip and distinct pass
+    // before any rule work could start — only to fold the result back
+    // in as a literal. The same one-row aggregate now rides the final
+    // plan as a broadcast cross join; arithmetic and the overflow guard
+    // are unchanged, with N as a column instead of a literal.
+    val nDf = li.select("o").distinct().agg(count(lit(1)).as("__nn"))
     val itemN = li.groupBy("p").agg(count(lit(1)).as("np"))
       .localCheckpoint(true) // consumers: prune + two rule joins
     val liF = li.join(itemN.filter(col("np") >= minSup).select("p"), "p")
@@ -757,14 +764,15 @@ object WarehouseQueries {
       .filter(col("n_pair") >= minSup)
       .join(itemN.select(col("p").as("p1"), col("np").as("n1")), "p1")
       .join(itemN.select(col("p").as("p2"), col("np").as("n2")), "p2")
+      .crossJoin(broadcast(nDf))
       .select(col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),
         expr("n_pair * 10000 div n1").as("conf12_e4"),
         expr("n_pair * 10000 div n2").as("conf21_e4"),
-        when(col("n_pair").cast("double") * lit(n.toDouble) >
+        when(col("n_pair").cast("double") * col("__nn").cast("double") >
             lit(9.2e14),
           raise_error(lit("q232: n_pair*N overflows the e4 lift " +
             "budget; sample baskets first")))
-          .otherwise(expr(s"n_pair * ${n}L * 10000 div (n1 * n2)"))
+          .otherwise(expr("n_pair * __nn * 10000 div (n1 * n2)"))
           .as("lift_e4"))
       .orderBy(col("p1"), col("p2"))
   }

@@ -440,6 +440,15 @@ final class SnapshotStore(protected val spark: SparkSession,
     *     two scans + one co-partitioned shuffle, the exact price of a
     *     content-honest diff across a rewrite. SnapshotStoreSpec pins
     *     fast == full on the same window.
+    *
+    * Why a compact-THEN-deltas window cannot take a widened fast path
+    * (r21, the r20 verdict's question): deltas committed BEFORE the
+    * compaction are folded into the base — `m(toV).entries` keeps only
+    * entries past the compaction snapshot — so the documents those
+    * folded deltas touched are unrecoverable from the post-compact
+    * manifests, and pruning to the post-compact deltas' documentids
+    * would silently drop them from the diff. SnapshotStoreSpec's
+    * compact-then-deltas case pins exactly this arbitration.
     */
   def changedDocuments(collection: String, fromV: Long,
       toV: Long): DataFrame = {

@@ -238,6 +238,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fromV < toV"))
   }
 
+  test("changedDocuments: a COMPACT-THEN-DELTAS window must diff full — " +
+      "pre-compact changes are folded into the base and invisible to " +
+      "any delta-mentioned-docs prune") {
+    // The r20 verdict asked whether a window holding a compaction
+    // followed by deltas could still prune to the docs the POST-compact
+    // deltas mention. It cannot: d2's change commits BEFORE the
+    // compaction, the compaction folds that delta into the base, and
+    // m(toV) then carries no entry naming d2 — a post-compact
+    // delta-prune would return only d3 and silently drop d2 from the
+    // diff. This pins the arbitration: any base entry in the window ⇒
+    // the full two-scan diff, which must still see BOTH changes.
+    val st = newStore()
+    st.upsert(chunksOf("a", "d1" -> 2, "d2" -> 2), "c") // v1
+    st.upsert(chunksOf("b", "d2" -> 1), "c")            // v2: d2 changes
+    st.compact("c")                                     // v3: folds v2
+    st.upsert(chunksOf("n", "d3" -> 1), "c")            // v4: d3 added
+    val got = st.changedDocuments("c", 1L, 4L).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq("d2" -> "changed", "d3" -> "added"),
+      "the full diff across a mid-window compaction must report the " +
+        s"folded pre-compact change too, got $got")
+  }
+
   test("changedDocuments: a window holding only an EMPTY upsert commit " +
       "short-circuits to the empty diff (no scans, no empty-IN plan)") {
     val st = newStore()
