@@ -52,6 +52,23 @@ object SparkUtil {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Co-partition count for an iterative graph loop, derived from the
+    * MATERIALIZED size of its (already checkpointed) edge table rather
+    * than pinned to the session shuffle parallelism (r21, guide §2.2
+    * "scale-adaptive partitioning"): the checkpoint's partition count
+    * reflects the data that actually flowed (AQE coalescing / input
+    * splits both scale with bytes), so a local candidate subgraph
+    * loops over a handful of partitions while a cluster-sized edge
+    * table still fans out to the session's full shuffle parallelism.
+    * A pinned `numShufflePartitions` here made every per-round stage a
+    * 32-task scheduling storm on kilobyte graphs (q197 +1.1 s).
+    */
+  def loopPartitions(materialized: DataFrame): Int = {
+    val cap = materialized.sparkSession.sessionState.conf
+      .numShufflePartitions
+    math.max(1, math.min(cap, materialized.rdd.getNumPartitions))
+  }
+
   /** Multiset-equality certificate in ONE aggregate per side.
     *
     * The in-run REQUIREs of the store queries (q242/q243/q251) used

@@ -302,8 +302,11 @@ object Curation {
     * Scale shape: key and negative sets are distinct-gram tables
     * (vocabulary-sized, checkpointed once, probed per size); each
     * filter is `m/32` longs built by one combinable BIT_OR aggregate
-    * and folded into the probe scan as a literal — the q78 shape,
-    * swept.
+    * and shipped to the probe scan as a ONE-ROW broadcast relation
+    * (r21, guide §4): as expression-tree literals the three word
+    * arrays (up to 32k longs, referenced numHashes× each) cost the
+    * driver ~1 s of analysis/canonicalization hashing per bench rep —
+    * data belongs in a relation, not in the plan.
     */
   def bloomFprAudit(train: DataFrame, eval: DataFrame, textCol: String,
       n: Int, bitSizes: Seq[Int], numHashes: Int): DataFrame = {
@@ -346,17 +349,26 @@ object Curation {
       .groupBy(_.getInt(0))
       .map { case (m, rs) =>
         m -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
-    def hitFor(m: Int): Column = {
+    val wordsRow = org.apache.spark.sql.Row(bitSizes.map { m =>
       val built = builtAll.getOrElse(m, Map.empty[Int, Long])
-      val words = lit(Array.tabulate(m / 32)(built.getOrElse(_, 0L)))
+      Array.tabulate(m / 32)(built.getOrElse(_, 0L)).toSeq
+    }: _*)
+    val wordsSchema = org.apache.spark.sql.types.StructType(bitSizes.map(
+      m => org.apache.spark.sql.types.StructField(s"__w$m",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val wordsDf = s.createDataFrame(
+      java.util.Collections.singletonList(wordsRow), wordsSchema)
+    def hitFor(m: Int): Column =
       (0 until numHashes).map { i =>
         val p = pos(i, m)
-        element_at(words, shiftright(p, 5).cast("int") + 1)
+        element_at(col(s"__w$m"), shiftright(p, 5).cast("int") + 1)
           .bitwiseAND(bitOf(p)) =!= 0L
       }.reduce(_ && _)
-    }
     // coalesce: sum over an EMPTY negative set is null, not 0.
-    val fpRow = negG.agg(count(lit(1)).as("__n"),
+    val fpRow = negG.crossJoin(broadcast(wordsDf))
+      .agg(count(lit(1)).as("__n"),
       bitSizes.map(m => coalesce(sum(when(hitFor(m), 1L).otherwise(0L)),
         lit(0L)).as(s"__fp$m")): _*).head()
     val nNeg = fpRow.getLong(0) // negative census rides the same pass

@@ -38,23 +38,30 @@ object Ranking {
     // checkpoint and the per-round joins run exchange-free — the only
     // shuffle an iteration pays is the contribution sum by dst. The
     // explicit partition count pins the co-partitioning against AQE
-    // coalescing one side to a different count (scale-adaptive: it is
-    // the session's shuffle parallelism, not a constant).
-    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+    // coalescing one side to a different count.
+    val und0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    // Scale-adaptive co-partition count (r21): derived from the
+    // materialized edge table, not pinned to session parallelism —
+    // see [[graft.SparkUtil.loopPartitions]].
+    val np = graft.SparkUtil.loopPartitions(und0)
+    // Degree rides WITH the edge row (r21): `deg` is a per-src
+    // constant, so joining it once into the checkpointed edge table
+    // removes one join from EVERY iteration — the loop body is now
+    // exactly one co-partitioned join + one combinable sum.
+    val und = und0.join(
+        und0.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+        Seq("src"))
       .repartition(np, col("src"))
       .localCheckpoint(true)
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
     val base = (100L - dampingE2) * 1000000000L / 100L
-    var ranks = deg.select(col("src").as("id"),
-        lit(1000000000L).as("rank_e9"))
+    var ranks = und.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000000L).as("rank_e9"))
       .localCheckpoint(true)
     for (i <- 1 to iterations) {
       val contrib = und
         .join(ranks, col("src") === col("id"))
-        .join(deg, Seq("src"))
         .select(col("dst"),
           // div-first ordering: `rank_e9 * 85` overflows Long once a
           // vertex's e9 rank exceeds ~1.08e17 (rank mass of ~1e8
@@ -65,19 +72,23 @@ object Ranking {
           // association.
           expr(s"rank_e9 div 100 div deg * $dampingE2").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      // The vertex set comes from the STATIC deg checkpoint, so `ranks`
-      // has exactly one consumer per round (the contrib join) and an
-      // un-materialized round re-executes nothing twice. That makes it
-      // safe to checkpoint every SECOND round (r10): lineage stays
-      // bounded at two rounds, the per-round materialization job count
-      // halves, and the integer arithmetic is association-identical —
-      // hashes unchanged.
-      ranks = deg.select(col("src").as("id"))
-        .join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_e9"))
+      // The contribution sum is TOTAL over the touched vertex set —
+      // `und` is symmetric, so every edge-touched vertex receives at
+      // least one contribution — which makes the former
+      // `deg left-join contrib + coalesce(0)` a no-op: the next rank
+      // table IS the contribution table plus the damping base (r21,
+      // one join fewer per round; the 0-contribution branch was dead
+      // code on a symmetric edge list). Values bit-identical.
+      ranks = contrib.select(col("dst").as("id"),
+        (lit(base) + col("__in")).as("rank_e9"))
+      // `ranks` has exactly one consumer per round (the contrib
+      // join), so checkpointing every SECOND round keeps lineage
+      // bounded at two rounds while halving materialization jobs
+      // (r10) — and LAZY (r21): the consumer's own job materializes
+      // the checkpoint in passing, one scheduled job per checkpoint
+      // fewer. Integer arithmetic association-identical.
       if (i % 2 == 0 || i == iterations)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -96,11 +107,13 @@ object Ranking {
     * rounds), min-label ties make every round a pure function — no RNG,
     * no visit order.
     *
-    * Scale shape: per round ONE edge⋈label join shuffled on vertex id,
-    * one map-side-combinable (dst, label) count, one dst-keyed
-    * window argmax on the label-candidate table (bounded by degree) —
-    * [[pageRank]]'s per-round budget plus the argmax; labels
-    * checkpointed per round, lineage O(1).
+    * Scale shape (r21): per round ONE co-partitioned edge⋈label join
+    * (the edge table is hash-partitioned once, never reshuffled) and
+    * ONE dst-keyed vote aggregate whose map-side state is bounded by
+    * degree (`mode`) — the aggregate output IS the next label table,
+    * so there is no per-round label-update join; labels checkpointed
+    * per round, lineage O(1). Only edge-touched vertices iterate;
+    * isolated vertices rejoin as community = id at the end.
     *
     * Output: (id, community, community_size) for every vertex in
     * `vertices` (column `id`).
@@ -116,36 +129,59 @@ object Ranking {
     // the (dst, lbl) vote counts, never the edge list again. At 100 TB
     // that is the difference between `rounds` full edge-table shuffles
     // and zero.
-    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+    // The raw edge pipeline (often an LSH candidate join) materializes
+    // ONCE unpartitioned; the co-partition count then derives from
+    // what actually landed (SparkUtil.loopPartitions) instead of the
+    // pinned session parallelism — scale-adaptive per guide §2.2.
+    val und0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val np = graft.SparkUtil.loopPartitions(und0)
+    // Edges mentioning ids outside `vertices` drop up front: the
+    // former per-round joins filtered them implicitly (votes from
+    // outside ids never joined the label table; labels for outside
+    // ids never existed) — one explicit semi-join pair keeps that
+    // contract now that the loop iterates on the edge-derived set.
+    val und = und0
+      .join(vertices.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(vertices.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .repartition(np, col("src"))
       .sortWithinPartitions("src") // checkpoint keeps the ordering too:
       .localCheckpoint(true)       // round SMJs skip the edge-side sort
-    var labels = vertices.select(col("id"), col("id").as("lbl"))
-      .repartition(np, col("id"))
-      .sortWithinPartitions("id")
+    // Iterate ONLY over edge-touched vertices (r21 — the
+    // [[Dedup.connectedComponents]] discipline applied to LPA):
+    // isolated vertices have no neighbors, so they keep their own
+    // label and influence nobody; keeping them in the loop shuffled
+    // the whole corpus-sized label table once per round for nothing.
+    // They rejoin as community = id after the loop.
+    val touched = und.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
+    var labels = touched.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to rounds) {
-      val counts = und.join(labels, col("src") === col("id"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("__c"))
-      // Argmax as a map-side-combinable aggregate instead of a
-      // row_number window (r21, guide §2.3): max over the
-      // (count, −label) struct picks the most frequent label with
-      // ties to the SMALLEST label — bit-identical to the former
-      // `row_number over (order by __c desc, lbl)` pick — without a
-      // full sort of the vote table, and partials combine before the
-      // exchange. (Labels are nonneg vertex ids, so −lbl is safe.)
-      val best = counts
+      // One co-partitioned join + ONE dst-keyed aggregate per round
+      // (r21, guide §2.3): `mode(lbl, true)` buffers the per-dst
+      // neighbor-label counts map-side (bounded by degree) and
+      // resolves ties to the SMALLEST label at eval — the exact LPA
+      // tie rule the former `row_number over (order by count desc,
+      // lbl)` implemented (verified on tie/negative cases). And
+      // because `und` is symmetric, every touched vertex receives at
+      // least one vote, so the vote argmax IS the next label table —
+      // the former per-round `labels left-join best + coalesce`
+      // update was a no-op on the touched set and is gone.
+      // LAZY checkpoint (the r10 CC discipline): the next round's
+      // join is the single consumer of a fresh label table, so its
+      // job materializes the checkpoint in passing — one scheduled
+      // job per round instead of two.
+      labels = und.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
-        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
-        .select(col("dst"), (-col("__m.__nl")).as("__new"))
-      labels = labels.join(best, col("id") === col("dst"), "left")
-        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .agg(expr("mode(lbl, true)").as("lbl"))
+        .select(col("dst").as("id"), col("lbl"))
+        .localCheckpoint(false)
     }
-    labels
+    val isolated = vertices.select(col("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    labels.union(isolated)
       .withColumn("community_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))))
       .select(col("id"), col("lbl").as("community"),

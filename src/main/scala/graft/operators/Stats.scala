@@ -912,22 +912,28 @@ object Stats {
     require(b >= 4 && loRank >= 1 && hiRank <= b && loRank < hiRank,
       s"bad bootstrap config b=$b loRank=$loRank hiRank=$hiRank")
     import org.apache.spark.sql.expressions.Window
-    val m = (rep: Int) => {
-      val h = conv(substring(md5(concat_ws(":", lit(seed), lit(rep),
-        col("__k"))), 1, 13), 16, 10).cast("long")
-      PoissonThresholdsE52.map(t => when(h >= t, 1).otherwise(0))
-        .reduce(_ + _)
-    }
+    // Replicate index exploded FIRST, hash computed ONCE per
+    // (row, replicate) (r21, guide §4): the former shape built an
+    // array of b structs whose md5→conv chain appeared 4× per
+    // replicate (once per threshold comparison) — ~2.8k expression
+    // nodes that cost the driver more analysis/canonicalization time
+    // per bench rep than the job did. Same md5 inputs (concat_ws casts
+    // the int column exactly like the int literal), same threshold
+    // algebra, bit-identical cells.
+    val h = conv(substring(md5(concat_ws(":", lit(seed), col("__rep"),
+      col("__k"))), 1, 13), 16, 10).cast("long")
     val cells = graft.SparkUtil.ensureParallelism(df)
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
         col(keyCol).cast("string").as("__k"))
-      .select(col("__g"), col("__v"),
-        explode(array((0 until b).map(rep =>
-          struct(lit(rep).as("rep"), m(rep).as("m"))): _*)).as("__r"))
-      .filter(col("__r.m") > 0)
-      .groupBy(col("__g"), col("__r.rep").as("__rep"))
-      .agg(sum(col("__r.m") * col("__v")).as("__s"),
-        sum(col("__r.m")).as("__n"))
+      .select(col("__g"), col("__v"), col("__k"),
+        explode(typedlit((0 until b).toList)).as("__rep"))
+      .withColumn("__h", h)
+      .withColumn("__m", PoissonThresholdsE52
+        .map(t => when(col("__h") >= t, 1).otherwise(0)).reduce(_ + _))
+      .filter(col("__m") > 0)
+      .groupBy(col("__g"), col("__rep"))
+      .agg(sum(col("__m") * col("__v")).as("__s"),
+        sum(col("__m")).as("__n"))
       .withColumn("__mean_e4", expr("__s * 10000 div __n"))
     val byMean = Window.partitionBy(col("__g"))
       .orderBy(col("__mean_e4"), col("__rep"))

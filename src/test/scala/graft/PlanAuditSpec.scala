@@ -887,9 +887,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q196: time decay is a joinless windowless scan aggregate") {
+  test("q196: time decay is a windowless scan aggregate whose only " +
+      "join is the broadcast 1-row anchor") {
+    // r21: the as-of anchor (max ts) moved in-plan as a broadcast
+    // scalar (Decay.timeDecayedAtStreamMax) — one action instead of
+    // two. The ONLY join allowed is that single-row broadcast cross;
+    // any shuffled join or window would mean the scan-aggregate shape
+    // regressed.
     val p = plan("q196_time_decay")
-    assert(!p.contains("Join"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("Generate"), p)
   }
