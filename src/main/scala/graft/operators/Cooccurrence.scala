@@ -32,27 +32,45 @@ object Cooccurrence {
 
   def pairs(df: DataFrame, userCol: String, itemCol: String,
       minSupport: Long = 2L, maxBasket: Int = 64): DataFrame = {
-    val baskets = graft.SparkUtil.ensureParallelism(df)
+    // Baskets as per-user SORTED item arrays in ONE aggregate (r21,
+    // guide §2.3): `collect_set` dedups inside the aggregate buffer,
+    // so the former standalone `distinct()` pass — a full shuffle of
+    // the raw (user, item) stream — is gone; the basket-size cap is a
+    // post-aggregation filter on `size(...)` (same kept set: the cap
+    // counted DISTINCT items per user), so the separate kept-users
+    // aggregate + keep join are gone too. Ordered pairs then unnest
+    // from each array map-side (posexplode × slice — every emitted
+    // pair has item_a < item_b by the sort, exactly the old self-join
+    // predicate) instead of re-shuffling the basket table against
+    // itself on the user key. Pair work stays bounded: ≤ maxBasket²/2
+    // rows per user. Shuffles: 4 → 2 (basket aggregate + pair
+    // aggregate); the user census rides in-plan as a broadcast 1-row
+    // aggregate instead of a separate count action.
+    val arrs = graft.SparkUtil.ensureParallelism(df)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .filter(col("__u").isNotNull && col("__i").isNotNull)
-      .distinct()
+      .groupBy(col("__u"))
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+      .filter(size(col("__items")) <= maxBasket)
       .localCheckpoint(true)
-    val keptUsers = baskets.groupBy(col("__u"))
-      .agg(count(lit(1)).as("__bs"))
-      .filter(col("__bs") <= maxBasket)
-      .select(col("__u"))
-    val keptU = keptUsers.localCheckpoint(true)
-    val kept = baskets.join(keptU, Seq("__u")).localCheckpoint(true)
-    // keptU is already one row per user — no second distinct pass.
-    val nUsers = keptU.count()
-    require(nUsers <= 30000000L,
-      s"Cooccurrence.pairs: $nUsers kept users exceeds the exact-lift " +
-        "overflow cap (3e7); use a two-step trunc-div lift form")
-    val sup = kept.groupBy(col("__i")).agg(count(lit(1)).as("__sup"))
-    val a = kept.select(col("__u"), col("__i").as("item_a"))
-    val b = kept.select(col("__u"), col("__i").as("item_b"))
-    a.join(b, Seq("__u"))
-      .filter(col("item_a") < col("item_b"))
+    // In-plan census + overflow guard (the q176/q232 discipline): the
+    // exact-lift arithmetic needs N ≤ 3e7 or the product overflows a
+    // long; raise_error keeps the guard in the value expression, zero
+    // extra actions.
+    val census = arrs.agg(count(lit(1)).as("__nu"))
+    val nuOk = when(col("__nu") <= 30000000L, col("__nu"))
+      .otherwise(raise_error(concat(lit("Cooccurrence.pairs: "),
+        col("__nu").cast("string"),
+        lit(" kept users exceeds the exact-lift overflow cap (3e7); " +
+          "use a two-step trunc-div lift form"))))
+    val sup = arrs.select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__sup"))
+    arrs
+      .select(col("__items"),
+        posexplode(col("__items")).as(Seq("__p", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__p") + 2,
+          size(col("__items")) - col("__p") - 1)).as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
@@ -60,9 +78,11 @@ object Cooccurrence {
         col("__sup").as("sup_a"))), Seq("item_a"))
       .join(broadcast(sup.select(col("__i").as("item_b"),
         col("__sup").as("sup_b"))), Seq("item_b"))
+      .crossJoin(broadcast(census))
+      .withColumn("__nuok", nuOk)
       .select(col("item_a"), col("item_b"), col("n_both"),
         col("sup_a"), col("sup_b"),
-        expr(s"n_both * ${nUsers}L * 10000 div (sup_a * sup_b)")
+        expr("n_both * __nuok * 10000 div (sup_a * sup_b)")
           .as("lift_e4"))
       .orderBy(col("n_both").desc, col("item_a"), col("item_b"))
   }

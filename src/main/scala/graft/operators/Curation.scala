@@ -273,13 +273,27 @@ object Curation {
         bitOf(col("p")).as("b"))
       .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val words = lit(Array.tabulate(numBits / 32)(built.getOrElse(_, 0L)))
+    // Filter words ride as a ONE-ROW broadcast relation, not an
+    // expression-tree literal (r21 — the bloomFprAudit fix): a
+    // numHashes×-referenced literal array costs the driver
+    // canonicalization hashing on every plan pass; data belongs in a
+    // relation.
+    val spark = train.sparkSession
+    val wordsDf = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        Array.tabulate(numBits / 32)(built.getOrElse(_, 0L)).toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bw",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
     val hit = (0 until numHashes).map { i =>
       val p = pos(i)
-      element_at(words, shiftright(p, 5).cast("int") + 1)
+      element_at(col("__bw"), shiftright(p, 5).cast("int") + 1)
         .bitwiseAND(bitOf(p)) =!= 0L
     }.reduce(_ && _)
     ngrams(train, textCol, n, Seq(col(idCol)))
+      .crossJoin(broadcast(wordsDf))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(hit, 1L).otherwise(0L)).as("n_hits"))

@@ -731,35 +731,50 @@ object WarehouseQueries {
 
   // q232: market-basket ASSOCIATION RULES (support / confidence /
   // lift) over order baskets — the apriori level the warehouse
-  // actually runs: the FREQUENT-ITEM prefilter first (an item below
-  // the support floor cannot appear in a qualifying pair — the
-  // monotonicity that makes candidate generation tractable), then the
-  // within-basket pair join on the pruned item set, then the pair
-  // support floor. Lift is the exact integer n_pair·N·10⁴ div
-  // (n1·n2); its long budget (n_pair·N ≤ 9.2·10¹⁴) is raise'd
-  // in-plan per pair (the ksReport pattern). Both join sides are the
-  // checkpointed pruned basket table — Catalyst shares no subtrees.
+  // actually runs: within-basket ordered pairs, then the pair
+  // support floor (which by apriori monotonicity subsumes a
+  // frequent-item prefilter: an item below the floor cannot appear
+  // in a qualifying pair). Lift is the exact integer n_pair·N·10⁴
+  // div (n1·n2); its long budget (n_pair·N ≤ 9.2·10¹⁴) is raise'd
+  // in-plan per pair (the ksReport pattern).
   def q232(s: SparkSession, dir: String): DataFrame = {
     val minSup = 3L
-    val li = graft.Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint(true) // consumers: basket count, item counts, prune
+    // Baskets as per-order SORTED part arrays in ONE aggregate (r21 —
+    // the q194 shape): `collect_set` dedups (order, part) inside the
+    // aggregate buffer, so the standalone `distinct()` pass is gone;
+    // the basket census N and the item counts both derive from the
+    // materialized basket table (same values: one row per order, one
+    // exploded row per distinct (o, p)). Ordered pairs unnest
+    // map-side (posexplode × slice, p1 < p2 by the sort) instead of
+    // the o-keyed self-join, whose two exchanges + sorts are gone.
+    // The former frequent-item PREFILTER is gone too — it never
+    // changed results (n_pair ≥ minSup forces np(p1), np(p2) ≥
+    // minSup, the apriori monotonicity itself), and TPC-H baskets
+    // are ≤ 7 lines so per-row pair fan-out is bounded without it;
+    // a corpus with unbounded baskets would reintroduce a prune (the
+    // q194 maxBasket cap) BEFORE pair generation.
+    val arrs = graft.SparkUtil.ensureParallelism(
+      graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("__ps"))
+      ).localCheckpoint(true) // consumers: census, item counts, pairs
     // Basket census N as an in-plan broadcast scalar (r21): the r19
-    // shape ran `li.select("o").distinct().count()` as a SEPARATE
-    // action — one more sequential driver round-trip and distinct pass
-    // before any rule work could start — only to fold the result back
-    // in as a literal. The same one-row aggregate now rides the final
-    // plan as a broadcast cross join; arithmetic and the overflow guard
-    // are unchanged, with N as a column instead of a literal.
-    val nDf = li.select("o").distinct().agg(count(lit(1)).as("__nn"))
-    val itemN = li.groupBy("p").agg(count(lit(1)).as("np"))
-      .localCheckpoint(true) // consumers: prune + two rule joins
-    val liF = li.join(itemN.filter(col("np") >= minSup).select("p"), "p")
-      .localCheckpoint(true) // both self-join sides
-    liF.as("x").join(liF.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+    // shape ran a SEPARATE `distinct().count()` action — one more
+    // sequential driver round-trip before any rule work could start —
+    // only to fold the result back in as a literal. The basket table
+    // already has exactly one row per order.
+    val nDf = arrs.agg(count(lit(1)).as("__nn"))
+    val itemN = arrs.select(explode(col("__ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("np"))
+      .localCheckpoint(true) // consumers: two rule joins
+    arrs
+      .select(col("__ps"),
+        posexplode(col("__ps")).as(Seq("__i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("__ps"), col("__i") + 2,
+          size(col("__ps")) - col("__i") - 1)).as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSup)
       .join(itemN.select(col("p").as("p1"), col("np").as("n1")), "p1")

@@ -350,18 +350,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("split("), p.take(2000))
   }
 
-  test("q78: portable Bloom probe is a joinless scan; filter rides as a literal") {
+  test("q78: portable Bloom probe scans the grams once; filter rides " +
+      "as a 1-row broadcast") {
     // The words array is collected at build time (bounded: numBits/32
-    // longs) and probed as a LITERAL in the train scan — the plan must
-    // show no Join anywhere and only the per-doc aggregate + output-sort
-    // exchanges. A Join here means the filter regressed to a relational
+    // longs) and probed from a ONE-ROW broadcast relation (r21 — as an
+    // inline literal it cost the driver canonicalization hashing per
+    // plan pass). The only join allowed is that broadcast cross; a
+    // shuffled join here means the filter regressed to a relational
     // probe, which re-shuffles the corpus gram stream at 100 TB.
     val p = plan("q78_decontam_bloom")
-    assert(!p.contains("Join"), p.take(1000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(1000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastHashJoin"), p.take(1000))
     // per-doc aggregate + output sort + ensureParallelism's small-input
-    // repartition (sf0.001 is a single parquet split) — nothing else.
-    assert("Exchange".r.findAllIn(p).length <= 3, p.take(1000))
-    // the probe literal is inline in the aggregate (array of packed words)
+    // repartition (sf0.001 is a single parquet split) + the 1-row
+    // BroadcastExchange — nothing else.
+    assert("Exchange".r.findAllIn(p).length <= 4, p.take(1000))
+    // the probe reads the packed-words array column
     assert(p.contains("element_at"), p.take(1000))
   }
 
@@ -815,10 +820,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p)
   }
 
-  test("q194: pair join is keyed on the user; supports broadcast") {
+  test("q194: pairs unnest map-side from capped basket arrays; " +
+      "supports broadcast; no user-keyed self-join") {
+    // r21: ordered pairs come from posexplode×slice over the per-user
+    // sorted item array (bounded by maxBasket²/2 per row) — the former
+    // user-keyed self-join shuffle is gone, so the only joins left are
+    // the broadcast support lookups and the 1-row census.
     val p = plan("q194_cooccurrence")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p)
   }
 
   test("q195: KS cumsum windows run on the value histogram, never " +
