@@ -55,18 +55,51 @@ object SparkUtil {
   /** Co-partition count for an iterative graph loop, derived from the
     * MATERIALIZED size of its (already checkpointed) edge table rather
     * than pinned to the session shuffle parallelism (r21, guide §2.2
-    * "scale-adaptive partitioning"): the checkpoint's partition count
-    * reflects the data that actually flowed (AQE coalescing / input
-    * splits both scale with bytes), so a local candidate subgraph
-    * loops over a handful of partitions while a cluster-sized edge
-    * table still fans out to the session's full shuffle parallelism.
-    * A pinned `numShufflePartitions` here made every per-round stage a
-    * 32-task scheduling storm on kilobyte graphs (q197 +1.1 s).
+    * "scale-adaptive partitioning"; r22 refinement below): a local
+    * candidate subgraph loops over a handful of partitions while a
+    * cluster-sized edge table still fans out to the session's full
+    * shuffle parallelism. A pinned `numShufflePartitions` here made
+    * every per-round stage a 32-task scheduling storm on kilobyte
+    * graphs (q197 +1.1 s).
+    *
+    * r22 (ADVICE r21): the r21 rule read the checkpoint's PARTITION
+    * COUNT, which for the src/dst union of a wide upstream shuffle is
+    * 2× the upstream count regardless of bytes — a kilobyte subgraph
+    * arriving from a 32-partition exchange still looped at the session
+    * cap. The count now derives from the checkpointed blocks' actual
+    * bytes (block-manager storage info; the eager localCheckpoint has
+    * just materialized them) at [[LoopPartitionBytes]] per partition,
+    * falling back to the r21 partition-count rule when the storage
+    * info has not surfaced. Perf-only: the loop joins/aggregates are
+    * key-deterministic, so the partition count never changes results.
     */
+  private val LoopPartitionBytes = 64L << 20
   def loopPartitions(materialized: DataFrame): Int = {
-    val cap = materialized.sparkSession.sessionState.conf
-      .numShufflePartitions
-    math.max(1, math.min(cap, materialized.rdd.getNumPartitions))
+    val spark = materialized.sparkSession
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val nParts = materialized.rdd.getNumPartitions
+    val byCount = math.max(1, math.min(cap, nParts))
+    // The checkpointed RDD rides the analyzed plan's LogicalRDD; its
+    // storage info is published by the status listener, which is
+    // asynchronous to the persist job — bounded retry, then fall back.
+    val rddId = materialized.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.id)
+      case _ => None
+    }
+    rddId.flatMap { id =>
+      var bytes = 0L
+      var tries = 0
+      while (bytes == 0L && tries < 10) {
+        bytes = spark.sparkContext.getRDDStorageInfo
+          .find(i => i.id == id && i.numCachedPartitions > 0)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+        if (bytes == 0L) { Thread.sleep(20); tries += 1 }
+      }
+      if (bytes > 0L)
+        Some(math.max(1, math.min(byCount,
+          ((bytes + LoopPartitionBytes - 1) / LoopPartitionBytes).toInt)))
+      else None
+    }.getOrElse(byCount)
   }
 
   /** Multiset-equality certificate in ONE aggregate per side.

@@ -56,7 +56,12 @@ object Cooccurrence {
     // In-plan census + overflow guard (the q176/q232 discipline): the
     // exact-lift arithmetic needs N ≤ 3e7 or the product overflows a
     // long; raise_error keeps the guard in the value expression, zero
-    // extra actions.
+    // extra actions. Scope caveat (ADVICE r21): embedded in lift_e4,
+    // the guard fires only when at least one pair survives minSupport
+    // AND the lift column is evaluated — an over-cap census with ZERO
+    // surviving pairs passes silently, which is sound (no pairs means
+    // no overflowing product is ever formed), and a consumer pruning
+    // lift_e4 prunes the guard with the arithmetic it guards.
     val census = arrs.agg(count(lit(1)).as("__nu"))
     val nuOk = when(col("__nu") <= 30000000L, col("__nu"))
       .otherwise(raise_error(concat(lit("Cooccurrence.pairs: "),

@@ -352,6 +352,82 @@ object Dedup {
     labels.union(isolated)
   }
 
+  /** [[connectedComponents]], restructured for fewer jobs per query and
+    * an exchange-free per-round edge join at scale (r22, guide §2.4 /
+    * §1.2-1). Same fixpoint, bit-identical output for ANY input (the
+    * min-label fixpoint is unique — CcFastSpec pins equality against
+    * the original on random graphs, chains, cliques and duplicate
+    * edges); q54 stays on [[connectedComponents]] because that code is
+    * part of the frozen cross-round calibration subset, while the
+    * non-calibration consumers (q55/q125/q191/q225) route here.
+    *
+    * What changed relative to the frozen loop:
+    *  - the FIRST propagation round is folded into the touched-set
+    *    build: labels₀ = min(v, min neighbor) comes out of the same
+    *    single aggregate that used to compute `distinct` ids with
+    *    identity labels, so the loop starts one hop ahead at zero extra
+    *    cost (`distinct` was already a full aggregate of the edge
+    *    table);
+    *  - the edge table is hash-partitioned ONCE on the hop-join key
+    *    (`dst`, count scale-adaptive via
+    *    [[graft.SparkUtil.loopPartitions]]) before its checkpoint, so
+    *    at cluster scale no round re-shuffles the edges — an iteration
+    *    moves only label-sized rows (the r21 LPA/PageRank discipline);
+    *    the labels₀ aggregate groups on `dst` and is itself
+    *    exchange-free on that layout.
+    */
+  def connectedComponentsFast(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val und0 = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val np = graft.SparkUtil.loopPartitions(und0)
+    val und = und0.repartition(np, col("dst")).localCheckpoint(true)
+    // touched set + first hop in ONE aggregate: the union is symmetric,
+    // so grouping on dst enumerates every touched vertex with all its
+    // neighbors as src rows; least(dst, min(src)) IS round 1 of
+    // min-label propagation from identity labels.
+    var labels = und.groupBy(col("dst"))
+      .agg(least(col("dst"), min(col("src"))).as("component"))
+      .select(col("dst").as("id"), col("component"))
+      .localCheckpoint(false)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Same doubling-with-hooking recurrence as the frozen loop:
+      // labels_{k+1} = min(labels_k ∘ labels_k, neighbor-min(labels_k)),
+      // one label-sized self-join + one co-partitioned edge join fused
+      // into a single aggregate + lazy checkpoint; the convergence
+      // witness's collect materializes it (one job per round).
+      val jumped = labels.join(
+          labels.select(col("id").as("__pid"), col("component").as("__pc")),
+          col("component") === col("__pid"))
+        .select(col("id"), col("__pc").as("component"))
+      val viaNeighbors = und.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("component"))
+      val next = jumped.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(false)
+      val curSum = labelSum(next)
+      labels = next
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsFast did not converge in $maxIter rounds " +
+        "(O(log diameter) expected under pointer doubling); raise maxIter")
+    val isolated = vertices.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(isolated)
+  }
+
   /** k-core of the near-dup pair graph — the DENSITY lens the component
     * view (connected components label chains and cliques alike) cannot
     * give: peeling vertices of degree < k until fixpoint leaves exactly
@@ -375,16 +451,25 @@ object Dedup {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    // ONE degree table drives both the report's `degree` column and
+    // round 1's keep set (r22, guide §1.2-1): the r21 loop recomputed
+    // the identical und-sized aggregate for round 1, and the final
+    // round's degree count was thrown away even though it IS the
+    // core_degree the report needs — the loop now carries the degree
+    // table forward, so `rounds` peels cost `rounds` aggregates total
+    // instead of `rounds + 2`.
     val deg0 = und.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // two consumers: report join + round-1 keep
     var e = und
+    var deg = deg0.select(col("src"), col("degree").as("__d"))
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("src"))
+      val keep = deg.filter(col("__d") >= k).select(col("src"))
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint(true)
+      deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     }
-    val coreDeg = e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+    val coreDeg = deg.select(col("src"), col("__d").as("core_degree"))
     val unstable = coreDeg.filter(col("core_degree") < k)
       .agg(count(lit(1)).as("n_unstable"))
     deg0.join(coreDeg, Seq("src"), "left")

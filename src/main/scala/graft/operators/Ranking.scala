@@ -86,7 +86,11 @@ object Ranking {
       // bounded at two rounds while halving materialization jobs
       // (r10) — and LAZY (r21): the consumer's own job materializes
       // the checkpoint in passing, one scheduled job per checkpoint
-      // fewer. Integer arithmetic association-identical.
+      // fewer. Integer arithmetic association-identical. Failure
+      // trade-off (ADVICE r21): lazy blocks have no lineage fallback
+      // if evicted mid-job — fail-stop, fine for bounded rounds; if
+      // iteration counts ever grow large, reinstate a periodic EAGER
+      // checkpoint (every Nth round) as a materialization barrier.
       if (i % 2 == 0 || i == iterations)
         ranks = ranks.localCheckpoint(false)
     }
@@ -116,7 +120,14 @@ object Ranking {
     * isolated vertices rejoin as community = id at the end.
     *
     * Output: (id, community, community_size) for every vertex in
-    * `vertices` (column `id`).
+    * `vertices` (column `id`). CONTRACT (ADVICE r21): `vertices.id`
+    * must be unique — an edge-touched duplicate id collapses to one
+    * output row (the loop state is keyed distinct) while an isolated
+    * duplicate emits one row per input row via the left_anti; every
+    * declared caller passes a primary-key projection. Deduplicating
+    * the isolated side here would buy consistency on malformed input
+    * at the cost of a corpus-sized shuffle every call — documented
+    * instead.
     */
   def labelPropagation(edges: DataFrame, vertices: DataFrame,
       rounds: Int = 4): DataFrame = {

@@ -290,10 +290,19 @@ object CurationQueries {
     val d = docs(s, dir)
     val kept = Curation.repetitionStats(d, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
+    // Exact dedup as ONE hash aggregate instead of a text-partitioned
+    // row_number window (r22, guide §2.3): the window shuffled and
+    // SORTED every kept row (full text payload) to keep one per text;
+    // min over a (doc_id, lang) struct picks the identical min-doc_id
+    // winner (doc_id leads the struct and is unique, so the lexical
+    // min IS the window's rank-1 row) with map-side partial
+    // aggregation, and the downstream steps only need (doc_id, lang,
+    // text).
     val unique = d.join(kept, Seq("doc_id"))
-      .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1)
+      .groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.lang").as("lang"),
+        col("text"))
     val samp = Curation.stratifiedSample(unique, "lang", "doc_id",
       Map("en" -> "80", "zh" -> "40", "de" -> "20", "es" -> "20",
         "fr" -> "20"))

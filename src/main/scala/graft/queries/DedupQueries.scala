@@ -263,7 +263,7 @@ object DedupQueries {
     val exactKeep = base.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("__ke"))
-    val ndKeep = Dedup.connectedComponents(lshPairs(s, dir),
+    val ndKeep = Dedup.connectedComponentsFast(lshPairs(s, dir),
         d.select(col("doc_id").as("id")))
       .filter(col("id") === col("component"))
       .select(col("id").as("doc_id"), lit(true).as("__kn"))
@@ -316,17 +316,23 @@ object DedupQueries {
   // q55: canonical-per-cluster dedup decision — keep the longest document
   // of each component (ties → lowest id), the classic keep-best policy.
   def q55(s: SparkSession, dir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(lshPairs(s, dir),
+    val comp = Dedup.connectedComponentsFast(lshPairs(s, dir),
       docs(s, dir).select(col("doc_id").as("id")))
     val withLen = comp.join(
       docs(s, dir).select(col("doc_id").as("id"),
         length(col("text")).as("len")), "id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
-      .orderBy(col("len").desc, col("id"))
-    withLen.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id").as("doc_id"), col("component"), col("len"))
+    // Keep-best as ONE map-side-combinable argmax instead of a
+    // row_number window (r22, guide §2.3): the window sorted the whole
+    // corpus-sized (id, component, len) table inside each partition to
+    // keep one row per component; max_by with the (len, -id) ordering
+    // struct picks the identical row (longest, ties to lowest id — ids
+    // are unique, so the ordering value is unique and max_by is
+    // deterministic) through a hash aggregate that combines map-side.
+    withLen.groupBy(col("component"))
+      .agg(max_by(struct(col("id"), col("len")),
+        struct(col("len"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("__best.id").as("doc_id"), col("component"),
+        col("__best.len").as("len"))
       .orderBy(col("doc_id"))
   }
 
@@ -407,7 +413,7 @@ object DedupQueries {
   // LSH pairs (q54); the report is two aggregates over the materialized
   // (id, component) table + a broadcast 1-row certificate join.
   def q125(s: SparkSession, dir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(lshPairs(s, dir),
+    val comp = Dedup.connectedComponentsFast(lshPairs(s, dir),
         docs(s, dir).select(col("doc_id").as("id")))
       .localCheckpoint(true) // two consumers: split report + certificate
     val sp = comp.withColumn("split",
@@ -532,7 +538,7 @@ object DedupQueries {
           col("x.rec_id") < col("y.rec_id") &&
           levenshtein(col("x.name"), col("y.name")) <= 2)
       .select(col("x.rec_id").as("a"), col("y.rec_id").as("b"))
-    val comp = graft.operators.Dedup.connectedComponents(edges,
+    val comp = graft.operators.Dedup.connectedComponentsFast(edges,
       recs.select(col("rec_id").as("id")))
     comp.join(recs.select(col("rec_id").as("id"), col("k")), "id")
       .groupBy("component")

@@ -452,14 +452,21 @@ object OperatorQueries {
       .select(col("train_id"), col("eval_id"),
         simR4(col("vt"), col("ve")).as("sim"))
       .filter(col("sim") >= DecontamTau)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("train_id")
-    scored
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("sim").desc, col("eval_id"))))
-      .withColumn("n_hits", count(lit(1)).over(w))
-      .filter(col("rn") === 1)
-      .select(col("train_id"), col("n_hits"), col("sim").as("max_sim"),
-        col("eval_id").as("best_eval"))
+    // One map-side-combinable aggregate instead of a row_number +
+    // count window pair (r22, guide §2.3): the window sorted the whole
+    // scored stream per train_id to keep one row; max_by with the
+    // (sim, −eval_id) ordering struct picks the identical (sim DESC,
+    // eval_id ASC) winner — eval_id is unique within a group, so the
+    // ordering value is unique and max_by is deterministic — and the
+    // hit count rides in the same aggregate.
+    scored.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max_by(struct(col("sim").as("max_sim"),
+            col("eval_id").as("best_eval")),
+          struct(col("sim"), (-col("eval_id")).as("nid"))).as("__b"))
+      .select(col("train_id"), col("n_hits"),
+        col("__b.max_sim").as("max_sim"),
+        col("__b.best_eval").as("best_eval"))
       .orderBy(col("train_id"))
   }
 
@@ -505,17 +512,30 @@ object OperatorQueries {
     // sf0.1). Structural no-op at production scale where splits ≫ cores.
     val corpus = graft.SparkUtil.ensureParallelism(indexed
       .select(col("vec_id"), col("embedding"), col("bucket")))
-    val wq = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    // Both top-10 ranks through the bounded SampleK aggregate (r22,
+    // guide §2.3 — the q111/q152 discipline): the former plan ranked
+    // the |corpus|×|Q| exact stream AND the candidate stream through
+    // row_number windows (full exchange+sort of ~4M rows at sf0.1 for
+    // 10 survivors per query). The fixed-width key (10000 − sim_e4,
+    // vec_id) replays the exact (sim DESC, vec_id ASC) order — simR4
+    // is already rounded to 4 dp, so sim_e4 = round(sim·10⁴) is the
+    // same total order and vec_id uniqueness makes it deterministic;
+    // posexplode of the sorted result array recovers the rank, and the
+    // candidate census rides in the same aggregate as n_cand.
+    def simKey(v: org.apache.spark.sql.Column) = format_string(
+      "%05d:%010d",
+      lit(10000L) - round(simR4(col("embedding"), v) * 10000).cast("long"),
+      col("vec_id"))
     // Ground truth: exact top-10 per audit query (broadcast the tiny
     // query side, stream the corpus — q21's plan shape, fanned out).
     val ex10 = corpus.crossJoin(broadcast(qs.select(col("qid"), col("vq"))))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        simR4(col("embedding"), col("vq")).as("sim"))
-      .withColumn("erank", row_number().over(
-        wq.orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("erank") <= 10)
-      .select(col("qid"), col("vec_id"), col("erank"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.SampleK(simKey(col("vq")), col("vec_id"), 10)
+        .as("__t"))
+      .select(col("qid"), posexplode(col("__t")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("erank"))
     // The search under audit: radius-1 multiprobe bucket join (q143's
     // probe expansion), ranked by the same rounded cosine.
     val probes = qs.select(col("qid"), col("vq"),
@@ -523,12 +543,13 @@ object OperatorQueries {
         col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
     val ranked = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        simR4(col("embedding"), col("vq")).as("sim"))
-      .withColumn("pos", row_number().over(
-        wq.orderBy(col("sim").desc, col("vec_id"))))
-      .withColumn("n_cand", count(lit(1)).over(wq))
-      .filter(col("pos") <= 10)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cand"),
+        graft.functions.SampleK(simKey(col("vq")), col("vec_id"), 10)
+          .as("__t"))
+      .select(col("qid"), col("n_cand"), posexplode(col("__t")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("pos"), col("n_cand"))
     val wArr = array(NdcgW.map(lit): _*)
     ranked.join(ex10, Seq("qid", "vec_id"), "left")
       .withColumn("hit", when(col("erank").isNotNull, 1L).otherwise(0L))
@@ -686,26 +707,39 @@ object OperatorQueries {
     val corpus = graft.SparkUtil.ensureParallelism(
       emb.select(col("vec_id"), col("embedding"),
         pnorms(col("embedding")).as("nv")))
+    // Per-(d, qid) top-10 through the bounded SampleK aggregate (r22,
+    // guide §2.3 "aggregate before you shuffle" — the q111 discipline):
+    // the former plan EXPLODED every pair ×4 prefix lengths and ranked
+    // the 4·|corpus|·|Q| row stream through row_number windows — a full
+    // exchange+sort of ~16M rows at sf0.1 of which 10 per (d, qid)
+    // survive. SampleK keeps the k smallest fixed-width order keys per
+    // group in the aggregate buffer (map-side combinable, k×groups
+    // state), and the key (10000 − sim_e4, vec_id) replays the exact
+    // (sim DESC, vec_id ASC) window order: sim is already rounded to
+    // 4 dp, so sim_e4 = round(sim·10⁴) is the same total order, and
+    // vec_id is unique so ties cannot differ. One aggregate per qid
+    // (4 SampleKs) instead of the ×4 explode — no 4× row blow-up.
     val sims = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.functions.PrefixDots(col("embedding"), col("vq"), TruncDims)
           .as("dots"), col("nq"), col("nv"))
-      .select(col("qid"), col("vec_id"),
-        explode(array(TruncDims.indices.map(i =>
-          struct(lit(TruncDims(i)).as("d"),
-            round(element_at(col("dots"), i + 1) /
-              (element_at(col("nq"), i + 1) *
-                element_at(col("nv"), i + 1)), 4).as("sim"))): _*)).as("x"))
-      .select(col("qid"), col("vec_id"), col("x.d").as("d"),
-        col("x.sim").as("sim"))
-    val wdq = org.apache.spark.sql.expressions.Window
-      .partitionBy("d", "qid")
-    val top = sims
-      .withColumn("pos", row_number().over(
-        wdq.orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("pos") <= 10)
-      .select(col("d"), col("qid"), col("vec_id"))
+    def keyAt(i: Int): org.apache.spark.sql.Column = format_string(
+      "%05d:%010d",
+      (lit(10000L) - round(round(element_at(col("dots"), i + 1) /
+        (element_at(col("nq"), i + 1) * element_at(col("nv"), i + 1)), 4)
+        * 10000).cast("long")),
+      col("vec_id"))
+    val topAggs = TruncDims.indices.map(i =>
+      graft.functions.SampleK(keyAt(i), col("vec_id"), 10).as(s"__s$i"))
+    val top = sims.groupBy(col("qid"))
+      .agg(topAggs.head, topAggs.tail: _*)
+      .select(col("qid"), explode(array(TruncDims.indices.map(i =>
+        struct(lit(TruncDims(i)).as("d"),
+          transform(col(s"__s$i"), e => e.getField("id")).as("ids"))): _*))
+        .as("x"))
+      .select(col("x.d").as("d"), col("qid"),
+        explode(col("x.ids")).as("vec_id"))
     // The ground-truth side is |Q|×10 rows — broadcast it (left to
     // stats, the planner sort-merges two same-lineage frames).
     val ex = top.filter(col("d") === EmbeddingDim)
