@@ -42,29 +42,44 @@ object Coreset {
     val base = graft.SparkUtil.ensureParallelism(
         df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v")))
       .localCheckpoint(true)
-    val nRows = base.count()
+    // Census + seed pick fused into ONE aggregate action (r22, guide
+    // §1.2-1): the count and the min-id row used to be two separate
+    // jobs; min_by over the unique __id key is deterministic and
+    // map-side combinable.
+    val seedRow = base.agg(count(lit(1)),
+      min_by(struct(col("__id"), col("__v")), col("__id"))).head()
+    val nRows = seedRow.getLong(0)
     require(nRows > 0, "farthestFirst: empty input — nothing to select")
     require(k <= nRows,
       s"farthestFirst: k=$k exceeds the ${nRows} distinct input rows; " +
         "every row is already a center at k = n")
-    val seedRow = base.orderBy(col("__id")).limit(1).head()
-    val seedId = seedRow.getLong(0)
-    val seedVec = seedRow.getSeq[Float](1).toArray
+    val seed = seedRow.getStruct(1)
+    val seedId = seed.getLong(0)
+    val seedVec = seed.getSeq[Float](1).toArray
     var picks = List((1L, seedId, 0L))
+    // LAZY per-step checkpoints (r22 — the CC loop discipline): each
+    // step's distance table has exactly one action consumer (the
+    // farthest-point aggregate below), whose job materializes the
+    // checkpoint in passing — one scheduled job per step instead of
+    // two. The farthest pick itself is a max_by aggregate on the
+    // (__d, −__id) ordering struct — the identical (__d DESC, __id
+    // ASC) winner the former orderBy().limit(1) produced (__id is
+    // unique, so the ordering value is unique), with no sort.
     var cur = base.filter(col("__id") =!= seedId)
       .withColumn("__d",
         graft.functions.SqDistE8(col("__v"), typedLit(seedVec)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (step <- 2 to k) {
-      val far = cur.orderBy(col("__d").desc, col("__id")).limit(1).head()
-      val fid = far.getAs[Long]("__id")
-      val fd = far.getAs[Long]("__d")
-      val fvec = far.getAs[Seq[Float]]("__v").toArray
+      val far = cur.agg(max_by(struct(col("__id"), col("__d"), col("__v")),
+        struct(col("__d"), (-col("__id")).as("nid")))).head().getStruct(0)
+      val fid = far.getLong(0)
+      val fd = far.getLong(1)
+      val fvec = far.getSeq[Float](2).toArray
       picks ::= ((step.toLong, fid, fd))
       cur = cur.filter(col("__id") =!= fid)
         .withColumn("__d", least(col("__d"),
           graft.functions.SqDistE8(col("__v"), typedLit(fvec))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     // k == corpus size leaves nothing uncovered: null max → radius 0.
     val coverRow = cur.agg(max(col("__d"))).head()

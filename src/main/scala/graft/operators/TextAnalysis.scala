@@ -317,21 +317,27 @@ object TextAnalysis {
       when(k > 0, k * lnE4(k, row, cTot, n)).otherwise(lit(0L))
     val grpTotals = cells.groupBy(col("grp"))
       .agg(sum(col("a")).as("st"))
-    // coalesce: an empty corpus flows through as an empty result, not
-    // an NPE on the null SUM.
-    val nTotal = grpTotals.agg(coalesce(sum(col("st")), lit(0L)))
-      .head().getLong(0)
-    // Output-sum budget: |G²_e4| ≤ 2·N·ln(N)·10⁴ must fit a long —
-    // holds to N = 10¹³ tokens (6·10¹⁸ < 2⁶³). Loud cap past that,
-    // mirroring otsuThreshold.
-    require(nTotal <= 10000000000000L,
-      s"keyness: $nTotal total tokens exceeds the exact-integer budget " +
-        "(the G2_e4 output sum wraps past ~1e13 tokens) — pre-aggregate " +
-        "or sample the corpus")
+    // Token census as an in-plan broadcast 1-row scalar instead of a
+    // separate collect action (r22 — the q176/q233/q194 discipline):
+    // one fewer sequential driver action per keyness call (q186 and
+    // the q201 compose both pay it). The exact-integer output-sum
+    // budget guard (|G²_e4| ≤ 2·N·ln(N)·10⁴ fits a long to N = 10¹³
+    // tokens, mirroring otsuThreshold) rides IN the scalar expression
+    // via raise_error, so any consumption of the scored table trips
+    // it; coalesce keeps an empty corpus an empty result, not an NPE.
+    val census = grpTotals.agg(
+      when(coalesce(sum(col("st")), lit(0L)) <= 10000000000000L,
+        coalesce(sum(col("st")), lit(0L)))
+        .otherwise(raise_error(concat(
+          lit("keyness: "), coalesce(sum(col("st")), lit(0L)).cast("string"),
+          lit(" total tokens exceeds the exact-integer budget (the G2_e4 " +
+            "output sum wraps past ~1e13 tokens) — pre-aggregate or " +
+            "sample the corpus")))).as("__n"))
     val scored = cells
       .withColumn("tt", sum(col("a")).over(byTerm))
       .join(broadcast(grpTotals), Seq("grp"))
-      .withColumn("n", lit(nTotal))
+      .crossJoin(broadcast(census))
+      .withColumn("n", col("__n"))
       .withColumn("b", col("tt") - col("a"))
       .withColumn("c", col("st") - col("a"))
       .withColumn("d", col("n") - col("st") - col("b"))

@@ -113,9 +113,17 @@ object CorpusQueries {
         minDocFreq = 2)
       .select(col("doc_id"), col("span_start").as("s"),
         col("span_end").as("e"))
-    def spanList(df: DataFrame, name: String) =
-      df.groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("s"), col("e"))).as(name))
+    // ONE union-tagged span aggregate + ONE join (r22, guide §2.4):
+    // the three per-detector groupBy+left-join chains shuffled the
+    // same doc-keyed span rows three times and joined three times;
+    // tagging the detector in a union lets a single aggregate build
+    // all three lists (collect_list skips the other detectors' null
+    // rows) and a single left join attach them.
+    def tag(df: DataFrame, k: Int) = df.select(col("doc_id"),
+      lit(k).as("__k"), col("s").cast("int").as("s"),
+      col("e").cast("int").as("e"))
+    def listOf(k: Int) = collect_list(when(col("__k") === k,
+      struct(col("s"), col("e"))))
     val noSpans = array().cast("array<struct<s:int,e:int>>")
     // Covered-position count as UNION-OF-INTERVALS length (r21): the
     // r19 shape evaluated `exists(spans, ...)` for EVERY token position
@@ -142,9 +150,10 @@ object CorpusQueries {
                 .otherwise(lit(0L))).as("tot"))
         },
         acc => acc.getField("tot"))
-    tok.join(spanList(grid, "__g"), Seq("doc_id"), "left")
-      .join(spanList(cdc, "__c"), Seq("doc_id"), "left")
-      .join(spanList(span, "__s"), Seq("doc_id"), "left")
+    val lists = tag(grid, 1).unionByName(tag(cdc, 2)).unionByName(tag(span, 3))
+      .groupBy(col("doc_id"))
+      .agg(listOf(1).as("__g"), listOf(2).as("__c"), listOf(3).as("__s"))
+    tok.join(lists, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("__t")).as("__n"),
         coalesce(col("__g"), noSpans).as("__g"),
         coalesce(col("__c"), noSpans).as("__c"),
