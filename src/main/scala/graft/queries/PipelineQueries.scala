@@ -403,12 +403,17 @@ object PipelineQueries {
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // feeds the global vocab AND the lang join
     val wc = lw.groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
-    val nVocab = wc.count()
-    require(nVocab <= BpeMaxVocab,
-      s"q147 vocabulary $nVocab exceeds BpeMaxVocab=$BpeMaxVocab: " +
-        "the training cap would bind and diverge from the oracle")
-    val vocab = wc.orderBy(col("cnt").desc, col("w")).limit(BpeMaxVocab)
+    // Census guard folded into the vocab collect (r22): fetching cap+1
+    // rows answers "does the vocabulary exceed the cap" in the SAME
+    // action that fetches the vocabulary — the former wc.count() was a
+    // second full aggregate over the checkpointed (lang, word) table.
+    val vocabPlus = wc.orderBy(col("cnt").desc, col("w"))
+      .limit(BpeMaxVocab + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(vocabPlus.length <= BpeMaxVocab,
+      s"q147 vocabulary exceeds BpeMaxVocab=$BpeMaxVocab: " +
+        "the training cap would bind and diverge from the oracle")
+    val vocab = vocabPlus
     val merges = graft.operators.Bpe.trainMerges(vocab, BpeMerges)
     // Codepoint counts, not UTF-16 units: the merge machinery and the
     // oracle's LENGTH() are both codepoint-granular (Bpe.spaced).
