@@ -56,10 +56,20 @@ object Ranking {
       .repartition(np, col("src"))
       .localCheckpoint(true)
     val base = (100L - dampingE2) * 1000000000L / 100L
-    var ranks = und.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1000000000L).as("rank_e9"))
-      .localCheckpoint(true)
-    for (i <- 1 to iterations) {
+    // Round 1 folded into one edge aggregate (r22, guide §1.2-1): the
+    // initial rank table is the CONSTANT 1e9 on every touched vertex,
+    // so round 1's `und ⋈ ranks` join is the identity map and its
+    // contribution is `1e9 div 100 div deg * d` computed straight off
+    // the edge row — the identical integer-division chain with the
+    // constant substituted (1e9 div 100 = 10^7 exactly). The separate
+    // distinct identity-rank build (a full aggregate + checkpoint) and
+    // the round-1 join are gone; rounds 2+ are unchanged.
+    var ranks = und
+      .groupBy(col("dst")).agg(
+        sum(expr(s"1000000000 div 100 div deg * $dampingE2")).as("__in"))
+      .select(col("dst").as("id"), (lit(base) + col("__in")).as("rank_e9"))
+    if (iterations == 1) ranks = ranks.localCheckpoint(false)
+    for (i <- 2 to iterations) {
       val contrib = und
         .join(ranks, col("src") === col("id"))
         .select(col("dst"),
@@ -165,10 +175,18 @@ object Ranking {
     // label and influence nobody; keeping them in the loop shuffled
     // the whole corpus-sized label table once per round for nothing.
     // They rejoin as community = id after the loop.
-    val touched = und.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
-    var labels = touched.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to rounds) {
+    // Round 1 folded into one edge aggregate (r22, guide §1.2-1): the
+    // initial labels are the identity map, so round 1's `und ⋈ labels`
+    // join is a no-op and the first vote table is `mode(src)` straight
+    // off the edge rows — the separate touched-set distinct (a full
+    // aggregate + checkpoint) and the round-1 join are gone. Every
+    // later round's label table doubles as the touched set (each
+    // touched vertex receives ≥ 1 vote on a symmetric edge list).
+    var labels = und.groupBy(col("dst"))
+      .agg(expr("mode(src, true)").as("lbl"))
+      .select(col("dst").as("id"), col("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 2 to rounds) {
       // One co-partitioned join + ONE dst-keyed aggregate per round
       // (r21, guide §2.3): `mode(lbl, true)` buffers the per-dst
       // neighbor-label counts map-side (bounded by degree) and
@@ -190,7 +208,7 @@ object Ranking {
         .localCheckpoint(false)
     }
     val isolated = vertices.select(col("id"))
-      .join(touched, Seq("id"), "left_anti")
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("lbl"))
     labels.union(isolated)
       .withColumn("community_size", count(lit(1)).over(
