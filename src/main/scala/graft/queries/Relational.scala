@@ -45,6 +45,7 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sq"),
         round(avg(col("l_extendedprice")), 2).as("ap"))
       .filter(col("c") > 0)
+      .coalesce(1)
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   // q04: distinct aggregation (expand + two-phase agg under the hood).
@@ -64,6 +65,7 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("c"))
+      .coalesce(1)
       .orderBy(col("r_name"))
 
   // q06: multi-way join + agg + top-k (TPC-H Q3 shape). customer is the
@@ -148,6 +150,7 @@ object Relational {
     val sup = t(s, dir, "supplier").select(col("s_nationkey").as("n"))
     c.intersect(sup).select(lit("intersect").as("op"), col("n"))
       .unionAll(c.except(sup).select(lit("except").as("op"), col("n")))
+      .coalesce(1)
       .orderBy(col("op"), col("n"))
   }
 
@@ -160,6 +163,7 @@ object Relational {
         grouping(col("l_linestatus")).cast("int").as("g2"),
         count(lit(1)).as("c"),
         round(sum(col("l_quantity")), 2).as("sq"))
+      .coalesce(1)
       .orderBy(col("g1"), col("g2"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 

@@ -24,6 +24,7 @@ object Relational2 {
         grouping(col("o_orderpriority")).cast("int").as("g2"),
         count(lit(1)).as("c"),
         round(sum(col("o_totalprice")), 2).as("tp"))
+      .coalesce(1)
       .orderBy(col("g1"), col("g2"),
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
@@ -36,6 +37,7 @@ object Relational2 {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
+      .coalesce(1)
       .orderBy(col("h"))
 
   // q38: exact continuous percentiles (median & p90) per group
@@ -69,6 +71,7 @@ object Relational2 {
         grouping(col("o_orderpriority")).cast("int").as("g2"),
         count(lit(1)).as("c"),
         round(sum(col("o_totalprice")), 2).as("tp"))
+      .coalesce(1)
       .orderBy(col("g1"), col("g2"),
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
