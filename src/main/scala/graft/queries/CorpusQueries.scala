@@ -245,6 +245,7 @@ object CorpusQueries {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("distinct_oov"), lit(0L)).as("distinct_oov"))
       .withColumn("oov_e4", expr("n_oov * 10000 div n_tokens"))
+      .coalesce(1)
       .orderBy(col("source"))
   }
 

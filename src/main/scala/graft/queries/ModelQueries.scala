@@ -67,6 +67,7 @@ object ModelQueries {
     Curation.mixtureWeights(docs(s, dir), "source", "text",
         targetShares = Map("src0" -> 0.10, "src1" -> 0.08),
         maxWeight = 4.0)
+      .coalesce(1)
       .orderBy(col("source"))
 
   // q96: nearest-class-centroid assignment over the labeled embeddings —

@@ -147,6 +147,7 @@ object PipelineQueries {
         sum(when(col("host").startsWith("www."), 1L).otherwise(0L))
           .as("n_www"),
         sum(when(col("page").isNotNull, 1L).otherwise(0L)).as("n_paged"))
+      .coalesce(1)
       .orderBy(col("registered_domain"), col("public_suffix"))
   }
 
@@ -265,6 +266,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         min(col("score_e4")).as("min_score"),
         max(col("score_e4")).as("max_score"))
+      .coalesce(1)
       .orderBy(col("lang"), col("bucket"))
   }
 
@@ -438,6 +440,7 @@ object PipelineQueries {
       .select(col("lang"), col("n_docs"), col("n_words"),
         col("n_tokens"), col("n_chars"), col("toks_per_word_e4"),
         col("chars_per_token_e4"))
+      .coalesce(1)
       .orderBy(col("lang"))
   }
 

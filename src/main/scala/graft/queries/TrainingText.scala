@@ -218,6 +218,7 @@ object TrainingText {
     toks.join(cand, Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= lit(n / 200.0))
+      .coalesce(1)
       .orderBy(col("c").desc, col("term"))
   }
 

@@ -712,6 +712,7 @@ object WarehouseQueries {
       .withColumn("dev_e4", abs(col("share_e4") - col("benford_e4")))
       .select(col("digit"), col("n"), col("share_e4"),
         col("benford_e4"), col("dev_e4"))
+      .coalesce(1)
       .orderBy("digit")
   }
 
